@@ -1,0 +1,110 @@
+"""Per-key CDC event compaction (A1) as declarative DataFrame ops.
+
+Re-expresses the reference's ``mergeOplogs`` store-fold
+(reference: src/processor.ts:260-297) — the event algebra::
+
+    i then u -> i (patched, ts advanced)      u then u -> merged u
+    i then d -> annihilate                    u then d -> d
+    d then u -> u (revives)                   d then i -> i
+
+The reference replays events per key through a mutable store.  The
+Spark-first insight: for a closed set of mapped payload fields, the
+fold's OUTCOME is a pure function of per-key window aggregates —
+
+* the survivor is always the LAST event (ts order) of the key, with
+  - op upgraded ``u -> i`` when the store held an insert, and
+  - the key dropped when a delete lands on a stored insert;
+* "the store held an insert" == the latest non-'u' event before the
+  last one is an 'i' (an 'i' stays 'i' under any number of 'u's; any
+  'd' either clears it or becomes the store entry);
+* each mapped payload field's value is last-writer-wins among events
+  that wrote it (insert doc / update $set), because both the i-patch
+  (applyUpdateMongoDoc, processor.ts:272) and the u-merge
+  (_.merge, processor.ts:275) apply later events over earlier ones.
+
+That makes compaction ONE shuffle (window partitioned by key) with no
+UDFs, no state store, and no join — it scales to any number of keys and
+is skew-tolerant under AQE.  Contrast with a faithful-but-wrong port:
+``applyInPandas`` replaying the fold per key would ship every event
+through Python for the same answer.
+
+At most one event per key survives — the invariant that makes the bulk
+sink's per-key ordering safe across partitions (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_INSERT = "i"
+OP_UPDATE = "u"
+OP_DELETE = "d"
+
+
+def compact_events(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    payload_cols: Sequence[str] = (),
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Compact a batch of CDC events to at most one survivor per key.
+
+    ``payload_cols`` are the mapped document fields (last-writer-wins,
+    nulled on the delete survivor).  ``tiebreak_col`` deterministically
+    orders events with equal ``ts`` (the reference relies on stable
+    sort order of arrival; a monotonic event id is the distributed
+    equivalent).
+
+    Output columns: ``key_cols + [op_col, *payload_cols, ts_col]``
+    (plus ``tiebreak_col`` when given — the survivor is a real event
+    and keeps its identity).
+    """
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w_ordered = Window.partitionBy(*key_cols).orderBy(*order)
+    w_all = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+    op = F.col(op_col)
+    rn = F.row_number().over(w_ordered)
+    df = df.withColumn("__rn", rn)
+
+    # latest non-'u' event EXCLUDING the last event == the store's
+    # op right before the final event lands (see module docstring)
+    non_u_prior = (F.col(op_col) != OP_UPDATE) & (F.col("__rn") > 1)
+    prev_nu_op = F.max_by(
+        F.when(non_u_prior, F.col(op_col)),
+        F.when(non_u_prior, -F.col("__rn")),
+    ).over(w_all)
+    df = df.withColumn("__prev_nu_op", prev_nu_op)
+
+    last = df.filter(F.col("__rn") == 1)
+    # eqNullSafe: no prior non-'u' event (null) means the store did NOT
+    # hold an insert — a plain == would null-poison the annihilation
+    # filter and silently drop bare deletes
+    store_was_insert = F.col("__prev_nu_op").eqNullSafe(OP_INSERT)
+    survivor_op = (
+        F.when((op == OP_UPDATE) & store_was_insert, F.lit(OP_INSERT))
+        .otherwise(op)
+        .alias(op_col)
+    )
+    payload = [
+        F.when(op == OP_DELETE, F.lit(None)).otherwise(F.col(c)).alias(c)
+        for c in payload_cols
+    ]
+    annihilated = (op == OP_DELETE) & store_was_insert
+    tail_cols = [F.col(ts_col)]
+    if tiebreak_col:
+        tail_cols.append(F.col(tiebreak_col))
+    return last.filter(~annihilated).select(
+        *[F.col(k) for k in key_cols], survivor_op, *payload, *tail_cols
+    )

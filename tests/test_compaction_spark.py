@@ -1,0 +1,113 @@
+"""The DataFrame compaction operator must agree with the pure-Python
+store-fold spec (reference semantics, src/processor.ts:260-297) on
+randomized event sequences — the load-bearing equivalence of the
+Spark-first redesign."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from mongo_es_spark.config import Task
+from mongo_es_spark.core import make_ts, merge_oplogs
+from mongo_es_spark.operators.compaction import compact_events
+
+TASK = Task({"transform": {"mapping": {"value": "value"}}})
+
+
+def python_fold(events):
+    """Replay events through the spec fold; return survivors keyed by id.
+
+    Events are dense rows (key, ts, seq, op, value) -> oplog dicts where
+    inserts carry the doc and updates carry a $set of the payload.
+    """
+    oplogs = []
+    for key, ts, seq, op, value in events:
+        base = {"ts": make_ts(ts, seq), "ns": "t", "op": op}
+        if op == "i":
+            base["o"] = {"_id": str(key), "value": value}
+        elif op == "u":
+            base["o"] = {"$set": {"value": value}}
+            base["o2"] = {"_id": str(key)}
+        else:
+            base["o"] = {"_id": str(key)}
+        oplogs.append(base)
+    out = {}
+    for lg in merge_oplogs(TASK, oplogs):
+        key = lg["o"]["_id"] if lg["op"] != "u" else lg["o2"]["_id"]
+        if lg["op"] == "d":
+            value = None
+        elif lg["op"] == "i":
+            value = lg["o"].get("value")
+        else:
+            value = lg["o"]["$set"]["value"]
+        out[key] = (lg["op"], value, lg["ts"])
+    return out
+
+
+def spark_fold(spark, events):
+    df = spark.createDataFrame(
+        [(str(k), ts, seq, op, float(v)) for k, ts, seq, op, v in events],
+        "key string, ts long, seq long, op string, value double",
+    )
+    result = compact_events(
+        df, ["key"], ts_col="ts", op_col="op",
+        payload_cols=["value"], tiebreak_col="seq",
+    )
+    return {
+        r["key"]: (r["op"], r["value"], make_ts(r["ts"], r["seq"]))
+        for r in result.collect()
+    }
+
+
+def test_compaction_randomized_vs_spec(spark):
+    rng = random.Random(42)
+    events = []
+    seq = 0
+    for _ in range(600):
+        key = rng.randint(0, 25)
+        op = rng.choice("iuuud")  # update-heavy, like real CDC
+        events.append((key, rng.randint(0, 50), seq, op, rng.randint(0, 999)))
+        seq += 1
+    spec = python_fold(events)
+    got = spark_fold(spark, events)
+    spec_cmp = {k: (op, v, ts) for k, (op, v, ts) in spec.items()}
+    got_cmp = {
+        k: (op, None if v is None else int(v), ts) for k, (op, v, ts) in got.items()
+    }
+    assert got_cmp == spec_cmp
+
+
+@pytest.mark.parametrize(
+    "ops,expect",
+    [
+        ("iu", [("i", 1)]),       # insert patched by update
+        ("uu", [("u", 1)]),       # merged update, later wins
+        ("ud", [("d", None)]),    # delete survives over update
+        ("id", []),               # annihilation
+        ("du", [("u", 1)]),       # update revives after delete
+        ("idu", [("u", 2)]),      # store cleared, update stored fresh
+        ("iud", []),              # patched insert still annihilates
+        ("di", [("i", 1)]),       # re-insert after delete
+        ("d", [("d", None)]),
+        ("uid", []),              # insert overwrites update, then dies
+    ],
+)
+def test_compaction_algebra_cases(spark, ops, expect):
+    events = [(0, t, t, op, t) for t, op in enumerate(ops)]
+    got = sorted(
+        (op, None if v is None else int(v))
+        for op, v, _ in spark_fold(spark, events).values()
+    )
+    assert got == sorted(expect)
+
+
+def test_compaction_one_survivor_per_key(spark):
+    rng = random.Random(7)
+    events = [
+        (rng.randint(0, 5), rng.randint(0, 9), i, rng.choice("iud"), i)
+        for i in range(200)
+    ]
+    got = spark_fold(spark, events)
+    assert len(got) <= 6
