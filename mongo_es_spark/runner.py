@@ -1,0 +1,91 @@
+"""Orchestrator + CLI (C6/C7): config JSON in, running pipelines out.
+
+Mirrors the reference's ``run()`` (src/index.ts:7-39): DDL bootstrap,
+checkpoint load, then per task an optional scan (backfill batch job)
+followed by the endless tail (streaming query).  Divergence by design:
+batch load errors FAIL the query (Spark retry semantics) instead of
+being warned-and-skipped (reference: src/processor.ts:322-324 risks
+silent data loss — SURVEY §2 failure-handling note).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import Config, Task, read_config
+from .session import get_spark
+from .sources.cdc import file_oplog_stream
+from .sources.mongo import mongo_change_stream, mongo_collection
+from .streaming.sink import EsBulkSink, ParquetIndexSink, init_indices
+from .streaming.tail import run_scan, run_tail
+
+
+def run(
+    config: Config,
+    spark: SparkSession | None = None,
+    work_dir: str = "/tmp/mongo-es-spark",
+    await_termination: bool = True,
+):
+    """Run every configured task: scan if needed, then tail."""
+    spark = spark or get_spark()
+    es_hosts = (config.elasticsearch.options or {}).get("host", "")
+    suffix = config.controls.index_name_suffix
+    if es_hosts:
+        init_indices(f"http://{es_hosts}", config.elasticsearch.indices, suffix)
+
+    queries = []
+    for task in config.tasks:
+        loaded = Task.load_checkpoint(task.name())
+        if loaded is not None:
+            task.from_ = loaded
+
+        if es_hosts:
+            sink = EsBulkSink(
+                f"http://{es_hosts}",
+                task.load.index + suffix,
+                task.load.type or "_doc",
+                config.controls.elasticsearch_bulk_size,
+            )
+        else:
+            sink = ParquetIndexSink(
+                os.path.join(work_dir, "index", task.name())
+            )
+
+        if task.from_.phase == "scan":
+            source = mongo_collection(spark, config.mongodb.url, task, task.from_)
+            run_scan(spark, task, source, sink)
+
+        stream = mongo_change_stream(spark, config.mongodb.url, task, task.from_)
+        queries.append(
+            run_tail(
+                spark,
+                task,
+                config.controls,
+                stream,
+                sink,
+                checkpoint_dir=os.path.join(work_dir, "ckpt", task.name()),
+            )
+        )
+    if await_termination and queries:
+        spark.streams.awaitAnyTermination()
+    return queries
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="mongo-es-spark",
+        description="replicate MongoDB collections into Elasticsearch "
+        "indices on Spark (scan + oplog tail)",
+    )
+    parser.add_argument("config", help="task-pipeline config JSON")
+    parser.add_argument("--work-dir", default="/tmp/mongo-es-spark")
+    args = parser.parse_args(argv)
+    run(read_config(args.config), work_dir=args.work_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
