@@ -1,0 +1,108 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct
+alongside — the layout that scales: parquet stores the bytes
+column-striped, Spark ships them Arrow-batched into Pandas UDFs, and
+decode/feature-extract runs vectorized per batch on executors.
+
+The actual codec work (PIL/ffmpeg/torchaudio) is NOT available in this
+environment, so the decoders are stubbed two ways:
+
+* ``decode_image``/``decode_audio``/``decode_video`` raise
+  ``NotImplementedError`` with the exact contract a real
+  implementation must satisfy (input/output schema + batch shape);
+* ``fake_decode_metadata`` is a deterministic stand-in driven only by
+  the payload bytes, so the Spark-side plumbing — binary schema,
+  ``mapInPandas`` batching, Arrow transfer, column pruning — is real
+  and testable end to end (and oracle-checkable, since the fake is
+  pure arithmetic on byte lengths).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METADATA_SCHEMA = (
+    "doc_id long, n_bytes long, media_type string, width int, height int, "
+    "duration_ms long"
+)
+
+
+def attach_payload(
+    df: DataFrame, id_col: str, text_col: str, media_type: str = "image/fake"
+) -> DataFrame:
+    """Stand-in ingest: pack a column into ``payload: binary`` +
+    ``media_type`` — the wire format every downstream multimodal
+    operator consumes.  Real pipelines read the bytes from object
+    storage; the schema contract is identical."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+    )
+
+
+def fake_decode_metadata(df: DataFrame) -> DataFrame:
+    """Deterministic metadata extraction over binary payloads via
+    ``mapInPandas`` — the real Arrow/batching path with a fake codec.
+
+    Batch shape: each pandas chunk holds ``payload`` as Python
+    ``bytes``; a real decoder would run its C library per batch here.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": (n % 640 + 16).astype("int32"),
+                    "height": (n % 480 + 16).astype("int32"),
+                    "duration_ms": (n * 40).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(extract, METADATA_SCHEMA)
+
+
+def _stub(what: str, needs: str):
+    raise NotImplementedError(
+        f"{what} requires {needs}, which is not available in this "
+        "environment. Contract: input is an iterator of pandas batches "
+        "with columns (doc_id int64, payload bytes, media_type str); "
+        "output batches must match the declared returnType schema; "
+        "decode per batch, never per row. Wire it through "
+        "DataFrame.mapInPandas exactly like fake_decode_metadata."
+    )
+
+
+def decode_image(df: DataFrame, target_size: tuple[int, int] = (224, 224)):
+    """Decode + resize images to fixed-size float tensors.
+
+    Intended schema: ``doc_id long, pixels array<float>, width int,
+    height int`` with ``pixels`` row-major RGB.
+    """
+    _stub("decode_image", "PIL/pillow or opencv")
+
+
+def decode_audio(df: DataFrame, sample_rate: int = 16_000):
+    """Decode audio to mono PCM at ``sample_rate``.
+
+    Intended schema: ``doc_id long, pcm array<float>, sample_rate int``.
+    """
+    _stub("decode_audio", "ffmpeg/torchaudio")
+
+
+def decode_video_frames(df: DataFrame, fps: float = 1.0):
+    """Sample frames at ``fps``; one output row per frame.
+
+    Intended schema: ``doc_id long, frame_idx int, pixels array<float>``.
+    """
+    _stub("decode_video_frames", "ffmpeg")

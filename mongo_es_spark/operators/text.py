@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines: token
+counting, quality scoring, n-gram language ID, document fingerprinting.
+
+All pure column expressions (JVM, whole-stage codegen) — a 100 TB text
+corpus flows through these without touching Python.  Each has an exact
+DuckDB-SQL twin in the query registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "to", "in", "and", "is", "on")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens_col(text))
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality signals + a composite score.
+
+    Signals: token count, distinct-token ratio, stopword ratio, mean
+    token length.  The score is a fixed deterministic blend — the
+    point is the plumbing (an all-JVM scoring pass suitable for
+    corpus-scale filtering), not the specific weights.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n = token_count_col(text).cast("double")
+    n_safe = F.when(n > 0, n)  # null when 0 -> null ratios, no div/0
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_safe
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_safe
+    )
+    mean_len = (
+        F.length(F.concat_ws("", toks)).cast("double") / n_safe
+    )
+    score = (
+        F.least(n / F.lit(200.0), F.lit(1.0)) * 0.3
+        + distinct_ratio * 0.3
+        + (1.0 - stop_ratio) * 0.2
+        + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        # floor, not round: composite scores of dyadic terms land on
+        # exact .5 decimal boundaries where engines' round() disagree
+        (F.floor(score * 1_000_000) / 1_000_000).alias("quality_score"),
+    )
+
+
+def char_trigrams_col(text: Column) -> Column:
+    """Distinct character trigrams (the classic lang-ID features)."""
+    t = F.trim(text)
+    cnt = F.length(t) - 2
+    return F.when(cnt >= 1, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.substring(t, i, 3)
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    profile_size: int = 20,
+) -> DataFrame:
+    """N-gram-profile language identification (Cavnar-Trenkle style,
+    self-trained): build a top-K character-trigram profile per language
+    from the labeled corpus, then score each document by profile
+    overlap and predict the argmax language.
+
+    Deterministic end to end: profile ties break on trigram text,
+    prediction ties on language code.  Two shuffles (profile build,
+    doc scoring) regardless of corpus size.
+    """
+    tris = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("lang"),
+        F.explode(char_trigrams_col(F.col(text_col))).alias("tri"),
+    )
+    counts = tris.groupBy("lang", "tri").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tri").asc()
+    )
+    profiles = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= profile_size)
+        .select("lang", "tri")
+    )
+    doc_tris = df.select(
+        F.col(id_col), F.explode(char_trigrams_col(F.col(text_col))).alias("tri")
+    )
+    scores = (
+        doc_tris.join(profiles.withColumnRenamed("lang", "cand"), "tri")
+        .groupBy(id_col, "cand")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w2 = Window.partitionBy(id_col).orderBy(
+        F.col("overlap").desc(), F.col("cand").asc()
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cand").alias("pred_lang"))
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-sensitive rolling-hash document fingerprint over tokens:
+    ``h = (h*31 + ascii(tok[0])*31 + len(tok)) mod p`` — a fixed,
+    engine-portable recurrence (no engine hash functions), foldable in
+    any SQL dialect with a list-reduce."""
+    toks = tokens_col(text)
+    nums = F.transform(
+        toks,
+        lambda t: (
+            F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t)
+        ).cast("long"),
+    )
+    return F.aggregate(
+        nums,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )

@@ -271,3 +271,253 @@ def oracle_sql() -> dict[str, str]:
         for name, (_, sql) in REGISTRY.items()
         if sql is not None
     }
+
+
+# ====================================================================
+# Training-data extensions (SURVEY §7 step 9 — no reference
+# counterpart; greenfield Spark operators)
+# ====================================================================
+
+from .operators.dedup import (  # noqa: E402
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .operators.multimodal import attach_payload, fake_decode_metadata  # noqa: E402
+from .operators.similarity import ann_lsh_topk, cosine_topk  # noqa: E402
+from .operators.text import (  # noqa: E402
+    fingerprint_col,
+    language_id,
+    quality_features,
+    token_count_col,
+)
+
+_JACCARD_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, len(w) - 1)])) AS s
+        FROM w
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j,
+           round(shared::DOUBLE / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN counts ca ON i = ca.doc_id
+    JOIN counts cb ON j = cb.doc_id
+    WHERE round(shared::DOUBLE / (ca.n + cb.n - shared), 6) >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id")
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-verified LSH: output equals the brute-force oracle as long
+    # as banding recall holds (miss prob (1-0.8^2)^16 ~ 1e-7)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register("dedup_simhash", None)  # signature-dependent: rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register("dedup_embedding_lsh", None)  # approximate: rows-only check
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", dims=64, threshold=0.45
+    )
+
+
+@register(
+    "similarity_topk",
+    """
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+               e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, "vec_id", "embedding", query_id=0, k=10)
+
+
+@register("similarity_ann_lsh", None)  # approximate: rows-only check
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, "vec_id", "embedding", query_id=0, dims=64, k=10)
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+'))
+            END)::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS w,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::DOUBLE AS n
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, n,
+               len(list_distinct(w))::DOUBLE / nullif(n, 0) AS dr,
+               len(list_filter(w, x -> x IN
+                   ('the','a','of','to','in','and','is','on')))::DOUBLE
+                   / nullif(n, 0) AS sr,
+               length(array_to_string(w, ''))::DOUBLE / nullif(n, 0) AS ml
+        FROM t
+    )
+    SELECT doc_id,
+           n::BIGINT AS n_tokens,
+           round(dr, 6) AS distinct_ratio,
+           round(sr, 6) AS stopword_ratio,
+           round(ml, 6) AS mean_token_len,
+           floor((least(n / 200.0, 1.0) * 0.3 + dr * 0.3
+                 + (1.0 - sr) * 0.2 + least(ml / 8.0, 1.0) * 0.2)
+                 * 1000000) / 1000000 AS quality_score
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs, "doc_id", "text")
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH tri AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(
+                   [substr(tt, i, 3) for i in range(1, length(tt) - 1)]))
+                   AS tri
+        FROM (SELECT doc_id, lang, trim(text) AS tt FROM documents)
+    ),
+    counts AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2),
+    profiles AS (
+        SELECT lang, tri FROM (
+            SELECT lang, tri, row_number() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rk
+            FROM counts) WHERE rk <= 20
+    ),
+    scores AS (
+        SELECT d.doc_id, p.lang AS cand, count(*) AS overlap
+        FROM tri d JOIN profiles p ON d.tri = p.tri
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, cand AS pred_lang FROM (
+        SELECT doc_id, cand, row_number() OVER (
+            PARTITION BY doc_id ORDER BY overlap DESC, cand ASC) AS rn
+        FROM scores) WHERE rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs, "doc_id", "text", "lang", profile_size=20)
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   [(ascii(substr(t, 1, 1)) * 31 + length(t))::BIGINT
+                    for t in string_split_regex(trim(text), '\\s+')]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           'image/fake' AS media_type,
+           (octet_length(encode(text)) % 640 + 16)::INTEGER AS width,
+           (octet_length(encode(text)) % 480 + 16)::INTEGER AS height,
+           (octet_length(encode(text)) * 40)::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_decode_metadata(attach_payload(docs, "doc_id", "text"))

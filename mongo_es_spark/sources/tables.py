@@ -41,6 +41,9 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the engine re-expresses JS/lodash/BSON semantics: nulls flow and
+    # arithmetic wraps instead of raising (Spark 4 defaults to ANSI)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark
 
 

@@ -1,0 +1,140 @@
+"""Invariant tests for the training-data extension operators over the
+sf0.001 fixtures (cross-engine value equality is covered by the
+oracle gate; these pin the operator-level contracts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from mongo_es_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from mongo_es_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_minhash_equals_bruteforce(docs):
+    from mongo_es_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    brute = {
+        (r["i"], r["j"]) for r in jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    lsh = {
+        (r["i"], r["j"]) for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert lsh == brute and len(brute) > 0
+
+
+def test_simhash_identical_and_perturbed_docs(spark):
+    from mongo_es_spark.operators.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical token set -> hamming 0
+            (3, "totally different words nothing shared here at all xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["i"], r["j"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_lsh_subset_of_exact(emb):
+    from mongo_es_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    exact = {
+        (r["i"], r["j"]) for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45).collect()
+    }
+    lsh = {
+        (r["i"], r["j"]) for r in embedding_dup_pairs_lsh(
+            emb, "vec_id", "embedding", dims=64, threshold=0.45).collect()
+    }
+    # verification makes LSH precise; banding only limits recall
+    assert lsh <= exact
+
+
+def test_ann_results_are_true_neighbors(emb):
+    from mongo_es_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(
+        emb, "vec_id", "embedding", query_id=0, k=50).collect()]
+    ann = ann_lsh_topk(
+        emb, "vec_id", "embedding", query_id=0, dims=64, k=10).collect()
+    assert len(ann) == 10
+    # every ANN hit carries its exact cosine; scores must be sorted
+    scores = [r["score"] for r in ann]
+    assert scores == sorted(scores, reverse=True)
+    # recall@10 against exact top-50 should be nontrivial
+    hits = sum(1 for r in ann if r["vec_id"] in exact)
+    assert hits >= 3
+
+
+def test_quality_features_ranges(docs):
+    from mongo_es_spark.operators.text import quality_features
+
+    rows = quality_features(docs, "doc_id", "text").collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["stopword_ratio"] <= 1
+        assert 0 < r["distinct_ratio"] <= 1
+        assert 0 <= r["quality_score"] <= 1
+
+
+def test_language_id_total_and_valid(docs):
+    from mongo_es_spark.operators.text import language_id
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    preds = language_id(docs, "doc_id", "text", "lang").collect()
+    assert len(preds) == docs.count()
+    assert {r["pred_lang"] for r in preds} <= langs
+
+
+def test_multimodal_plumbing_roundtrip(docs):
+    from mongo_es_spark.operators.multimodal import (
+        attach_payload,
+        decode_image,
+        fake_decode_metadata,
+    )
+
+    with_payload = attach_payload(docs, "doc_id", "text")
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+    meta = fake_decode_metadata(with_payload)
+    row = meta.join(docs, "doc_id").select(
+        "n_bytes", F.length("text").alias("chars")
+    ).first()
+    assert row["n_bytes"] >= row["chars"]  # utf-8 >= char count
+    with pytest.raises(NotImplementedError):
+        decode_image(with_payload)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from mongo_es_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    got = {(r["text"], r["doc_id"]) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert got == {("x", 1), ("y", 2)}
