@@ -25,9 +25,16 @@ def main() -> int:
     spark = get_spark("mongo-es-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths so the first measured query isn't
-    # paying session startup
+    # warm the JVM/codegen paths and the Python/Arrow UDF workers so
+    # the first measured query isn't paying session or worker startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ident = pandas_udf(lambda s: s, "long")
+    spark.range(0, 10_000, 1, 32).select(ident("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():

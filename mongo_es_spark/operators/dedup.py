@@ -42,16 +42,38 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def _shingle_kernel(n: int):
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            # strip(' ') not strip(): SQL trim() removes spaces only,
+            # and the DuckDB oracles shingle over trim(text)
+            toks = ws.split(t.strip(" ")) if t is not None else []
+            m = len(toks) - n + 1
+            if m < 1:
+                out.append([])
+            else:
+                out.append(
+                    list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m)))
+                )
+        return pd.Series(out)
+
+    return kernel
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
-    words = tokens_col(text)
-    count = F.size(words) - (n - 1)
-    return F.when(count >= 1, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
-    )).otherwise(F.array().cast("array<string>"))
+    """Distinct word n-gram shingles as an array column.
+
+    Arrow-batched kernel: per-element SQL higher-order functions
+    (transform + slice + concat_ws) evaluate interpreted and dominate
+    every shingle-based operator's runtime; the Python loop over
+    Arrow-delivered strings is ~10x faster and identical in output.
+    """
+    return pandas_udf(_shingle_kernel(n), "array<string>")(text)
 
 
 # ------------------------------------------------------------------ #
@@ -98,7 +120,12 @@ def jaccard_pairs(
     counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        # merge hint: both sides are the same subplan, so a sort-merge
+        # join shares one shuffle via ReusedExchange; a broadcast would
+        # build the full inverted index driver-side (and cannot work at
+        # corpus scale anyway)
+        a.hint("merge")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
         .agg(F.count("*").alias("shared"))
     )
@@ -151,7 +178,6 @@ def minhash_lsh_pairs(
             for h in range(num_hashes)
         ]
     )
-    signed = docs.join(sig, "doc")
 
     band_structs = [
         F.struct(
@@ -162,9 +188,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = signed.select(
-        "doc", "sh", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # band join over (doc, band, bucket) only; shingle arrays join back
+    # after pair dedup so the quadratic stage shuffles ids, not payloads
+    banded = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b_ = banded.alias("a"), banded.alias("b")
     cands = (
@@ -174,18 +202,16 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("i"),
-            F.col("b.doc").alias("j"),
-            F.col("a.sh").alias("sh_i"),
-            F.col("b.sh").alias("sh_j"),
-        )
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
         .dropDuplicates(["i", "j"])
     )
+    sh_i = docs.select(F.col("doc").alias("i"), F.col("sh").alias("sh_i"))
+    sh_j = docs.select(F.col("doc").alias("j"), F.col("sh").alias("sh_j"))
+    paired = cands.join(sh_i, "i").join(sh_j, "j")
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size(F.array_union("sh_i", "sh_j"))
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
+        paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
@@ -197,38 +223,35 @@ def minhash_lsh_pairs(
 
 def _simhash_kernel(hash_arrays: pd.Series) -> pd.Series:
     """Vectorized 64-bit majority vote over per-token xxhash64 values,
-    emitted as four 16-bit chunks.  Bit-for-bit the classic SimHash:
-    vote[i] = sum over tokens of (bit i set ? +1 : -1); chunk bit set
-    iff vote > 0."""
+    packed into one int64.  Bit-for-bit the classic SimHash: vote[i] =
+    sum over tokens of (bit i set ? +1 : -1); signature bit set iff
+    vote > 0."""
     shifts = np.arange(64, dtype=np.uint64)
-    pw16 = (np.int64(1) << np.arange(16, dtype=np.int64))
-    out = []
-    for h in hash_arrays:
+    out = np.zeros(len(hash_arrays), dtype=np.uint64)
+    for ix, h in enumerate(hash_arrays):
         arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
         if arr.size == 0:
-            out.append([0, 0, 0, 0])
             continue
         bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
         votes = 2 * bits.sum(axis=0) - arr.size
-        bit_vals = (votes > 0).astype(np.int64)
-        out.append(
-            [int((bit_vals[16 * c : 16 * (c + 1)] * pw16).sum()) for c in range(4)]
-        )
-    return pd.Series(out)
+        out[ix] = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return pd.Series(out.astype(np.int64))
 
 
-def simhash_chunks_col(text: Column) -> Column:
-    """64-bit SimHash as an array of four 16-bit chunks.
+def simhash_sig_col(text: Column) -> Column:
+    """64-bit SimHash signature as a single long.
 
     Token hashing stays JVM-side (one codegen'd ``transform`` pass of
     xxhash64); the 64-wide vote accumulation — O(64·tokens) adds that
-    would run interpreted as SQL higher-order functions — moves to an
-    Arrow-batched numpy kernel.
+    would run interpreted as SQL higher-order functions — is an
+    Arrow-batched numpy kernel.  Packing all 64 bits into one long
+    means the pair join moves 8-byte signatures, and Hamming distance
+    is a single ``bit_count(xor)``.
     """
     token_hashes = F.transform(
         F.array_distinct(tokens_col(text)), lambda t: F.xxhash64(t)
     )
-    return pandas_udf(_simhash_kernel, "array<int>")(token_hashes)
+    return pandas_udf(_simhash_kernel, "long")(token_hashes)
 
 
 def simhash_pairs(
@@ -243,13 +266,28 @@ def simhash_pairs(
     """
     sims = df.select(
         F.col(id_col).alias("doc"),
-        simhash_chunks_col(F.col(text_col)).alias("sim"),
+        simhash_sig_col(F.col(text_col)).alias("sig"),
     )
+    # the packed signature (8 bytes) rides along through the chunk
+    # explode and join — no payload join-back needed
     chunks = sims.select(
         "doc",
-        "sim",
-        F.posexplode(F.col("sim")).alias("chunk", "val"),
-    )
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        (
+                            F.shiftrightunsigned(F.col("sig"), 16 * c)
+                            % F.lit(1 << 16)
+                        ).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", "bb.chunk", "bb.val")
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         a.join(
@@ -261,22 +299,14 @@ def simhash_pairs(
         .select(
             F.col("a.doc").alias("i"),
             F.col("b.doc").alias("j"),
-            F.col("a.sim").alias("sim_i"),
-            F.col("b.sim").alias("sim_j"),
+            F.col("a.sig").alias("sig_i"),
+            F.col("b.sig").alias("sig_j"),
         )
         .dropDuplicates(["i", "j"])
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("sim_i"),
-            F.col("sim_j"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x.cast("int"),
-    )
+    hamming = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
     return (
-        cands.withColumn("hamming", hamming)
+        cands.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
@@ -295,8 +325,26 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double-array columns, all JVM-side."""
+    """Cosine similarity of two double-array columns, all JVM-side.
+    Fine for O(n) uses (e.g. scoring vs one query vector); for O(n^2)
+    pair verification use :func:`cosine_pairs_col` (vectorized)."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _cosine_pairs_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+    if len(va) == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    A = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
+    B = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+    na, nb = np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+    denom = na * nb
+    denom[denom == 0.0] = np.nan
+    return pd.Series(np.einsum("ij,ij->i", A, B) / denom)
+
+
+def cosine_pairs_col(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two vector columns, Arrow-batched numpy."""
+    return pandas_udf(_cosine_pairs_kernel, "double")(a, b)
 
 
 def _block_pair_cosine(threshold: float):
@@ -417,11 +465,14 @@ def embedding_dup_pairs_lsh(
     vecs = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("sig", hyperplane_signature(F.col("v"), dims, bits))
+    )
+    sigs = vecs.withColumn("sig", hyperplane_signature(F.col("v"), dims, bits))
     n_bands = bits // band_bits
-    banded = vecs.select(
+    # candidate generation carries only (doc, band, val) — the vectors
+    # join back after dedup so the band-join shuffle and the
+    # dropDuplicates exchange move id pairs, not 8·dims-byte payloads
+    banded = sigs.select(
         "doc",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -436,7 +487,7 @@ def embedding_dup_pairs_lsh(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "v", "bb.band", "bb.val")
+    ).select("doc", "bb.band", "bb.val")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -445,17 +496,16 @@ def embedding_dup_pairs_lsh(
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("i"),
-            F.col("b.doc").alias("j"),
-            F.col("a.v").alias("vi"),
-            F.col("b.v").alias("vj"),
-        )
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
         .dropDuplicates(["i", "j"])
     )
-    cos = cosine_col(F.col("vi"), F.col("vj"))
+    vi = vecs.select(F.col("doc").alias("i"), F.col("v").alias("vi"))
+    vj = vecs.select(F.col("doc").alias("j"), F.col("v").alias("vj"))
+    paired = cands.join(vi, "i").join(vj, "j")
     return (
-        cands.withColumn("cosine", F.round(cos, 6))
+        paired.withColumn(
+            "cosine", F.round(cosine_pairs_col(F.col("vi"), F.col("vj")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("i", "j", "cosine")
     )

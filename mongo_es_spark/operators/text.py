@@ -63,15 +63,27 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _trigram_kernel(texts):
+    import pandas as pd
+
+    out = []
+    for t in texts:
+        s = t.strip(" ") if t is not None else ""  # SQL trim = spaces only
+        if len(s) < 3:
+            out.append([])
+        else:
+            out.append(
+                list(dict.fromkeys(s[i : i + 3] for i in range(len(s) - 2)))
+            )
+    return pd.Series(out)
+
+
 def char_trigrams_col(text: Column) -> Column:
-    """Distinct character trigrams (the classic lang-ID features)."""
-    t = F.trim(text)
-    cnt = F.length(t) - 2
-    return F.when(cnt >= 1, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt), lambda i: F.substring(t, i, 3)
-        )
-    )).otherwise(F.array().cast("array<string>"))
+    """Distinct character trigrams (the classic lang-ID features).
+
+    Arrow-batched kernel — a transform(sequence, substring) expression
+    evaluates interpreted per trigram and dominates lang-ID runtime."""
+    return F.pandas_udf(_trigram_kernel, "array<string>")(text)
 
 
 def language_id(
