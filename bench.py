@@ -44,6 +44,48 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # pipeline-shaped throughput (BASELINE.md targets: >=10k docs/s
+    # scan, >=5k events/s compact+load) measured on the largest tables
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.config import Task
+    from mongo_es_spark.plans.scan import scan_mapped_frame
+    from mongo_es_spark.queries import bulk_actions
+    from mongo_es_spark.sources.tables import load_table
+
+    li_task = Task(
+        {
+            "extract": {"db": "tpch", "collection": "lineitem"},
+            "transform": {
+                "mapping": {
+                    "l_orderkey": "order.key",
+                    "l_partkey": "order.part",
+                    "l_quantity": "qty",
+                    "l_extendedprice": "price",
+                    "l_shipdate": "shipped",
+                },
+            },
+            "load": {"index": "lineitem", "type": "doc"},
+        }
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n_docs = li.count()
+    t0 = time.perf_counter()
+    scan_mapped_frame(li, li_task, id_column="l_orderkey").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    scan_s = time.perf_counter() - t0
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    t0 = time.perf_counter()
+    bulk_actions(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    cdc_s = time.perf_counter() - t0
+
+    throughput = {
+        "scan_docs_per_s": round(n_docs / scan_s),
+        "cdc_events_per_s": round(n_events / cdc_s),
+    }
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -55,6 +97,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "throughput": throughput,
                 "sf": sf,
             }
         )

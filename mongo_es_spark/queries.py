@@ -220,10 +220,8 @@ def lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
-@register(
-    "cdc_compaction",
-    f"""
-    WITH oplog AS ({_OPLOG_SQL}),
+_COMPACT_CTES = f"""
+    oplog AS ({_OPLOG_SQL}),
     ranked AS (
         SELECT *, row_number() OVER (
             PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
@@ -238,14 +236,24 @@ def lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn2
             FROM ranked WHERE op <> 'u' AND rn > 1
         ) t WHERE rn2 = 1
+    ),
+    compacted AS (
+        SELECT l.user_id,
+               CASE WHEN l.op = 'u' AND COALESCE(p.prev_op, '') = 'i'
+                    THEN 'i' ELSE l.op END AS op,
+               CASE WHEN l.op = 'd' THEN NULL ELSE l.value END AS value,
+               l.ts_ms
+        FROM last_ev l LEFT JOIN prev_nu p USING (user_id)
+        WHERE NOT (l.op = 'd' AND COALESCE(p.prev_op, '') = 'i')
     )
-    SELECT l.user_id,
-           CASE WHEN l.op = 'u' AND COALESCE(p.prev_op, '') = 'i'
-                THEN 'i' ELSE l.op END AS op,
-           CASE WHEN l.op = 'd' THEN NULL ELSE l.value END AS value,
-           l.ts_ms
-    FROM last_ev l LEFT JOIN prev_nu p USING (user_id)
-    WHERE NOT (l.op = 'd' AND COALESCE(p.prev_op, '') = 'i')
+"""
+
+
+@register(
+    "cdc_compaction",
+    f"""
+    WITH {_COMPACT_CTES}
+    SELECT user_id, op, value, ts_ms FROM compacted
     """,
 )
 def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +267,172 @@ def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
     return out.select("user_id", "op", "value", "ts_ms")
+
+
+# --------------------------------------------------------------------
+# T2 — delete transform: op='d' events as IRDelete rows
+# (reference: src/processor.ts:57-64)
+# --------------------------------------------------------------------
+
+
+@register(
+    "delete_transform",
+    f"""
+    WITH oplog AS ({_OPLOG_SQL})
+    SELECT 'delete' AS action, CAST(user_id AS VARCHAR) AS id, ts_ms
+    FROM oplog WHERE op = 'd'
+    """,
+)
+def delete_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oplog = events_as_oplog(spark, sf_dir)
+    return oplog.filter(F.col("op") == "d").select(
+        F.lit("delete").alias("action"),
+        F.col("user_id").cast("string").alias("id"),
+        "ts_ms",
+    )
+
+
+# --------------------------------------------------------------------
+# J2 — parent-routed delete lookup: a delete with `_parent` routing
+# needs the parent value fetched from the stored copy
+# (reference: src/elasticsearch.ts:30-89, src/processor.ts:210-216)
+# --------------------------------------------------------------------
+
+
+@register(
+    "parent_lookup_delete",
+    f"""
+    WITH oplog AS ({_OPLOG_SQL})
+    SELECT 'delete' AS action,
+           CAST(o.user_id AS VARCHAR) AS id,
+           CAST(c.c_nationkey AS VARCHAR) AS parent,
+           o.ts_ms
+    FROM oplog o JOIN customer c ON o.user_id = c.c_custkey
+    WHERE o.op = 'd'
+    """,
+)
+def parent_lookup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deletes = events_as_oplog(spark, sf_dir).filter(F.col("op") == "d")
+    stored = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("string").alias("parent")
+    )
+    # the stored-copy lookup is a broadcast equi-join — the set-oriented
+    # replacement for the reference's per-id terms-search batcher
+    return (
+        deletes.join(F.broadcast(stored), deletes.user_id == stored.c_custkey)
+        .select(
+            F.lit("delete").alias("action"),
+            F.col("user_id").cast("string").alias("id"),
+            "parent",
+            "ts_ms",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# C5 + T1–T5 + A1 — full-pipeline materialization: scan-phase base
+# state overlaid with a compacted CDC batch via the event-dispatch
+# algebra (reference: src/processor.ts:171-223).  The flagship
+# end-to-end batch query: insert replaces the doc, update patches the
+# stored copy ($set on the mapped field), update-without-base drops
+# (both lookups miss), delete removes, untouched keys pass through.
+# --------------------------------------------------------------------
+
+
+@register(
+    "cdc_materialize",
+    f"""
+    WITH {_COMPACT_CTES},
+    base AS (
+        SELECT c_custkey AS k,
+               CAST(c_custkey AS VARCHAR) AS _id,
+               c_name AS name,
+               c_acctbal AS balance,
+               c_mktsegment AS segment
+        FROM customer
+    )
+    SELECT COALESCE(b._id, CAST(c.user_id AS VARCHAR)) AS _id,
+           CASE WHEN c.op = 'i' THEN NULL ELSE b.name END AS name,
+           CASE WHEN c.op IN ('i', 'u') THEN c.value ELSE b.balance END
+               AS balance,
+           CASE WHEN c.op = 'i' THEN NULL ELSE b.segment END AS segment
+    FROM base b FULL OUTER JOIN compacted c ON b.k = c.user_id
+    WHERE (c.op IS NULL OR c.op <> 'd')
+      AND NOT (c.op = 'u' AND b.k IS NULL)
+    """,
+)
+def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = compact_events(
+        events_as_oplog(spark, sf_dir),
+        key_cols=["user_id"],
+        ts_col="ts_ms",
+        op_col="op",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+    ).select("user_id", "op", "value")
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_custkey").cast("string").alias("_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    op = F.col("op")
+    joined = base.join(comp, base.k == comp.user_id, "full_outer")
+    return (
+        joined
+        # dispatch algebra: 'd' removes; 'u' with no stored/source copy
+        # drops (both lookup paths miss); everything else survives
+        .filter(op.isNull() | (op != "d"))
+        .filter(~((op == "u") & F.col("k").isNull()).eqNullSafe(True))
+        .select(
+            F.coalesce(F.col("_id"), F.col("user_id").cast("string")).alias("_id"),
+            F.when(op == "i", F.lit(None)).otherwise(F.col("name")).alias("name"),
+            F.when(op.isin("i", "u"), F.col("value"))
+            .otherwise(F.col("balance"))
+            .alias("balance"),
+            F.when(op == "i", F.lit(None))
+            .otherwise(F.col("segment"))
+            .alias("segment"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# L1 — bulk-sink action rows: the ES `_bulk` body as a DataFrame
+# (`index` action per upsert, `delete` action per delete)
+# (reference: src/processor.ts:229-256)
+# --------------------------------------------------------------------
+
+
+@register(
+    "bulk_actions",
+    f"""
+    WITH {_COMPACT_CTES}
+    SELECT CASE WHEN op = 'd' THEN 'delete' ELSE 'index' END AS bulk_op,
+           'customer' AS _index,
+           CAST(user_id AS VARCHAR) AS _id,
+           value,
+           ts_ms
+    FROM compacted
+    """,
+)
+def bulk_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = compact_events(
+        events_as_oplog(spark, sf_dir),
+        key_cols=["user_id"],
+        ts_col="ts_ms",
+        op_col="op",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    return comp.select(
+        F.when(F.col("op") == "d", "delete").otherwise("index").alias("bulk_op"),
+        F.lit("customer").alias("_index"),
+        F.col("user_id").cast("string").alias("_id"),
+        "value",
+        "ts_ms",
+    )
 
 
 def queries() -> dict[str, QueryFn]:
