@@ -72,6 +72,64 @@ def fake_decode_metadata(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, METADATA_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len int"
+
+
+def fake_frame_sample(
+    df: DataFrame, frame_size: int = 256, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling with a fake codec: slice the payload into
+    ``frame_size``-byte frames (≤ ``max_frames``), one output row per
+    frame — the exact row-explosion shape of real video frame
+    sampling, with the same ``mapInPandas`` batch contract a real
+    ffmpeg-backed sampler would use."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = min(max_frames, (n + frame_size - 1) // frame_size)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(min(frame_size, n - i * frame_size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def byte_histogram_features(df: DataFrame, n_bins: int = 32) -> DataFrame:
+    """Feature extraction with a fake codec: an L1-normalized byte
+    histogram per payload — the plumbing (binary in, fixed-width
+    float vector out, vectorized per Arrow batch) is identical to a
+    real image-embedding UDF."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist = np.bincount(
+                    arr // (256 // n_bins), minlength=n_bins
+                )[:n_bins]
+                feats.append((hist / arr.size).astype(np.float64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(extract, "doc_id long, features array<double>")
+
+
 def _stub(what: str, needs: str):
     raise NotImplementedError(
         f"{what} requires {needs}, which is not available in this "

@@ -4,20 +4,26 @@
   dot products, ``TakeOrdered`` top-k (no full sort, no shuffle of the
   data — only k rows travel).  The correct baseline at any scale where
   a full scan is acceptable.
-* :func:`ann_lsh_topk` — the scale path: hyperplane-LSH signatures
-  bucket the corpus; only candidates sharing a band with the query are
-  re-ranked exactly.  Approximate by design (recall < 1), so it gets a
-  rows-only correctness check.
-
-An IVF variant (k-means coarse quantizer via pyspark.ml) is the
-natural next step for 100 TB — the LSH variant keeps round 1
-dependency-free and deterministic.
+* :func:`ann_lsh_topk` — hyperplane-LSH signatures bucket the corpus;
+  only candidates sharing a band with the query are re-ranked exactly.
+  Approximate by design (recall < 1), so it gets a rows-only
+  correctness check.
+* :func:`ann_ivf_topk` — the IVF scale path: a k-means coarse
+  quantizer (trained on a bounded sample, the standard IVF recipe)
+  partitions the corpus into cells; queries scan only the ``n_probe``
+  nearest cells.  At 100 TB the cell assignment is a one-pass
+  Arrow-batched argmax against broadcast centroids, and the probed
+  fraction bounds the scan.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .dedup import cosine_col, hyperplane_signature
 
@@ -101,5 +107,79 @@ def ann_lsh_topk(
     scored = cands.select(
         F.col(id_col),
         F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _kmeans_fit(X: np.ndarray, n_cells: int, seed: int, iters: int = 10):
+    """Lloyd's k-means on L2-normalized vectors (so euclidean argmin ==
+    cosine argmax).  Deterministic: seeded init, fixed iterations."""
+    rng = np.random.default_rng(seed)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    train_sample: int = 100_000,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` k-means cells, probe the ``n_probe`` cells nearest the
+    query, exact-re-rank inside them.
+
+    Scale shape: the quantizer trains on a driver-side sample bounded
+    by ``train_sample`` (how faiss and every IVF system trains coarse
+    centroids); cell assignment is one Arrow-batched matmul per batch
+    against broadcast centroids; the probe filter prunes the scan to
+    ~n_probe/n_cells of the corpus before the top-k.
+    """
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sample = vecs.select("v").limit(train_sample).collect()
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    C = _kmeans_fit(X, n_cells, seed)
+
+    def assign_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    assign = pandas_udf(assign_kernel, "int")
+    celled = vecs.withColumn("cell", assign(F.col("v")))
+
+    qrow = vecs.filter(F.col(id_col) == query_id).select("v").first()
+    q = np.asarray(qrow["v"], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(C @ qn))[:n_probe]]
+
+    q_df = vecs.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv")
+    )
+    scored = (
+        celled.filter(F.col("cell").isin(probes))
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q_df))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

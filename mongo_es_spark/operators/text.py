@@ -26,6 +26,18 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / non-space symbol
+# runs — the coarse split every byte-pair encoder applies before
+# merges.  The pattern is portable across Java regex and RE2, so the
+# DuckDB oracle can run the identical expression.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Count of BPE-style pre-tokens (JVM regexp_count, codegen'd)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality signals + a composite score.
 

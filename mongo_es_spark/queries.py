@@ -460,9 +460,20 @@ from .operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from .operators.multimodal import attach_payload, fake_decode_metadata  # noqa: E402
-from .operators.similarity import ann_lsh_topk, cosine_topk  # noqa: E402
+from .operators.multimodal import (  # noqa: E402
+    attach_payload,
+    byte_histogram_features,
+    fake_decode_metadata,
+    fake_frame_sample,
+)
+from .operators.similarity import (  # noqa: E402
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
 from .operators.text import (  # noqa: E402
+    BPE_SPLIT_PATTERN,
+    bpe_token_count_col,
     fingerprint_col,
     language_id,
     quality_features,
@@ -575,6 +586,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, "vec_id", "embedding", query_id=0, dims=64, k=10)
 
 
+@register("similarity_ann_ivf", None)  # approximate: rows-only check
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, "vec_id", "embedding", query_id=0, k=10)
+
+
 @register(
     "text_token_count",
     """
@@ -589,6 +606,23 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))::BIGINT
+               AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count_col(F.col("text")).cast("long").alias("n_tokens"),
     )
 
 
@@ -695,3 +729,31 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fake_decode_metadata(attach_payload(docs, "doc_id", "text"))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH sized AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, n,
+               unnest(range(0, least(8, (n + 255) // 256))) AS i
+        FROM sized
+    )
+    SELECT doc_id,
+           i::INTEGER AS frame_idx,
+           least(256, n - i * 256)::INTEGER AS frame_len
+    FROM ex
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_frame_sample(attach_payload(docs, "doc_id", "text"))
+
+
+@register("multimodal_features", None)  # float-array output: rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_histogram_features(attach_payload(docs, "doc_id", "text"))

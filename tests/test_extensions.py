@@ -130,6 +130,93 @@ def test_multimodal_plumbing_roundtrip(docs):
         decode_image(with_payload)
 
 
+def test_ivf_results_are_true_neighbors(emb):
+    from mongo_es_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(
+        emb, "vec_id", "embedding", query_id=0, k=50).collect()]
+    ivf = ann_ivf_topk(
+        emb, "vec_id", "embedding", query_id=0, k=10).collect()
+    assert len(ivf) == 10
+    scores = [r["score"] for r in ivf]
+    assert scores == sorted(scores, reverse=True)
+    # probing 4/16 cells must still recover most true neighbors
+    hits = sum(1 for r in ivf if r["vec_id"] in exact)
+    assert hits >= 5
+
+
+def test_frame_sample_covers_payload(docs):
+    from mongo_es_spark.operators.multimodal import (
+        attach_payload,
+        fake_frame_sample,
+    )
+
+    with_payload = attach_payload(docs, "doc_id", "text")
+    frames = fake_frame_sample(with_payload, frame_size=256, max_frames=8)
+    per_doc = (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("frame_len").alias("covered"),
+            F.max("frame_idx").alias("last_idx"),
+        )
+        .collect()
+    )
+    n_bytes = {
+        r["doc_id"]: r["n"]
+        for r in with_payload.select(
+            "doc_id", F.length("payload").alias("n")
+        ).collect()
+    }
+    assert len(per_doc) == len(n_bytes)
+    for r in per_doc:
+        n = n_bytes[r["doc_id"]]
+        assert r["n_frames"] == min(8, (n + 255) // 256)
+        assert r["last_idx"] == r["n_frames"] - 1
+        if r["n_frames"] < 8:
+            assert r["covered"] == n  # full coverage when not truncated
+
+
+def test_byte_histogram_is_distribution(docs):
+    from mongo_es_spark.operators.multimodal import (
+        attach_payload,
+        byte_histogram_features,
+    )
+
+    feats = byte_histogram_features(
+        attach_payload(docs, "doc_id", "text")
+    ).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:20]:
+        assert len(r["features"]) == 32
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+
+def test_bpe_token_count_matches_python(spark):
+    import re
+
+    from mongo_es_spark.operators.text import (
+        BPE_SPLIT_PATTERN,
+        bpe_token_count_col,
+    )
+
+    rows = [
+        (1, "hello, world! it's 2024"),
+        (2, "a1b2 c--d  e"),
+        (3, ""),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == len(re.findall(BPE_SPLIT_PATTERN, text))
+
+
 def test_exact_dedup_keeps_min_id(spark):
     from mongo_es_spark.operators.dedup import exact_dedup
 
