@@ -87,6 +87,10 @@ class Task:
 
     def __init__(self, spec: dict):
         self.from_ = CheckPoint.from_dict(spec.get("from", {"phase": "scan"}))
+        # Spark-specific extension: optional per-source-path type hints
+        # ("name": "string", "shareCount.all": "long") pinning the CDC
+        # payload schema, like the ES mapping body does for the sink
+        self.hints: dict[str, str] = spec.get("hints", {}) or {}
         ex = spec.get("extract", {}) or {}
         self.extract = ExtractTask(
             db=ex.get("db", ""),

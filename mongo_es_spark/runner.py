@@ -15,6 +15,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from pyspark.sql import functions as F
+
 from .config import Config, Task, read_config
 from .session import get_spark
 from .sources.cdc import file_oplog_stream
@@ -23,19 +25,57 @@ from .streaming.sink import EsBulkSink, ParquetIndexSink, init_indices
 from .streaming.tail import run_scan, run_tail
 
 
+def _file_root(url: str) -> str | None:
+    """``file:///path`` MongoDB URLs select the file-based sources:
+    ``<root>/<db>.<collection>.parquet`` as the collection and
+    ``<root>/oplog/`` as the CDC feed — the same downstream plan as the
+    connector path, runnable without a cluster."""
+    return url[len("file://"):] if url.startswith("file://") else None
+
+
+def _file_collection(spark: SparkSession, root: str, task: Task, checkpoint):
+    path = os.path.join(
+        root, f"{task.extract.db}.{task.extract.collection}.parquet"
+    )
+    df = spark.read.parquet(path)
+    if task.extract.projection:
+        heads = dict.fromkeys(
+            ["_id"]
+            + [
+                p.split(".")[0]
+                for p, keep in task.extract.projection.items()
+                if keep
+            ]
+        )
+        df = df.select(*[c for c in heads if c in df.columns])
+    if (
+        checkpoint
+        and checkpoint.phase == "scan"
+        and checkpoint.id not in ("", "000000000000000000000000")
+    ):
+        df = df.filter(F.col("_id") >= checkpoint.id)
+    return df
+
+
 def run(
     config: Config,
     spark: SparkSession | None = None,
     work_dir: str = "/tmp/mongo-es-spark",
     await_termination: bool = True,
+    available_now: bool = False,
 ):
-    """Run every configured task: scan if needed, then tail."""
+    """Run every configured task: scan if needed, then tail.
+
+    ``available_now=True`` drains the CDC feed and stops instead of
+    tailing forever — bounded runs for tests and backfills.
+    """
     spark = spark or get_spark()
     es_hosts = (config.elasticsearch.options or {}).get("host", "")
     suffix = config.controls.index_name_suffix
     if es_hosts:
         init_indices(f"http://{es_hosts}", config.elasticsearch.indices, suffix)
 
+    file_root = _file_root(config.mongodb.url)
     queries = []
     for task in config.tasks:
         loaded = Task.load_checkpoint(task.name())
@@ -54,11 +94,26 @@ def run(
                 os.path.join(work_dir, "index", task.name())
             )
 
+        source_df = None
+        if file_root is not None:
+            source_df = _file_collection(spark, file_root, task, task.from_)
+
         if task.from_.phase == "scan":
-            source = mongo_collection(spark, config.mongodb.url, task, task.from_)
+            source = (
+                source_df
+                if source_df is not None
+                else mongo_collection(spark, config.mongodb.url, task, task.from_)
+            )
             run_scan(spark, task, source, sink)
 
-        stream = mongo_change_stream(spark, config.mongodb.url, task, task.from_)
+        if file_root is not None:
+            stream = file_oplog_stream(
+                spark, os.path.join(file_root, "oplog"), task, task.from_
+            )
+        else:
+            stream = mongo_change_stream(
+                spark, config.mongodb.url, task, task.from_
+            )
         queries.append(
             run_tail(
                 spark,
@@ -66,11 +121,18 @@ def run(
                 config.controls,
                 stream,
                 sink,
+                source_df=source_df,
+                hints=task.hints or None,
                 checkpoint_dir=os.path.join(work_dir, "ckpt", task.name()),
+                available_now=available_now,
             )
         )
     if await_termination and queries:
-        spark.streams.awaitAnyTermination()
+        if available_now:
+            for q in queries:
+                q.awaitTermination()
+        else:
+            spark.streams.awaitAnyTermination()
     return queries
 
 
