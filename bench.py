@@ -36,12 +36,18 @@ def main() -> int:
         "overwrite"
     ).format("noop").save()
 
+    # min of N repeats: single-run numbers on a shared VM carry several
+    # seconds of scheduler/GC noise; the minimum is the real cost
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
 

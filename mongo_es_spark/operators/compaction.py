@@ -23,10 +23,22 @@ fold's OUTCOME is a pure function of per-key window aggregates —
   (_.merge, processor.ts:275) apply later events over earlier ones.
 
 That makes compaction ONE shuffle (window partitioned by key) with no
-UDFs, no state store, and no join — it scales to any number of keys and
-is skew-tolerant under AQE.  Contrast with a faithful-but-wrong port:
-``applyInPandas`` replaying the fold per key would ship every event
-through Python for the same answer.
+UDFs, no state store, and no join — it scales to any number of keys.
+Contrast with a faithful-but-wrong port: ``applyInPandas`` replaying
+the fold per key would ship every event through Python for the same
+answer.
+
+Skew note (why there is no salted two-stage variant): the fold is NOT
+associative under arbitrary splitting, so compact-per-(key,salt) then
+compact-survivors is unsound.  Counterexample: ``u(t1) d(t2) u(t3)``
+folds to an update carrying only t3's payload (the delete clears the
+store), but salting {u(t1),u(t3)} | {d(t2)} merges t1's payload into
+the t3 survivor before the delete can separate them.  A correct
+hierarchical form would need segment-effect summaries (a monoid of
+store→store functions).  In practice the skew exposure is bounded: the
+operator runs per micro-batch, so a hot key's window partition holds at
+most one trigger's events for that key — sized by the trigger cap, not
+the stream.
 
 At most one event per key survives — the invariant that makes the bulk
 sink's per-key ordering safe across partitions (SURVEY §4).

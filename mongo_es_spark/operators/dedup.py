@@ -196,7 +196,11 @@ def minhash_lsh_pairs(
 
     a, b_ = banded.alias("a"), banded.alias("b")
     cands = (
-        a.join(
+        # merge hint: identical subplans share one shuffle (and one
+        # signature computation) via ReusedExchange; a broadcast build
+        # would evaluate the signature pipeline twice
+        a.hint("merge")
+        .join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
@@ -221,37 +225,43 @@ def minhash_lsh_pairs(
 # SimHash
 # ------------------------------------------------------------------ #
 
-def _simhash_kernel(hash_arrays: pd.Series) -> pd.Series:
-    """Vectorized 64-bit majority vote over per-token xxhash64 values,
-    packed into one int64.  Bit-for-bit the classic SimHash: vote[i] =
-    sum over tokens of (bit i set ? +1 : -1); signature bit set iff
-    vote > 0."""
-    shifts = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(hash_arrays), dtype=np.uint64)
-    for ix, h in enumerate(hash_arrays):
-        arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
-        if arr.size == 0:
-            continue
-        bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-        votes = 2 * bits.sum(axis=0) - arr.size
-        out[ix] = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+def _simhash_kernel(texts: pd.Series) -> pd.Series:
+    """Vectorized SimHash: tokenize, hash distinct tokens (pandas'
+    deterministic siphash — fixed key, stable across runs/processes),
+    64-bit majority vote, packed into one int64.  vote[i] = sum over
+    tokens of (bit i set ? +1 : -1); signature bit set iff vote > 0."""
+    import re
+
+    ws = re.compile(r"\s+")
+    all_toks: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for ix, t in enumerate(texts):
+        toks = dict.fromkeys(ws.split(t.strip(" "))) if t else ()
+        counts[ix] = len(toks)
+        all_toks.extend(toks)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if all_toks:
+        shifts = np.arange(64, dtype=np.uint64)
+        # one hash call + one reduceat per batch, no per-row overhead
+        arr = pd.util.hash_array(np.asarray(all_toks, dtype=object))
+        bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        nonempty = counts > 0
+        sums = np.add.reduceat(bits, offsets[nonempty], axis=0)
+        votes = 2 * sums - counts[nonempty, None]
+        out[nonempty] = ((votes > 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
     return pd.Series(out.astype(np.int64))
 
 
 def simhash_sig_col(text: Column) -> Column:
-    """64-bit SimHash signature as a single long.
-
-    Token hashing stays JVM-side (one codegen'd ``transform`` pass of
-    xxhash64); the 64-wide vote accumulation — O(64·tokens) adds that
-    would run interpreted as SQL higher-order functions — is an
-    Arrow-batched numpy kernel.  Packing all 64 bits into one long
-    means the pair join moves 8-byte signatures, and Hamming distance
-    is a single ``bit_count(xor)``.
-    """
-    token_hashes = F.transform(
-        F.array_distinct(tokens_col(text)), lambda t: F.xxhash64(t)
-    )
-    return pandas_udf(_simhash_kernel, "long")(token_hashes)
+    """64-bit SimHash signature as a single long, computed end-to-end
+    in one Arrow-batched kernel (tokenize + hash + vote).  Packing all
+    64 bits into one long means the pair join moves 8-byte signatures,
+    and Hamming distance is a single ``bit_count(xor)``."""
+    return pandas_udf(_simhash_kernel, "long")(text)
 
 
 def simhash_pairs(
@@ -290,7 +300,9 @@ def simhash_pairs(
     ).select("doc", "sig", "bb.chunk", "bb.val")
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
-        a.join(
+        # merge hint: one shared shuffle, one signature computation
+        a.hint("merge")
+        .join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
@@ -490,7 +502,9 @@ def embedding_dup_pairs_lsh(
     ).select("doc", "bb.band", "bb.val")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
-        a.join(
+        # merge hint: one shared shuffle, one signature computation
+        a.hint("merge")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
