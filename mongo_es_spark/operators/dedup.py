@@ -325,6 +325,73 @@ def simhash_pairs(
 
 
 # ------------------------------------------------------------------ #
+# duplicate clustering (pairs -> connected components)
+# ------------------------------------------------------------------ #
+
+def dedup_components(
+    pairs: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc maps
+    to the minimum doc id reachable through the pair graph — the
+    canonical representative its cluster keeps.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-node minimum; rounds needed = graph
+    diameter (near-dup clusters are shallow — a handful).  Each round
+    is one join + one aggregation, all spillable; no driver-side graph.
+    Output: ``doc, component`` for every doc appearing in a pair.
+    """
+    edges = (
+        pairs.select(F.col(i_col).alias("a"), F.col(j_col).alias("b"))
+        .union(pairs.select(F.col(j_col).alias("a"), F.col(i_col).alias("b")))
+        .distinct()
+        # materialize once: every propagation round joins edges, and
+        # without this the full pair-generation pipeline would re-run
+        # per round (and per convergence check)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("component", F.col("doc"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc)
+            .groupBy("a")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.a, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # materialize the round first (flat lineage), then the
+        # convergence probe reads the checkpointed data instead of
+        # recomputing the round's join
+        new_labels = new_labels.localCheckpoint(eager=True)
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+            == 0
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
+
+# ------------------------------------------------------------------ #
 # embedding cosine near-dup
 # ------------------------------------------------------------------ #
 

@@ -453,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
 # ====================================================================
 
 from .operators.dedup import (  # noqa: E402
+    dedup_components,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_dedup,
@@ -530,6 +531,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as banding recall holds (miss prob (1-0.8^2)^16 ~ 1e-7)
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION
+        SELECT j AS a, i AS b FROM pairs
+    ),
+    walk AS (
+        SELECT a AS doc, a AS comp FROM edges
+        UNION
+        SELECT e.a AS doc, w.comp FROM edges e JOIN walk w ON e.b = w.doc
+    )
+    SELECT doc, min(comp) AS component FROM walk GROUP BY doc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> connected components -> canonical (minimum) doc id per
+    # near-duplicate cluster: the step that turns pair detection into
+    # an actual keep-one-per-cluster dedup policy
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dedup_components(pairs)
 
 
 @register("dedup_simhash", None)  # signature-dependent: rows-only check

@@ -195,6 +195,7 @@ def run_tail(
     hints: Optional[Mapping[str, object]] = None,
     checkpoint_dir: str = "/tmp/mongo-es-spark-ckpt",
     available_now: bool = False,
+    suppress_redelivery_ttl: Optional[int] = None,
 ):
     """Start the tail streaming query (C6 steady state).
 
@@ -206,7 +207,19 @@ def run_tail(
     checkpoint hook is preserved by saving a CheckPoint after each
     batch, with its deliberate 10 s overlap
     (reference: src/processor.ts:384-390).
+
+    ``suppress_redelivery_ttl``: optional stateful cross-batch dedup
+    (streaming/dedup_state.py) dropping events replayed by the
+    at-least-once resume window before they cost lookup joins and
+    sink writes.  Off by default — idempotent sinks already absorb
+    replays; turn it on when replay volume is worth the state store.
     """
+    if suppress_redelivery_ttl is not None:
+        from .dedup_state import suppress_redelivered
+
+        oplog_stream = suppress_redelivered(
+            oplog_stream, ttl_seconds=suppress_redelivery_ttl
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         compacted = compact_oplog_docs(batch_df, task)
