@@ -90,6 +90,58 @@ def exact_dedup(
 
 
 # ------------------------------------------------------------------ #
+# exact-clone collapse (shared by the text pair operators)
+# ------------------------------------------------------------------ #
+#
+# Real corpora (and any crawl) carry large exact-duplicate groups, and
+# pair candidates explode quadratically inside them: a text cloned k
+# times turns every one of its candidate pairs into k^2 pairs *before*
+# verification.  Collapsing clones first makes the quadratic stages run
+# on distinct texts only, and the final expansion reconstructs the
+# exact brute-force output: cross-group pairs share their
+# representatives' score (identical text => identical shingles/
+# signature), within-group pairs score as exact duplicates.
+
+def _text_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.groupBy(F.col(text_col).alias("__text")).agg(
+        F.min(id_col).alias("rep"),
+        F.collect_list(F.col(id_col)).alias("members"),
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, groups: DataFrame, score_col: str
+) -> DataFrame:
+    """(rep_i, rep_j, score) -> every member pair, i < j."""
+    gi = groups.select(F.col("rep").alias("i"), F.col("members").alias("mi"))
+    gj = groups.select(F.col("rep").alias("j"), F.col("members").alias("mj"))
+    return (
+        rep_pairs.join(gi, "i")
+        .join(gj, "j")
+        .select(F.explode("mi").alias("a"), "mj", score_col)
+        .select("a", F.explode("mj").alias("b"), score_col)
+        .select(
+            F.least("a", "b").alias("i"),
+            F.greatest("a", "b").alias("j"),
+            score_col,
+        )
+    )
+
+
+def _within_group_pairs(groups: DataFrame, score: Column, score_col: str) -> DataFrame:
+    """All (i < j) pairs inside each clone group, scored as exact dups."""
+    g = groups.filter(F.size("members") > 1)
+    return (
+        g.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("i"), F.col("b").alias("j"), score.alias(score_col)
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
 # n-gram Jaccard (brute, via inverted index)
 # ------------------------------------------------------------------ #
 
@@ -103,14 +155,19 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (i < j) with shingle-set Jaccard >= threshold.
 
-    Output: ``i, j, jaccard`` (rounded to 6 dp).  ``max_df`` drops
-    shingles occurring in more than that many documents before the
-    self-join — at scale hot shingles dominate the candidate count
-    quadratically while contributing mostly low-Jaccard noise.
+    Output: ``i, j, jaccard`` (rounded to 6 dp), exactly equal to the
+    brute-force all-pairs result.  Exact clones collapse to one
+    representative before the quadratic stage (see the clone-collapse
+    note above); ``max_df`` additionally drops shingles occurring in
+    more than that many *distinct texts* — at scale hot shingles
+    dominate the candidate count quadratically while contributing
+    mostly low-Jaccard noise.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    groups = _text_groups(df, id_col, text_col)
+    reps = groups.select("rep", "__text")
+    sh = reps.select(
+        F.col("rep").alias("doc"),
+        F.explode(shingles_col(F.col("__text"), n)).alias("s"),
     )
     if max_df is not None:
         hot = (
@@ -132,12 +189,23 @@ def jaccard_pairs(
     ca = counts.select(F.col("doc").alias("i"), F.col("n_sh").alias("ni"))
     cb = counts.select(F.col("doc").alias("j"), F.col("n_sh").alias("nj"))
     jac = F.col("shared") / (F.col("ni") + F.col("nj") - F.col("shared"))
-    return (
+    rep_pairs = (
         shared.join(ca, "i").join(cb, "j")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
+    # clone groups with no shingles (too-short text) produce no pairs
+    # in the brute-force result either
+    out = _expand_rep_pairs(rep_pairs, groups, "jaccard")
+    if threshold <= 1.0:
+        # clone groups with no shingles (too-short text) produce no
+        # pairs in the brute-force result either
+        shingled = groups.filter(F.size(shingles_col(F.col("__text"), n)) > 0)
+        out = out.unionByName(
+            _within_group_pairs(shingled, F.lit(1.0), "jaccard")
+        )
+    return out
 
 
 # ------------------------------------------------------------------ #
@@ -162,9 +230,10 @@ def minhash_lsh_pairs(
     per band; miss probability (1-t^r)^b).
     """
     rows = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("doc"),
-        shingles_col(F.col(text_col), n).alias("sh"),
+    groups = _text_groups(df, id_col, text_col)
+    docs = groups.select(
+        F.col("rep").alias("doc"),
+        shingles_col(F.col("__text"), n).alias("sh"),
     ).filter(F.size("sh") > 0)
 
     # signatures via explode + hash-aggregate rather than
@@ -214,11 +283,18 @@ def minhash_lsh_pairs(
     paired = cands.join(sh_i, "i").join(sh_j, "j")
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size(F.array_union("sh_i", "sh_j"))
-    return (
+    rep_pairs = (
         paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
+    out = _expand_rep_pairs(rep_pairs, groups, "jaccard")
+    if threshold <= 1.0:
+        shingled = groups.filter(F.size(shingles_col(F.col("__text"), n)) > 0)
+        out = out.unionByName(
+            _within_group_pairs(shingled, F.lit(1.0), "jaccard")
+        )
+    return out
 
 
 # ------------------------------------------------------------------ #
@@ -274,9 +350,10 @@ def simhash_pairs(
     per-chunk ``bit_count(xor)`` verifies exactly.  Signature-dependent,
     hence no cross-engine oracle (rows-only check).
     """
-    sims = df.select(
-        F.col(id_col).alias("doc"),
-        simhash_sig_col(F.col(text_col)).alias("sig"),
+    groups = _text_groups(df, id_col, text_col)
+    sims = groups.select(
+        F.col("rep").alias("doc"),
+        simhash_sig_col(F.col("__text")).alias("sig"),
     )
     # the packed signature (8 bytes) rides along through the chunk
     # explode and join — no payload join-back needed
@@ -317,11 +394,14 @@ def simhash_pairs(
         .dropDuplicates(["i", "j"])
     )
     hamming = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
-    return (
+    rep_pairs = (
         cands.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
+    # identical text => identical signature => Hamming 0
+    within = _within_group_pairs(groups, F.lit(0), "hamming")
+    return _expand_rep_pairs(rep_pairs, groups, "hamming").unionByName(within)
 
 
 # ------------------------------------------------------------------ #
@@ -541,10 +621,17 @@ def embedding_dup_pairs_lsh(
     """Scale path: hyperplane-LSH bucket join + exact cosine verify.
     Recall < 1 by design (approximate); candidates only form within
     matching sign-bands."""
-    vecs = df.select(
-        F.col(id_col).alias("doc"),
+    # exact-clone collapse, vector edition: identical embeddings (the
+    # common case for exact-duplicate content) would explode candidate
+    # pairs inside every bucket; group them and expand pairs afterward
+    groups = df.select(
+        F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+    ).groupBy("v").agg(
+        F.min("__id").alias("rep"),
+        F.collect_list("__id").alias("members"),
     )
+    vecs = groups.select(F.col("rep").alias("doc"), "v")
     sigs = vecs.withColumn("sig", hyperplane_signature(F.col("v"), dims, bits))
     n_bands = bits // band_bits
     # candidate generation carries only (doc, band, val) — the vectors
@@ -583,10 +670,19 @@ def embedding_dup_pairs_lsh(
     vi = vecs.select(F.col("doc").alias("i"), F.col("v").alias("vi"))
     vj = vecs.select(F.col("doc").alias("j"), F.col("v").alias("vj"))
     paired = cands.join(vi, "i").join(vj, "j")
-    return (
+    rep_pairs = (
         paired.withColumn(
             "cosine", F.round(cosine_pairs_col(F.col("vi"), F.col("vj")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("i", "j", "cosine")
     )
+    out = _expand_rep_pairs(rep_pairs, groups, "cosine")
+    if threshold <= 1.0:
+        nonzero = groups.filter(
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0
+        )
+        out = out.unionByName(
+            _within_group_pairs(nonzero, F.lit(1.0), "cosine")
+        )
+    return out

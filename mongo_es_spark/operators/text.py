@@ -111,11 +111,16 @@ def language_id(
     overlap and predict the argmax language.
 
     Deterministic end to end: profile ties break on trigram text,
-    prediction ties on language code.  Two shuffles (profile build,
-    doc scoring) regardless of corpus size.
+    prediction ties on language code.
+
+    Scale shape: the profile build is one shuffle over the corpus's
+    (lang, trigram) pairs.  The profiles themselves are model-sized
+    (languages × K trigrams), so scoring broadcasts them as literal
+    arrays and runs as a pure projection — ``array_intersect`` per
+    language over each document's distinct-trigram array — instead of
+    re-shuffling every document-trigram pair through a join + window.
     """
     tris = df.select(
-        F.col(id_col),
         F.col(label_col).alias("lang"),
         F.explode(char_trigrams_col(F.col(text_col))).alias("tri"),
     )
@@ -123,26 +128,48 @@ def language_id(
     w = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), F.col("tri").asc()
     )
-    profiles = (
+    profile_rows = (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= profile_size)
         .select("lang", "tri")
+        .collect()
     )
-    doc_tris = df.select(
-        F.col(id_col), F.explode(char_trigrams_col(F.col(text_col))).alias("tri")
-    )
-    scores = (
-        doc_tris.join(profiles.withColumnRenamed("lang", "cand"), "tri")
-        .groupBy(id_col, "cand")
-        .agg(F.count("*").alias("overlap"))
-    )
-    w2 = Window.partitionBy(id_col).orderBy(
-        F.col("overlap").desc(), F.col("cand").asc()
+    profiles: dict[str, list[str]] = {}
+    for r in profile_rows:
+        profiles.setdefault(r["lang"], []).append(r["tri"])
+
+    # scoring kernel: "profile trigram ∈ doc's distinct-trigram set"
+    # is exactly "trigram is a substring of the trimmed text", so each
+    # doc scores with ~languages×K C-speed substring searches and no
+    # trigram extraction at all.  langs iterate ascending and only a
+    # strictly greater overlap replaces the best — ties keep the
+    # alphabetically smallest language, matching the join+window form.
+    langs = sorted(profiles)
+
+    def score(texts):
+        import pandas as pd
+
+        out_ov, out_lang = [], []
+        for t in texts:
+            s = t.strip(" ") if t else ""
+            best_ov, best_lang = 0, ""
+            for lang in langs:
+                ov = sum(1 for tri in profiles[lang] if tri in s)
+                if ov > best_ov:
+                    best_ov, best_lang = ov, lang
+            out_ov.append(best_ov)
+            out_lang.append(best_lang)
+        return pd.DataFrame({"overlap": out_ov, "lang": out_lang})
+
+    best = F.pandas_udf(score, "struct<overlap:int,lang:string>")(
+        F.col(text_col)
     )
     return (
-        scores.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cand").alias("pred_lang"))
+        df.select(F.col(id_col), best.alias("best"))
+        # docs sharing no trigram with any profile score no candidate
+        # row in the join formulation — preserve that contract
+        .filter(F.col("best.overlap") >= 1)
+        .select(F.col(id_col), F.col("best.lang").alias("pred_lang"))
     )
 
 
