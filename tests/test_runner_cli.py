@@ -9,10 +9,106 @@ import os
 
 from pyspark.sql import functions as F
 
-from mongo_es_spark.config import read_config
+from mongo_es_spark.config import Config, read_config
 from mongo_es_spark.core import make_ts
 from mongo_es_spark.runner import run
 from mongo_es_spark.streaming.sink import ParquetIndexSink
+
+
+def test_two_tasks_isolated_sinks_and_checkpoints(spark, tmp_path):
+    root = tmp_path / "mongo"
+    (root / "oplog").mkdir(parents=True)
+    for coll, rows in {
+        "a": [("A1", "x")],
+        "b": [("B1", "y"), ("B2", "z")],
+    }.items():
+        spark.createDataFrame(rows, "_id string, name string").write.parquet(
+            str(root / f"db.{coll}.parquet")
+        )
+    feed = root / "oplog" / "b0.json"
+    feed.write_text(
+        json.dumps({"ts": make_ts(10), "ns": "db.a", "op": "i", "id": "A2",
+                    "doc": json.dumps({"name": "x2"})}) + "\n"
+        + json.dumps({"ts": make_ts(11), "ns": "db.b", "op": "d", "id": "B1",
+                      "doc": json.dumps({})}) + "\n"
+    )
+    os.utime(feed, (1_700_000_000, 1_700_000_000))
+
+    def task(coll):
+        return {
+            "from": {"phase": "scan"},
+            "extract": {"db": "db", "collection": coll},
+            "transform": {"mapping": {"name": "name"}},
+            "load": {"index": coll, "type": "doc"},
+            "hints": {"name": "string"},
+        }
+
+    cfg = Config(json.dumps({
+        "mongodb": {"url": f"file://{root}"},
+        "elasticsearch": {"options": {}},
+        "tasks": [task("a"), task("b")],
+    }))
+    work = str(tmp_path / "work")
+    run(cfg, spark=spark, work_dir=work, available_now=True)
+
+    # each task owns its sink and only consumed its namespace's events
+    for coll, want in {"a": {"A1", "A2"}, "b": {"B2"}}.items():
+        sink = ParquetIndexSink(
+            os.path.join(work, "index", f"db.{coll}___{coll}.doc")
+        )
+        got = {r["_id"] for r in sink.read_state(spark).collect()}
+        assert got == want, (coll, got)
+
+
+def test_checkpoint_hooks_skip_completed_scan(spark, tmp_path):
+    from mongo_es_spark.config import Task
+
+    root = tmp_path / "mongo"
+    (root / "oplog").mkdir(parents=True)
+    spark.createDataFrame(
+        [("C1", "x")], "_id string, name string"
+    ).write.parquet(str(root / "db.c.parquet"))
+
+    store: dict[str, dict] = {}
+    Task.on_save_checkpoint(
+        lambda name, cp: store.__setitem__(
+            name, {"phase": cp.phase, "id": cp.id, "time": cp.time}
+        )
+    )
+    Task.on_load_checkpoint(lambda name: store.get(name))
+    try:
+        cfg_spec = {
+            "mongodb": {"url": f"file://{root}"},
+            "elasticsearch": {"options": {}},
+            "tasks": [{
+                "from": {"phase": "scan"},
+                "extract": {"db": "db", "collection": "c"},
+                "transform": {"mapping": {"name": "name"}},
+                "load": {"index": "c", "type": "doc"},
+                "hints": {"name": "string"},
+            }],
+        }
+        run(Config(json.dumps(cfg_spec)), spark=spark,
+            work_dir=str(tmp_path / "w1"), available_now=True)
+        # scan completion flipped the stored phase (C2 -> endScan)
+        assert store["db.c___c.doc"]["phase"] == "tail"
+
+        # second run loads the hook's checkpoint and must SKIP the scan:
+        # with an empty work dir, a skipped scan leaves no sink state
+        # from the scan phase
+        run(Config(json.dumps(cfg_spec)), spark=spark,
+            work_dir=str(tmp_path / "w2"), available_now=True)
+        sink = ParquetIndexSink(
+            os.path.join(str(tmp_path / "w2"), "index", "db.c___c.doc")
+        )
+        state = sink.read_state(spark)
+        scanned = (
+            {r["_id"] for r in state.collect()} if state is not None else set()
+        )
+        assert "C1" not in scanned
+    finally:
+        Task.on_save_callback = None
+        Task.on_load_callback = None
 
 
 def test_run_from_config_json(spark, tmp_path):
