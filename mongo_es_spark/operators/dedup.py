@@ -89,6 +89,39 @@ def exact_dedup(
     return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
 
 
+def exact_dedup_weighted(
+    df: DataFrame, key_cols: Sequence[str], id_col: str
+) -> DataFrame:
+    """Exact dedup keeping the duplicate multiplicity — training
+    pipelines weight the kept representative by how many copies it
+    stood for.  Same single partial+final aggregation."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("multiplicity")
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The end-to-end corpus dedup: keep only the canonical (minimum
+    id) document of every near-duplicate cluster.
+
+    pairs -> connected components -> anti-join the non-representative
+    members out of the corpus.  Docs in no pair pass through untouched
+    (they are their own cluster).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    components = dedup_components(pairs)
+    losers = components.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------ #
 # exact-clone collapse (shared by the text pair operators)
 # ------------------------------------------------------------------ #

@@ -173,6 +173,30 @@ def language_id(
     )
 
 
+def vocabulary(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary: top-K whitespace tokens by frequency (ties
+    broken on token text) with document frequency alongside — the
+    heavy-hitter aggregation BPE/tokenizer training starts from.
+
+    One explode + one partial+final aggregation; the top-K is a
+    TakeOrdered over the aggregated (distinct-token-sized) frame, not
+    a full sort of the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("__doc").alias("doc_freq"),
+    )
+    return counts.orderBy(
+        F.col("term_freq").desc(), F.col("token").asc()
+    ).limit(top_k)
+
+
 def fingerprint_col(text: Column) -> Column:
     """Order-sensitive rolling-hash document fingerprint over tokens:
     ``h = (h*31 + ascii(tok[0])*31 + len(tok)) mod p`` — a fixed,

@@ -454,9 +454,11 @@ def oracle_sql() -> dict[str, str]:
 
 from .operators.dedup import (  # noqa: E402
     dedup_components,
+    drop_near_duplicates,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_dedup,
+    exact_dedup_weighted,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -479,6 +481,7 @@ from .operators.text import (  # noqa: E402
     language_id,
     quality_features,
     token_count_col,
+    vocabulary,
 )
 
 _JACCARD_ORACLE = """
@@ -517,6 +520,47 @@ _JACCARD_ORACLE = """
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id")
+
+
+@register(
+    "dedup_exact_weighted",
+    """
+    SELECT min(doc_id) AS doc_id, text, count(*) AS multiplicity
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_weighted(docs, ["text"], "doc_id")
+
+
+@register(
+    "dedup_drop_near_duplicates",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION
+        SELECT j AS a, i AS b FROM pairs
+    ),
+    walk AS (
+        SELECT a AS doc, a AS comp FROM edges
+        UNION
+        SELECT e.a AS doc, w.comp FROM edges e JOIN walk w ON e.b = w.doc
+    ),
+    losers AS (
+        SELECT doc FROM walk GROUP BY doc HAVING doc <> min(comp)
+    )
+    SELECT d.doc_id, d.lang, d.text
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc
+    WHERE l.doc IS NULL
+    """,
+)
+def dedup_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return drop_near_duplicates(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
 @register("dedup_ngram_jaccard", _JACCARD_ORACLE)
@@ -720,6 +764,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs, "doc_id", "text", "lang", profile_size=20)
+
+
+@register(
+    "text_vocabulary",
+    """
+    SELECT token,
+           count(*) AS term_freq,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY term_freq DESC, token ASC
+    LIMIT 1000
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary(docs, "doc_id", "text", top_k=1000)
 
 
 @register(
