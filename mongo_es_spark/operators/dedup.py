@@ -110,14 +110,40 @@ def drop_near_duplicates(
     """The end-to-end corpus dedup: keep only the canonical (minimum
     id) document of every near-duplicate cluster.
 
-    pairs -> connected components -> anti-join the non-representative
-    members out of the corpus.  Docs in no pair pass through untouched
-    (they are their own cluster).
+    The component graph runs over clone-group *representatives*, not
+    expanded member pairs — a text cloned k times contributes one node
+    instead of k(k-1)/2 within-edges.  A group's members lose either
+    because they aren't its representative (exact duplicates) or
+    because their representative lost its cluster (near duplicates);
+    since each representative is its group's minimum id, the component
+    minimum over representatives is the cluster-wide minimum.  Groups
+    too short to shingle participate in no pair and pass through whole,
+    matching the brute-force pair semantics.  Docs in no pair and no
+    clone group are their own cluster and survive.
     """
-    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    components = dedup_components(pairs)
-    losers = components.filter(F.col("doc") != F.col("component")).select(
-        F.col("doc").alias(id_col)
+    groups = _text_groups(df, id_col, text_col)
+    shingled = groups.filter(F.size(shingles_col(F.col("__text"), n)) > 0)
+    reps_df = shingled.select(
+        F.col("rep").alias(id_col), F.col("__text").alias(text_col)
+    )
+    rep_pairs = minhash_lsh_pairs(
+        reps_df, id_col, text_col, n=n, threshold=threshold
+    )
+    components = dedup_components(rep_pairs)
+    losing_reps = components.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("rep")
+    )
+    non_rep_members = shingled.select(
+        "rep", F.explode("members").alias("doc")
+    ).filter(F.col("doc") != F.col("rep"))
+    lost_groups = shingled.join(losing_reps, "rep").select(
+        F.explode("members").alias("doc")
+    )
+    losers = (
+        non_rep_members.select("doc")
+        .union(lost_groups)
+        .distinct()
+        .withColumnRenamed("doc", id_col)
     )
     return df.join(losers, id_col, "left_anti")
 
