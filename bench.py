@@ -42,12 +42,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not kill the run
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
     total = round(sum(timings.values()), 3)
 
