@@ -186,6 +186,9 @@ class Controls:
     elasticsearch_bulk_interval: int = 5000  # ms
     elasticsearch_bulk_size: int = 5000
     index_name_suffix: str = ""
+    # Spark-specific: per-trigger source cap (the C1 rate limiter in
+    # Spark's idiom — a docs/s token bucket has no source-level analog)
+    max_files_per_trigger: Optional[int] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "Controls":
@@ -195,6 +198,7 @@ class Controls:
             elasticsearch_bulk_interval=d.get("elasticsearchBulkInterval", 5000),
             elasticsearch_bulk_size=d.get("elasticsearchBulkSize", 5000),
             index_name_suffix=d.get("indexNameSuffix", ""),
+            max_files_per_trigger=d.get("maxFilesPerTrigger"),
         )
 
 

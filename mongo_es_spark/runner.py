@@ -108,7 +108,11 @@ def run(
 
         if file_root is not None:
             stream = file_oplog_stream(
-                spark, os.path.join(file_root, "oplog"), task, task.from_
+                spark,
+                os.path.join(file_root, "oplog"),
+                task,
+                task.from_,
+                max_files_per_trigger=config.controls.max_files_per_trigger,
             )
         else:
             stream = mongo_change_stream(
