@@ -173,6 +173,36 @@ def language_id(
     )
 
 
+KNUTH = 2654435761
+HASH_MOD = 2**32
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mix-rebalancing
+    step of a training-data pipeline (e.g. keep 50% of English, 20% of
+    everything else).
+
+    Selection hashes the id with Knuth's multiplicative constant —
+    plain integer arithmetic, so any engine reproduces the exact same
+    sample (no engine-specific RNG or hash), and membership is stable
+    under re-runs and incremental appends.  Pure projection + filter:
+    no shuffle, fully pushable.
+    """
+    u = F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(HASH_MOD)) / F.lit(
+        float(HASH_MOD)
+    )
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(u < rate)
+
+
 def vocabulary(
     df: DataFrame, id_col: str, text_col: str, top_k: int = 1000
 ) -> DataFrame:

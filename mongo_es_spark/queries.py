@@ -480,6 +480,7 @@ from .operators.text import (  # noqa: E402
     fingerprint_col,
     language_id,
     quality_features,
+    stratified_sample,
     token_count_col,
     vocabulary,
 )
@@ -764,6 +765,22 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs, "doc_id", "text", "lang", profile_size=20)
+
+
+@register(
+    "text_sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0
+          < (CASE lang WHEN 'en' THEN 0.5 ELSE 0.2 END)
+    """,
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 0.5}, default_rate=0.2
+    )
 
 
 @register(

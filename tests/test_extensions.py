@@ -217,6 +217,29 @@ def test_bpe_token_count_matches_python(spark):
         assert got[doc_id] == len(re.findall(BPE_SPLIT_PATTERN, text))
 
 
+def test_stratified_sample_deterministic_membership(spark):
+    from mongo_es_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    kept1 = {r["doc_id"] for r in stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5}, 0.2).collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5}, 0.2).collect()}
+    assert kept1 == kept2                      # stable under re-runs
+    # membership is per-id: a subset of the corpus samples identically
+    sub = df.filter(F.col("doc_id") < 500)
+    kept_sub = {r["doc_id"] for r in stratified_sample(
+        sub, "doc_id", "lang", {"en": 0.5}, 0.2).collect()}
+    assert kept_sub == {i for i in kept1 if i < 500}
+    # rates land in the right neighborhood
+    en = sum(1 for i in kept1 if i % 2 == 0) / 500
+    de = sum(1 for i in kept1 if i % 2 == 1) / 500
+    assert 0.4 < en < 0.6 and 0.1 < de < 0.3
+
+
 def test_exact_dedup_keeps_min_id(spark):
     from mongo_es_spark.operators.dedup import exact_dedup
 
