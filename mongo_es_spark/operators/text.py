@@ -173,6 +173,62 @@ def language_id(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Full-text top-k by BM25 (Lucene idf variant) — the scoring the
+    reference's Elasticsearch sink exists to serve, runnable directly
+    on the corpus.
+
+    Plan shape: one explode + two aggregations (doc lengths, term
+    frequencies restricted to the query terms), corpus stats and the
+    per-term document frequencies broadcast (both are tiny), score as
+    a projection, TakeOrdered top-k.  No full sort, no driver loop;
+    everything after the tf aggregation is query-terms-sized.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    dl = toks.groupBy("__doc").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*query_terms))
+        .groupBy("__doc", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_t = tf.groupBy("token").agg(F.countDistinct("__doc").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(n_t), "token")
+        .join(dl, "__doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.withColumn("w", w)
+        .groupBy("__doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .select(F.col("__doc").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
 KNUTH = 2654435761
 HASH_MOD = 2**32
 

@@ -476,6 +476,7 @@ from .operators.similarity import (  # noqa: E402
 )
 from .operators.text import (  # noqa: E402
     BPE_SPLIT_PATTERN,
+    bm25_search,
     bpe_token_count_col,
     fingerprint_col,
     language_id,
@@ -765,6 +766,40 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs, "doc_id", "text", "lang", profile_size=20)
+
+
+@register(
+    "text_bm25_search",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, "doc_id", "text", ["spark", "table", "stream"], top_k=10
+    )
 
 
 @register(
