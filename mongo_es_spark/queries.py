@@ -819,6 +819,82 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_corpus_stats",
+    """
+    WITH t AS (
+        SELECT source, lang,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM t GROUP BY source, lang
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the curation report: corpus composition by (source, lang) — one
+    # partial+final aggregation over token counts
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count_col(F.col("text")).cast("long")
+    return (
+        docs.select("source", "lang", n.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "text_pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048)::BIGINT
+               AS seq_id
+    FROM t
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: docs fill context windows of
+    max_tokens in id order; a doc starts a new sequence when the
+    running total crosses the cap.  The cumulative-sum window is the
+    deterministic distributed stand-in for greedy packing (true
+    bin-packing is order-sensitive and serial); at corpus scale the
+    ordering column would be a pre-bucketed range partition.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count_col(F.col("text")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    with_n = docs.select("doc_id", n.alias("n_tokens"))
+    return with_n.select(
+        "doc_id",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048))
+        .cast("long")
+        .alias("seq_id"),
+    )
+
+
+@register(
     "text_vocabulary",
     """
     SELECT token,
