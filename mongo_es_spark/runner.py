@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .config import Config, Task, read_config
 from .session import get_spark
-from .sources.cdc import file_oplog_stream
+from .sources.cdc import file_oplog_stream, kafka_oplog_stream
 from .sources.mongo import mongo_change_stream, mongo_collection
 from .streaming.sink import EsBulkSink, ParquetIndexSink, init_indices
 from .streaming.tail import run_scan, run_tail
@@ -31,6 +31,16 @@ def _file_root(url: str) -> str | None:
     ``<root>/oplog/`` as the CDC feed — the same downstream plan as the
     connector path, runnable without a cluster."""
     return url[len("file://"):] if url.startswith("file://") else None
+
+
+def _kafka_parts(url: str) -> tuple[str, str] | None:
+    """``kafka://host:9092,host2:9092/topic`` selects the Kafka CDC
+    transport for the tail phase (tail-only: a topic carries changes,
+    not a scannable collection)."""
+    if not url.startswith("kafka://"):
+        return None
+    servers, _, topic = url[len("kafka://"):].partition("/")
+    return servers, topic
 
 
 def _file_collection(spark: SparkSession, root: str, task: Task, checkpoint):
@@ -76,11 +86,19 @@ def run(
         init_indices(f"http://{es_hosts}", config.elasticsearch.indices, suffix)
 
     file_root = _file_root(config.mongodb.url)
+    kafka = _kafka_parts(config.mongodb.url)
     queries = []
     for task in config.tasks:
         loaded = Task.load_checkpoint(task.name())
         if loaded is not None:
             task.from_ = loaded
+
+        if kafka is not None and task.from_.phase == "scan":
+            raise RuntimeError(
+                f"task {task.name()}: a kafka:// source is tail-only — "
+                "backfill from a collection source first (file:// or "
+                "mongodb://), then resume with phase='tail'"
+            )
 
         if es_hosts:
             sink = EsBulkSink(
@@ -113,6 +131,10 @@ def run(
                 task,
                 task.from_,
                 max_files_per_trigger=config.controls.max_files_per_trigger,
+            )
+        elif kafka is not None:
+            stream = kafka_oplog_stream(
+                spark, kafka[0], kafka[1], task, task.from_
             )
         else:
             stream = mongo_change_stream(

@@ -84,6 +84,37 @@ def file_oplog_stream(
     return oplog_filters(raw, ns, since)
 
 
+def kafka_oplog_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    task: Task,
+    checkpoint: CheckPoint | None = None,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Streaming oplog feed from a Kafka/Debezium-style topic carrying
+    the same JSON event rows as the file feed — the common production
+    CDC transport.  Requires the spark-sql-kafka package on the
+    classpath (not bundled here; untested in this environment, shaped
+    identically to :func:`file_oplog_stream` so every downstream plan
+    is shared).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(
+            F.from_json(F.col("value").cast("string"), OPLOG_SCHEMA).alias("ev")
+        )
+        .select("ev.*")
+    )
+    ns = f"{task.extract.db}.{task.extract.collection}"
+    since = checkpoint.time if checkpoint else 0
+    return oplog_filters(raw, ns, since)
+
+
 def batch_oplog_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Oplog rows as a batch DataFrame (unit tests / replays)."""
     return spark.createDataFrame(

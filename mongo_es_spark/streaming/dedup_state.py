@@ -56,6 +56,21 @@ def _suppress(ttl_ms: int | None):
     return func
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Switch streaming state to RocksDB — the production choice when
+    the active key set outgrows executor heap (state spills to local
+    disk, snapshots to the checkpoint location).  Applies to queries
+    started after the call."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+
+
 def suppress_redelivered(
     events: DataFrame, ttl_seconds: int | None = 60
 ) -> DataFrame:
@@ -68,6 +83,8 @@ def suppress_redelivered(
     terminates when the feed drains — with ProcessingTimeTimeout the
     engine keeps scheduling timeout-firing batches, which is correct
     for a continuous tail but never lets a drain-and-stop run finish.
+
+    For large active key sets pair with :func:`use_rocksdb_state_store`.
     """
     timeout = (
         GroupStateTimeout.NoTimeout

@@ -12,7 +12,32 @@ from mongo_es_spark.sources.cdc import OPLOG_SCHEMA
 from mongo_es_spark.streaming.dedup_state import suppress_redelivered
 
 
-def test_redelivered_events_suppressed_across_batches(spark, tmp_path):
+import pytest
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_store(request, spark):
+    if request.param == "rocksdb":
+        from mongo_es_spark.streaming.dedup_state import use_rocksdb_state_store
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        use_rocksdb_state_store(spark)
+        yield request.param
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    else:
+        yield request.param
+
+
+def test_redelivered_events_suppressed_across_batches(
+    spark, tmp_path, state_store
+):
     feed = tmp_path / "feed"
     feed.mkdir()
     a1 = {"ts": make_ts(100), "ns": "db.c", "op": "i", "id": "A",
