@@ -217,6 +217,44 @@ def test_bpe_token_count_matches_python(spark):
         assert got[doc_id] == len(re.findall(BPE_SPLIT_PATTERN, text))
 
 
+def test_components_match_union_find(spark):
+    import random
+
+    from mongo_es_spark.operators.dedup import dedup_components
+
+    rng = random.Random(13)
+    # random graph with chains, cliques and singles mixed in
+    edges = {tuple(sorted((rng.randint(0, 60), rng.randint(0, 60))))
+             for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(100, 101), (101, 102), (102, 103), (103, 104)]  # chain
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    got = {
+        r["doc"]: r["component"]
+        for r in dedup_components(pairs).collect()
+    }
+    assert got == want
+
+
 def test_stratified_sample_deterministic_membership(spark):
     from mongo_es_spark.operators.text import stratified_sample
 
