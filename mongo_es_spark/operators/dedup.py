@@ -472,17 +472,33 @@ def dedup_components(
     i_col: str = "i",
     j_col: str = "j",
     max_iters: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc maps
     to the minimum doc id reachable through the pair graph — the
-    canonical representative its cluster keeps.
+    canonical representative its cluster keeps.  Output: ``doc,
+    component`` for every doc appearing in a pair.
 
-    Iterative min-label propagation: each round joins labels across
-    edges and keeps the per-node minimum; rounds needed = graph
-    diameter (near-dup clusters are shallow — a handful).  Each round
-    is one join + one aggregation, all spillable; no driver-side graph.
-    Output: ``doc, component`` for every doc appearing in a pair.
+    Two interchangeable algorithms, same output:
+
+    * ``"propagation"`` (default): min-label propagation — one join +
+      one aggregation per round, rounds = graph diameter.  Near-dup
+      clusters are shallow (a pair graph's components are
+      quasi-cliques), so this converges in 2-3 cheap rounds.
+    * ``"star"``: alternating large-star/small-star (Kiveris et al.,
+      the MapReduce connected-components algorithm) — O(log n) rounds
+      regardless of diameter, more work per round.  The right choice
+      when components can be long chains (e.g. transitive similarity
+      at a loose threshold).
     """
+    if algorithm == "propagation":
+        return _components_propagation(pairs, i_col, j_col, max_iters)
+    return _components_star(pairs, i_col, j_col, max_iters)
+
+
+def _components_propagation(
+    pairs: DataFrame, i_col: str, j_col: str, max_iters: int
+) -> DataFrame:
     edges = (
         pairs.select(F.col(i_col).alias("a"), F.col(j_col).alias("b"))
         .union(pairs.select(F.col(j_col).alias("a"), F.col(i_col).alias("b")))
@@ -508,7 +524,8 @@ def dedup_components(
             .select(
                 "doc",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component")),
                 ).alias("component"),
             )
         )
@@ -528,6 +545,65 @@ def dedup_components(
         if converged:
             break
     return labels
+
+
+def _components_star(
+    pairs: DataFrame, i_col: str, j_col: str, max_iters: int
+) -> DataFrame:
+    edges = (
+        pairs.select(F.col(i_col).alias("a"), F.col(j_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # detach the pair-generation plan
+    )
+    for _ in range(max_iters):
+        # large-star: for each u, m = min(N(u) ∪ {u}); larger
+        # neighbors v > u re-attach as (v, m)
+        adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"), F.least("u", "mn").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient u > v; all of u's (smaller) neighbors and
+        # u itself re-point at m = min(N(u))
+        sm = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins2 = sm.groupBy("u").agg(F.min("v").alias("mn"))
+        new_edges = (
+            sm.join(mins2, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if converged:
+            break
+    # at convergence every component is a star (child, root): children
+    # label with their root, roots label themselves
+    return (
+        edges.select(F.col("a").alias("doc"), F.col("b").alias("component"))
+        .union(
+            edges.select(
+                F.col("b").alias("doc"), F.col("b").alias("component")
+            )
+        )
+        .distinct()
+    )
 
 
 # ------------------------------------------------------------------ #

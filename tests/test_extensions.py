@@ -217,7 +217,8 @@ def test_bpe_token_count_matches_python(spark):
         assert got[doc_id] == len(re.findall(BPE_SPLIT_PATTERN, text))
 
 
-def test_components_match_union_find(spark):
+@pytest.mark.parametrize("algorithm", ["propagation", "star"])
+def test_components_match_union_find(spark, algorithm):
     import random
 
     from mongo_es_spark.operators.dedup import dedup_components
@@ -250,7 +251,7 @@ def test_components_match_union_find(spark):
     pairs = spark.createDataFrame(edges, "i long, j long")
     got = {
         r["doc"]: r["component"]
-        for r in dedup_components(pairs).collect()
+        for r in dedup_components(pairs, algorithm=algorithm).collect()
     }
     assert got == want
 
