@@ -271,6 +271,110 @@ def jaccard_pairs(
 # MinHash + LSH
 # ------------------------------------------------------------------ #
 
+def _minhash_signatures(docs: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, sh) -> (doc, mh0..mhN).  Signatures via explode +
+    hash-aggregate rather than array_min(transform(...)): higher-order
+    functions run interpreted per element, while min(xxhash64(...))
+    over exploded rows stays in whole-stage codegen with map-side
+    partial aggregation."""
+    exploded = docs.select("doc", F.explode("sh").alias("s"))
+    return exploded.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(h))).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def _band_frame(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, mh*) -> (doc, band, bucket) — one row per LSH band."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-document MinHash state worth persisting: ``doc, sh,
+    mh0..mhN``.  Write it once (parquet), then pair detection against
+    a growing corpus is incremental — see
+    :func:`incremental_minhash_pairs`."""
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return docs.join(_minhash_signatures(docs, num_hashes), "doc")
+
+
+def incremental_minhash_pairs(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """The production dedup loop: detect near-duplicate pairs that
+    involve at least one NEW document, against the persisted signature
+    store, then append the new signatures to the store.
+
+    Work scales with |new| × bucket collision rate instead of
+    recomputing the full corpus: the band join probes only the new
+    side against (store ∪ new).  Output contract matches
+    :func:`minhash_lsh_pairs` restricted to pairs touching a new doc.
+    """
+    old = spark.read.parquet(store_path)
+    new_sigs = minhash_signature_frame(
+        new_df, id_col, text_col, n, num_hashes
+    ).localCheckpoint(eager=True)
+    all_sigs = old.unionByName(new_sigs)
+
+    banded_new = _band_frame(new_sigs, num_hashes, bands).alias("a")
+    banded_all = _band_frame(all_sigs, num_hashes, bands).alias("b")
+    cands = (
+        banded_new.join(
+            banded_all,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least("a.doc", "b.doc").alias("i"),
+            F.greatest("a.doc", "b.doc").alias("j"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    sh_i = all_sigs.select(F.col("doc").alias("i"), F.col("sh").alias("sh_i"))
+    sh_j = all_sigs.select(F.col("doc").alias("j"), F.col("sh").alias("sh_j"))
+    paired = cands.join(sh_i, "i").join(sh_j, "j")
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size(F.array_union("sh_i", "sh_j"))
+    out = (
+        paired.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+    new_sigs.write.mode("append").parquet(store_path)
+    return out
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -288,39 +392,16 @@ def minhash_lsh_pairs(
     :func:`jaccard_pairs` when recall holds (rows = bands/num_hashes
     per band; miss probability (1-t^r)^b).
     """
-    rows = num_hashes // bands
     groups = _text_groups(df, id_col, text_col)
     docs = groups.select(
         F.col("rep").alias("doc"),
         shingles_col(F.col("__text"), n).alias("sh"),
     ).filter(F.size("sh") > 0)
+    sig = _minhash_signatures(docs, num_hashes)
 
-    # signatures via explode + hash-aggregate rather than
-    # array_min(transform(...)): higher-order functions run interpreted
-    # per element, while min(xxhash64(...)) over exploded rows stays in
-    # whole-stage codegen with map-side partial aggregation
-    exploded = docs.select("doc", F.explode("sh").alias("s"))
-    sig = exploded.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64("s", F.lit(h))).alias(f"mh{h}")
-            for h in range(num_hashes)
-        ]
-    )
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
     # band join over (doc, band, bucket) only; shingle arrays join back
     # after pair dedup so the quadratic stage shuffles ids, not payloads
-    banded = sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_frame(sig, num_hashes, bands)
 
     a, b_ = banded.alias("a"), banded.alias("b")
     cands = (

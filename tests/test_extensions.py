@@ -217,6 +217,40 @@ def test_bpe_token_count_matches_python(spark):
         assert got[doc_id] == len(re.findall(BPE_SPLIT_PATTERN, text))
 
 
+def test_incremental_minhash_equals_full(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_signature_frame,
+    )
+
+    full = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    old_docs = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400)
+    store = str(tmp_path / "sigstore")
+    minhash_signature_frame(old_docs, "doc_id", "text").write.parquet(store)
+    first = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_lsh_pairs(old_docs, "doc_id", "text").collect()
+    }
+    inc = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in incremental_minhash_pairs(
+            spark, new_docs, "doc_id", "text", store
+        ).collect()
+    }
+    # every incremental pair touches a new doc; old-only pairs came
+    # from the first run; together they reproduce the full result
+    assert all(i >= 400 or j >= 400 for i, j in inc)
+    assert {**first, **inc} == full
+    # the store now holds signatures for the whole corpus
+    n_sigs = spark.read.parquet(store).count()
+    assert n_sigs == minhash_signature_frame(docs, "doc_id", "text").count()
+
+
 @pytest.mark.parametrize("algorithm", ["propagation", "star"])
 def test_components_match_union_find(spark, algorithm):
     import random
