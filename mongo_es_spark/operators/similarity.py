@@ -127,6 +127,85 @@ def _kmeans_fit(X: np.ndarray, n_cells: int, seed: int, iters: int = 10):
     return C
 
 
+def materialize_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 7,
+    train_sample: int = 100_000,
+) -> None:
+    """Persist an IVF index: vectors written partitioned by their
+    k-means cell (``<path>/vectors/cell=N/...``) plus the centroid
+    matrix (``<path>/centroids``).  Queries then prune *files*, not
+    rows — the probe filter never reads the unprobed cells' parquet.
+    """
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sample = vecs.select("v").limit(train_sample).collect()
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    C = _kmeans_fit(X, n_cells, seed)
+
+    def assign_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    assign = pandas_udf(assign_kernel, "int")
+    (
+        vecs.withColumn("cell", assign(F.col("v")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_search(
+    spark,
+    path: str,
+    query_vec,
+    id_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over a materialized IVF index: pick the ``n_probe`` cells
+    nearest the query from the stored centroids, scan ONLY those
+    partitions (``PartitionFilters`` on ``cell`` — file-level
+    pruning), exact cosine re-rank inside them."""
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0]["centroid"])))
+    for r in cent:
+        C[r["cell"]] = r["centroid"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(C @ qn))[:n_probe]]
+
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probes)
+    )
+    q_df = spark.createDataFrame(
+        [([float(x) for x in q],)], "qv array<double>"
+    )
+    return (
+        vectors.crossJoin(F.broadcast(q_df))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str,

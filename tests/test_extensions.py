@@ -92,6 +92,37 @@ def test_ann_results_are_true_neighbors(emb):
     assert hits >= 3
 
 
+def test_ivf_index_prunes_partitions(spark, emb, tmp_path):
+    from mongo_es_spark.operators.similarity import (
+        ann_ivf_search,
+        ann_ivf_topk,
+        materialize_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, "vec_id", "embedding", path)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = ann_ivf_search(spark, path, qv, "vec_id", k=10).collect()
+    assert len(got) == 10
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # same corpus, same quantizer seed -> same result as the inline op
+    # (the query vector itself lives in the index; drop it for parity)
+    inline = ann_ivf_topk(emb, "vec_id", "embedding", query_id=0, k=11)
+    inline_ids = [r["vec_id"] for r in inline.collect()]
+    got_ids = [r["vec_id"] for r in got if r["vec_id"] != 0]
+    assert got_ids[: len(inline_ids)] == [i for i in inline_ids][: len(got_ids)]
+    # the probe filter must prune at the partition level, not post-scan
+    plan = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_quality_features_ranges(docs):
     from mongo_es_spark.operators.text import quality_features
 
