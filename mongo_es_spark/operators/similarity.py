@@ -127,6 +127,35 @@ def _kmeans_fit(X: np.ndarray, n_cells: int, seed: int, iters: int = 10):
     return C
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x|/127,
+    codes = round(x/scale) — 4x smaller storage for ~1e-2 absolute
+    element error, the standard first compression step for a
+    corpus-scale embedding store.  Pure column expressions; zero-vector
+    scale floors at 1e-30 so codes stay 0 instead of dividing by zero.
+
+    Output: ``id, scale, codes array<int>``; reconstruct with
+    :func:`dequantize_col` (x ≈ code · scale).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias(
+            "codes"
+        ),
+    )
+
+
+def dequantize_col(codes: Column, scale: Column) -> Column:
+    """int8 codes + per-vector scale -> array<double> reconstruction."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
 def materialize_ivf_index(
     df: DataFrame,
     id_col: str,

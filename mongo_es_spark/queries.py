@@ -473,6 +473,7 @@ from .operators.similarity import (  # noqa: E402
     ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
+    quantize_embeddings,
 )
 from .operators.text import (  # noqa: E402
     BPE_SPLIT_PATTERN,
@@ -657,6 +658,25 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, "vec_id", "embedding", query_id=0, dims=64, k=10)
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               greatest(list_max(list_transform(embedding::DOUBLE[],
+                   x -> abs(x))), 1e-30) / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(v, x -> round(x / scale)::INTEGER) AS codes
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding")
 
 
 @register("similarity_ann_ivf", None)  # approximate: rows-only check

@@ -92,6 +92,31 @@ def test_ann_results_are_true_neighbors(emb):
     assert hits >= 3
 
 
+def test_quantize_roundtrip_preserves_cosine(spark, emb):
+    from mongo_es_spark.operators.dedup import cosine_pairs_col
+    from mongo_es_spark.operators.similarity import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    joined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("orig")
+    ).join(q, "vec_id")
+    checked = joined.select(
+        F.col("vec_id"),
+        F.array_max(F.col("codes")).alias("cmax"),
+        F.array_min(F.col("codes")).alias("cmin"),
+        cosine_pairs_col(
+            F.col("orig"), dequantize_col(F.col("codes"), F.col("scale"))
+        ).alias("cos"),
+    ).collect()
+    assert len(checked) == emb.count()
+    for r in checked:
+        assert -127 <= r["cmin"] and r["cmax"] <= 127  # int8 range
+        assert r["cos"] > 0.999                        # reconstruction
+
+
 def test_ivf_index_prunes_partitions(spark, emb, tmp_path):
     from mongo_es_spark.operators.similarity import (
         ann_ivf_search,
