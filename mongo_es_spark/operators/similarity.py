@@ -131,13 +131,15 @@ def quantize_embeddings(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Symmetric int8 quantization: per-vector scale = max|x|/127,
-    codes = round(x/scale) — 4x smaller storage for ~1e-2 absolute
-    element error, the standard first compression step for a
-    corpus-scale embedding store.  Pure column expressions; zero-vector
-    scale floors at 1e-30 so codes stay 0 instead of dividing by zero.
+    codes = round(x/scale) — 8x smaller storage than array<double>
+    for ~1e-2 absolute element error, the standard first compression
+    step for a corpus-scale embedding store.  Pure column expressions;
+    zero-vector scale floors at 1e-30 so codes stay 0 instead of
+    dividing by zero.
 
-    Output: ``id, scale, codes array<int>``; reconstruct with
-    :func:`dequantize_col` (x ≈ code · scale).
+    Output: ``id, scale, codes array<tinyint>`` (values bounded to
+    [-127, 127] by the scale); reconstruct with :func:`dequantize_col`
+    (x ≈ code · scale).
     """
     v = F.col(vec_col).cast("array<double>")
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -145,7 +147,7 @@ def quantize_embeddings(
     return df.select(
         F.col(id_col),
         scale.alias("scale"),
-        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias(
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")).alias(
             "codes"
         ),
     )

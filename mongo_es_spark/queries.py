@@ -670,13 +670,26 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, scale,
-           list_transform(v, x -> round(x / scale)::INTEGER) AS codes
+           array_to_string(
+               list_transform(v, x -> round(x / scale)::INTEGER), ',')
+               AS codes_csv
     FROM s
     """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the registry serializes the int8 codes array to a CSV string so
+    # the driver's pandas canonicalizer can sort/hash the column
+    # (list cells are unhashable); library callers get the raw
+    # array<tinyint> from quantize_embeddings directly.
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, "vec_id", "embedding")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+    )
 
 
 @register("similarity_ann_ivf", None)  # approximate: rows-only check
@@ -850,8 +863,9 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           round(avg(n_tokens), 6) AS avg_tokens,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           floor(sum(n_tokens)::DOUBLE / count(*) * 1000000) / 1000000
+               AS avg_tokens,
            min(n_tokens) AS min_tokens,
            max(n_tokens) AS max_tokens
     FROM t GROUP BY source, lang
@@ -859,16 +873,26 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the curation report: corpus composition by (source, lang) — one
-    # partial+final aggregation over token counts
+    # partial+final aggregation over token counts.  avg_tokens is
+    # computed as exact-bigint sum / count (one IEEE division, bit-
+    # identical across engines) then floor-stabilized to 6 decimals;
+    # the engines' own avg()/round() differ in the last ulp because
+    # they accumulate/round differently.
     docs = load_table(spark, sf_dir, "documents")
     n = token_count_col(F.col("text")).cast("long")
+    avg_stable = (
+        F.floor(
+            F.sum("n_tokens").cast("double") / F.count("*") * F.lit(1e6)
+        )
+        / F.lit(1e6)
+    )
     return (
         docs.select("source", "lang", n.alias("n_tokens"))
         .groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            avg_stable.alias("avg_tokens"),
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         )
@@ -993,7 +1017,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_frame_sample(attach_payload(docs, "doc_id", "text"))
 
 
-@register("multimodal_features", None)  # float-array output: rows-only
+@register(
+    "multimodal_features",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               ascii(unnest(regexp_extract_all(text, '(?s).'))) // 8 AS bin
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, bin, count(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2
+    ),
+    hl AS (
+        SELECT doc_id,
+               list(bin ORDER BY bin) AS bins,
+               list(cnt ORDER BY bin) AS cnts
+        FROM h GROUP BY doc_id
+    ),
+    t AS (
+        SELECT doc_id, octet_length(encode(text))::DOUBLE AS n
+        FROM documents
+    )
+    SELECT t.doc_id,
+           array_to_string(
+               list_transform(range(0, 32), i -> coalesce(
+                   round(coalesce(cnts[list_position(bins, i)], 0.0)
+                         / nullif(n, 0) * 1000000.0)::BIGINT, 0)),
+               ',') AS features_csv
+    FROM t LEFT JOIN hl USING (doc_id)
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # serialized for the driver's hash compare: each histogram ratio is
+    # quantized to integer microunits (round(x*1e6) — both engines do
+    # the identical divide-then-multiply on IEEE doubles) and the
+    # vector joined to CSV, since the canonicalizer can't hash list
+    # cells.  The oracle is valid because documents.text is ASCII in
+    # the test corpus (ascii(char) == utf-8 byte); the operator itself
+    # bins raw payload bytes.
     docs = load_table(spark, sf_dir, "documents")
-    return byte_histogram_features(attach_payload(docs, "doc_id", "text"))
+    feats = byte_histogram_features(attach_payload(docs, "doc_id", "text"))
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x * F.lit(1e6)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features_csv"),
+    )
