@@ -300,3 +300,74 @@ def fingerprint_col(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col_name: str,
+    max_tokens: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Sequence packing via a distributed two-pass prefix sum: assign
+    each doc (in ``id_col`` order) the context-window index its tokens
+    start in.
+
+    Pass 1 splits the id domain into ``n_buckets`` contiguous ranges
+    (explicit arithmetic on min/max — deterministic, unlike sampled
+    range partitioning) and aggregates one token sum per bucket; the
+    per-bucket cumulative offsets (``n_buckets`` rows) broadcast-join
+    back.  Pass 2 runs the cumulative window *inside* each bucket.  No
+    single-partition Exchange anywhere: parallelism = ``n_buckets``
+    for the window stage, and the only driver-side data is the
+    ``n_buckets``-row offset table.  ``id_col`` must be numeric.
+    """
+    mm = df.agg(
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx")
+    ).first()
+    if mm["mn"] is None:
+        return df.select(
+            F.col(id_col),
+            F.col(tokens_col_name),
+            F.lit(0).cast("long").alias("seq_id"),
+        )
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    width = max(1, -(-(mx - mn + 1) // n_buckets))  # ceil division
+    bucket = ((F.col(id_col) - F.lit(mn)) / F.lit(width)).cast("long")
+    bucketed = df.withColumn("__bucket", bucket)
+    sums = (
+        bucketed.groupBy("__bucket")
+        .agg(F.sum(tokens_col_name).alias("__bsum"))
+        .collect()
+    )
+    bsums = {int(r["__bucket"]): int(r["__bsum"]) for r in sums}
+    offsets, acc = [], 0
+    for b in sorted(bsums):
+        offsets.append((b, acc))
+        acc += bsums[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, "__bucket long, __offset long"
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "__bucket")
+        .select(
+            F.col(id_col),
+            F.col(tokens_col_name),
+            (
+                (
+                    F.col("__offset")
+                    + F.sum(tokens_col_name).over(w)
+                    - F.col(tokens_col_name)
+                )
+                / F.lit(max_tokens)
+            )
+            .cast("long")
+            .alias("seq_id"),
+        )
+    )

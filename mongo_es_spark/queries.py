@@ -481,6 +481,7 @@ from .operators.text import (  # noqa: E402
     bpe_token_count_col,
     fingerprint_col,
     language_id,
+    pack_sequences,
     quality_features,
     stratified_sample,
     token_count_col,
@@ -1083,23 +1084,16 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sequence packing: docs fill context windows of
     max_tokens in id order; a doc starts a new sequence when the
-    running total crosses the cap.  The cumulative-sum window is the
-    deterministic distributed stand-in for greedy packing (true
-    bin-packing is order-sensitive and serial); at corpus scale the
-    ordering column would be a pre-bucketed range partition.
+    running total crosses the cap.  Runs as a distributed two-pass
+    prefix sum (contiguous id-range buckets -> per-bucket sums ->
+    broadcast offsets -> bucket-local window) — no global
+    single-partition window.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     n = token_count_col(F.col("text")).cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     with_n = docs.select("doc_id", n.alias("n_tokens"))
-    return with_n.select(
-        "doc_id",
-        "n_tokens",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048))
-        .cast("long")
-        .alias("seq_id"),
+    return pack_sequences(
+        with_n, "doc_id", "n_tokens", max_tokens=2048, n_buckets=32
     )
 
 

@@ -377,3 +377,44 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     got = {(r["text"], r["doc_id"]) for r in exact_dedup(df, ["text"], "doc_id").collect()}
     assert got == {("x", 1), ("y", 2)}
+
+
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    from pyspark.sql import Window
+
+    from mongo_es_spark.operators.text import pack_sequences
+
+    # sparse, unordered ids and a token distribution that straddles
+    # bucket and window boundaries
+    rows = [(i * 7 + 3, (i * 131) % 900 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    serial = {
+        r["doc_id"]: r["seq_id"]
+        for r in df.select(
+            "doc_id",
+            (
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(512)
+            )
+            .cast("long")
+            .alias("seq_id"),
+        ).collect()
+    }
+    for n_buckets in (1, 5, 32, 1000):
+        got = {
+            r["doc_id"]: r["seq_id"]
+            for r in pack_sequences(
+                df, "doc_id", "n_tokens", max_tokens=512,
+                n_buckets=n_buckets,
+            ).collect()
+        }
+        assert got == serial, f"n_buckets={n_buckets}"
+
+
+def test_pack_sequences_empty_frame(spark):
+    from mongo_es_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(df, "doc_id", "n_tokens").count() == 0
