@@ -767,36 +767,69 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.45,
     block_rows: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (the baseline).
 
     O(n^2) work by definition, organized as a **blocked gram matrix**:
-    vectors are hashed into ~``block_rows``-sized blocks, every block
-    pair becomes one task, and each task runs a single numpy matmul
-    over L2-normalized blocks.  Memory per task is bounded by
-    block_rows^2 doubles regardless of n, and the n_blocks^2/2 tasks
-    spread across the cluster — the shape that survives a 100× corpus,
-    unlike a row-level theta join.  At true scale prefer
-    :func:`embedding_dup_pairs_lsh` to prune the quadratic work.
+    vectors are hashed into ~``block_rows``-sized blocks and each of
+    the n_blocks·(n_blocks+1)/2 block pairs becomes one task running a
+    single numpy matmul over L2-normalized blocks.
+
+    Distribution shape: every vector row is *replicated across its
+    grid row/column* (one copy per partner block — the standard
+    distributed-matmul layout) and shuffled to its ``(blk_a, blk_b)``
+    cell, so the cell tasks are co-partitioned on the pair key with
+    parallelism ∝ the block-pair count.  Nothing is broadcast and no
+    task ever holds more than two blocks (~2·block_rows vectors), so
+    the plan survives corpora far past driver memory.  At true scale
+    prefer :func:`embedding_dup_pairs_lsh` to prune the quadratic
+    work.
+
+    ``n_rows`` sizes the grid; pass the catalog row count at scale to
+    avoid the sizing count job.
     """
-    n = df.count()
+    n = n_rows if n_rows is not None else df.select(id_col).count()
     n_blocks = max(1, math.ceil(n / block_rows))
+    n_pairs = n_blocks * (n_blocks + 1) // 2
     vecs = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    packs = vecs.groupBy("blk").agg(
-        F.collect_list(F.struct("doc", "v")).alias("items")
+    # replicate each row to every grid cell it participates in; the
+    # row acts as side A when its block is the cell's lower id
+    exploded = vecs.select(
+        "doc",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
     )
-    a = packs.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
-    b = packs.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
-    n_pairs = n_blocks * (n_blocks + 1) // 2
-    pairs = (
-        a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
-        .repartition(min(n_pairs, 64))
+    keyed = exploded.select(
+        F.least("blk", "other").alias("blk_a"),
+        F.greatest("blk", "other").alias("blk_b"),
+        F.when(F.col("blk") == F.least("blk", "other"), "a")
+        .otherwise("b")
+        .alias("side"),
+        F.struct("doc", "v").alias("item"),
     )
-    return pairs.mapInPandas(
+    # explicit hash partitioning on the pair key sized to the grid
+    # (the following groupBy reuses it — ClusteredDistribution is
+    # already satisfied, no second exchange)
+    num_parts = max(1, min(n_pairs, 65536))
+    cells = (
+        keyed.repartition(num_parts, "blk_a", "blk_b")
+        .groupBy("blk_a", "blk_b")
+        .agg(
+            F.collect_list(
+                F.when(F.col("side") == "a", F.col("item"))
+            ).alias("items_a"),
+            F.collect_list(
+                F.when(F.col("side") == "b", F.col("item"))
+            ).alias("items_b"),
+        )
+    )
+    return cells.mapInPandas(
         _block_pair_cosine(threshold), "i long, j long, cosine double"
     )
 
