@@ -340,11 +340,20 @@ def incremental_minhash_pairs(
     recomputing the full corpus: the band join probes only the new
     side against (store ∪ new).  Output contract matches
     :func:`minhash_lsh_pairs` restricted to pairs touching a new doc.
+
+    The store append is idempotent: docs already present are
+    anti-joined away before the write, so a retried or replayed call
+    with the same batch neither duplicates store rows nor inflates
+    later pair outputs.  (The anti-join build side is the id column
+    only; with an id-partitioned store layout it prunes to the
+    matching files.)
     """
     old = spark.read.parquet(store_path)
-    new_sigs = minhash_signature_frame(
-        new_df, id_col, text_col, n, num_hashes
-    ).localCheckpoint(eager=True)
+    new_sigs = (
+        minhash_signature_frame(new_df, id_col, text_col, n, num_hashes)
+        .join(old.select("doc"), "doc", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     all_sigs = old.unionByName(new_sigs)
 
     banded_new = _band_frame(new_sigs, num_hashes, bands).alias("a")

@@ -51,6 +51,16 @@ OPLOG_SCHEMA = StructType(
 )
 
 
+def ms_to_bson_ts(epoch_ms: int) -> int:
+    """Epoch milliseconds -> BSON-Timestamp-style long
+    ((seconds << 32) | inc, inc = 0).  Checkpoints store wall-clock ms
+    (streaming/tail.py saves ``now - 10 s``); the oplog ``ts`` column
+    is BSON-encoded, so the resume comparison must convert first —
+    the reference does the same via ``new Timestamp(0, seconds)``
+    (src/mongodb.ts:49)."""
+    return (epoch_ms // 1000) << 32
+
+
 def oplog_filters(df: DataFrame, ns: str, since_ts: int = 0) -> DataFrame:
     """F3 — namespace equality, ts watermark, fromMigrate exclusion
     (reference: src/mongodb.ts:46-54).  Applied before any shuffle so
@@ -80,7 +90,7 @@ def file_oplog_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.json(path)
     ns = f"{task.extract.db}.{task.extract.collection}"
-    since = checkpoint.time if checkpoint else 0
+    since = ms_to_bson_ts(checkpoint.time) if checkpoint else 0
     return oplog_filters(raw, ns, since)
 
 
@@ -111,7 +121,7 @@ def kafka_oplog_stream(
         .select("ev.*")
     )
     ns = f"{task.extract.db}.{task.extract.collection}"
-    since = checkpoint.time if checkpoint else 0
+    since = ms_to_bson_ts(checkpoint.time) if checkpoint else 0
     return oplog_filters(raw, ns, since)
 
 

@@ -123,9 +123,16 @@ def dispatch_ir_frame(
         doc_val = _nested("o", src)
         set_val = _set_field(src)
         unset_flag = F.array_contains("unset_keys", src)
+        # precedence mirrors applyUpdateESDoc (processor.ts:107-121):
+        # unset applies first, then a present $set overwrites — so when
+        # both touch a field, $set wins.  Divergence (documented): the
+        # typed from_json path can't distinguish an explicit $set null
+        # from an absent key, so a $set of literal null falls through
+        # to unset/sink state where the reference would write null —
+        # detecting it would need a JSON-map sidecar per batch.
         patched = (
-            F.when(unset_flag, F.lit(None))
-            .when(set_val.isNotNull(), set_val)
+            F.when(set_val.isNotNull(), set_val)
+            .when(unset_flag, F.lit(None))
             .otherwise(sink_field(dst))
         )
         src_val = F.col(f"__src_{src_index[src]}")

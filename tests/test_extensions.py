@@ -418,3 +418,26 @@ def test_pack_sequences_empty_frame(spark):
 
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_sequences(df, "doc_id", "n_tokens").count() == 0
+
+
+def test_incremental_minhash_replay_is_idempotent(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signature_frame,
+    )
+
+    old_docs = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400)
+    store = str(tmp_path / "sigstore")
+    minhash_signature_frame(old_docs, "doc_id", "text").write.parquet(store)
+    incremental_minhash_pairs(
+        spark, new_docs, "doc_id", "text", store
+    ).collect()
+    n_after_first = spark.read.parquet(store).count()
+    # a retried/replayed call with the same batch must not double-
+    # append signatures nor re-emit pairs for already-ingested docs
+    replay = incremental_minhash_pairs(
+        spark, new_docs, "doc_id", "text", store
+    ).collect()
+    assert spark.read.parquet(store).count() == n_after_first
+    assert replay == []

@@ -95,6 +95,11 @@ OPLOG_BATCHES = [
         # in the source collection -> J3 fallback re-reads the doc
         {"ts": make_ts(303), "ns": "jike.banners", "op": "u", "id": "B7",
          "doc": {"$set": {"name": "seven!"}}},
+        # $set and $unset touching the SAME field: the reference
+        # applies unset first, then set — $set wins
+        # (processor.ts:107-121)
+        {"ts": make_ts(304), "ns": "jike.banners", "op": "u", "id": "B1",
+         "doc": {"$set": {"name": "one+"}, "$unset": {"name": 1}}},
     ],
 ]
 
