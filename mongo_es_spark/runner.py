@@ -106,6 +106,9 @@ def run(
                 task.load.index + suffix,
                 task.load.type or "_doc",
                 config.controls.elasticsearch_bulk_size,
+                # parent-routed docs aren't addressable via _mget — the
+                # lookup side switches to the terms search (J2)
+                parent_routing=bool(task.transform.parent),
             )
         else:
             sink = ParquetIndexSink(
@@ -115,13 +118,23 @@ def run(
         source_df = None
         if file_root is not None:
             source_df = _file_collection(spark, file_root, task, task.from_)
+        elif kafka is None:
+            # mongodb:// — J3: sink-miss patch-updates re-read the
+            # source collection (reference src/mongodb.ts:61-104, the
+            # batched $in fallback).  checkpoint=None on purpose: the
+            # lookup wants the whole collection, not the scan-resume
+            # slice.
+            source_df = mongo_collection(spark, config.mongodb.url, task, None)
 
         if task.from_.phase == "scan":
-            source = (
-                source_df
-                if source_df is not None
-                else mongo_collection(spark, config.mongodb.url, task, task.from_)
-            )
+            if file_root is not None:
+                source = source_df
+            else:
+                # the scan read is separate from the lookup read: it
+                # carries the _id >= checkpoint resume pushdown
+                source = mongo_collection(
+                    spark, config.mongodb.url, task, task.from_
+                )
             run_scan(spark, task, source, sink)
 
         if file_root is not None:

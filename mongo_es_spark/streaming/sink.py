@@ -49,8 +49,15 @@ class ParquetIndexSink:
         except FileNotFoundError:
             return None
 
-    def read_state(self, spark: SparkSession) -> Optional[DataFrame]:
-        """Current index state: ``(_id, _parent, data)`` or None."""
+    def read_state(
+        self, spark: SparkSession, ids: Optional[DataFrame] = None
+    ) -> Optional[DataFrame]:
+        """Current index state: ``(_id, _parent, data)`` or None.
+
+        ``ids`` (a one-column ``id`` frame of the batch's keys) is
+        accepted for interface parity with :class:`EsBulkSink` and
+        ignored — the state is served whole and the downstream join
+        prunes it."""
         version = self.current_version()
         if version is None:
             return None
@@ -81,20 +88,33 @@ class ParquetIndexSink:
         os.replace(tmp, self._pointer())
 
 
+class BulkItemError(RuntimeError):
+    """One or more items of an Elasticsearch ``_bulk`` call failed."""
+
+
 class EsBulkSink:
-    """Executor-side Elasticsearch ``_bulk`` writer.
+    """Executor-side Elasticsearch ``_bulk`` writer + batched lookup.
 
     Bulk-body format per reference src/processor.ts:229-256: an
     ``index`` action line + source doc per upsert, a ``delete`` action
     line per delete; ``_parent`` routing when configured.
+
+    Divergence from the reference, on purpose: the reference warns and
+    skips failed batches (src/processor.ts:322-324 — silent data
+    loss); here any transport error OR item-level failure inside an
+    HTTP-200 bulk response raises, failing the micro-batch so Spark's
+    retry semantics apply.
     """
 
     def __init__(self, hosts: str, index: str, doc_type: str = "_doc",
-                 bulk_size: int = 5000):
+                 bulk_size: int = 5000, parent_routing: bool = False,
+                 lookup_batch: int = 1024):
         self.hosts = hosts.rstrip("/")
         self.index = index
         self.doc_type = doc_type
         self.bulk_size = bulk_size
+        self.parent_routing = parent_routing
+        self.lookup_batch = lookup_batch
 
     @staticmethod
     def bulk_body(rows, index: str, doc_type: str) -> str:
@@ -110,6 +130,34 @@ class EsBulkSink:
             else:
                 lines.append(json.dumps({"delete": meta}))
         return "\n".join(lines) + "\n" if lines else ""
+
+    @staticmethod
+    def check_bulk_response(payload: bytes | str) -> None:
+        """Raise :class:`BulkItemError` when a ``_bulk`` response
+        carries item-level failures (ES returns HTTP 200 with
+        ``errors: true`` in that case — reference surfaces them at
+        src/elasticsearch.ts:22-28 but then drops them).  A delete of
+        a missing doc (404, no ``error`` body) is not a failure —
+        delete-by-key is idempotent."""
+        resp = json.loads(payload)
+        if not resp.get("errors"):
+            return
+        failures = []
+        for item in resp.get("items", []):
+            for action, result in item.items():
+                if result.get("error"):
+                    failures.append(
+                        f"{action} _id={result.get('_id')} "
+                        f"status={result.get('status')} "
+                        f"error={json.dumps(result['error'])[:200]}"
+                    )
+        if failures:
+            shown = "; ".join(failures[:5])
+            more = len(failures) - min(len(failures), 5)
+            raise BulkItemError(
+                f"{len(failures)} bulk item(s) failed: {shown}"
+                + (f" (+{more} more)" if more else "")
+            )
 
     def apply(self, spark: SparkSession, irs: DataFrame, batch_id: int) -> None:
         hosts, index, doc_type, bulk_size = (
@@ -131,7 +179,8 @@ class EsBulkSink:
                     headers={"Content-Type": "application/x-ndjson"},
                     method="POST",
                 )
-                urllib.request.urlopen(req, timeout=60).read()
+                payload = urllib.request.urlopen(req, timeout=60).read()
+                EsBulkSink.check_bulk_response(payload)
                 buf.clear()
 
             for row in rows:
@@ -142,6 +191,87 @@ class EsBulkSink:
             flush()
 
         irs.foreachPartition(write_partition)
+
+    def read_state(
+        self, spark: SparkSession, ids: Optional[DataFrame] = None
+    ) -> Optional[DataFrame]:
+        """J1/J2 lookup side vs the live index: fetch the given batch
+        keys' current sink docs as ``(_id, _parent, data_json)``.
+
+        Executor-side and batched: each Arrow chunk of the distinct-id
+        frame issues ``_mget`` calls of <= ``lookup_batch`` ids
+        (reference's 1024-id promise buffer, src/elasticsearch.ts:91-148,
+        done set-oriented), or — when ``parent_routing`` is on, where
+        ``_mget`` can't address parent-routed docs — a ``terms`` query
+        on ``_id`` with ``_parent`` re-injected from the hit metadata
+        (src/elasticsearch.ts:30-89,150-157).  ``data_json`` carries
+        the raw ``_source``; the tail plan parses it with the task's
+        typed sink schema (run_tail does this), keeping this sink
+        schema-agnostic like the reference client.
+
+        Returns None when no id frame is supplied — the caller decides
+        whether a full-index read makes sense (it usually doesn't).
+        """
+        if ids is None:
+            return None
+        hosts, index, doc_type = self.hosts, self.index, self.doc_type
+        chunk_size = self.lookup_batch
+        use_search = self.parent_routing
+
+        def fetch(batches):
+            import urllib.request
+
+            import pandas as pd
+
+            def post(path: str, body: dict):
+                req = urllib.request.Request(
+                    f"{hosts}{path}",
+                    data=json.dumps(body).encode("utf-8"),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                return json.loads(
+                    urllib.request.urlopen(req, timeout=60).read()
+                )
+
+            for pdf in batches:
+                idlist = [str(x) for x in pdf["id"].tolist()]
+                out_id, out_parent, out_doc = [], [], []
+                for lo in range(0, len(idlist), chunk_size):
+                    ids_chunk = idlist[lo:lo + chunk_size]
+                    if use_search:
+                        resp = post(
+                            f"/{index}/{doc_type}/_search",
+                            {
+                                "query": {"terms": {"_id": ids_chunk}},
+                                "size": len(ids_chunk),
+                            },
+                        )
+                        hits = resp.get("hits", {}).get("hits", [])
+                    else:
+                        resp = post(
+                            f"/{index}/{doc_type}/_mget",
+                            {"ids": ids_chunk},
+                        )
+                        hits = [
+                            d for d in resp.get("docs", [])
+                            if d.get("found")
+                        ]
+                    for hit in hits:
+                        out_id.append(hit["_id"])
+                        out_parent.append(hit.get("_parent"))
+                        out_doc.append(json.dumps(hit.get("_source") or {}))
+                yield pd.DataFrame(
+                    {
+                        "_id": pd.Series(out_id, dtype="object"),
+                        "_parent": pd.Series(out_parent, dtype="object"),
+                        "data_json": pd.Series(out_doc, dtype="object"),
+                    }
+                )
+
+        return ids.select(F.col("id").cast("string").alias("id")).mapInPandas(
+            fetch, "_id string, _parent string, data_json string"
+        )
 
 
 def init_indices(hosts: str, indices: list[dict], suffix: str = "") -> None:

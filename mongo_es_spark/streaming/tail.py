@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..config import CheckPoint, Controls, Task
 from ..operators.oplog_compaction import compact_oplog_docs
-from ..plans.cdc_schema import oplog_value_schema
+from ..plans.cdc_schema import oplog_value_schema, sink_data_schema
 from ..functions.columns import nest_target_paths
 
 
@@ -230,7 +230,26 @@ def run_tail(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         compacted = compact_oplog_docs(batch_df, task)
-        state = sink.read_state(spark) if hasattr(sink, "read_state") else None
+        state = None
+        if hasattr(sink, "read_state"):
+            # J1/J2: the batch's distinct keys drive the lookup —
+            # ParquetIndexSink ignores them (whole-state join),
+            # EsBulkSink turns them into executor-side _mget/terms
+            # calls against the live index
+            batch_ids = compacted.select("id").distinct()
+            state = sink.read_state(spark, ids=batch_ids)
+            if state is not None and "data_json" in state.columns:
+                # schema-agnostic sinks serve raw _source JSON; parse
+                # it with the task's typed target schema so the
+                # dispatch CASEs see the same struct shape
+                # ParquetIndexSink stores natively
+                state = state.select(
+                    "_id",
+                    "_parent",
+                    F.from_json(
+                        "data_json", sink_data_schema(task, hints)
+                    ).alias("data"),
+                )
         irs = dispatch_ir_frame(compacted, task, state, source_df, hints)
         sink.apply(spark, irs, batch_id)
         Task.save_checkpoint(

@@ -169,3 +169,71 @@ def test_run_from_config_json(spark, tmp_path):
     assert got["D1"]["name"] == "one!"             # patch-update applied
     assert got["D3"] == {"name": "three", "n": 3}  # untouched scan row
     assert got["D4"] == {"name": "four", "n": 4}   # insert from the tail
+
+
+def test_mongodb_mode_wires_j3_source_fallback(spark, tmp_path, monkeypatch):
+    """The runner's mongodb:// branch must hand the source collection
+    to run_tail so sink-miss patch-updates re-read the source
+    (J3, reference src/mongodb.ts:61-104).  The connector itself is
+    stubbed; the wiring under test is runner.run's."""
+    import mongo_es_spark.runner as runner_mod
+    from mongo_es_spark.sources.cdc import file_oplog_stream
+
+    # source collection as served by the (stubbed) connector; M1's
+    # value reflects the post-update document, as a real re-read would
+    src = spark.createDataFrame(
+        [("M1", "alpha-updated"), ("M2", "beta")], "_id string, name string"
+    )
+    calls = {"collection": 0}
+
+    def fake_collection(spark_, url, task, checkpoint):
+        calls["collection"] += 1
+        assert url.startswith("mongodb://")
+        return src
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    events = [
+        # patch-update of a doc missing from the (empty) sink but
+        # present in the source -> J3 fallback upserts it
+        {"ts": make_ts(100), "ns": "db.m", "op": "u", "id": "M1",
+         "doc": json.dumps({"$set": {"name": "ignored-by-j3"}})},
+        # missing everywhere -> dropped
+        {"ts": make_ts(101), "ns": "db.m", "op": "u", "id": "M9",
+         "doc": json.dumps({"$set": {"name": "ghost"}})},
+    ]
+    f0 = feed / "f0.json"
+    with open(f0, "w") as fh:
+        for ev in events:
+            fh.write(json.dumps(ev) + "\n")
+    os.utime(f0, (1_700_000_000, 1_700_000_000))
+
+    monkeypatch.setattr(runner_mod, "mongo_collection", fake_collection)
+    monkeypatch.setattr(
+        runner_mod,
+        "mongo_change_stream",
+        lambda spark_, url, task, ckpt: file_oplog_stream(
+            spark_, str(feed), task, ckpt
+        ),
+    )
+
+    cfg = Config(json.dumps({
+        "mongodb": {"url": "mongodb://localhost:27017"},
+        "elasticsearch": {"options": {}},
+        "tasks": [{
+            "from": {"phase": "tail"},
+            "extract": {"db": "db", "collection": "m"},
+            "transform": {"mapping": {"name": "name"}},
+            "load": {"index": "m", "type": "doc"},
+            "hints": {"name": "string"},
+        }],
+    }))
+    work = str(tmp_path / "work")
+    run(cfg, spark=spark, work_dir=work, available_now=True)
+
+    assert calls["collection"] == 1  # lookup read built (no scan read)
+    sink = ParquetIndexSink(os.path.join(work, "index", "db.m___m.doc"))
+    state = sink.read_state(spark)
+    assert state is not None
+    got = {r["_id"]: r["data"]["name"] for r in state.collect()}
+    assert got == {"M1": "alpha-updated"}
