@@ -177,17 +177,19 @@ class Task:
 class Controls:
     """Global throttles (reference: src/config.ts:117-134).
 
-    ``mongodb_read_capacity`` maps to a per-trigger row cap (Spark has
-    no docs/s limiter; per-trigger caps are the idiomatic equivalent),
-    bulk interval/size map to trigger interval + micro-batch sizing.
+    ``mongodb_read_capacity`` is enforced as a real docs/s limit
+    (C1): a distributed token bucket paces the scan/tail read via
+    Spark's iterator pull (ratelimit.py; reference
+    src/processor.ts:31-49).  Bulk interval/size map to trigger
+    interval + micro-batch sizing.
     """
 
     mongodb_read_capacity: float = math.inf
     elasticsearch_bulk_interval: int = 5000  # ms
     elasticsearch_bulk_size: int = 5000
     index_name_suffix: str = ""
-    # Spark-specific: per-trigger source cap (the C1 rate limiter in
-    # Spark's idiom — a docs/s token bucket has no source-level analog)
+    # Spark-specific companion to the docs/s bucket: a per-trigger
+    # source cap bounding each micro-batch's file count
     max_files_per_trigger: Optional[int] = None
 
     @classmethod

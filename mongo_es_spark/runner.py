@@ -135,7 +135,7 @@ def run(
                 source = mongo_collection(
                     spark, config.mongodb.url, task, task.from_
                 )
-            run_scan(spark, task, source, sink)
+            run_scan(spark, task, source, sink, controls=config.controls)
 
         if file_root is not None:
             stream = file_oplog_stream(

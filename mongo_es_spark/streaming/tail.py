@@ -37,6 +37,7 @@ from ..config import CheckPoint, Controls, Task
 from ..operators.oplog_compaction import compact_oplog_docs
 from ..plans.cdc_schema import oplog_value_schema, sink_data_schema
 from ..functions.columns import nest_target_paths
+from ..ratelimit import throttle
 
 
 def _nested(prefix: str, path: str) -> Column:
@@ -229,6 +230,9 @@ def run_tail(
         )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # C1: pace the oplog read (reference src/processor.ts:31-49);
+        # no-op unless mongodbReadCapacity is a finite number
+        batch_df = throttle(batch_df, controls.mongodb_read_capacity)
         compacted = compact_oplog_docs(batch_df, task)
         state = None
         if hasattr(sink, "read_state"):
@@ -278,12 +282,20 @@ def run_scan(
     source_df: DataFrame,
     sink,
     id_column: str = "_id",
+    controls: Optional[Controls] = None,
 ) -> None:
     """The scan phase (EP1): bounded backfill batch job — read, map,
     bulk-upsert, then flip the checkpoint to tail
-    (reference: src/index.ts:27-31, src/processor.ts:299-330)."""
+    (reference: src/index.ts:27-31, src/processor.ts:299-330).
+
+    ``controls.mongodb_read_capacity`` (C1) paces the backfill read:
+    the throttle sits directly over the source, so Spark's pull
+    model keeps the collection scan itself at the provisioned docs/s
+    (ratelimit.py; reference src/processor.ts:31-49)."""
     from ..plans.scan import scan_ir_frame
 
+    if controls is not None:
+        source_df = throttle(source_df, controls.mongodb_read_capacity)
     resume = None
     if task.from_.phase == "scan" and task.from_.id not in (
         "",

@@ -25,9 +25,12 @@ class StubES:
         self.state: dict[str, dict] = {}
         self.parents: dict[str, str] = {}
         self.fail_ids: set[str] = set()
+        self.indices: dict[str, dict] = {}
         self.lock = threading.Lock()
         self.mget_calls = 0
         self.search_calls = 0
+        self.head_calls = 0
+        self.put_calls = 0
 
         stub = self
 
@@ -42,6 +45,25 @@ class StubES:
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
+
+            def do_HEAD(self):
+                stub.head_calls += 1
+                name = self.path.strip("/")
+                with stub.lock:
+                    exists = name in stub.indices
+                self.send_response(200 if exists else 404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_PUT(self):
+                stub.put_calls += 1
+                name = self.path.strip("/")
+                body = self.rfile.read(
+                    int(self.headers.get("Content-Length", 0))
+                ).decode()
+                with stub.lock:
+                    stub.indices[name] = json.loads(body) if body else {}
+                self._reply({"acknowledged": True, "index": name})
 
             def do_POST(self):
                 body = self.rfile.read(
@@ -190,6 +212,31 @@ def test_read_state_terms_search_reinjects_parent(spark, stub_es):
     rows = {r["_id"]: r for r in sink.read_state(spark, ids=ids).collect()}
     assert rows["A"]["_parent"] == "P1"
     assert stub_es.search_calls >= 1 and stub_es.mget_calls == 0
+
+
+def test_init_indices_creates_missing_and_skips_existing(stub_es):
+    """L2 DDL bootstrap contract (reference src/indices.ts:19-33):
+    PUT mapping only for indices whose HEAD probe 404s; ``suffix``
+    implements blue-green versioning (indices.ts:22,29)."""
+    from mongo_es_spark.streaming.sink import init_indices
+
+    stub_es.indices["banner-v2"] = {"preexisting": True}
+    specs = [
+        {"index": "banner", "body": {"mappings": {"doc": {}}}},
+        {"index": "user", "body": {"settings": {"number_of_shards": 3}}},
+    ]
+    init_indices(stub_es.url, specs, suffix="-v2")
+
+    # existing index untouched, missing one created with its body
+    assert stub_es.indices["banner-v2"] == {"preexisting": True}
+    assert stub_es.indices["user-v2"] == {
+        "settings": {"number_of_shards": 3}
+    }
+    assert stub_es.put_calls == 1 and stub_es.head_calls == 2
+
+    # idempotent re-run: both now exist, no further PUTs
+    init_indices(stub_es.url, specs, suffix="-v2")
+    assert stub_es.put_calls == 1
 
 
 def test_apply_raises_on_item_level_bulk_failure(spark, stub_es):
