@@ -489,24 +489,11 @@ def simhash_sig_col(text: Column) -> Column:
     return pandas_udf(_simhash_kernel, "long")(text)
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
-) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= ``max_hamming`` (<= 3).
-
-    Pigeonhole: at distance <=3, at least one of the four 16-bit chunks
-    is identical — the chunk equi-join prunes the quadratic space, then
-    per-chunk ``bit_count(xor)`` verifies exactly.  Signature-dependent,
-    hence no cross-engine oracle (rows-only check).
-    """
-    groups = _text_groups(df, id_col, text_col)
-    sims = groups.select(
-        F.col("rep").alias("doc"),
-        simhash_sig_col(F.col("__text")).alias("sig"),
-    )
-    # the packed signature (8 bytes) rides along through the chunk
-    # explode and join — no payload join-back needed
-    chunks = sims.select(
+def _simhash_chunks(sims: DataFrame) -> DataFrame:
+    """(doc, sig) -> (doc, sig, chunk, val): the four 16-bit pigeonhole
+    chunks.  The packed signature (8 bytes) rides along through the
+    explode and join — no payload join-back needed."""
+    return sims.select(
         "doc",
         "sig",
         F.explode(
@@ -524,6 +511,24 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc", "sig", "bb.chunk", "bb.val")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= ``max_hamming`` (<= 3).
+
+    Pigeonhole: at distance <=3, at least one of the four 16-bit chunks
+    is identical — the chunk equi-join prunes the quadratic space, then
+    per-chunk ``bit_count(xor)`` verifies exactly.  Signature-dependent,
+    hence no cross-engine oracle (rows-only check).
+    """
+    groups = _text_groups(df, id_col, text_col)
+    sims = groups.select(
+        F.col("rep").alias("doc"),
+        simhash_sig_col(F.col("__text")).alias("sig"),
+    )
+    chunks = _simhash_chunks(sims)
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         # merge hint: one shared shuffle, one signature computation
@@ -551,6 +556,74 @@ def simhash_pairs(
     # identical text => identical signature => Hamming 0
     within = _within_group_pairs(groups, F.lit(0), "hamming")
     return _expand_rep_pairs(rep_pairs, groups, "hamming").unionByName(within)
+
+
+def simhash_signature_frame(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document SimHash state worth persisting: ``(doc, sig)`` —
+    8 bytes of signature per document.  Write it once (parquet), then
+    pair detection against a growing corpus is incremental — see
+    :func:`incremental_simhash_pairs` (the SimHash twin of
+    :func:`minhash_signature_frame`)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        simhash_sig_col(F.col(text_col)).alias("sig"),
+    )
+
+
+def incremental_simhash_pairs(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Detect Hamming-near-duplicate pairs that involve at least one
+    NEW document against the persisted signature store, then append
+    the new signatures — the 100 TB ingestion shape: work scales with
+    |new| x chunk collision rate, not the full corpus.
+
+    Doc-level contract matching :func:`simhash_pairs` restricted to
+    pairs touching a new doc (identical texts share a signature, so
+    clone pairs surface at Hamming 0 without a separate collapse).
+
+    The store append is idempotent: already-present docs are
+    anti-joined away before the pair join AND before the write, so a
+    retried or replayed batch neither duplicates store rows nor
+    re-emits pairs.
+    """
+    old = spark.read.parquet(store_path)
+    new_sigs = (
+        simhash_signature_frame(new_df, id_col, text_col)
+        .join(old.select("doc"), "doc", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    all_sigs = old.unionByName(new_sigs)
+
+    a = _simhash_chunks(new_sigs).alias("a")
+    b = _simhash_chunks(all_sigs).alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least("a.doc", "b.doc").alias("i"),
+            F.greatest("a.doc", "b.doc").alias("j"),
+            # Hamming is symmetric — no i/j swap concern
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["i", "j"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    new_sigs.write.mode("append").parquet(store_path)
+    return out
 
 
 # ------------------------------------------------------------------ #

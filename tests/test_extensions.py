@@ -420,6 +420,57 @@ def test_pack_sequences_empty_frame(spark):
     assert pack_sequences(df, "doc_id", "n_tokens").count() == 0
 
 
+def test_incremental_simhash_equals_full(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_pairs,
+        simhash_signature_frame,
+    )
+
+    full = {
+        (r["i"], r["j"]): r["hamming"]
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    old_docs = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400)
+    store = str(tmp_path / "shstore")
+    simhash_signature_frame(old_docs, "doc_id", "text").write.parquet(store)
+    first = {
+        (r["i"], r["j"]): r["hamming"]
+        for r in simhash_pairs(old_docs, "doc_id", "text").collect()
+    }
+    inc = {
+        (r["i"], r["j"]): r["hamming"]
+        for r in incremental_simhash_pairs(
+            spark, new_docs, "doc_id", "text", store
+        ).collect()
+    }
+    assert all(i >= 400 or j >= 400 for i, j in inc)
+    assert {**first, **inc} == full
+    assert spark.read.parquet(store).count() == docs.count()
+
+
+def test_incremental_simhash_replay_is_idempotent(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_signature_frame,
+    )
+
+    old_docs = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400)
+    store = str(tmp_path / "shstore")
+    simhash_signature_frame(old_docs, "doc_id", "text").write.parquet(store)
+    incremental_simhash_pairs(
+        spark, new_docs, "doc_id", "text", store
+    ).collect()
+    n_after_first = spark.read.parquet(store).count()
+    replay = incremental_simhash_pairs(
+        spark, new_docs, "doc_id", "text", store
+    ).collect()
+    assert spark.read.parquet(store).count() == n_after_first
+    assert replay == []
+
+
 def test_incremental_minhash_replay_is_idempotent(spark, docs, tmp_path):
     from mongo_es_spark.operators.dedup import (
         incremental_minhash_pairs,
