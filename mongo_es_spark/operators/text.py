@@ -259,6 +259,168 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def _floor6(x: Column) -> Column:
+    # floor-stabilized 6-decimal truncation: engines' round() disagree
+    # in the last ulp on .5 boundaries; floor of the same double is
+    # bit-identical everywhere
+    return F.floor(x * 1_000_000) / 1_000_000
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition signals, per document: fraction of the
+    text covered by the most frequent token / bigram, and the
+    duplicate-token fraction.  High values mark boilerplate and
+    degenerate generations — a standard pre-training quality filter
+    (Rae et al. 2021, "Scaling Language Models", table A1 analog).
+
+    Embarrassingly parallel and shuffle-free: every signal is a
+    higher-order-function fold over the document's own token array
+    (JVM, codegen), so a 100 TB corpus maps straight through with no
+    exchange.  The per-doc top-frequency scan is O(distinct x n) on
+    doc-sized arrays — bounded, and cheaper than an explode +
+    two-level groupBy shuffle at corpus scale.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n = token_count_col(text).cast("double")
+    n_safe = F.when(n > 0, n)
+
+    def top_count(arr: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda t: F.size(F.filter(arr, lambda x: x == t)),
+            )
+        ).cast("double")
+
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bi = F.when(n > 1, n - 1)
+    dup_frac = (n - F.size(F.array_distinct(toks))) / n_safe
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        _floor6(top_count(toks) / n_safe).alias("top_token_frac"),
+        _floor6(
+            F.when(n > 1, top_count(bigrams)) / n_bi
+        ).alias("top_bigram_frac"),
+        _floor6(dup_frac).alias("dup_token_frac"),
+    )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams of a token array (empty when shorter
+    than ``n``), built JVM-side from a position sequence."""
+    count = F.size(toks) - (n - 1)
+    # sequence(1, 0) counts DOWN in Spark — guard the too-short case
+    positions = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        positions, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    benchmark_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its word
+    ``n``-grams appear anywhere in the benchmark set — the standard
+    n-gram-overlap test run before training to keep eval data out of
+    the corpus (GPT-3 appendix C / PaLM-style 8-gram checks; 5 here
+    to suit short synthetic docs).
+
+    Plan shape for scale: the benchmark's distinct grams are tiny
+    (eval suites, not corpora) and broadcast; the corpus side explodes
+    to (doc, gram), LEFT-joins the broadcast set, and re-aggregates by
+    doc — one shuffle keyed by doc id, no corpus-side distinct.  If
+    the "benchmark" ever is corpus-sized, drop the broadcast hint and
+    let AQE pick a shuffle join.
+    """
+    grams = _word_ngrams(tokens_col(F.col(text_col)), n)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.size(grams).alias("__n_grams"),
+        F.explode_outer(grams).alias("__gram"),
+    )
+    bench = (
+        benchmark_df.select(
+            F.explode(
+                _word_ngrams(tokens_col(F.col(benchmark_text_col)), n)
+            ).alias("__gram")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        doc_grams.join(F.broadcast(bench), "__gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("__n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows —
+    the context-window preparation step for embedding/retrieval
+    pipelines (chunk ``chunk_tokens`` words, advance ``stride``, so
+    consecutive chunks share ``chunk_tokens - stride`` words).
+
+    A document of n tokens yields 1 + ceil(max(0, n - chunk)/stride)
+    chunks (always at least one, so empty docs survive as one empty
+    chunk).  Pure JVM explode — no shuffle, no Python.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens_col(F.col(text_col))
+    n = token_count_col(F.col(text_col))
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - chunk_tokens, F.lit(0)).cast("double")
+            / stride
+        ).cast("int")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_tokens)
+                ).alias("chunk_text"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), chunk.alias("__c")).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        token_count_col(F.col("__c.chunk_text")).alias("chunk_tokens"),
+    )
+
+
 def vocabulary(
     df: DataFrame, id_col: str, text_col: str, top_k: int = 1000
 ) -> DataFrame:

@@ -479,10 +479,13 @@ from .operators.text import (  # noqa: E402
     BPE_SPLIT_PATTERN,
     bm25_search,
     bpe_token_count_col,
+    chunk_documents,
+    contamination,
     fingerprint_col,
     language_id,
     pack_sequences,
     quality_features,
+    repetition_features,
     stratified_sample,
     token_count_col,
     vocabulary,
@@ -1134,6 +1137,122 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+_TOKS_CTE = """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM documents
+    )
+"""
+
+
+@register(
+    "text_repetition",
+    _TOKS_CTE
+    + """
+    , m AS (
+        SELECT doc_id, toks, len(toks)::BIGINT AS n,
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        FROM t
+    )
+    SELECT doc_id, n AS n_tokens,
+        CASE WHEN n > 0 THEN floor(
+            (list_max(list_transform(list_distinct(toks),
+                t -> len(list_filter(toks, x -> x = t))))::DOUBLE / n)
+            * 1000000) / 1000000 END AS top_token_frac,
+        CASE WHEN n > 1 THEN floor(
+            (list_max(list_transform(list_distinct(bigrams),
+                t -> len(list_filter(bigrams, x -> x = t))))::DOUBLE
+             / (n - 1)) * 1000000) / 1000000 END AS top_bigram_frac,
+        CASE WHEN n > 0 THEN floor(
+            ((n - len(list_distinct(toks)))::DOUBLE / n) * 1000000)
+            / 1000000 END AS dup_token_frac
+    FROM m
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filter signals — shuffle-free per-doc
+    # higher-order folds (operators/text.py:repetition_features)
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs, "doc_id", "text")
+
+
+@register(
+    "text_contamination",
+    _TOKS_CTE
+    + """
+    , g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                              i -> array_to_string(toks[i:i+4], ' ')) AS grams
+        FROM t
+    ), bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+        SELECT e.doc_id, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g) e
+        JOIN bench USING (gram) GROUP BY e.doc_id
+    )
+    SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+           coalesce(hits.cnt, 0)::BIGINT AS n_contaminated,
+           coalesce(hits.cnt, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits USING (doc_id)
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: word-5-gram overlap of every doc
+    # against the deterministic "benchmark" slice (doc_id % 97 == 0);
+    # broadcast bench grams, one doc-keyed shuffle
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = contamination(docs, "doc_id", "text", bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
+@register(
+    "text_chunk",
+    _TOKS_CTE
+    + """
+    , c AS (
+        SELECT doc_id, toks,
+               1 + ceil(greatest(len(toks) - 64, 0)::DOUBLE / 48)::INT
+                   AS n_chunks
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, n_chunks)) AS i
+        FROM c
+    )
+    SELECT doc_id, (i - 1)::BIGINT AS chunk_id,
+           array_to_string(toks[((i-1)*48+1):((i-1)*48+64)], ' ')
+               AS chunk_text,
+           (CASE WHEN len(toks) = 0 THEN 0
+                 ELSE len(toks[((i-1)*48+1):((i-1)*48+64)])
+            END)::BIGINT AS chunk_tokens
+    FROM e
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overlapping 64-token windows, stride 48 — retrieval/embedding
+    # chunking as a pure JVM explode (operators/text.py:chunk_documents)
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
     )
 
 

@@ -379,6 +379,113 @@ def test_exact_dedup_keeps_min_id(spark):
     assert got == {("x", 1), ("y", 2)}
 
 
+_EDGE_DOCS = [
+    (0, "a a a a"),                      # one token repeated
+    (1, "a b a b a"),                    # dominant bigram both ways
+    (2, "x"),                            # single token: no bigrams
+    (3, ""),                             # empty
+    (4, "   "),                          # whitespace only
+    (5, "u v w x y z u v w x y z u v"),  # period-6 repetition
+]
+
+
+def test_repetition_features_vs_python(spark):
+    import math
+    from collections import Counter
+
+    from mongo_es_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in repetition_features(df, "doc_id", "text").collect()
+    }
+
+    def fl6(x):
+        return math.floor(x * 1_000_000) / 1_000_000
+
+    for doc_id, text in _EDGE_DOCS:
+        toks = text.split()
+        n = len(toks)
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        if n == 0:
+            assert r["top_token_frac"] is None
+            assert r["dup_token_frac"] is None
+            continue
+        assert r["top_token_frac"] == fl6(
+            max(Counter(toks).values()) / n
+        )
+        assert r["dup_token_frac"] == fl6((n - len(set(toks))) / n)
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if n <= 1:
+            assert r["top_bigram_frac"] is None
+        else:
+            assert r["top_bigram_frac"] == fl6(
+                max(Counter(bigrams).values()) / (n - 1)
+            )
+
+
+def test_contamination_counts_vs_python(spark):
+    from mongo_es_spark.operators.text import contamination
+
+    corpus = [
+        (0, "one two three four five six"),     # contains bench gram
+        (1, "one two three four7 five six"),    # near miss
+        (2, "a b c d"),                         # too short for 5-grams
+        (3, "one two three four five one two three four five"),
+    ]
+    bench_rows = [(100, "zero one two three four five")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contaminated"])
+        for r in contamination(df, "doc_id", "text", bench, n=5).collect()
+    }
+    # bench 5-grams: "zero one two three four", "one two three four five"
+    assert got[0] == (2, 1, True)
+    assert got[1] == (2, 0, False)
+    assert got[2] == (0, 0, False)   # kept via explode_outer
+    assert got[3] == (6, 2, True)    # both occurrences counted
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_chunk_documents_vs_python(spark):
+    from mongo_es_spark.operators.text import chunk_documents
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(10))),   # 1 chunk (n < size)
+        (1, " ".join(f"t{i}" for i in range(16))),   # n == 16: 1+ceil(12/4)=4
+        (2, ""),                                     # 1 empty chunk
+        (3, " ".join(f"t{i}" for i in range(17))),   # ragged tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=4)
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["chunk_tokens"])
+        )
+    for doc_id, text in rows:
+        toks = text.split()
+        n = len(toks)
+        n_chunks = 1 + max(0, -(-(n - 4) // 4)) if n > 4 else 1
+        want = []
+        for i in range(n_chunks):
+            sl = toks[i * 4: i * 4 + 4]
+            want.append((i, " ".join(sl), len(sl)))
+        assert sorted(got[doc_id]) == want, doc_id
+    # overlap variant: stride < chunk shares tokens between chunks
+    ov = chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=2)
+    chunks1 = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in ov.filter("doc_id = 1").collect()
+    )
+    toks1 = rows[1][1].split()
+    assert chunks1[0][1].split() == toks1[0:4]
+    assert chunks1[1][1].split() == toks1[2:6]
+
+
 def test_pack_sequences_matches_serial_prefix_sum(spark):
     from pyspark.sql import Window
 
