@@ -293,3 +293,141 @@ def ann_ivf_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    block_rows: int = 1024,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph: for EVERY vector, its top-``k``
+    neighbors by cosine — the all-pairs similarity join behind
+    graph-based ANN indexes, semantic-dedup clustering, and
+    label-propagation over embeddings.
+
+    Same distribution shape as ``embedding_dup_pairs``'s blocked gram
+    matrix (operators/dedup.py): vectors replicate across their grid
+    row/column, each ``(blk_a, blk_b)`` cell is one task running one
+    BLAS matmul over L2-normalized blocks.  Two prunes keep the
+    quadratic emit bounded:
+
+    * **local top-k** inside the kernel — each cell emits at most
+      ``k`` partners per vector (per side), so the shuffle carries
+      n x n_blocks x k rows, not n^2;
+    * **global top-k** as a ``row_number`` window keyed by vector id
+      over those survivors — one exchange on id.
+
+    Ordering is total (cosine desc, then partner id asc, rounded to
+    6 decimals) so results are deterministic across engines and
+    partitionings.  ``n_rows`` skips the sizing count at scale.
+    """
+    import math as _math
+
+    n = n_rows if n_rows is not None else df.select(id_col).count()
+    n_blocks = max(1, _math.ceil(n / block_rows))
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    vecs = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    exploded = vecs.select(
+        "doc",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    )
+    keyed = exploded.select(
+        F.least("blk", "other").alias("blk_a"),
+        F.greatest("blk", "other").alias("blk_b"),
+        F.when(F.col("blk") == F.least("blk", "other"), "a")
+        .otherwise("b")
+        .alias("side"),
+        F.struct("doc", "v").alias("item"),
+    )
+    num_parts = max(1, min(n_pairs, 65536))
+    cells = (
+        keyed.repartition(num_parts, "blk_a", "blk_b")
+        .groupBy("blk_a", "blk_b")
+        .agg(
+            F.collect_list(
+                F.when(F.col("side") == "a", F.col("item"))
+            ).alias("items_a"),
+            F.collect_list(
+                F.when(F.col("side") == "b", F.col("item"))
+            ).alias("items_b"),
+        )
+    )
+
+    def _unpack(items):
+        ids = np.asarray([it["doc"] for it in items], dtype=np.int64)
+        X = np.asarray(
+            [np.asarray(it["v"], dtype=np.float64) for it in items]
+        )
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing
+        return ids, X / norms[:, None]
+
+    def _local_topk(ids_r, ids_c, gram):
+        """Per row of ``gram``, the k best (cosine desc, id asc)."""
+        out_i, out_j, out_c = [], [], []
+        kk = min(k, gram.shape[1])
+        if kk == 0:
+            return out_i, out_j, out_c
+        # lexsort: primary -cosine, secondary partner id
+        order = np.lexsort(
+            (np.broadcast_to(ids_c, gram.shape), -gram), axis=1
+        )[:, :kk]
+        rows = np.repeat(np.arange(gram.shape[0]), kk)
+        cols = order.ravel()
+        out_i = np.repeat(ids_r, kk)
+        out_j = ids_c[cols]
+        out_c = gram[rows, cols]
+        ok = np.isfinite(out_c)  # drop -inf self-edge placeholders
+        return out_i[ok], out_j[ok], out_c[ok]
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a, Xa = _unpack(row["items_a"])
+                same = row["blk_a"] == row["blk_b"]
+                if same:
+                    ids_b, Xb = ids_a, Xa
+                else:
+                    ids_b, Xb = _unpack(row["items_b"])
+                gram = np.round(Xa @ Xb.T, 6)
+                if same:
+                    np.fill_diagonal(gram, -np.inf)  # no self edges
+                i1, j1, c1 = _local_topk(ids_a, ids_b, gram)
+                if same:
+                    i2, j2, c2 = [], [], []
+                else:
+                    i2, j2, c2 = _local_topk(ids_b, ids_a, gram.T)
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate([i1, i2]) if len(i1) or len(i2)
+                        else np.empty(0, dtype=np.int64),
+                        "j": np.concatenate([j1, j2]) if len(j1) or len(j2)
+                        else np.empty(0, dtype=np.int64),
+                        "cosine": np.concatenate([c1, c2])
+                        if len(c1) or len(c2)
+                        else np.empty(0, dtype=np.float64),
+                    }
+                )
+
+    local = cells.mapInPandas(gen, "i long, j long, cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i").orderBy(
+        F.col("cosine").desc(), F.col("j").asc()
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("i", "j", "cosine", F.col("rk").cast("long").alias("rk"))
+    )

@@ -533,3 +533,64 @@ def pack_sequences(
             .alias("seq_id"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain mixing: resample the corpus so group
+    ``g``'s share moves from ``n_g / N`` toward ``n_g^alpha /
+    sum(n^alpha)`` — the multilingual/multi-domain rebalancing recipe
+    (alpha < 1 upsamples small groups; rates are capped at 1 so
+    nothing is duplicated, the big groups are downsampled instead).
+
+    Deterministic and engine-portable by construction: membership is
+    a Knuth-hash fraction of the id (same as ``stratified_sample``),
+    and the per-group weights ``floor(sqrt(n_g)*1e6)`` are EXACT
+    integers, so their cross-group sum is order-independent — no
+    float accumulation for engines to disagree on (only the final
+    fixed-shape division is floating point).  Only alpha=0.5 keeps
+    that exactness (sqrt is IEEE-correctly-rounded; pow is not).
+
+    Plan: one group-count aggregation (tiny result), broadcast back,
+    then a scan-shaped filter — no corpus-wide shuffle.
+    """
+    if alpha != 0.5:
+        raise ValueError(
+            "only alpha=0.5 has an exact cross-engine weight; "
+            "generalize with pow() only if bit-stability is not needed"
+        )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n_g"))
+    counts = counts.withColumn(
+        "__w_g",
+        F.floor(F.sqrt(F.col("__n_g").cast("double")) * 1_000_000)
+        .cast("long"),
+    )
+    totals = counts.agg(
+        F.sum("__n_g").alias("__n"), F.sum("__w_g").alias("__w")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("__w_g").cast("double") / F.col("__w").cast("double"))
+            * F.col("__n")
+            / F.col("__n_g"),
+        ).alias("__rate"),
+    )
+    frac = (
+        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(frac < F.col("__rate"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            _floor6(F.col("__rate")).alias("rate"),
+        )
+    )

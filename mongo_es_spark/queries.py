@@ -473,6 +473,7 @@ from .operators.similarity import (  # noqa: E402
     ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
+    knn_graph,
     quantize_embeddings,
 )
 from .operators.text import (  # noqa: E402
@@ -481,6 +482,7 @@ from .operators.text import (  # noqa: E402
     bpe_token_count_col,
     chunk_documents,
     contamination,
+    temperature_sample,
     fingerprint_col,
     language_id,
     pack_sequences,
@@ -1218,6 +1220,62 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contaminated").cast("long").alias("n_contaminated"),
         "contaminated",
     )
+
+
+@register(
+    "similarity_knn_graph",
+    """
+    WITH pairs AS (
+        -- DOUBLE[] casts: list_dot_product on FLOAT[] accumulates in
+        -- float32 (~1e-7 error), which flips round(...,6) boundaries
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT i, j, cosine, rk FROM (
+        SELECT i, j, cosine,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY cosine DESC, j ASC) AS rk
+        FROM pairs)
+    WHERE rk <= 5
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact kNN graph over the blocked gram matrix; block_rows kept
+    # below the table size so the oracle exercises the multi-block
+    # grid, not the degenerate one-cell case
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, "vec_id", "embedding", k=5, block_rows=256)
+
+
+@register(
+    "text_domain_mix",
+    """
+    WITH c AS (
+        SELECT lang, count(*)::BIGINT AS n_g,
+               floor(sqrt(count(*)::DOUBLE) * 1000000)::BIGINT AS w_g
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT sum(n_g)::BIGINT AS n, sum(w_g)::BIGINT AS w FROM c
+    ), r AS (
+        SELECT lang,
+               least(1.0, (w_g::DOUBLE / w::DOUBLE) * n / n_g) AS rate
+        FROM c, tot
+    )
+    SELECT d.doc_id, d.lang,
+           floor(r.rate * 1000000) / 1000000 AS rate
+    FROM documents d JOIN r USING (lang)
+    WHERE (d.doc_id * 2654435761) % 4294967296 / 4294967296.0 < r.rate
+    """,
+)
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature (alpha=0.5) language rebalancing with exact-integer
+    # group weights — see operators/text.py:temperature_sample
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, "doc_id", "lang", alpha=0.5)
 
 
 @register(

@@ -486,6 +486,66 @@ def test_chunk_documents_vs_python(spark):
     assert chunks1[1][1].split() == toks1[2:6]
 
 
+@pytest.mark.parametrize("block_rows", [64, 10_000])
+def test_knn_graph_matches_bruteforce(spark, emb, block_rows):
+    import numpy as np
+
+    from mongo_es_spark.operators.similarity import knn_graph
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    X = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    gram = np.round(Xn @ Xn.T, 6)
+    np.fill_diagonal(gram, -np.inf)
+    want = {}
+    for a in range(len(ids)):
+        # sort by (-cosine, id) like the operator's total order
+        order = sorted(range(len(ids)), key=lambda b: (-gram[a, b], ids[b]))
+        want[ids[a]] = [
+            (ids[b], gram[a, b], rk + 1) for rk, b in enumerate(order[:5])
+        ]
+
+    out = knn_graph(emb, "vec_id", "embedding", k=5, block_rows=block_rows)
+    got: dict[int, list] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["i"], r["rk"])):
+        got.setdefault(r["i"], []).append((r["j"], r["cosine"], r["rk"]))
+    assert got == want
+
+
+def test_temperature_sample_vs_python(spark):
+    import math
+
+    from mongo_es_spark.operators.text import temperature_sample
+
+    # skewed groups: 60 'big', 30 'mid', 10 'small'
+    rows = [
+        (i, "big" if i < 60 else ("mid" if i < 90 else "small"))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = temperature_sample(df, "doc_id", "grp", alpha=0.5)
+    got = {(r["doc_id"], r["grp"], r["rate"]) for r in out.collect()}
+
+    counts = {"big": 60, "mid": 30, "small": 10}
+    w = {g: math.floor(math.sqrt(n) * 1e6) for g, n in counts.items()}
+    W, N = sum(w.values()), sum(counts.values())
+    rate = {g: min(1.0, (w[g] / W) * N / counts[g]) for g in counts}
+    want = set()
+    for doc_id, grp in rows:
+        if (doc_id * 2654435761) % 4294967296 / 4294967296.0 < rate[grp]:
+            want.add(
+                (doc_id, grp, math.floor(rate[grp] * 1e6) / 1e6)
+            )
+    assert got == want
+    # the point of the exercise: big downsampled, small kept whole
+    assert rate["big"] < 1.0 and rate["small"] == 1.0
+    with pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "grp", alpha=0.7)
+
+
 def test_pack_sequences_matches_serial_prefix_sum(spark):
     from pyspark.sql import Window
 
