@@ -164,3 +164,21 @@ def decode_video_frames(df: DataFrame, fps: float = 1.0):
     Intended schema: ``doc_id long, frame_idx int, pixels array<float>``.
     """
     _stub("decode_video_frames", "ffmpeg")
+
+
+def dedup_payloads(df: DataFrame) -> DataFrame:
+    """Content-addressable exact dedup over binary payloads: group by
+    the payload digest, keep the smallest id as canonical and count
+    copies — the first pass every multimodal ingest runs (identical
+    images/audio re-crawled under different ids collapse here before
+    any expensive decode).
+
+    ``md5`` runs JVM-side on the binary column (no Python, no decode);
+    the aggregation is one partial+final hash agg — digests shuffle,
+    payloads don't.  At 100 TB swap md5 for xxhash64 if cryptographic
+    collision resistance isn't required and digest width matters.
+    """
+    return df.groupBy(F.md5("payload").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )

@@ -1315,6 +1315,65 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, epoch_ms(ts)::BIGINT AS ts_ms
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts_ms,
+               CASE WHEN lag(ts_ms) OVER w IS NULL
+                         OR ts_ms - lag(ts_ms) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts_ms, event_id)
+    ), numbered AS (
+        SELECT user_id, ts_ms,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*) AS n_events,
+           min(ts_ms) AS start_ms,
+           max(ts_ms) AS end_ms,
+           (max(ts_ms) - min(ts_ms))::BIGINT AS duration_ms
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 30-minute-gap sessionization; one exchange on user_id shared by
+    # both windows and the aggregation (operators/sessions.py)
+    from .operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    return sessionize(
+        ev, "user_id", "ts_ms", "event_id", gap_ms=30 * 60 * 1000
+    )
+
+
+@register(
+    "multimodal_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-addressable exact dedup on the binary payload digest
+    from .operators.multimodal import dedup_payloads
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_payloads(attach_payload(docs, "doc_id", "text"))
+
+
+@register(
     "multimodal_metadata",
     """
     SELECT doc_id,

@@ -546,6 +546,53 @@ def test_temperature_sample_vs_python(spark):
         temperature_sample(df, "doc_id", "grp", alpha=0.7)
 
 
+def test_sessionize_gaps_and_ties(spark):
+    from mongo_es_spark.operators.sessions import sessionize
+
+    GAP = 1000
+    rows = [
+        # user 1: two sessions, with a timestamp TIE at the first event
+        (1, 10, 100), (1, 11, 100), (1, 12, 500),
+        (1, 13, 2000), (1, 14, 2500),
+        # user 2: single event
+        (2, 20, 50),
+        # user 3: gap exactly == GAP stays in-session, GAP+1 splits
+        (3, 30, 0), (3, 31, 1000), (3, 32, 2001),
+    ]
+    df = spark.createDataFrame(rows, "uid long, event_id long, ts_ms long")
+    out = sessionize(df, "uid", "ts_ms", "event_id", gap_ms=GAP)
+    got = {
+        (r["uid"], r["session_id"]): (
+            r["n_events"], r["start_ms"], r["end_ms"], r["duration_ms"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (3, 100, 500, 400),
+        (1, 1): (2, 2000, 2500, 500),
+        (2, 0): (1, 50, 50, 0),
+        (3, 0): (2, 0, 1000, 1000),
+        (3, 1): (1, 2001, 2001, 0),
+    }
+
+
+def test_dedup_payloads_counts_exact_copies(spark):
+    from mongo_es_spark.operators.multimodal import (
+        attach_payload,
+        dedup_payloads,
+    )
+
+    rows = [(0, "same"), (1, "same"), (2, "other"), (3, "same")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup_payloads(
+            attach_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    assert out == {0: 3, 2: 1}
+
+
 def test_pack_sequences_matches_serial_prefix_sum(spark):
     from pyspark.sql import Window
 
