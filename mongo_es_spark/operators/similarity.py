@@ -300,7 +300,7 @@ def knn_graph(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    block_rows: int = 1024,
+    block_rows: int | None = None,
     n_rows: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor graph: for EVERY vector, its top-``k``
@@ -323,10 +323,21 @@ def knn_graph(
     Ordering is total (cosine desc, then partner id asc, rounded to
     6 decimals) so results are deterministic across engines and
     partitionings.  ``n_rows`` skips the sizing count at scale.
+
+    ``block_rows`` defaults to ``max(256, ceil(n/16))``: every vector
+    is replicated ``n_blocks`` times, so the grid must stay COARSE —
+    the 10x probe with 256-row blocks (79 blocks) spent its time on
+    79x replication shuffle + per-item array conversions (164 s);
+    ~16 blocks cuts that to ~22 s with identical output.  More
+    parallelism, when needed, comes from raising the 16 toward
+    2x task slots, not from shrinking blocks to cache-friendly
+    sizes — BLAS is never the bottleneck here.
     """
     import math as _math
 
     n = n_rows if n_rows is not None else df.select(id_col).count()
+    if block_rows is None:
+        block_rows = max(256, _math.ceil(n / 16))
     n_blocks = max(1, _math.ceil(n / block_rows))
     n_pairs = n_blocks * (n_blocks + 1) // 2
     vecs = df.select(

@@ -1244,11 +1244,11 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact kNN graph over the blocked gram matrix; block_rows kept
-    # below the table size so the oracle exercises the multi-block
-    # grid, not the degenerate one-cell case
+    # exact kNN graph over the blocked gram matrix; the adaptive
+    # block default keeps >= 2 blocks at sf0.01, so the oracle
+    # exercises the multi-block grid, not the degenerate one-cell case
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, "vec_id", "embedding", k=5, block_rows=256)
+    return knn_graph(emb, "vec_id", "embedding", k=5)
 
 
 @register(

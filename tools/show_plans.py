@@ -20,6 +20,11 @@ DEFAULT = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "similarity_topk",
+    "similarity_knn_graph",
+    "text_repetition",
+    "text_contamination",
+    "text_domain_mix",
+    "events_sessionize",
 ]
 
 
