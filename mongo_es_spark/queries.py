@@ -1315,6 +1315,133 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curate",
+    """
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(text), '\\s+') AS w,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::BIGINT AS n_tokens
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, n_tokens::DOUBLE AS n,
+               len(list_distinct(w))::DOUBLE / nullif(n_tokens, 0) AS dr,
+               len(list_filter(w, x -> x IN
+                   ('the','a','of','to','in','and','is','on')))::DOUBLE
+                   / nullif(n_tokens, 0) AS sr,
+               length(array_to_string(w, ''))::DOUBLE
+                   / nullif(n_tokens, 0) AS ml
+        FROM t0
+    ),
+    kept AS (
+        SELECT t0.doc_id, t0.lang, t0.w, t0.n_tokens
+        FROM t0 JOIN feats USING (doc_id)
+        WHERE floor((least(feats.n / 200.0, 1.0) * 0.3 + dr * 0.3
+                    + (1.0 - sr) * 0.2 + least(ml / 8.0, 1.0) * 0.2)
+                    * 1000000) / 1000000 >= 0.52
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, len(w) - 1)])) AS s
+        FROM kept
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i, j FROM shared
+        JOIN counts ca ON i = ca.doc_id
+        JOIN counts cb ON j = cb.doc_id
+        WHERE round(shared::DOUBLE / (ca.n + cb.n - shared), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION
+        SELECT j AS a, i AS b FROM pairs
+    ),
+    walk AS (
+        SELECT a AS doc, a AS comp FROM edges
+        UNION
+        SELECT e.a AS doc, w2.comp FROM edges e JOIN walk w2 ON e.b = w2.doc
+    ),
+    losers AS (
+        SELECT doc FROM walk GROUP BY doc HAVING doc <> min(comp)
+    ),
+    surv AS (
+        SELECT k.doc_id, k.lang, k.n_tokens
+        FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc
+        WHERE l.doc IS NULL
+    ),
+    c AS (
+        SELECT lang, count(*)::BIGINT AS n_g,
+               floor(sqrt(count(*)::DOUBLE) * 1000000)::BIGINT AS w_g
+        FROM surv GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_g)::BIGINT AS n, sum(w_g)::BIGINT AS w FROM c),
+    r AS (
+        SELECT lang,
+               least(1.0, (w_g::DOUBLE / w::DOUBLE) * n / n_g) AS rate
+        FROM c, tot
+    ),
+    sampled AS (
+        SELECT s.doc_id, s.lang, s.n_tokens
+        FROM surv s JOIN r USING (lang)
+        WHERE (s.doc_id * 2654435761) % 4294967296 / 4294967296.0 < r.rate
+    )
+    SELECT doc_id, lang, n_tokens,
+           ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+            // 2048)::BIGINT AS seq_id
+    FROM sampled
+    """,
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline — the end-to-end shape a
+    training-data run takes, as ONE declarative plan:
+
+        quality filter (>= 0.52 composite score)
+          -> near-duplicate drop (MinHash-LSH + components, keep min)
+          -> temperature domain mix (alpha=0.5 over lang)
+          -> sequence packing (2048-token windows, id order)
+
+    Each stage is the already-oracle-checked operator; the value of
+    this entry is proving they COMPOSE — one lazy DataFrame chain,
+    one oracle, stage boundaries free of collect()s (the only
+    driver-side data: the pack stage's 32-row bucket offsets and the
+    components loop's convergence flag).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scores = quality_features(docs, "doc_id", "text")
+    kept = docs.join(
+        scores.filter(F.col("quality_score") >= 0.52).select("doc_id"),
+        "doc_id",
+    )
+    surv = drop_near_duplicates(kept, "doc_id", "text", n=3, threshold=0.8)
+    mixed = temperature_sample(
+        surv.select("doc_id", "lang"), "doc_id", "lang", alpha=0.5
+    ).select("doc_id", "lang")
+    with_counts = mixed.join(
+        docs.select(
+            "doc_id",
+            token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    packed = pack_sequences(with_counts, "doc_id", "n_tokens")
+    return packed.join(mixed, "doc_id").select(
+        "doc_id", "lang", "n_tokens", "seq_id"
+    )
+
+
+@register(
     "events_sessionize",
     """
     WITH o AS (

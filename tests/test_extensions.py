@@ -546,6 +546,29 @@ def test_temperature_sample_vs_python(spark):
         temperature_sample(df, "doc_id", "grp", alpha=0.7)
 
 
+def test_pipeline_curate_stages_compose(spark):
+    from mongo_es_spark.queries import REGISTRY
+
+    fn, oracle = REGISTRY["pipeline_curate"]
+    assert oracle is not None
+    out = fn(spark, SF).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))      # no duplicates survive
+    assert 0 < len(ids) < 500             # both filters actually fired
+    # packing invariant: walking docs in id order, seq_id is
+    # non-decreasing and the running token total within a seq <= 2048
+    by_id = sorted(out, key=lambda r: r["doc_id"])
+    acc, prev_seq = 0, 0
+    for r in by_id:
+        if r["seq_id"] != prev_seq:
+            assert r["seq_id"] >= prev_seq
+            prev_seq, acc = r["seq_id"], 0
+        acc += r["n_tokens"]
+    assert all(
+        r["n_tokens"] <= 2048 for r in by_id
+    )
+
+
 def test_sessionize_gaps_and_ties(spark):
     from mongo_es_spark.operators.sessions import sessionize
 
