@@ -546,6 +546,86 @@ def test_temperature_sample_vs_python(spark):
         temperature_sample(df, "doc_id", "grp", alpha=0.7)
 
 
+def test_sessionize_matches_python_on_random_events(spark):
+    import random
+
+    from mongo_es_spark.operators.sessions import sessionize
+
+    rng = random.Random(29)
+    GAP = 500
+    rows = []
+    eid = 0
+    for uid in range(12):
+        t = 0
+        for _ in range(rng.randint(0, 40)):
+            # mix of in-gap steps, exact-gap boundaries, and jumps;
+            # occasional zero step makes timestamp ties
+            t += rng.choice([0, 1, GAP, GAP + 1, rng.randint(1, 2000)])
+            rows.append((uid, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "uid long, event_id long, ts long")
+    got = {
+        (r["uid"], r["session_id"]): (
+            r["n_events"], r["start_ms"], r["end_ms"]
+        )
+        for r in sessionize(df, "uid", "ts", "event_id", GAP).collect()
+    }
+
+    want = {}
+    by_uid: dict[int, list] = {}
+    for uid, e, t in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        by_uid.setdefault(uid, []).append(t)
+    for uid, ts_list in by_uid.items():
+        sid, start, last, n = -1, None, None, 0
+        for t in ts_list:
+            if start is None or t - last > GAP:
+                if start is not None:
+                    want[(uid, sid)] = (n, start, last)
+                sid, start, last, n = sid + 1, t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            want[(uid, sid)] = (n, start, last)
+    assert got == want
+
+
+def test_chunk_documents_random_roundtrip(spark):
+    """Every token appears in the chunk(s) its position maps to, and
+    concatenating stride-aligned prefixes reconstructs the document."""
+    import random
+
+    from mongo_es_spark.operators.text import chunk_documents
+
+    rng = random.Random(31)
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    CH, ST = 8, 5
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=CH, stride=ST)
+    chunks: dict[int, dict[int, list[str]]] = {}
+    for r in out.collect():
+        toks = r["chunk_text"].split() if r["chunk_text"] else []
+        assert len(toks) == r["chunk_tokens"] <= CH
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = toks
+    for doc_id, text in rows:
+        toks = text.split()
+        doc_chunks = chunks[doc_id]
+        # chunk c covers source positions [c*ST, c*ST + len(chunk))
+        for c, ctoks in doc_chunks.items():
+            assert ctoks == toks[c * ST: c * ST + len(ctoks)]
+        # stride-aligned reconstruction: first ST tokens of each chunk
+        # (all of the last) concatenate back to the full document
+        ordered = [doc_chunks[c] for c in sorted(doc_chunks)]
+        rebuilt = [
+            t
+            for i, ctoks in enumerate(ordered)
+            for t in (ctoks[:ST] if i < len(ordered) - 1 else ctoks)
+        ]
+        assert rebuilt == toks, doc_id
+
+
 def test_pipeline_curate_stages_compose(spark):
     from mongo_es_spark.queries import REGISTRY
 
