@@ -1,0 +1,114 @@
+"""Plan contracts: assertions over the FORMATTED physical plans that
+pin the performance claims made in operator docstrings — filter
+pushdown reaching the scan, shuffle counts, top-k pruning, and the
+absence of accidental broadcasts/cartesians.  A refactor that keeps
+results correct but regresses the plan shape fails here, not in a
+benchmark three rounds later."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from mongo_es_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    # count Exchange operators, excluding broadcast exchanges (counted
+    # separately — a broadcast is deliberate smallness, not a shuffle)
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_scan_resume_pushes_filter_and_prunes_columns(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["scan_resume"](spark, SF))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual", plan)
+    # projection pruning: the scan must not read the unmapped comment
+    # column
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "c_comment" not in m.group(1)
+    assert n_exchanges(plan) == 0  # scan+map is shuffle-free
+
+
+def test_dedup_exact_is_one_shuffle(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dedup_exact"](spark, SF))
+    assert n_exchanges(plan) == 1
+    assert "HashAggregate" in plan  # partial+final agg, not sort-agg
+
+
+def test_text_repetition_is_shuffle_free(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_repetition"](spark, SF))
+    assert n_exchanges(plan) == 0
+    assert "BroadcastExchange" not in plan
+    # exactly one kernel pass (formatted output lists each node twice:
+    # tree line + detail header; count detail headers)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
+def test_knn_graph_prunes_topk_before_final_exchange(spark):
+    from mongo_es_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(knn_graph(emb, "vec_id", "embedding", k=5))
+    # map-side rank prune: WindowGroupLimit appears both before and
+    # after the id exchange (partial + final)
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) == 2
+    # the vector set must never be broadcast
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lookup_join_broadcasts_the_small_side_only(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["lookup_join"](spark, SF))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) == 0  # broadcast join: no shuffle at all
+
+
+def test_sessionize_reuses_one_partitioning(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_sessionize"](spark, SF))
+    # lag window + running-sum window + groupBy all share the
+    # user_id hash partitioning: exactly one exchange
+    assert n_exchanges(plan) == 1
+
+
+def test_compaction_is_one_exchange(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["cdc_compaction"](spark, SF))
+    assert n_exchanges(plan) == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["similarity_topk", "text_domain_mix", "text_contamination"]
+)
+def test_no_cartesian_products(spark, name):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()[name](spark, SF))
+    # nested-loop joins are tolerated only in their BROADCAST form
+    # (single-row query vector / totals row / model-sized rate table);
+    # a shuffle cartesian of corpus-sized inputs must never appear
+    assert "CartesianProduct" not in plan
