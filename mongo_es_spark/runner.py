@@ -83,7 +83,12 @@ def run(
     es_hosts = (config.elasticsearch.options or {}).get("host", "")
     suffix = config.controls.index_name_suffix
     if es_hosts:
-        init_indices(f"http://{es_hosts}", config.elasticsearch.indices, suffix)
+        init_indices(
+            f"http://{es_hosts}",
+            config.elasticsearch.indices,
+            suffix,
+            tasks=config.tasks,
+        )
 
     file_root = _file_root(config.mongodb.url)
     kafka = _kafka_parts(config.mongodb.url)

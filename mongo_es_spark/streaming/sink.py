@@ -274,29 +274,46 @@ class EsBulkSink:
         )
 
 
-def init_indices(hosts: str, indices: list[dict], suffix: str = "") -> None:
-    """L2 DDL bootstrap: create index if missing, put mapping;
-    ``suffix`` implements blue-green index versioning
-    (reference: src/indices.ts:19-33, suffix at :22,29)."""
+def init_indices(
+    hosts: str, indices: list[dict], suffix: str = "", tasks=None
+) -> None:
+    """L2 DDL bootstrap (reference: src/indices.ts:19-33):
+
+    1. per configured index spec: create-if-missing (HEAD probe, PUT
+       body on 404); ``suffix`` implements blue-green versioning
+       (indices.ts:22,29);
+    2. per TASK: put the task's ``load.body`` as the type mapping on
+       ``load.index + suffix`` — unconditionally, matching the
+       reference's ``putMapping`` loop (indices.ts:27-31), so mapping
+       changes roll out to pre-existing indices too."""
     import urllib.error
     import urllib.request
 
+    def put(url: str, body: dict) -> None:
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(body).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="PUT",
+        )
+        urllib.request.urlopen(req, timeout=30).read()
+
+    root = hosts.rstrip("/")
     for spec in indices:
         name = spec.get("index", "") + suffix
-        url = f"{hosts.rstrip('/')}/{name}"
+        url = f"{root}/{name}"
         try:
             urllib.request.urlopen(
                 urllib.request.Request(url, method="HEAD"), timeout=10
             )
         except urllib.error.HTTPError as err:
             if err.code == 404:
-                body = json.dumps(spec.get("body", {})).encode("utf-8")
-                req = urllib.request.Request(
-                    url,
-                    data=body,
-                    headers={"Content-Type": "application/json"},
-                    method="PUT",
-                )
-                urllib.request.urlopen(req, timeout=30).read()
+                put(url, spec.get("body", {}))
             else:
                 raise
+    for task in tasks or []:
+        doc_type = task.load.type or "_doc"
+        put(
+            f"{root}/{task.load.index + suffix}/_mapping/{doc_type}",
+            task.load.body,
+        )

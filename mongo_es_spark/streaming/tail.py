@@ -283,6 +283,7 @@ def run_scan(
     sink,
     id_column: str = "_id",
     controls: Optional[Controls] = None,
+    resume_chunks: int = 1,
 ) -> None:
     """The scan phase (EP1): bounded backfill batch job — read, map,
     bulk-upsert, then flip the checkpoint to tail
@@ -291,7 +292,21 @@ def run_scan(
     ``controls.mongodb_read_capacity`` (C1) paces the backfill read:
     the throttle sits directly over the source, so Spark's pull
     model keeps the collection scan itself at the provisioned docs/s
-    (ratelimit.py; reference src/processor.ts:31-49)."""
+    (ratelimit.py; reference src/processor.ts:31-49).
+
+    ``resume_chunks`` > 1 makes a long backfill RESUMABLE across
+    process restarts, the reference's per-bulk scan checkpoint
+    (src/processor.ts:313-321) re-expressed for a distributed scan:
+    sampled id boundaries split the id domain into ``resume_chunks``
+    ranges processed as sequential fully-parallel jobs, and the scan
+    checkpoint advances to each range's upper bound once it loads.
+    Every range filter is an ``id >= lo AND id < hi`` predicate the
+    scan pushes down (same pushdown as the F2 resume filter), and the
+    idempotent sink absorbs the partial-chunk overlap a crash replays.
+    Within one run, Spark's own task retry already handles failures —
+    chunking only buys restart granularity, so the default stays 1
+    (single job, no boundary sampling pass).
+    """
     from ..plans.scan import scan_ir_frame
 
     if controls is not None:
@@ -302,6 +317,46 @@ def run_scan(
         "000000000000000000000000",
     ):
         resume = task.from_.id
+
+    if resume_chunks > 1:
+        # boundary sampling, RangePartitioner-style: a uniform
+        # driver-bounded id sample (~100 per chunk) sorted and
+        # quantiled.  orderBy(rand).limit executes as TakeOrdered — a
+        # per-partition heap over the id column, no full shuffle.
+        # Works for any orderable id type, string Mongo ObjectIds
+        # included; boundary QUALITY only affects chunk balance,
+        # never output correctness.
+        sample = [
+            r[0]
+            for r in source_df.select(id_column)
+            .orderBy(F.rand(13))
+            .limit(resume_chunks * 100)
+            .collect()
+        ]
+        sample.sort()
+        bounds = sorted(
+            {
+                sample[(i * len(sample)) // resume_chunks]
+                for i in range(1, resume_chunks)
+            }
+        ) if sample else []
+        lo = resume
+        for hi in [*bounds, None]:
+            chunk = source_df
+            if hi is not None:
+                chunk = chunk.filter(F.col(id_column) < hi)
+            irs = scan_ir_frame(
+                chunk, task, id_column=id_column, resume_id=lo
+            )
+            sink.apply(spark, irs, batch_id=-1)
+            if hi is not None:
+                Task.save_checkpoint(
+                    task.name(), CheckPoint(phase="scan", id=str(hi))
+                )
+            lo = hi
+        task.end_scan()
+        return
+
     irs = scan_ir_frame(source_df, task, id_column=id_column, resume_id=resume)
     sink.apply(spark, irs, batch_id=-1)
     task.end_scan()

@@ -26,6 +26,7 @@ class StubES:
         self.parents: dict[str, str] = {}
         self.fail_ids: set[str] = set()
         self.indices: dict[str, dict] = {}
+        self.mappings: dict[tuple, dict] = {}
         self.lock = threading.Lock()
         self.mget_calls = 0
         self.search_calls = 0
@@ -57,13 +58,17 @@ class StubES:
 
             def do_PUT(self):
                 stub.put_calls += 1
-                name = self.path.strip("/")
+                parts = self.path.strip("/").split("/")
                 body = self.rfile.read(
                     int(self.headers.get("Content-Length", 0))
                 ).decode()
+                payload = json.loads(body) if body else {}
                 with stub.lock:
-                    stub.indices[name] = json.loads(body) if body else {}
-                self._reply({"acknowledged": True, "index": name})
+                    if len(parts) == 3 and parts[1] == "_mapping":
+                        stub.mappings[(parts[0], parts[2])] = payload
+                    else:
+                        stub.indices[parts[0]] = payload
+                self._reply({"acknowledged": True})
 
             def do_POST(self):
                 body = self.rfile.read(
@@ -237,6 +242,27 @@ def test_init_indices_creates_missing_and_skips_existing(stub_es):
     # idempotent re-run: both now exist, no further PUTs
     init_indices(stub_es.url, specs, suffix="-v2")
     assert stub_es.put_calls == 1
+
+
+def test_init_indices_puts_task_mappings_unconditionally(stub_es):
+    """Per-task putMapping (reference indices.ts:27-31) runs even for
+    pre-existing indices, so mapping changes roll out."""
+    from mongo_es_spark.config import Task
+
+    from mongo_es_spark.streaming.sink import init_indices
+
+    stub_es.indices["banner-v2"] = {}
+    task = Task({
+        "extract": {"db": "db", "collection": "c"},
+        "transform": {"mapping": {"name": "name"}},
+        "load": {"index": "banner", "type": "doc",
+                 "body": {"properties": {"name": {"type": "text"}}}},
+    })
+    init_indices(stub_es.url, [{"index": "banner", "body": {}}],
+                 suffix="-v2", tasks=[task])
+    assert stub_es.mappings[("banner-v2", "doc")] == {
+        "properties": {"name": {"type": "text"}}
+    }
 
 
 def test_apply_raises_on_item_level_bulk_failure(spark, stub_es):
