@@ -652,3 +652,58 @@ def temperature_sample(
             _floor6(F.col("__rate")).alias("rate"),
         )
     )
+
+
+def rare_ngram_density(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_corpus_freq: int = 2,
+) -> DataFrame:
+    """Noisiness signal via rare-n-gram density: per document, how
+    many of its word ``n``-grams occur at most ``max_corpus_freq``
+    times in the WHOLE corpus — a high density marks garbled text,
+    OCR noise, or boilerplate-free unique content, the
+    integer-exact stand-in for LM-perplexity filtering (no float
+    accumulation, so the cross-engine hash is stable by
+    construction).
+
+    Plan: one corpus-wide gram count (partial+final hash agg), the
+    rare subset joined back to the exploded grams, re-aggregated by
+    doc.  The rare-gram set is NOT broadcast — rare grams are most
+    of the distinct mass (Zipf), so the join stays a shuffle join on
+    the gram key and AQE handles skew.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams_col(F.col(text_col), n)).alias(
+            "__gram"
+        ),
+    )
+    rare = (
+        grams.filter(F.col("__gram").isNotNull())
+        .groupBy("__gram")
+        .agg(F.count("*").alias("__cf"))
+        .filter(F.col("__cf") <= max_corpus_freq)
+        .select("__gram", F.lit(1).alias("__rare"))
+    )
+    return (
+        grams.join(rare, "__gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__gram").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__rare"), F.lit(0))).alias(
+                "n_rare"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_rare").cast("long").alias("n_rare"),
+            _floor6(
+                F.col("n_rare")
+                / F.when(F.col("n_grams") > 0, F.col("n_grams"))
+            ).alias("rare_frac"),
+        )
+    )

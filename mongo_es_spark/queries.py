@@ -1223,6 +1223,44 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rare_bigrams",
+    _TOKS_CTE
+    + """
+    , g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        FROM t
+    ), e AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g
+    ), cf AS (
+        SELECT gram, count(*) AS c FROM e GROUP BY gram
+    ), rare AS (
+        SELECT gram FROM cf WHERE c <= 2
+    ), hits AS (
+        SELECT e.doc_id, count(*) AS nr
+        FROM e JOIN rare USING (gram) GROUP BY e.doc_id
+    )
+    SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+           coalesce(hits.nr, 0)::BIGINT AS n_rare,
+           CASE WHEN len(g.grams) > 0
+                THEN floor(coalesce(hits.nr, 0)::DOUBLE / len(g.grams)
+                           * 1000000) / 1000000 END AS rare_frac
+    FROM g LEFT JOIN hits USING (doc_id)
+    """,
+)
+def text_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer-exact perplexity stand-in: density of corpus-rare word
+    # bigrams per doc (operators/text.py:rare_ngram_density)
+    from .operators.text import rare_ngram_density
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rare_ngram_density(
+        docs, "doc_id", "text", n=2, max_corpus_freq=2
+    )
+
+
+@register(
     "similarity_knn_graph",
     """
     WITH pairs AS (

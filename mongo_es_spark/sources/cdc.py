@@ -81,9 +81,10 @@ def file_oplog_stream(
 ) -> DataFrame:
     """Streaming oplog feed from a directory of JSON files.
 
-    ``max_files_per_trigger`` is the C1 read-capacity control in
-    Spark's idiom: a per-trigger cap instead of a docs/s token bucket
-    (reference limiter: src/processor.ts:31-49).
+    ``max_files_per_trigger`` bounds each micro-batch's file count —
+    the per-trigger companion to the docs/s token bucket that
+    ``run_tail`` applies via ratelimit.py (reference limiter:
+    src/processor.ts:31-49).
     """
     reader = spark.readStream.schema(OPLOG_SCHEMA)
     if max_files_per_trigger:

@@ -626,6 +626,40 @@ def test_chunk_documents_random_roundtrip(spark):
         assert rebuilt == toks, doc_id
 
 
+def test_rare_ngram_density_vs_python(spark):
+    from collections import Counter
+
+    from mongo_es_spark.operators.text import rare_ngram_density
+
+    rows = [
+        (0, "a b c d"),          # "a b" shared 3x; "b c","c d" shared 2x
+        (1, "a b c d"),
+        (2, "a b x y"),          # "b x","x y" unique
+        (3, "z"),                # no bigrams
+        (4, ""),                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_rare"])
+        for r in rare_ngram_density(
+            df, "doc_id", "text", n=2, max_corpus_freq=2
+        ).collect()
+    }
+    all_grams = Counter(
+        g
+        for _, t in rows
+        for g in [
+            " ".join(p) for p in zip(t.split(), t.split()[1:])
+        ]
+    )
+    for doc_id, t in rows:
+        grams = [" ".join(p) for p in zip(t.split(), t.split()[1:])]
+        rare = sum(1 for g in grams if all_grams[g] <= 2)
+        assert got[doc_id] == (len(grams), rare), doc_id
+    # "a b" occurs 3x -> not rare; docs 0/1 have 2 rare of 3
+    assert got[0] == (3, 2) and got[2] == (3, 2) and got[3] == (0, 0)
+
+
 def test_pipeline_curate_stages_compose(spark):
     from mongo_es_spark.queries import REGISTRY
 
