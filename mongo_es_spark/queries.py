@@ -56,8 +56,16 @@ _OPLOG_SQL = """
 """
 
 
-def events_as_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_oplog(
+    spark: SparkSession, sf_dir: str, max_ts_ms: Optional[int] = None
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    if max_ts_ms is not None:
+        # equivalent to `ts div 1e6 <= max_ts_ms` for ts >= 0, but on
+        # the RAW column so the predicate reaches the parquet scan
+        # (row-group pruning); the exact derived-column filter is
+        # re-applied downstream by the consumer
+        ev = ev.filter(F.col("ts") <= F.lit((max_ts_ms + 1) * 1_000_000 - 1))
     return ev.select(
         "user_id",
         F.expr("ts div 1000000").alias("ts_ms"),
@@ -1626,4 +1634,211 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("features_csv"),
+    )
+
+
+# --------------------------------------------------------------------
+# Temporal joins (greenfield — SURVEY §2.2: the reference has no join
+# surface beyond point lookups; operators/joins.py for the scale
+# rationale of each formulation)
+# --------------------------------------------------------------------
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH o AS (
+        SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ts_ms,
+               event_type, value
+        FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts_ms FROM o
+          WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts_ms, value FROM o
+          WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts_ms,
+           pm.ts_ms AS ts_ms_asof, pm.value AS value_asof
+    FROM c LEFT JOIN LATERAL (
+        SELECT p.ts_ms, p.value FROM p
+        WHERE p.user_id = c.user_id AND p.ts_ms <= c.ts_ms
+        ORDER BY p.ts_ms DESC, p.event_id DESC LIMIT 1
+    ) pm ON true
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click picks up the user's most recent
+    purchase at or before it.  The oracle runs a per-row LATERAL
+    top-1 — a genuinely different algorithm than the union+window
+    plan, so agreement is a strong check of the tie/inclusivity
+    semantics."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_type",
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", "event_id", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        value_cols=["value"],
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "events_window_join",
+    """
+    WITH o AS (
+        SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ts_ms,
+               event_type, value
+        FROM events
+    ),
+    e AS (SELECT event_id, user_id, ts_ms FROM o
+          WHERE event_type = 'error'),
+    p AS (SELECT ts_ms AS p_ts, value AS p_value FROM o
+          WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, e.ts_ms,
+           count(p.p_ts)::BIGINT AS n_nearby,
+           round(coalesce(sum(p.p_value), 0), 6) AS nearby_value
+    FROM e LEFT JOIN p ON abs(e.ts_ms - p.p_ts) <= 60000
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: purchases within +/-60 s of each error,
+    corpus-wide (no equi-key).  The bucketed operator turns the
+    inequality into an equi-join; the oracle does the naive
+    inequality join, checking no pair is gained or lost at bucket
+    boundaries."""
+    from .operators.joins import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_type",
+        "value",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts_ms").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    pairs = bucketed_range_join(
+        errors, purchases, left_ts="ts_ms", right_ts="p_ts", window_ms=60000
+    )
+    nearby = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_nearby"),
+        F.sum("p_value").alias("__sum"),
+    )
+    return errors.join(nearby, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.coalesce(F.col("n_nearby"), F.lit(0)).alias("n_nearby"),
+        F.round(F.coalesce(F.col("__sum"), F.lit(0.0)), 6).alias(
+            "nearby_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# CDC history: SCD2 version intervals + point-in-time snapshot
+# (operators/history.py — time-travel over the A1 event algebra)
+# --------------------------------------------------------------------
+
+
+@register(
+    "cdc_scd2",
+    f"""
+    WITH o AS ({_OPLOG_SQL}),
+    v AS (
+        SELECT user_id, value, op, ts_ms,
+               lead(ts_ms) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, event_id) AS valid_to
+        FROM o
+    )
+    SELECT user_id, value,
+           ts_ms AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'd'
+    """,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import scd2_intervals
+
+    return scd2_intervals(
+        events_as_oplog(spark, sf_dir),
+        key_cols=["user_id"],
+        ts_col="ts_ms",
+        op_col="op",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+    )
+
+
+_SNAPSHOT_TS = 1704100000000  # ~9h into the synthetic feed
+
+
+@register(
+    "cdc_snapshot_at",
+    f"""
+    WITH
+    oplog AS (SELECT * FROM ({_OPLOG_SQL}) WHERE ts_ms <= {_SNAPSHOT_TS}),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM oplog
+    ),
+    last_ev AS (
+        SELECT user_id, ts_ms, op, value FROM ranked WHERE rn = 1
+    ),
+    prev_nu AS (
+        SELECT user_id, op AS prev_op FROM (
+            SELECT user_id, op, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn2
+            FROM ranked WHERE op <> 'u' AND rn > 1
+        ) t WHERE rn2 = 1
+    ),
+    compacted AS (
+        SELECT l.user_id,
+               CASE WHEN l.op = 'u' AND COALESCE(p.prev_op, '') = 'i'
+                    THEN 'i' ELSE l.op END AS op,
+               CASE WHEN l.op = 'd' THEN NULL ELSE l.value END AS value,
+               l.ts_ms
+        FROM last_ev l LEFT JOIN prev_nu p USING (user_id)
+        WHERE NOT (l.op = 'd' AND COALESCE(p.prev_op, '') = 'i')
+    )
+    SELECT user_id, value, ts_ms AS as_of_ts
+    FROM compacted WHERE op <> 'd'
+    """,
+)
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection state as of a fixed mid-feed timestamp.  The ts
+    predicate pushes to the parquet scan, so early snapshots read a
+    fraction of the oplog; the rest is the shared one-shuffle
+    compaction."""
+    from .operators.history import snapshot_at
+
+    return snapshot_at(
+        events_as_oplog(spark, sf_dir, max_ts_ms=_SNAPSHOT_TS),
+        at_ts=_SNAPSHOT_TS,
+        key_cols=["user_id"],
+        ts_col="ts_ms",
+        op_col="op",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
     )

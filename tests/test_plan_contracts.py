@@ -112,3 +112,44 @@ def test_no_cartesian_products(spark, name):
     # (single-row query vector / totals row / model-sized rate table);
     # a shuffle cartesian of corpus-sized inputs must never appear
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_range_join(spark):
+    """The union+window as-of formulation: one exchange on the key,
+    never a BroadcastNestedLoopJoin (what a naive range-condition
+    as-of degenerates to)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_asof_join"](spark, SF))
+    assert n_exchanges(plan) == 1
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_join_is_equi_join_not_nested_loop(spark):
+    """Bucketizing the |dt| <= W predicate must yield a shuffled
+    equi-join; the raw inequality would plan as a nested-loop
+    broadcast of one whole side."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_window_join"](spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_is_single_shuffle(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["cdc_scd2"](spark, SF))
+    assert n_exchanges(plan) == 1
+
+
+def test_snapshot_pushes_raw_ts_filter(spark):
+    """Point-in-time snapshot must prune at the scan: the raw-ts
+    predicate reaches PushedFilters (row-group pruning at 100 TB of
+    oplog), on top of the usual single compaction shuffle."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["cdc_snapshot_at"](spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(ts", plan)
+    assert n_exchanges(plan) == 1
