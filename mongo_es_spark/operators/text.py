@@ -707,3 +707,119 @@ def rare_ngram_density(
             ).alias("rare_frac"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Cross-document span deduplication (the C4/RefinedWeb move):
+    split every document into fixed ``span_tokens``-token spans, keep
+    exactly ONE instance of each distinct span corpus-wide (the
+    lexicographically smallest ``(doc_id, span_id)`` occurrence), and
+    reassemble documents from their surviving spans.
+
+    Output: ``(id, clean_text, n_spans, n_kept)`` — a document whose
+    every span occurs earlier elsewhere comes back empty, which is the
+    corpus-level guarantee exact/near dedup can't give (those drop
+    whole documents; this drops repeated *passages* inside otherwise
+    unique documents).
+
+    Scale shape: span explode is JVM-local (no shuffle); the winner
+    per span content is a window ``min(struct(doc, span))`` partitioned
+    by the span text — one shuffle whose keys are spans, so hot
+    boilerplate spans concentrate but carry only (doc_id, span_id)
+    pairs, not payloads; reassembly is one more grouped aggregation on
+    doc id.  Work is linear in corpus tokens.
+    """
+    if span_tokens <= 0:
+        raise ValueError("span_tokens must be positive")
+    toks = tokens_col(F.col(text_col))
+    n = token_count_col(F.col(text_col))
+    n_spans = F.greatest(
+        F.ceil(n.cast("double") / span_tokens).cast("long"), F.lit(1)
+    )
+    span = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("span_id"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+                ).alias("span_text"),
+            ),
+        )
+    )
+    spans = df.select(
+        F.col(id_col).alias("__id"), span.alias("__s")
+    ).select(
+        "__id",
+        F.col("__s.span_id").alias("__span_id"),
+        F.col("__s.span_text").alias("__span_text"),
+    )
+    w = Window.partitionBy("__span_text")
+    kept = (
+        spans.withColumn(
+            "__keep",
+            F.min(F.struct(F.col("__id"), F.col("__span_id"))).over(w),
+        )
+        .filter(
+            (F.col("__keep.__id") == F.col("__id"))
+            & (F.col("__keep.__span_id") == F.col("__span_id"))
+        )
+        .drop("__keep")
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__span_id"), F.col("__span_text")
+                        )
+                    )
+                ),
+                lambda s: s["__span_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col), n_spans.alias("n_spans")
+    )
+    return base.join(
+        rebuilt, base[id_col] == rebuilt["__id"], "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_spans",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rank_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-source document cap (the per-domain limit of web-corpus
+    curation): keep at most ``cap`` documents per source, preferring
+    the largest ``rank_col`` (ties to the smallest id — fully
+    deterministic).  One shuffle on source; the window never holds
+    more than a source's docs, and only (id, source, rank) columns
+    travel."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(rank_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, source_col, rank_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+    )

@@ -1842,3 +1842,77 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["value"],
         tiebreak_col="event_id",
     )
+
+
+# --------------------------------------------------------------------
+# Corpus-level span dedup + per-source cap (operators/text.py —
+# passage-level curation beyond whole-document dedup)
+# --------------------------------------------------------------------
+
+
+@register(
+    "text_span_dedup",
+    _TOKS_CTE
+    + """
+    , c AS (
+        SELECT doc_id, toks,
+               greatest(ceil(len(toks)::DOUBLE / 32)::BIGINT, 1)
+                   AS n_spans
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, n_spans,
+               unnest(generate_series(1, n_spans::INT)) AS i
+        FROM c
+    ), spans AS (
+        SELECT doc_id, (i - 1)::BIGINT AS span_id,
+               array_to_string(toks[((i-1)*32+1):(i*32)], ' ')
+                   AS span_text
+        FROM e
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY span_text
+                                     ORDER BY doc_id, span_id) AS rn
+        FROM spans
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(span_text, ' ' ORDER BY span_id)
+                   AS clean_text,
+               count(*)::BIGINT AS n_kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           c.n_spans,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept
+    FROM c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 32-token span dedup: one surviving instance per
+    distinct span corpus-wide, documents reassembled from survivors.
+    The oracle replays the same keep-first rule via a window
+    row_number."""
+    from .operators.text import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", span_tokens=32)
+
+
+@register(
+    "text_source_cap",
+    """
+    SELECT doc_id, source, n_chars, rank FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id)::INT
+                   AS rank
+        FROM documents
+    ) WHERE rank <= 15
+    """,
+)
+def text_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain limit of web curation):
+    at most 15 docs per source, largest first."""
+    from .operators.text import source_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_cap(docs, "doc_id", "source", "n_chars", cap=15)

@@ -843,3 +843,100 @@ def test_incremental_minhash_replay_is_idempotent(spark, docs, tmp_path):
     ).collect()
     assert spark.read.parquet(store).count() == n_after_first
     assert replay == []
+
+
+def test_span_dedup_matches_python(spark):
+    """Randomized replay: keep-first-instance per distinct span,
+    reassemble in span order."""
+    import random
+
+    from mongo_es_spark.operators.text import span_dedup
+
+    rng = random.Random(67)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    SPAN = 4
+    rows = []
+    for d in range(30):
+        n = rng.randint(0, 20)
+        # repeated spans across docs: draw half the docs from a tiny
+        # shared prefix so span collisions are common
+        toks = (
+            ["x", "y", "z", "w"] * rng.randint(0, 2)
+            + [rng.choice(vocab) for _ in range(n)]
+        )
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_kept"])
+        for r in span_dedup(df, "doc_id", "text", span_tokens=SPAN).collect()
+    }
+
+    spans = []  # (doc, span_id, text)
+    for d, text in rows:
+        toks = text.split() if text.strip() else [""]
+        if text.strip():
+            n_spans = max((len(toks) + SPAN - 1) // SPAN, 1)
+        else:
+            n_spans = 1
+            toks = [""]
+        for i in range(n_spans):
+            spans.append((d, i, " ".join(toks[i * SPAN:(i + 1) * SPAN])))
+    first = {}
+    for d, i, s in sorted(spans, key=lambda x: (x[2], x[0], x[1])):
+        first.setdefault(s, (d, i))
+    want = {}
+    for d, text in rows:
+        mine = [
+            (i, s) for (dd, i, s) in spans
+            if dd == d and first[s] == (dd, i)
+        ]
+        mine.sort()
+        n_spans = len([s for s in spans if s[0] == d])
+        want[d] = (
+            " ".join(s for _, s in mine),
+            n_spans,
+            len(mine),
+        )
+    assert got == want
+
+
+def test_span_dedup_identical_docs_keep_one_copy(spark):
+    from mongo_es_spark.operators.text import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "p q r s p q r s"), (2, "p q r s p q r s"), (3, "u v")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in span_dedup(df, "doc_id", "text", span_tokens=4).collect()
+    }
+    # doc 1 keeps its first "p q r s" (second span is a duplicate of
+    # it); doc 2 is entirely boilerplate; doc 3 untouched
+    assert out == {
+        1: ("p q r s", 1),
+        2: ("", 0),
+        3: ("u v", 1),
+    }
+
+
+def test_source_cap_binds_and_orders(spark):
+    from mongo_es_spark.operators.text import source_cap
+
+    rows = [
+        (i, f"s{i % 3}", 100 - i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = source_cap(df, "doc_id", "source", "n_chars", cap=4).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(
+            (r["rank"], r["n_chars"], r["doc_id"])
+        )
+    for src, lst in by_src.items():
+        assert len(lst) == 4
+        lst.sort()
+        # rank follows n_chars desc (ties impossible here)
+        chars = [c for _, c, _ in lst]
+        assert chars == sorted(chars, reverse=True)
+    assert {len(v) for v in by_src.values()} == {4}

@@ -153,3 +153,21 @@ def test_snapshot_pushes_raw_ts_filter(spark):
     plan = plan_of(e.queries()["cdc_snapshot_at"](spark, SF))
     assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(ts", plan)
     assert n_exchanges(plan) == 1
+
+
+def test_span_dedup_no_broadcast_of_corpus(spark):
+    """Span dedup shuffles span keys, never broadcasts or
+    nested-loops corpus-sized frames."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_span_dedup"](spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) <= 4
+
+
+def test_source_cap_is_single_shuffle(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_source_cap"](spark, SF))
+    assert n_exchanges(plan) == 1
