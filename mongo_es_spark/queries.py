@@ -1916,3 +1916,106 @@ def text_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_cap(docs, "doc_id", "source", "n_chars", cap=15)
+
+
+# --------------------------------------------------------------------
+# Streaming incremental curation surfaced as a verified-summary query
+# (streaming/curate.py; the continuous form of pipeline_curate)
+# --------------------------------------------------------------------
+
+
+@register(
+    "curate_incremental",
+    """
+    WITH t0 AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS w,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::BIGINT AS n_tokens
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, text, n_tokens::DOUBLE AS n,
+               len(list_distinct(w))::DOUBLE / nullif(n_tokens, 0) AS dr,
+               len(list_filter(w, x -> x IN
+                   ('the','a','of','to','in','and','is','on')))::DOUBLE
+                   / nullif(n_tokens, 0) AS sr,
+               length(array_to_string(w, ''))::DOUBLE
+                   / nullif(n_tokens, 0) AS ml
+        FROM t0
+    ),
+    q AS (
+        SELECT doc_id, text FROM feats
+        WHERE floor((least(n / 200.0, 1.0) * 0.3 + dr * 0.3
+                    + (1.0 - sr) * 0.2 + least(ml / 8.0, 1.0) * 0.2)
+                    * 1000000) / 1000000 >= 0.52
+    )
+    SELECT count(*)::BIGINT AS n_quality,
+           count(DISTINCT md5(text))::BIGINT AS n_exact_unique,
+           true AS incremental_equals_full,
+           true AS no_kept_near_pair
+    FROM q
+    """,
+)
+def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard check for the streaming curation path, reduced to
+    oracle-pinnable assertions:
+
+    * ``n_quality`` / ``n_exact_unique``: quality-gate survivors and
+      distinct-content survivors, counted independently by DuckDB
+      (cross-engine — the stateless and hash-store stages);
+    * ``incremental_equals_full``: running the corpus through
+      curate_batch in two id-ordered halves against a fresh state dir
+      must keep EXACTLY the docs a single full-corpus batch keeps
+      (first-arrival-wins == in-batch keep-min when arrivals are id
+      ordered — the invariant that makes backfill-then-tail sound);
+    * ``no_kept_near_pair``: no two kept docs are near-duplicates of
+      each other (re-checked with the batch LSH operator).
+    """
+    import shutil
+    import tempfile
+
+    from .operators.dedup import minhash_lsh_pairs
+    from .streaming.curate import curate_batch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    mm = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    split = (mm["mn"] + mm["mx"]) // 2
+    dir_a = tempfile.mkdtemp(prefix="curate_a_")
+    dir_b = tempfile.mkdtemp(prefix="curate_b_")
+    try:
+        s1 = curate_batch(spark, docs.filter(F.col("doc_id") <= split), dir_a)
+        s2 = curate_batch(spark, docs.filter(F.col("doc_id") > split), dir_a)
+        sf = curate_batch(spark, docs, dir_b)
+        cur_a = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{dir_a}/curated").collect()
+        }
+        cur_b = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{dir_b}/curated").collect()
+        }
+        kept_pairs = minhash_lsh_pairs(
+            docs.filter(F.col("doc_id").isin(list(cur_a))),
+            "doc_id",
+            "text",
+        ).count()
+        row = (
+            s1["quality"] + s2["quality"],
+            s1["fresh"] + s2["fresh"],
+            cur_a == cur_b,
+            kept_pairs == 0,
+        )
+    finally:
+        shutil.rmtree(dir_a, ignore_errors=True)
+        shutil.rmtree(dir_b, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_quality long, n_exact_unique long, "
+        "incremental_equals_full boolean, no_kept_near_pair boolean",
+    )
