@@ -2019,3 +2019,66 @@ def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_quality long, n_exact_unique long, "
         "incremental_equals_full boolean, no_kept_near_pair boolean",
     )
+
+
+@register(
+    "multimodal_near_dup",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               ascii(unnest(regexp_extract_all(text, '(?s).'))) // 8 AS bin
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, bin, count(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2
+    ),
+    hl AS (
+        SELECT doc_id,
+               list(bin ORDER BY bin) AS bins,
+               list(cnt ORDER BY bin) AS cnts
+        FROM h GROUP BY doc_id
+    ),
+    t AS (
+        SELECT doc_id, octet_length(encode(text))::DOUBLE AS n
+        FROM documents
+    ),
+    f AS (
+        SELECT t.doc_id,
+               list_transform(range(0, 32), i ->
+                   coalesce(cnts[list_position(bins, i)], 0.0)
+                   / nullif(n, 0)) AS feat
+        FROM t LEFT JOIN hl USING (doc_id)
+    )
+    SELECT a.doc_id AS i, b2.doc_id AS j,
+           round(list_cosine_similarity(a.feat, b2.feat), 6) AS cosine
+    FROM f a JOIN f b2 ON a.doc_id < b2.doc_id
+    WHERE round(list_cosine_similarity(a.feat, b2.feat), 6) >= 0.9999
+    """,
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection for binary payloads:
+    fake-codec byte-histogram features (the stand-in for a real image
+    embedding) fed into the blocked-gram-matrix cosine pair operator —
+    the multimodal twin of embedding dedup.  Composition of two
+    already-oracle-checked stages; threshold 0.9999 because byte
+    histograms of same-alphabet text concentrate near 1."""
+    from .operators.dedup import embedding_dup_pairs
+    from .operators.multimodal import attach_payload, byte_histogram_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = byte_histogram_features(attach_payload(docs, "doc_id", "text"))
+    return embedding_dup_pairs(
+        feats, "doc_id", "features", threshold=0.9999
+    )
+
+
+@register("similarity_ann_ivf_pq", _ANN_CHECK_ORACLE)
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF + product quantization: ADC candidate ranking over m-byte
+    # codes, exact re-rank of the top k*refine. recall@10 measured
+    # 0.6+ at sf0.01; asserted >= 0.4 like the plain-IVF path.
+    from .operators.similarity import ann_ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = ann_ivf_pq_topk(emb, "vec_id", "embedding", query_id=0, k=10)
+    return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.4)

@@ -940,3 +940,44 @@ def test_source_cap_binds_and_orders(spark):
         chars = [c for _, c, _ in lst]
         assert chars == sorted(chars, reverse=True)
     assert {len(v) for v in by_src.values()} == {4}
+
+
+def test_ivf_pq_results_are_true_neighbors(emb):
+    from mongo_es_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        cosine_topk,
+    )
+
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in cosine_topk(
+            emb, "vec_id", "embedding", query_id=0, k=50
+        ).collect()
+    }
+    pq = ann_ivf_pq_topk(
+        emb, "vec_id", "embedding", query_id=0, k=10
+    ).collect()
+    assert len(pq) == 10
+    scores = [r["score"] for r in pq]
+    assert scores == sorted(scores, reverse=True)
+    # re-ranked scores are EXACT cosines: every hit that also appears
+    # in the exact top-50 must carry the identical score
+    for r in pq:
+        if r["vec_id"] in exact:
+            assert r["score"] == exact[r["vec_id"]]
+    # ADC ranking over 2-byte-ish codes must still recover neighbors
+    hits = sum(1 for r in pq if r["vec_id"] in exact)
+    assert hits >= 5
+
+
+def test_pq_fit_deterministic_and_shaped(spark):
+    import numpy as np
+
+    from mongo_es_spark.operators.similarity import _pq_fit
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 64))
+    a = _pq_fit(X, m=8, ksub=16, seed=7)
+    b = _pq_fit(X, m=8, ksub=16, seed=7)
+    assert a.shape == (8, 16, 8)
+    assert np.array_equal(a, b)
