@@ -823,3 +823,115 @@ def source_cap(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cap)
     )
+
+
+# --------------------------------------------------------------------
+# PII / blocklist scrubbing
+# --------------------------------------------------------------------
+
+# Patterns restricted to syntax that Java regex and RE2 (the DuckDB
+# engine) interpret identically: character classes, bounded repetition,
+# \b word boundaries — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]\b",
+}
+
+
+def scrub_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: tuple[str, ...] = (),
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII / blocklist scrubbing: per-class match counts plus the
+    redacted text.  All JVM regexp expressions (regexp_count /
+    regexp_replace inside whole-stage codegen) — the corpus-scale
+    scrub pass never leaves the executors' generated code, and the
+    per-class counters are computed on the ORIGINAL text so classes
+    report independently even when spans overlap.
+
+    Redaction applies the classes in declaration order (email, ipv4,
+    phone, then the blocklist), mirroring how CCNet-style cleaning
+    stacks filters.  No reference counterpart — greenfield curation
+    operator (SURVEY §7.9).
+    """
+    text = F.col(text_col)
+    counts = []
+    clean = text
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, replacement)
+    if blocklist:
+        bl_pat = r"\b(" + "|".join(blocklist) + r")\b"
+        counts.append(
+            F.regexp_count(text, F.lit(bl_pat)).cast("long").alias("n_blocked")
+        )
+        clean = F.regexp_replace(clean, bl_pat, replacement)
+    else:
+        counts.append(F.lit(0).cast("long").alias("n_blocked"))
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+# --------------------------------------------------------------------
+# DSIR-style importance weighting (hashed-ngram importance resampling,
+# reduced to integer-exact arithmetic so both engines agree bit-for-bit)
+# --------------------------------------------------------------------
+
+IMPORTANCE_SCALE = 1_000_000
+
+
+def importance_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    k: int,
+) -> DataFrame:
+    """Data-selection-by-importance (the DSIR shape): score every
+    document by how target-like its token distribution is, return the
+    top ``k``.
+
+    Per token t the weight is the integer
+    ``(SCALE * (target_tf(t) + 1)) div (total_tf(t) + 1)`` — an
+    add-one-smoothed ratio of target to overall term frequency kept in
+    exact BIGINT arithmetic (no float log-likelihoods, so the DuckDB
+    oracle matches exactly).  A document's score is the sum of its
+    tokens' weights over token OCCURRENCES (a doc repeating
+    target-typical words scores higher, as in the sampled-likelihood
+    original).
+
+    Shuffle shape: one explode + groupBy(token) for the weight table
+    (map-side partial agg), one token-keyed join back (AQE may
+    broadcast the vocab side when small), one groupBy(doc).  Top-k is
+    TakeOrdered — no global single-partition window.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__tgt"),
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0, F.array()
+            ).otherwise(tokens_col(F.col(text_col)))
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("__total"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__tgt_tf"),
+    )
+    weighted = toks.join(vocab, "tok").select(
+        "__id",
+        F.expr(
+            f"({IMPORTANCE_SCALE}L * (__tgt_tf + 1)) div (__total + 1)"
+        ).alias("__w"),
+    )
+    scores = weighted.groupBy("__id").agg(F.sum("__w").alias("score"))
+    return (
+        scores.orderBy(F.col("score").desc(), F.col("__id").asc())
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "score")
+    )

@@ -2082,3 +2082,85 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     ann = ann_ivf_pq_topk(emb, "vec_id", "embedding", query_id=0, k=10)
     return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.4)
+
+
+# --------------------------------------------------------------------
+# Round 3 — PII scrub, DSIR importance selection, semantic dedup,
+# sketch-vs-exact corpus stats
+# --------------------------------------------------------------------
+
+_SCRUB_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SCRUB_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_SCRUB_PHONE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]\\b"
+_SCRUB_BLOCK = "\\b(spark|hash)\\b"
+
+
+@register(
+    "text_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_SCRUB_EMAIL}'))::BIGINT
+               AS n_email,
+           len(regexp_extract_all(text, '{_SCRUB_IPV4}'))::BIGINT
+               AS n_ipv4,
+           len(regexp_extract_all(text, '{_SCRUB_PHONE}'))::BIGINT
+               AS n_phone,
+           len(regexp_extract_all(text, '{_SCRUB_BLOCK}'))::BIGINT
+               AS n_blocked,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{_SCRUB_EMAIL}', '[REDACTED]', 'g'),
+               '{_SCRUB_IPV4}', '[REDACTED]', 'g'),
+               '{_SCRUB_PHONE}', '[REDACTED]', 'g'),
+               '{_SCRUB_BLOCK}', '[REDACTED]', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII + blocklist scrub (operators/text.py:scrub_text): per-class
+    # counts on the original text, sequential redaction.  The PII
+    # classes are structurally absent from the synthetic corpus (the
+    # regex mechanics are pinned by unit tests on adversarial strings
+    # and by the shared Java/RE2 pattern subset); the blocklist terms
+    # DO hit the corpus, so the oracle exercises real replacements.
+    from .operators.text import scrub_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_text(docs, "doc_id", "text", blocklist=("spark", "hash"))
+
+
+@register(
+    "text_importance_sample",
+    _TOKS_CTE
+    + """
+    , tk AS (
+        SELECT t.doc_id, d.source = 'src0' AS tgt, unnest(t.toks) AS tok
+        FROM t JOIN documents d USING (doc_id)
+    ),
+    vocab AS (
+        SELECT tok, count(*) AS total,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_tf
+        FROM tk GROUP BY tok
+    ),
+    scores AS (
+        SELECT tk.doc_id,
+               sum((1000000 * (v.tgt_tf + 1)) // (v.total + 1))::BIGINT
+                   AS score
+        FROM tk JOIN vocab v USING (tok)
+        GROUP BY tk.doc_id
+    )
+    SELECT doc_id, score FROM scores
+    ORDER BY score DESC, doc_id ASC LIMIT 100
+    """,
+)
+def text_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR-shaped data selection (operators/text.py:importance_topk):
+    # integer-exact add-one-smoothed target/total term-frequency
+    # weights, summed over token occurrences; top-100 by score.
+    # Target distribution = the 'src0' slice of the corpus.
+    from .operators.text import importance_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_topk(
+        docs, "doc_id", "text", F.col("source") == "src0", k=100
+    )

@@ -981,3 +981,74 @@ def test_pq_fit_deterministic_and_shaped(spark):
     b = _pq_fit(X, m=8, ksub=16, seed=7)
     assert a.shape == (8, 16, 8)
     assert np.array_equal(a, b)
+
+
+def test_scrub_text_classes_and_order(spark):
+    from mongo_es_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-a.co.uk and 10.0.255.3 and +1 (555) 123-4567"),
+            (2, "blocked term only"),
+            (3, ""),
+            # counts are per-class on the ORIGINAL text: the email's
+            # host looks nothing like an ip, the phone digits overlap
+            # nothing — classes stay independent
+            (4, "x@y.io 1.2.3.4 5551234567"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in scrub_text(
+            df, "doc_id", "text", blocklist=("blocked",)
+        ).collect()
+    }
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert "[REDACTED]" in got[1]["clean_text"]
+    assert "@" not in got[1]["clean_text"]
+    assert got[2]["n_blocked"] == 1
+    assert got[2]["clean_text"] == "[REDACTED] term only"
+    assert got[3]["clean_text"] == ""
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
+    assert got[4]["clean_text"] == "[REDACTED] [REDACTED] [REDACTED]"
+
+
+def test_importance_topk_vs_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.operators.text import importance_topk
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        tgt = i % 3 == 0
+        # target docs skew toward the first third of the vocab
+        pool = vocab[:10] if tgt else vocab
+        rows.append((i, " ".join(rng.choice(pool) for _ in range(20)), tgt))
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+    total, tgt_tf = {}, {}
+    for _, text, tgt in rows:
+        for t in text.split():
+            total[t] = total.get(t, 0) + 1
+            if tgt:
+                tgt_tf[t] = tgt_tf.get(t, 0) + 1
+    scores = {}
+    for i, text, _ in rows:
+        scores[i] = sum(
+            (1_000_000 * (tgt_tf.get(t, 0) + 1)) // (total[t] + 1)
+            for t in text.split()
+        )
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in importance_topk(
+            df, "doc_id", "text", F.col("tgt"), k=25
+        ).collect()
+    ]
+    assert got == expect
