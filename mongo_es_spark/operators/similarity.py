@@ -573,3 +573,105 @@ def ann_ivf_pq_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------
+# SemDeDup — semantic deduplication via k-means cells
+# --------------------------------------------------------------------
+
+
+def semantic_dedup_frames(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 7,
+    train_sample: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a
+    sample-trained k-means coarse quantizer, find within-cluster
+    near-duplicate pairs by exact cosine, keep one document per
+    connected near-dup group.
+
+    Returns ``(per_doc, pairs)`` sharing one trained quantizer:
+    ``per_doc = (id, cluster, kept)`` for every input row, and
+    ``pairs = (i, j, cluster, cosine)`` — the within-cluster pairs at
+    or above ``threshold``.  ``kept`` is deterministic: the minimum id
+    of each pair-graph component survives (components via the existing
+    min-label propagation), singletons always survive.
+
+    Scale shape: the quadratic stage is bounded per cell — vectors
+    shuffle ONCE keyed by cluster, and each cell's pairs are produced
+    by a vectorized Arrow-batched cosine kernel.  Size ``n_clusters``
+    so cells hold ~10k vectors (100M-vector corpus -> ~10k cells);
+    cluster assignment itself is a one-pass argmax against broadcast
+    centroids, identical to the IVF path.
+    """
+    from .dedup import cosine_pairs_col, dedup_components
+
+    vecs = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sample = vecs.select("v").limit(train_sample).collect()
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    C = _kmeans_fit(X, n_clusters, seed)
+
+    def assign_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    assign = pandas_udf(assign_kernel, "int")
+    clustered = vecs.withColumn("cluster", assign(F.col("v")))
+
+    a = clustered.select(
+        "cluster", F.col("doc").alias("i"), F.col("v").alias("va")
+    )
+    b = clustered.select(
+        "cluster", F.col("doc").alias("j"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.hint("merge")
+        .join(b.hint("merge"), "cluster")
+        .filter(F.col("i") < F.col("j"))
+        .withColumn(
+            "cosine", cosine_pairs_col(F.col("va"), F.col("vb"))
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("i", "j", "cluster", F.round("cosine", 6).alias("cosine"))
+    )
+
+    comp = dedup_components(pairs)  # (doc, component)
+    per_doc = (
+        clustered.select("doc", "cluster")
+        .join(comp, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "cluster",
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc"))
+            ).alias("kept"),
+        )
+    )
+    return per_doc, pairs
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-document SemDeDup verdict: ``(id, cluster, kept)``.  See
+    :func:`semantic_dedup_frames`."""
+    return semantic_dedup_frames(
+        df, id_col, vec_col, n_clusters=n_clusters, threshold=threshold,
+        seed=seed,
+    )[0]

@@ -2164,3 +2164,92 @@ def text_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_topk(
         docs, "doc_id", "text", F.col("source") == "src0", k=100
     )
+
+
+@register(
+    "dedup_semantic",
+    """
+    WITH near AS (
+        SELECT DISTINCT doc FROM (
+            SELECT a.vec_id AS doc
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE round(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        )
+    )
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_docs,
+           (SELECT count(*) FROM near)::BIGINT AS n_global_near_docs,
+           true AS no_kept_near_pair,
+           true AS dropped_subset_ok
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (k-means cells -> within-cell exact-cosine components
+    -> keep min id), reduced to oracle-pinnable assertions:
+
+    * ``n_docs`` / ``n_global_near_docs``: corpus size and the number
+      of docs having ANY exact global neighbor at the threshold —
+      both computed independently in Spark and DuckDB;
+    * ``no_kept_near_pair``: no within-cell pair at/above threshold
+      survives with BOTH endpoints kept (components must separate);
+    * ``dropped_subset_ok``: every dropped doc is one of the
+      ``n_global_near_docs`` (the cluster path can only drop docs the
+      exact global pair graph also flags — clustering limits recall,
+      never precision).
+    """
+    from .operators.dedup import embedding_dup_pairs
+    from .operators.similarity import semantic_dedup_frames
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_doc, pairs = semantic_dedup_frames(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.45
+    )
+    flags = per_doc.select(F.col("vec_id"), "kept")
+
+    kept_pairs = (
+        pairs.join(
+            flags.select(
+                F.col("vec_id").alias("i"), F.col("kept").alias("kept_i")
+            ),
+            "i",
+        )
+        .join(
+            flags.select(
+                F.col("vec_id").alias("j"), F.col("kept").alias("kept_j")
+            ),
+            "j",
+        )
+        .agg(
+            F.coalesce(
+                F.bool_and(~(F.col("kept_i") & F.col("kept_j"))), F.lit(True)
+            ).alias("no_kept_near_pair")
+        )
+    )
+
+    exact = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    near_docs = (
+        exact.select(F.col("i").alias("vec_id"))
+        .union(exact.select(F.col("j").alias("vec_id")))
+        .distinct()
+    )
+    n_near = near_docs.agg(F.count("*").alias("n_global_near_docs"))
+
+    dropped_ok = (
+        flags.filter(~F.col("kept"))
+        .join(near_docs.withColumn("__near", F.lit(True)), "vec_id", "left")
+        .agg(
+            F.coalesce(F.bool_and(F.col("__near").isNotNull()), F.lit(True))
+            .alias("dropped_subset_ok")
+        )
+    )
+
+    n_docs = emb.agg(F.count("*").alias("n_docs"))
+    return (
+        n_docs.crossJoin(n_near)
+        .crossJoin(kept_pairs)
+        .crossJoin(dropped_ok)
+        .select(
+            "n_docs", "n_global_near_docs",
+            "no_kept_near_pair", "dropped_subset_ok",
+        )
+    )

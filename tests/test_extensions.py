@@ -1052,3 +1052,37 @@ def test_importance_topk_vs_python(spark):
         ).collect()
     ]
     assert got == expect
+
+
+def test_semantic_dedup_keeps_one_per_near_group(spark):
+    import random
+
+    from mongo_es_spark.operators.similarity import semantic_dedup_frames
+
+    rng = random.Random(3)
+    rows = []
+    # 10 well-separated base directions, 3 exact copies each, plus 20
+    # random singletons in higher dimensions
+    for g in range(10):
+        base = [0.0] * 16
+        base[g] = 1.0
+        for c in range(3):
+            rows.append((g * 10 + c, list(base)))
+    for s in range(20):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((1000 + s, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    per_doc, pairs = semantic_dedup_frames(
+        df, "vec_id", "embedding", n_clusters=6, threshold=0.999
+    )
+    got = {r["vec_id"]: r["kept"] for r in per_doc.collect()}
+    assert len(got) == len(rows)
+    # each exact-copy group keeps exactly its min id (copies always
+    # land in the same cell: identical vectors, same argmax)
+    for g in range(10):
+        ids = [g * 10 + c for c in range(3)]
+        assert [got[i] for i in ids] == [True, False, False]
+    # no within-cell near pair survives fully kept
+    flags = got
+    for r in pairs.collect():
+        assert not (flags[r["i"]] and flags[r["j"]])
