@@ -935,3 +935,55 @@ def importance_topk(
         .limit(k)
         .select(F.col("__id").alias(id_col), "score")
     )
+
+
+def corpus_sketch_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rel_err: float = 0.05,
+) -> DataFrame:
+    """Corpus accounting, sketch vs exact: one row with the exact
+    figures (document count, distinct-token count, p50/p95 token
+    counts) alongside booleans asserting the sketch estimates land
+    within ``rel_err`` of them.
+
+    At 100 TB the sketches ARE the product — HyperLogLog++
+    (``approx_count_distinct``) needs no shuffle of distinct values
+    and ``percentile_approx`` (KLL-style) no full sort; the exact
+    columns exist so a bounded-scale run can certify the sketch
+    configuration before it is trusted on the full corpus.
+    """
+    toks = df.select(
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0, F.array()
+            ).otherwise(tokens_col(F.col(text_col)))
+        ).alias("tok")
+    )
+    tok_stats = toks.agg(
+        F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
+        F.approx_count_distinct(F.col("tok"), rsd=0.02).alias("__hll"),
+    )
+    counts = df.select(token_count_col(F.col(text_col)).alias("n"))
+    cnt_stats = counts.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n, 0.95)"), 6).alias("p95_tokens"),
+        F.expr("approx_percentile(n, 0.5, 10000)").alias("__ap50"),
+    )
+    err = F.lit(float(rel_err))
+    return cnt_stats.crossJoin(tok_stats).select(
+        "n_docs",
+        "n_distinct_tokens",
+        "p50_tokens",
+        "p95_tokens",
+        (
+            F.abs(F.col("__hll") - F.col("n_distinct_tokens"))
+            <= err * F.col("n_distinct_tokens")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("__ap50") - F.col("p50_tokens"))
+            <= err * F.greatest(F.col("p50_tokens"), F.lit(1.0))
+        ).alias("approx_p50_ok"),
+    )

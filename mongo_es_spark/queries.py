@@ -2253,3 +2253,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_kept_near_pair", "dropped_subset_ok",
         )
     )
+
+
+@register(
+    "corpus_sketch_stats",
+    _TOKS_CTE
+    + """
+    , tk AS (SELECT unnest(toks) AS tok FROM t),
+    n AS (
+        SELECT doc_id,
+               (CASE WHEN len(toks) IS NULL THEN 0 ELSE len(toks) END)
+                   AS n_tok
+        FROM t
+    )
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT count(DISTINCT tok) FROM tk)::BIGINT
+               AS n_distinct_tokens,
+           (SELECT round(quantile_cont(n_tok, 0.5), 6) FROM n)
+               AS p50_tokens,
+           (SELECT round(quantile_cont(n_tok, 0.95), 6) FROM n)
+               AS p95_tokens,
+           true AS hll_ok,
+           true AS approx_p50_ok
+    """,
+)
+def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch-vs-exact corpus accounting (operators/text.py:
+    # corpus_sketch_stats): exact figures cross-engine, sketch
+    # estimates asserted within 5% Spark-side.
+    from .operators.text import corpus_sketch_stats as _stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _stats(docs, "doc_id", "text")

@@ -1086,3 +1086,28 @@ def test_semantic_dedup_keeps_one_per_near_group(spark):
     flags = got
     for r in pairs.collect():
         assert not (flags[r["i"]] and flags[r["j"]])
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_export_shards_manifest(spark, docs, tmp_path, fmt):
+    from mongo_es_spark.operators.export import export_shards
+
+    path = str(tmp_path / f"shards_{fmt}")
+    man = export_shards(
+        docs, path, "doc_id", rows_per_shard=20, fmt=fmt
+    ).collect()
+    n = docs.count()
+    assert sum(r["n_rows"] for r in man) == n
+    assert all(r["n_rows"] <= 20 for r in man)
+    assert all(r["bytes"] > 0 for r in man)
+    # shard key ranges are disjoint and ordered
+    ordered = sorted(man, key=lambda r: r["min_key"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_key"] < b["min_key"]
+    # round-trip: the shards hold exactly the input ids
+    back = spark.read.format(fmt).load(path + "/data")
+    assert back.count() == n
+    assert (
+        {r["doc_id"] for r in back.select("doc_id").collect()}
+        == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    )
