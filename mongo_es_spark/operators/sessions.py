@@ -45,3 +45,53 @@ def sessionize(
         F.max(ts_col).alias("end_ms"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration_ms"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: tuple[str, ...],
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per key, the earliest completion time of each
+    step where step ``i`` must occur STRICTLY after the key's chosen
+    step ``i-1`` time (the classic signup -> click -> purchase
+    conversion shape).  Greedy-earliest per step, which is optimal for
+    "did the sequence happen" (taking the earliest prefix never
+    prevents a later completion).
+
+    One shuffle shape: every aggregation and join is keyed by
+    ``key_col``, so after the first exchange the per-step refinements
+    are co-partitioned (AQE reuses the partitioning).  Output:
+    ``key, step1_ms, step2_ms, ..., converted`` with NULLs where the
+    funnel stalled; only keys reaching step 1 appear.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("ty"),
+    )
+    cur = (
+        ev.filter(F.col("ty") == steps[0])
+        .groupBy("k")
+        .agg(F.min("t").alias("step1_ms"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("ty") == step)
+            .join(cur.select("k", F.col(f"step{i-1}_ms").alias("__prev")), "k")
+            .filter(F.col("t") > F.col("__prev"))
+            .groupBy("k")
+            .agg(F.min("t").alias(f"step{i}_ms"))
+        )
+        cur = cur.join(nxt, "k", "left")
+    out_cols = [F.col("k").alias(key_col)] + [
+        F.col(f"step{i}_ms") for i in range(1, len(steps) + 1)
+    ]
+    return cur.select(
+        *out_cols,
+        F.col(f"step{len(steps)}_ms").isNotNull().alias("converted"),
+    )

@@ -675,3 +675,52 @@ def semantic_dedup(
         df, id_col, vec_col, n_clusters=n_clusters, threshold=threshold,
         seed=seed,
     )[0]
+
+
+def knn_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """kNN label transfer over embeddings: predict each vector's label
+    by majority vote of its ``k`` exact nearest neighbors — the
+    standard trick for propagating a small set of human quality/domain
+    labels across a large corpus (and for auditing a trained
+    classifier against its own training set).
+
+    Rides :func:`knn_graph` for the heavy lifting (blocked gram
+    matrix, bounded emit); the vote adds one id-keyed label join, one
+    ``(id, label)`` aggregation, and one id-keyed window — all on the
+    id partitioning the graph already produced.  Deterministic
+    tie-break: vote count desc, then best cosine within the label
+    desc, then label asc.
+
+    Output: ``id, predicted_label, votes``.
+    """
+    from pyspark.sql import Window
+
+    g = knn_graph(df, id_col, vec_col, k=k, n_rows=n_rows)
+    labels = df.select(
+        F.col(id_col).alias("j"), F.col(label_col).alias("predicted_label")
+    )
+    votes = (
+        g.join(labels, "j")
+        .groupBy("i", "predicted_label")
+        .agg(
+            F.count("*").alias("votes"),
+            F.max("cosine").alias("__best"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("votes").desc(),
+        F.col("__best").desc(),
+        F.col("predicted_label").asc(),
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("i").alias(id_col), "predicted_label", "votes")
+    )

@@ -2285,3 +2285,86 @@ def corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _stats(docs, "doc_id", "text")
+
+
+@register(
+    "embedding_knn_classify",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j, b.label AS predicted_label,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT i, predicted_label, cosine FROM (
+            SELECT i, predicted_label, cosine,
+                   row_number() OVER (PARTITION BY i
+                                      ORDER BY cosine DESC, j ASC) AS rk
+            FROM pairs)
+        WHERE rk <= 5
+    ),
+    votes AS (
+        SELECT i, predicted_label, count(*)::BIGINT AS votes,
+               max(cosine) AS best
+        FROM knn GROUP BY i, predicted_label
+    )
+    SELECT i AS vec_id, predicted_label, votes FROM (
+        SELECT i, predicted_label, votes,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY votes DESC, best DESC,
+                                           predicted_label ASC) AS rk
+        FROM votes)
+    WHERE rk = 1
+    """,
+)
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kNN label transfer (operators/similarity.py:knn_classify):
+    # majority vote over the exact 5-NN graph with a fully
+    # deterministic tie-break.
+    from .operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(emb, "vec_id", "embedding", "label", k=5)
+
+
+@register(
+    "events_funnel",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts)::BIGINT AS t, event_type FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(t) AS step1_ms
+        FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.t) AS step2_ms
+        FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.t > s1.step1_ms
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.t) AS step3_ms
+        FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.t > s2.step2_ms
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.step1_ms, s2.step2_ms, s3.step3_ms,
+           s3.step3_ms IS NOT NULL AS converted
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered conversion funnel (operators/sessions.py:funnel):
+    # signup -> click -> purchase, each step strictly after the
+    # previous step's earliest completion.
+    from .operators.sessions import funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
+    )
+    return funnel(ev, "user_id", "ts_ms", ("signup", "click", "purchase"))

@@ -93,14 +93,16 @@ def curate_batch(
     if n_in == 0:
         return {"in": 0, "quality": 0, "fresh": 0, "kept": 0}
 
-    # 1. stateless quality gate
+    # 1. stateless quality gate.  Persisted: the frame feeds both the
+    # n_quality counter and the exact-dedup lineage — without the cache
+    # the scan + feature pipeline runs twice per micro-batch.
     feats = quality_features(batch_df, id_col, text_col)
     passed = batch_df.join(
         feats.filter(F.col("quality_score") >= quality_threshold).select(
             id_col
         ),
         id_col,
-    )
+    ).persist()
 
     # 2. exact dedup: within-batch keep-min, then anti-join the
     # persisted content-hash store (pin its file listing BEFORE any
@@ -165,6 +167,7 @@ def curate_batch(
         drops.withColumnRenamed("doc", id_col), id_col, "left_anti"
     ).localCheckpoint(eager=True)
     n_kept = kept.count()
+    passed.unpersist()
 
     # 4. idempotent appends
     kept.drop("__h").write.mode("append").parquet(_curated(state_dir))

@@ -1111,3 +1111,57 @@ def test_export_shards_manifest(spark, docs, tmp_path, fmt):
         {r["doc_id"] for r in back.select("doc_id").collect()}
         == {r["doc_id"] for r in docs.select("doc_id").collect()}
     )
+
+
+def test_funnel_strict_ordering(spark):
+    from mongo_es_spark.operators.sessions import funnel
+
+    rows = [
+        # u1 converts: signup(10) -> click(20) -> purchase(30)
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 stalls: click BEFORE signup doesn't count; purchase
+        # before any click doesn't count
+        (2, 20, "signup"), (2, 10, "click"), (2, 15, "purchase"),
+        # u3: same-ms click is NOT strictly after signup; later click
+        # + purchase completes
+        (3, 10, "signup"), (3, 10, "click"), (3, 40, "click"),
+        (3, 50, "purchase"),
+        # u4 never signs up -> absent from output
+        (4, 5, "click"), (4, 6, "purchase"),
+        # u5: earliest-signup greedy: second signup irrelevant
+        (5, 100, "signup"), (5, 1, "signup"), (5, 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+    got = {
+        r["user_id"]: (r["step1_ms"], r["step2_ms"], r["step3_ms"], r["converted"])
+        for r in funnel(
+            df, "user_id", "ts_ms", ("signup", "click", "purchase")
+        ).collect()
+    }
+    assert got[1] == (10, 20, 30, True)
+    assert got[2] == (20, None, None, False)
+    assert got[3] == (10, 40, 50, True)
+    assert 4 not in got
+    assert got[5] == (1, 2, None, False)
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from mongo_es_spark.operators.similarity import knn_classify
+
+    # two tight clusters in 4-d; each point's 3-NN are its own
+    # cluster-mates, so predicted label == own cluster label
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], "a"))
+    for i in range(4):
+        rows.append((10 + i, [0.0, 0.0, 1.0, 0.01 * i], "b"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {
+        r["vec_id"]: (r["predicted_label"], r["votes"])
+        for r in knn_classify(df, "vec_id", "embedding", "label", k=3).collect()
+    }
+    for i in range(4):
+        assert got[i] == ("a", 3)
+        assert got[10 + i] == ("b", 3)
