@@ -601,12 +601,20 @@ def semantic_dedup_frames(
     of each pair-graph component survives (components via the existing
     min-label propagation), singletons always survive.
 
-    Scale shape: the quadratic stage is bounded per cell — vectors
-    shuffle ONCE keyed by cluster, and each cell's pairs are produced
-    by a vectorized Arrow-batched cosine kernel.  Size ``n_clusters``
-    so cells hold ~10k vectors (100M-vector corpus -> ~10k cells);
-    cluster assignment itself is a one-pass argmax against broadcast
-    centroids, identical to the IVF path.
+    Scale shape: exact-clone collapse first (identical embeddings —
+    the common case for duplicated content — would explode the
+    within-cell pair stage quadratically per clone group), then the
+    quadratic stage bounded per cell over DISTINCT vectors only:
+    representatives shuffle ONCE keyed by cluster, each cell's pairs
+    come from a vectorized Arrow-batched cosine kernel.  Size
+    ``n_clusters`` so cells hold ~10k distinct vectors (100M-vector
+    corpus -> ~10k cells); cluster assignment itself is a one-pass
+    argmax against broadcast centroids, identical to the IVF path.
+
+    The returned ``pairs`` are REPRESENTATIVE pairs (one row per pair
+    of distinct contents) — clone-group members inherit their rep's
+    verdict, so the kept set equals the uncollapsed min-id-per-
+    component semantics exactly while the pair frame stays clone-free.
     """
     from .dedup import cosine_pairs_col, dedup_components
 
@@ -614,7 +622,11 @@ def semantic_dedup_frames(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    sample = vecs.select("v").limit(train_sample).collect()
+    groups = vecs.groupBy("v").agg(
+        F.min("doc").alias("rep"), F.collect_list("doc").alias("members")
+    )
+    reps = groups.select(F.col("rep").alias("doc"), "v")
+    sample = reps.select("v").limit(train_sample).collect()
     X = np.asarray([r["v"] for r in sample], dtype=np.float64)
     C = _kmeans_fit(X, n_clusters, seed)
 
@@ -626,7 +638,7 @@ def semantic_dedup_frames(
         return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
 
     assign = pandas_udf(assign_kernel, "int")
-    clustered = vecs.withColumn("cluster", assign(F.col("v")))
+    clustered = reps.withColumn("cluster", assign(F.col("v")))
 
     a = clustered.select(
         "cluster", F.col("doc").alias("i"), F.col("v").alias("va")
@@ -645,17 +657,31 @@ def semantic_dedup_frames(
         .select("i", "j", "cluster", F.round("cosine", 6).alias("cosine"))
     )
 
-    comp = dedup_components(pairs)  # (doc, component)
-    per_doc = (
+    comp = dedup_components(pairs)  # (doc=rep, component)
+    rep_flags = (
         clustered.select("doc", "cluster")
         .join(comp, "doc", "left")
         .select(
-            F.col("doc").alias(id_col),
+            F.col("doc").alias("rep"),
             "cluster",
             (
                 F.col("component").isNull()
                 | (F.col("component") == F.col("doc"))
-            ).alias("kept"),
+            ).alias("__rep_kept"),
+        )
+    )
+    # expand to members: a doc survives iff it IS the representative
+    # (min id of its clone group) and its rep's component keeps it —
+    # exactly the min-id-per-component verdict of the uncollapsed graph
+    per_doc = (
+        groups.select("rep", F.explode("members").alias("doc"))
+        .join(rep_flags, "rep")
+        .select(
+            F.col("doc").alias(id_col),
+            "cluster",
+            ((F.col("doc") == F.col("rep")) & F.col("__rep_kept")).alias(
+                "kept"
+            ),
         )
     )
     return per_doc, pairs
