@@ -95,3 +95,44 @@ def funnel(
         *out_cols,
         F.col(f"step{len(steps)}_ms").isNotNull().alias("converted"),
     )
+
+
+def retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    anchor_type: str,
+    type_col: str = "event_type",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Cohort retention: bucket each key by its first ``anchor_type``
+    event (the cohort), then count distinct keys active at each bucket
+    offset — the triangle matrix behind every retention curve.
+
+    Shape: one key-keyed agg for cohorts, one key-keyed join (AQE
+    broadcasts when the cohort side is small), a (key, cohort, offset)
+    distinct and one (cohort, offset) agg — nothing global, no window.
+    Pre-anchor activity is excluded (offset >= 0 only).
+
+    Output: ``cohort_bucket, offset, n_active``.
+    """
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.floor(F.col(ts_col) / F.lit(bucket_ms)).alias("b"),
+        F.col(type_col).alias("ty"),
+    )
+    cohorts = (
+        ev.filter(F.col("ty") == anchor_type)
+        .groupBy("k")
+        .agg(F.min("b").alias("cohort_bucket"))
+    )
+    return (
+        ev.join(cohorts, "k")
+        .select(
+            "k", "cohort_bucket", (F.col("b") - F.col("cohort_bucket")).alias("offset")
+        )
+        .filter(F.col("offset") >= 0)
+        .distinct()
+        .groupBy("cohort_bucket", "offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )

@@ -2368,3 +2368,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
     )
     return funnel(ev, "user_id", "ts_ms", ("signup", "click", "purchase"))
+
+
+@register(
+    "events_retention",
+    """
+    WITH ev AS (
+        SELECT user_id,
+               epoch_ms(ts)::BIGINT // 86400000 AS b,
+               event_type
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(b) AS cohort_bucket
+        FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, c.cohort_bucket,
+               e.b - c.cohort_bucket AS "offset"
+        FROM ev e JOIN cohorts c USING (user_id)
+        WHERE e.b >= c.cohort_bucket
+    )
+    SELECT cohort_bucket, "offset", count(*)::BIGINT AS n_active
+    FROM act GROUP BY cohort_bucket, "offset"
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily cohort retention anchored on signup
+    # (operators/sessions.py:retention)
+    from .operators.sessions import retention
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
+    )
+    return retention(ev, "user_id", "ts_ms", "signup")

@@ -82,9 +82,17 @@ def curate_batch(
     text_col: str = "text",
     quality_threshold: float = 0.52,
     jaccard_threshold: float = 0.8,
+    scrub_blocklist: tuple[str, ...] | None = None,
 ) -> dict:
-    """Run one micro-batch through quality -> exact-dedup ->
-    near-dedup and append survivors to ``state_dir/curated``.
+    """Run one micro-batch through [scrub ->] quality -> exact-dedup
+    -> near-dedup and append survivors to ``state_dir/curated``.
+
+    ``scrub_blocklist`` switches on the stateless PII/blocklist
+    redaction stage (operators/text.scrub_text) ahead of everything
+    else — quality scores, content hashes, and signatures then all see
+    the REDACTED text, so two docs differing only in scrubbed spans
+    deduplicate as the same content (the behavior a privacy pass
+    wants).
 
     Returns counters for observability.  Safe to replay: content
     hashes already in the store make a re-delivered batch a no-op.
@@ -92,6 +100,18 @@ def curate_batch(
     n_in = batch_df.count()
     if n_in == 0:
         return {"in": 0, "quality": 0, "fresh": 0, "kept": 0}
+
+    if scrub_blocklist is not None:
+        from ..operators.text import scrub_text
+
+        clean = scrub_text(
+            batch_df, id_col, text_col, blocklist=scrub_blocklist
+        ).select(id_col, "clean_text")
+        batch_df = (
+            batch_df.drop(text_col)
+            .join(clean, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
 
     # 1. stateless quality gate.  Persisted: the frame feeds both the
     # n_quality counter and the exact-dedup lineage — without the cache

@@ -173,3 +173,28 @@ def test_rebalance_packs_curated_set(spark, tmp_path):
     seqs = [r["seq_id"] for r in sorted(rows, key=lambda r: r["doc_id"])]
     assert seqs[0] == 0
     assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+
+
+def test_curate_batch_scrub_stage(spark, tmp_path):
+    from mongo_es_spark.streaming.curate import curate_batch
+
+    state = str(tmp_path / "state")
+    long_tail = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        # identical except for the scrubbed email -> after redaction
+        # they are exact clones; only the min id survives
+        (1, f"contact alice@example.com about {long_tail}"),
+        (2, f"contact bob@example.com about {long_tail}"),
+        (3, "fresh unrelated content entirely "
+            + " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = curate_batch(spark, df, state, scrub_blocklist=())
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{state}/curated").collect()
+    }
+    assert set(got) == {1, 3}
+    assert stats["kept"] == 2
+    assert all("@" not in t for t in got.values())
+    assert "[REDACTED]" in got[1]

@@ -1165,3 +1165,30 @@ def test_knn_classify_majority_and_ties(spark):
     for i in range(4):
         assert got[i] == ("a", 3)
         assert got[10 + i] == ("b", 3)
+
+
+def test_retention_cohorts_and_offsets(spark):
+    from mongo_es_spark.operators.sessions import retention
+
+    B = 100  # bucket size for readable test timestamps
+    rows = [
+        # u1 signs up in bucket 0, active buckets 0,1,3 (dup events
+        # same bucket collapse)
+        (1, 10, "signup"), (1, 20, "click"), (1, 150, "view"),
+        (1, 160, "view"), (1, 399, "purchase"),
+        # u2 signs up bucket 1; pre-signup activity excluded
+        (2, 50, "click"), (2, 110, "signup"), (2, 210, "view"),
+        # u3 never signs up -> excluded entirely
+        (3, 10, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+    got = {
+        (r["cohort_bucket"], r["offset"]): r["n_active"]
+        for r in retention(
+            df, "user_id", "ts_ms", "signup", bucket_ms=B
+        ).collect()
+    }
+    assert got == {
+        (0, 0): 1, (0, 1): 1, (0, 3): 1,   # u1
+        (1, 0): 1, (1, 1): 1,              # u2
+    }
