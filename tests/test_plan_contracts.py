@@ -171,3 +171,57 @@ def test_source_cap_is_single_shuffle(spark):
 
     plan = plan_of(e.queries()["text_source_cap"](spark, SF))
     assert n_exchanges(plan) == 1
+
+
+def test_text_scrub_is_shuffle_free_codegen(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_scrub"](spark, SF))
+    assert n_exchanges(plan) == 0
+    # no Python workers anywhere: the scrub is pure JVM regexp
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_importance_sample_takeordered_no_global_window(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_importance_sample"](spark, SF))
+    # top-k must be TakeOrdered (partial per-partition heaps), never a
+    # single-partition sort or window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_funnel_stays_key_partitioned(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_funnel"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_no_global_ops(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_retention"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_share_cluster_shuffle(spark):
+    from mongo_es_spark.operators.similarity import semantic_dedup_frames
+
+    emb = load_table(spark, SF, "embeddings")
+    _per_doc, pairs = semantic_dedup_frames(
+        emb, "vec_id", "embedding", n_clusters=4, threshold=0.45
+    )
+    plan = plan_of(pairs)
+    # the cell self-join must be a merge join on the shared cluster
+    # shuffle — never a broadcast of the full vector set
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
