@@ -198,3 +198,23 @@ def test_curate_batch_scrub_stage(spark, tmp_path):
     assert stats["kept"] == 2
     assert all("@" not in t for t in got.values())
     assert "[REDACTED]" in got[1]
+
+
+def test_curate_to_shards_example(spark, tmp_path):
+    # the composed demo: scrub -> curate -> rebalance -> export; pin
+    # that every stage hands a usable frame to the next and the shard
+    # output round-trips
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "shards")
+    r = subprocess.run(
+        [sys.executable, "examples/curate_to_shards.py",
+         "/root/testdata/sf0.001", out],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "export:" in r.stdout
+    back = spark.read.parquet(out + "/data")
+    assert back.count() > 0
+    assert {"seq_id", "doc_id"} <= set(back.columns)
