@@ -182,3 +182,69 @@ def dedup_payloads(df: DataFrame) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+def frame_hashes(
+    df: DataFrame, frame_size: int = 256, max_frames: int = 8
+) -> DataFrame:
+    """Per-payload frame content hashes with the fake codec: slice the
+    binary into ``frame_size``-byte frames (<= ``max_frames``) and md5
+    each slice — all JVM column expressions (substring/md5 operate on
+    binary natively), no Python in the path.  A real video pipeline
+    swaps the slicing for keyframe extraction and the md5 for a
+    perceptual hash; the distribution shape is identical.
+
+    Output: ``doc_id, frame_idx, frame_hash`` (distinct per doc —
+    a payload repeating a frame contributes it once).
+    """
+    n = F.length("payload")
+    n_frames = F.least(
+        F.lit(max_frames), F.ceil(n / F.lit(frame_size)).cast("int")
+    )
+    idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.select(F.col("doc_id"), F.explode(idx).alias("frame_idx"),
+                  F.col("payload"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(
+                F.expr(f"substring(payload, frame_idx * {frame_size} + 1, "
+                       f"{frame_size})")
+            ).alias("frame_hash"),
+        )
+        .dropDuplicates(["doc_id", "frame_hash"])
+    )
+
+
+def frame_overlap_pairs(
+    df: DataFrame,
+    k_shared: int = 2,
+    frame_size: int = 256,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Near-duplicate media by shared frame content: pairs of payloads
+    sharing at least ``k_shared`` frame hashes — the video analog of
+    n-gram overlap dedup (re-encoded or trimmed copies keep most
+    keyframes).
+
+    Inverted-index shape: one frame-hash-keyed self-join carrying ids
+    only, one (i, j) aggregation.  Compose AFTER
+    :func:`dedup_payloads` (exact collapse first): identical payloads
+    share every frame, so running the quadratic stage on content
+    representatives keeps join fan-out proportional to *distinct*
+    content — same discipline as the text/LSH paths.
+    """
+    fr = frame_hashes(df, frame_size, max_frames)
+    a = fr.select(F.col("doc_id").alias("i"), "frame_hash")
+    b = fr.select(F.col("doc_id").alias("j"), "frame_hash")
+    return (
+        a.hint("merge")
+        .join(b.hint("merge"), "frame_hash")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= k_shared)
+    )

@@ -2402,3 +2402,49 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
     )
     return retention(ev, "user_id", "ts_ms", "signup")
+
+
+@register(
+    "multimodal_frame_overlap",
+    """
+    WITH reps AS (
+        SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+        FROM documents GROUP BY md5(text)
+    ),
+    idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, least(8, ceil(length(text) / 256.0)::INT)))
+                   AS i
+        FROM reps WHERE length(text) > 0
+    ),
+    fr AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, (i * 256 + 1)::INT, 256)) AS frame_hash
+        FROM idx
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS n_shared
+    FROM fr a JOIN fr b ON a.frame_hash = b.frame_hash
+                        AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def multimodal_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared-frame near-dup over binary payloads (operators/
+    # multimodal.py:frame_overlap_pairs), composed after exact
+    # payload collapse (dedup_payloads) per the ingest ordering the
+    # operator documents.  UTF-8 payload bytes == the varchar's bytes,
+    # so DuckDB's substr/md5 on text mirrors Spark's on binary.
+    from .operators.multimodal import attach_payload, frame_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_payload(docs, "doc_id", "text")
+    reps = (
+        payloads.groupBy(F.md5("payload").alias("__h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("payload", "doc_id").alias("payload"),
+        )
+        .drop("__h")
+    )
+    return frame_overlap_pairs(reps, k_shared=2)

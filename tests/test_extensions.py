@@ -1192,3 +1192,27 @@ def test_retention_cohorts_and_offsets(spark):
         (0, 0): 1, (0, 1): 1, (0, 3): 1,   # u1
         (1, 0): 1, (1, 1): 1,              # u2
     }
+
+
+def test_frame_overlap_trimmed_copy(spark):
+    from mongo_es_spark.operators.multimodal import (
+        attach_payload,
+        frame_overlap_pairs,
+    )
+
+    blk = lambda ch: ch * 256  # one full frame of a single byte
+    rows = [
+        (1, blk("a") + blk("b") + blk("c") + blk("d")),
+        (2, blk("a") + blk("b") + blk("c")),          # trimmed copy: 3 shared
+        (3, blk("x") + blk("b")),                     # only 1 shared frame
+        (4, blk("p") + blk("q")),                     # nothing shared
+        (5, ""),                                      # empty payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["i"], r["j"]): r["n_shared"]
+        for r in frame_overlap_pairs(
+            attach_payload(df, "doc_id", "text"), k_shared=2
+        ).collect()
+    }
+    assert pairs == {(1, 2): 3}
