@@ -750,3 +750,108 @@ def knn_classify(
         .filter(F.col("__rk") == 1)
         .select(F.col("i").alias(id_col), "predicted_label", "votes")
     )
+
+
+# --------------------------------------------------------------------
+# Incremental embedding near-dup: persisted cell-partitioned store
+# --------------------------------------------------------------------
+
+
+def incremental_embedding_pairs(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    store_path: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    seed: int = 7,
+    train_sample: int = 100_000,
+) -> DataFrame:
+    """The streaming-ingest twin of :func:`semantic_dedup_frames`
+    (mirroring ``incremental_minhash_pairs``): detect embedding
+    near-dup pairs involving at least one NEW vector against a
+    persisted cell-partitioned store, then append the new vectors.
+
+    Store layout: ``<store>/centroids`` (the k-means quantizer,
+    trained ONCE on the first batch so cell assignments stay stable —
+    the property incrementality needs) and ``<store>/vectors``
+    (``doc, v, cell``).  The probe joins the new side against
+    (store ∪ new) within matching cells only, so work scales with
+    |new| x cell occupancy, not the corpus; exact cosine verifies
+    every candidate (precision 1 like the batch path).
+
+    Idempotent append: already-stored ids are anti-joined away first,
+    so a replayed batch emits nothing and writes nothing new.
+    """
+    import os
+
+    from .dedup import cosine_pairs_col
+
+    cent_path = os.path.join(store_path, "centroids")
+    vec_path = os.path.join(store_path, "vectors")
+    vecs = new_df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    try:
+        cent_rows = spark.read.parquet(cent_path).collect()
+        C = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+        for r in cent_rows:
+            C[r["cell"]] = r["centroid"]
+    except Exception:
+        sample = vecs.select("v").limit(train_sample).collect()
+        X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+        C = _kmeans_fit(X, n_clusters, seed)
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+            "cell int, centroid array<double>",
+        ).write.parquet(cent_path)
+
+    def assign_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    assign = pandas_udf(assign_kernel, "int")
+    try:
+        old = spark.read.parquet(vec_path)
+        have_store = True
+    except Exception:
+        old = None
+        have_store = False
+
+    new_vecs = vecs.withColumn("cell", assign(F.col("v")))
+    if have_store:
+        new_vecs = new_vecs.join(
+            old.select("doc"), "doc", "left_anti"
+        )
+    new_vecs = new_vecs.localCheckpoint(eager=True)
+    all_vecs = (
+        old.unionByName(new_vecs) if have_store else new_vecs
+    )
+
+    a = new_vecs.select(
+        "cell", F.col("doc").alias("da"), F.col("v").alias("va")
+    )
+    b = all_vecs.select(
+        "cell", F.col("doc").alias("db"), F.col("v").alias("vb")
+    )
+    out = (
+        a.join(b, "cell")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("i"),
+            F.greatest("da", "db").alias("j"),
+            F.col("va"),
+            F.col("vb"),
+        )
+        .dropDuplicates(["i", "j"])
+        .withColumn("cosine", F.round(cosine_pairs_col("va", "vb"), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("i", "j", "cosine")
+    )
+    new_vecs.write.mode("append").parquet(vec_path)
+    return out

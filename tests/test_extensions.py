@@ -1216,3 +1216,50 @@ def test_frame_overlap_trimmed_copy(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 3}
+
+
+def test_incremental_embedding_equals_single_batch(spark, emb, tmp_path):
+    from mongo_es_spark.operators.dedup import embedding_dup_pairs
+    from mongo_es_spark.operators.similarity import (
+        incremental_embedding_pairs,
+    )
+
+    one = str(tmp_path / "one")
+    two = str(tmp_path / "two")
+    full = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in incremental_embedding_pairs(
+            spark, emb, "vec_id", "embedding", one, threshold=0.45
+        ).collect()
+    }
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    inc = {}
+    for batch in (lo, hi):
+        for r in incremental_embedding_pairs(
+            spark, batch, "vec_id", "embedding", two, threshold=0.45
+        ).collect():
+            inc[(r["i"], r["j"])] = r["cosine"]
+    # NOTE: the two stores train centroids on different first batches,
+    # so cell boundaries differ — compare against the brute-force exact
+    # pair set instead of pair-set equality across stores
+    exact = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    for got in (full, inc):
+        assert set(got) <= set(exact)
+        for k, v in got.items():
+            assert v == exact[k]
+        assert len(got) >= len(exact) * 0.5  # recall floor
+
+    # replay: re-delivering the second half emits nothing, store stable
+    import os
+    n_before = spark.read.parquet(os.path.join(two, "vectors")).count()
+    replay = incremental_embedding_pairs(
+        spark, hi, "vec_id", "embedding", two, threshold=0.45
+    )
+    assert replay.count() == 0
+    assert spark.read.parquet(os.path.join(two, "vectors")).count() == n_before
