@@ -6,11 +6,14 @@ would swap in the Spark MongoDB connector behind the same interface
 (see sources/mongo.py); everything downstream is source-agnostic
 DataFrames.
 
-Gotcha handled here: ``events.parquet`` carries TIMESTAMP(NANOS), which
-Spark's vectorized parquet reader rejects by default —
-``spark.sql.legacy.parquet.nanosAsLong`` turns the column into plain
-nanosecond longs, which is also the cheapest representation for the
-CDC ``ts`` ordering key (no timezone semantics to drag around).
+Gotcha handled here: ``events.parquet``'s ``ts`` column has shipped
+as TIMESTAMP(NANOS) in some fixture generations and TIMESTAMP(MICROS)
+in others.  Downstream code wants one stable shape: plain nanosecond
+longs (the cheapest representation for the CDC ``ts`` ordering key —
+no timezone semantics to drag around).  NANOS becomes a long via
+``spark.sql.legacy.parquet.nanosAsLong``; MICROS arrives as a
+timestamp type and is converted with ``unix_micros`` (session tz
+pinned to UTC, so TIMESTAMP_NTZ values are taken at face value).
 """
 
 from __future__ import annotations
@@ -49,4 +52,22 @@ def prepare_session(spark: SparkSession) -> SparkSession:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare_session(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Expose ``events.ts`` as epoch-nanosecond BIGINT whatever the
+    parquet physical type was (NANOS -> long via nanosAsLong, already
+    done at scan; MICROS -> timestamp[_ntz] handled here)."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn(
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+        )
+    return df
