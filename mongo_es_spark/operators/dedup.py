@@ -121,24 +121,29 @@ def drop_near_duplicates(
     matching the brute-force pair semantics.  Docs in no pair and no
     clone group are their own cluster and survive.
     """
-    groups = _text_groups(df, id_col, text_col)
-    shingled = groups.filter(F.size(shingles_col(F.col("__text"), n)) > 0)
-    reps_df = shingled.select(
-        F.col("rep").alias(id_col), F.col("__text").alias(text_col)
+    tm = _text_groups(df, id_col, text_col)
+    # one text shuffle + ONE shingle evaluation for the whole operator:
+    # the shingled-representative frame feeds pair generation, the
+    # shingled-membership test, and the member expansion.  Construction
+    # is already eager (dedup_components materializes per round), so
+    # the checkpoints move work, not add it — without them the
+    # window-over-text + pandas_udf pipeline re-runs for every consumer.
+    docs = _rep_docs(_group_reps(tm), n).localCheckpoint(eager=True)
+    members = (
+        tm.select("rep", "doc")
+        .localCheckpoint(eager=True)  # ids only — tiny
     )
-    rep_pairs = minhash_lsh_pairs(
-        reps_df, id_col, text_col, n=n, threshold=threshold
-    )
+    rep_pairs = _minhash_rep_pairs(docs, threshold=threshold)
     components = dedup_components(rep_pairs)
     losing_reps = components.filter(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("rep")
     )
-    non_rep_members = shingled.select(
-        "rep", F.explode("members").alias("doc")
-    ).filter(F.col("doc") != F.col("rep"))
-    lost_groups = shingled.join(losing_reps, "rep").select(
-        F.explode("members").alias("doc")
+    shingled_reps = docs.select(F.col("doc").alias("rep"))
+    non_rep_members = members.join(shingled_reps, "rep", "left_semi").filter(
+        F.col("doc") != F.col("rep")
     )
+    # losing reps are pair participants, hence already shingled
+    lost_groups = members.join(losing_reps, "rep", "left_semi").select("doc")
     losers = (
         non_rep_members.select("doc")
         .union(lost_groups)
@@ -162,23 +167,48 @@ def drop_near_duplicates(
 # signature), within-group pairs score as exact duplicates.
 
 def _text_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.groupBy(F.col(text_col).alias("__text")).agg(
-        F.min(id_col).alias("rep"),
-        F.collect_list(F.col(id_col)).alias("members"),
+    """Clone-group membership frame: one row per DOCUMENT —
+    ``(__text, doc, rep)`` with ``rep`` = min id over identical texts.
+
+    Built with a window min rather than ``collect_list``: one text
+    shuffle either way, but per-row state stays O(1) and the window
+    buffer spills — a degenerate clone group (10^8 copies of the empty
+    string) is a big spillable partition, not one unbounded array cell
+    pinned in a single executor row.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(text_col)
+    return df.select(
+        F.col(text_col).alias("__text"),
+        F.col(id_col).alias("doc"),
+        F.min(id_col).over(w).alias("rep"),
     )
 
 
+def _group_reps(tm: DataFrame) -> DataFrame:
+    """One row per clone group: ``(__text, rep)`` — the frame shingle /
+    signature pipelines run over (distinct texts only)."""
+    return tm.filter(F.col("doc") == F.col("rep")).select("__text", "rep")
+
+
 def _expand_rep_pairs(
-    rep_pairs: DataFrame, groups: DataFrame, score_col: str
+    rep_pairs: DataFrame, members: DataFrame, score_col: str
 ) -> DataFrame:
-    """(rep_i, rep_j, score) -> every member pair, i < j."""
-    gi = groups.select(F.col("rep").alias("i"), F.col("members").alias("mi"))
-    gj = groups.select(F.col("rep").alias("j"), F.col("members").alias("mj"))
+    """(rep_i, rep_j, score) -> every member pair, i < j.
+
+    ``members`` is the ``(rep, doc)`` membership frame; expansion is
+    two equi-joins on rep ids, so a k-clone group streams k rows per
+    pair instead of exploding a k-element array held in one row.
+    Output size is O(k_i * k_j) per rep pair BY CONTRACT (these are
+    the brute-force pairs); callers that can't afford that use
+    ``clone_weighted=True`` on the pair operators instead.
+    """
+    mi = members.select(F.col("rep").alias("i"), F.col("doc").alias("a"))
+    mj = members.select(F.col("rep").alias("j"), F.col("doc").alias("b"))
     return (
-        rep_pairs.join(gi, "i")
-        .join(gj, "j")
-        .select(F.explode("mi").alias("a"), "mj", score_col)
-        .select("a", F.explode("mj").alias("b"), score_col)
+        rep_pairs.join(mi, "i")
+        .join(mj, "j")
         .select(
             F.least("a", "b").alias("i"),
             F.greatest("a", "b").alias("j"),
@@ -187,17 +217,62 @@ def _expand_rep_pairs(
     )
 
 
-def _within_group_pairs(groups: DataFrame, score: Column, score_col: str) -> DataFrame:
-    """All (i < j) pairs inside each clone group, scored as exact dups."""
-    g = groups.filter(F.size("members") > 1)
+def _within_group_pairs(
+    members: DataFrame, score: Column, score_col: str
+) -> DataFrame:
+    """All (i < j) pairs inside each clone group, scored as exact dups.
+    Self-join of the membership frame on rep — singleton groups emit
+    nothing (their only a==b row fails the filter)."""
+    a = members.select("rep", F.col("doc").alias("a"))
+    b = members.select("rep", F.col("doc").alias("b"))
     return (
-        g.select(F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
+        a.join(b, "rep")
         .filter(F.col("a") < F.col("b"))
         .select(
             F.col("a").alias("i"), F.col("b").alias("j"), score.alias(score_col)
         )
     )
+
+
+def _weighted_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    score_col: str,
+    within_reps: DataFrame,
+    within_score: Column,
+) -> DataFrame:
+    """The bounded-output clone contract: instead of expanding a rep
+    pair into k_i*k_j member rows, emit one row per rep pair carrying
+    ``n_pairs`` (how many brute-force pairs it stands for), plus one
+    ``(rep, rep)`` row per multi-member group for the within-group
+    exact-duplicate pairs.  sum(n_pairs) == count of expanded rows, so
+    downstream statistics (dup rate, mass removed) are exact while a
+    10^6-clone group costs one row instead of ~10^12.
+    """
+    counts = members.groupBy("rep").agg(F.count("*").alias("k"))
+    ki = counts.select(F.col("rep").alias("i"), F.col("k").alias("ki"))
+    kj = counts.select(F.col("rep").alias("j"), F.col("k").alias("kj"))
+    cross = (
+        rep_pairs.join(ki, "i")
+        .join(kj, "j")
+        .select(
+            "i",
+            "j",
+            score_col,
+            (F.col("ki") * F.col("kj")).cast("long").alias("n_pairs"),
+        )
+    )
+    within = (
+        counts.join(within_reps, "rep", "left_semi")
+        .filter(F.col("k") > 1)
+        .select(
+            F.col("rep").alias("i"),
+            F.col("rep").alias("j"),
+            within_score.alias(score_col),
+            (F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("n_pairs"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ------------------------------------------------------------------ #
@@ -211,6 +286,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: Optional[int] = None,
+    clone_weighted: bool = False,
 ) -> DataFrame:
     """All pairs (i < j) with shingle-set Jaccard >= threshold.
 
@@ -221,9 +297,14 @@ def jaccard_pairs(
     more than that many *distinct texts* — at scale hot shingles
     dominate the candidate count quadratically while contributing
     mostly low-Jaccard noise.
+
+    ``clone_weighted=True`` switches to the bounded-output contract:
+    one row per representative pair with an ``n_pairs`` multiplicity
+    column (see :func:`_weighted_rep_pairs`) — the shape to use when
+    clone groups can be huge.
     """
-    groups = _text_groups(df, id_col, text_col)
-    reps = groups.select("rep", "__text")
+    tm = _text_groups(df, id_col, text_col)
+    reps = _group_reps(tm)
     sh = reps.select(
         F.col("rep").alias("doc"),
         F.explode(shingles_col(F.col("__text"), n)).alias("s"),
@@ -256,13 +337,19 @@ def jaccard_pairs(
     )
     # clone groups with no shingles (too-short text) produce no pairs
     # in the brute-force result either
-    out = _expand_rep_pairs(rep_pairs, groups, "jaccard")
+    members = tm.select("rep", "doc")
+    shingled_reps = reps.filter(
+        F.size(shingles_col(F.col("__text"), n)) > 0
+    ).select("rep")
+    if clone_weighted:
+        return _weighted_rep_pairs(
+            rep_pairs, members, "jaccard", shingled_reps, F.lit(1.0)
+        )
+    out = _expand_rep_pairs(rep_pairs, members, "jaccard")
     if threshold <= 1.0:
-        # clone groups with no shingles (too-short text) produce no
-        # pairs in the brute-force result either
-        shingled = groups.filter(F.size(shingles_col(F.col("__text"), n)) > 0)
+        members_sh = members.join(shingled_reps, "rep", "left_semi")
         out = out.unionByName(
-            _within_group_pairs(shingled, F.lit(1.0), "jaccard")
+            _within_group_pairs(members_sh, F.lit(1.0), "jaccard")
         )
     return out
 
@@ -384,28 +471,25 @@ def incremental_minhash_pairs(
     new_sigs.write.mode("append").parquet(store_path)
     return out
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
-    num_hashes: int = 32,
-    bands: int = 16,
-) -> DataFrame:
-    """LSH-accelerated near-duplicate pairs, exact-verified.
-
-    Pipeline: shingle -> minhash signature (xxhash64 per seed, JVM) ->
-    band buckets -> bucket equi-join for candidates -> fetch shingle
-    arrays -> exact Jaccard filter.  Output identical to
-    :func:`jaccard_pairs` when recall holds (rows = bands/num_hashes
-    per band; miss probability (1-t^r)^b).
-    """
-    groups = _text_groups(df, id_col, text_col)
-    docs = groups.select(
+def _rep_docs(reps: DataFrame, n: int) -> DataFrame:
+    """Clone-group representatives with their shingle sets:
+    ``(__text, rep) -> (doc, sh)``, too-short texts dropped."""
+    return reps.select(
         F.col("rep").alias("doc"),
         shingles_col(F.col("__text"), n).alias("sh"),
     ).filter(F.size("sh") > 0)
+
+
+def _minhash_rep_pairs(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Rep-level LSH pairs from a shingled ``(doc, sh)`` frame —
+    shared by :func:`minhash_lsh_pairs` (lazy ``docs``) and
+    :func:`drop_near_duplicates` (checkpointed ``docs``), so the
+    shingle pipeline is built exactly once per caller."""
     sig = _minhash_signatures(docs, num_hashes)
 
     # band join over (doc, band, bucket) only; shingle arrays join back
@@ -432,16 +516,49 @@ def minhash_lsh_pairs(
     paired = cands.join(sh_i, "i").join(sh_j, "j")
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size(F.array_union("sh_i", "sh_j"))
-    rep_pairs = (
+    return (
         paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
-    out = _expand_rep_pairs(rep_pairs, groups, "jaccard")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    clone_weighted: bool = False,
+) -> DataFrame:
+    """LSH-accelerated near-duplicate pairs, exact-verified.
+
+    Pipeline: shingle -> minhash signature (xxhash64 per seed, JVM) ->
+    band buckets -> bucket equi-join for candidates -> fetch shingle
+    arrays -> exact Jaccard filter.  Output identical to
+    :func:`jaccard_pairs` when recall holds (rows = bands/num_hashes
+    per band; miss probability (1-t^r)^b).
+
+    ``clone_weighted=True``: bounded-output contract — one row per rep
+    pair with ``n_pairs`` multiplicity (see :func:`_weighted_rep_pairs`).
+    """
+    tm = _text_groups(df, id_col, text_col)
+    reps = _group_reps(tm)
+    docs = _rep_docs(reps, n)
+    rep_pairs = _minhash_rep_pairs(docs, threshold, num_hashes, bands)
+    members = tm.select("rep", "doc")
+    shingled_reps = docs.select(F.col("doc").alias("rep"))
+    if clone_weighted:
+        return _weighted_rep_pairs(
+            rep_pairs, members, "jaccard", shingled_reps, F.lit(1.0)
+        )
+    out = _expand_rep_pairs(rep_pairs, members, "jaccard")
     if threshold <= 1.0:
-        shingled = groups.filter(F.size(shingles_col(F.col("__text"), n)) > 0)
+        members_sh = members.join(shingled_reps, "rep", "left_semi")
         out = out.unionByName(
-            _within_group_pairs(shingled, F.lit(1.0), "jaccard")
+            _within_group_pairs(members_sh, F.lit(1.0), "jaccard")
         )
     return out
 
@@ -514,7 +631,11 @@ def _simhash_chunks(sims: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    clone_weighted: bool = False,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= ``max_hamming`` (<= 3).
 
@@ -522,9 +643,13 @@ def simhash_pairs(
     is identical — the chunk equi-join prunes the quadratic space, then
     per-chunk ``bit_count(xor)`` verifies exactly.  Signature-dependent,
     hence no cross-engine oracle (rows-only check).
+
+    ``clone_weighted=True``: bounded-output contract — one row per rep
+    pair with ``n_pairs`` multiplicity (see :func:`_weighted_rep_pairs`).
     """
-    groups = _text_groups(df, id_col, text_col)
-    sims = groups.select(
+    tm = _text_groups(df, id_col, text_col)
+    reps = _group_reps(tm)
+    sims = reps.select(
         F.col("rep").alias("doc"),
         simhash_sig_col(F.col("__text")).alias("sig"),
     )
@@ -554,8 +679,13 @@ def simhash_pairs(
         .select("i", "j", "hamming")
     )
     # identical text => identical signature => Hamming 0
-    within = _within_group_pairs(groups, F.lit(0), "hamming")
-    return _expand_rep_pairs(rep_pairs, groups, "hamming").unionByName(within)
+    members = tm.select("rep", "doc")
+    if clone_weighted:
+        return _weighted_rep_pairs(
+            rep_pairs, members, "hamming", reps.select("rep"), F.lit(0)
+        )
+    within = _within_group_pairs(members, F.lit(0), "hamming")
+    return _expand_rep_pairs(rep_pairs, members, "hamming").unionByName(within)
 
 
 def simhash_signature_frame(
@@ -954,15 +1084,18 @@ def embedding_dup_pairs_lsh(
     matching sign-bands."""
     # exact-clone collapse, vector edition: identical embeddings (the
     # common case for exact-duplicate content) would explode candidate
-    # pairs inside every bucket; group them and expand pairs afterward
-    groups = df.select(
-        F.col(id_col).alias("__id"),
+    # pairs inside every bucket; group them via a window min over the
+    # vector value (O(1) per-row state, no per-group arrays) and expand
+    # pairs afterward
+    from pyspark.sql.window import Window
+
+    vm = df.select(
+        F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).groupBy("v").agg(
-        F.min("__id").alias("rep"),
-        F.collect_list("__id").alias("members"),
+    ).withColumn("rep", F.min("doc").over(Window.partitionBy("v")))
+    vecs = vm.filter(F.col("doc") == F.col("rep")).select(
+        F.col("rep").alias("doc"), "v"
     )
-    vecs = groups.select(F.col("rep").alias("doc"), "v")
     sigs = vecs.withColumn("sig", hyperplane_signature(F.col("v"), dims, bits))
     n_bands = bits // band_bits
     # candidate generation carries only (doc, band, val) — the vectors
@@ -1008,12 +1141,14 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("i", "j", "cosine")
     )
-    out = _expand_rep_pairs(rep_pairs, groups, "cosine")
+    members = vm.select("rep", "doc")
+    out = _expand_rep_pairs(rep_pairs, members, "cosine")
     if threshold <= 1.0:
-        nonzero = groups.filter(
+        nonzero_reps = vecs.filter(
             F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0
-        )
+        ).select(F.col("doc").alias("rep"))
+        members_nz = members.join(nonzero_reps, "rep", "left_semi")
         out = out.unionByName(
-            _within_group_pairs(nonzero, F.lit(1.0), "cosine")
+            _within_group_pairs(members_nz, F.lit(1.0), "cosine")
         )
     return out

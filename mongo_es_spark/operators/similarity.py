@@ -618,14 +618,18 @@ def semantic_dedup_frames(
     """
     from .dedup import cosine_pairs_col, dedup_components
 
-    vecs = df.select(
+    from pyspark.sql.window import Window
+
+    # clone collapse via window min over the vector value — one
+    # shuffle, O(1) per-row state, no per-group member arrays (a
+    # degenerate clone group spills instead of pinning one giant row)
+    vm = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("rep", F.min("doc").over(Window.partitionBy("v")))
+    reps = vm.filter(F.col("doc") == F.col("rep")).select(
+        F.col("rep").alias("doc"), "v"
     )
-    groups = vecs.groupBy("v").agg(
-        F.min("doc").alias("rep"), F.collect_list("doc").alias("members")
-    )
-    reps = groups.select(F.col("rep").alias("doc"), "v")
     sample = reps.select("v").limit(train_sample).collect()
     X = np.asarray([r["v"] for r in sample], dtype=np.float64)
     C = _kmeans_fit(X, n_clusters, seed)
@@ -674,7 +678,7 @@ def semantic_dedup_frames(
     # (min id of its clone group) and its rep's component keeps it —
     # exactly the min-id-per-component verdict of the uncollapsed graph
     per_doc = (
-        groups.select("rep", F.explode("members").alias("doc"))
+        vm.select("rep", "doc")
         .join(rep_flags, "rep")
         .select(
             F.col("doc").alias(id_col),

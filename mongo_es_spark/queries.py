@@ -59,13 +59,12 @@ _OPLOG_SQL = """
 def events_as_oplog(
     spark: SparkSession, sf_dir: str, max_ts_ms: Optional[int] = None
 ) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    if max_ts_ms is not None:
-        # equivalent to `ts div 1e6 <= max_ts_ms` for ts >= 0, but on
-        # the RAW column so the predicate reaches the parquet scan
-        # (row-group pruning); the exact derived-column filter is
-        # re-applied downstream by the consumer
-        ev = ev.filter(F.col("ts") <= F.lit((max_ts_ms + 1) * 1_000_000 - 1))
+    # the bound is applied inside load_table on the RAW scan column
+    # (type-matched literal, pre-normalization) so it reaches
+    # PushedFilters; the exact derived-column filter is re-applied
+    # downstream by the consumer
+    max_ts_ns = None if max_ts_ms is None else (max_ts_ms + 1) * 1_000_000 - 1
+    ev = load_table(spark, sf_dir, "events", max_event_ts_ns=max_ts_ns)
     return ev.select(
         "user_id",
         F.expr("ts div 1000000").alias("ts_ms"),
@@ -1992,23 +1991,25 @@ def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1 = curate_batch(spark, docs.filter(F.col("doc_id") <= split), dir_a)
         s2 = curate_batch(spark, docs.filter(F.col("doc_id") > split), dir_a)
         sf = curate_batch(spark, docs, dir_b)
-        cur_a = {
-            r["doc_id"]
-            for r in spark.read.parquet(f"{dir_a}/curated").collect()
-        }
-        cur_b = {
-            r["doc_id"]
-            for r in spark.read.parquet(f"{dir_b}/curated").collect()
-        }
+        # distributed verification — no driver-side id sets: set
+        # equality is two anti-join emptiness probes, and the kept-pair
+        # re-check feeds the LSH operator through a semi join against
+        # the curated store instead of an isin(list) literal
+        cur_a = spark.read.parquet(f"{dir_a}/curated").select("doc_id")
+        cur_b = spark.read.parquet(f"{dir_b}/curated").select("doc_id")
+        sets_equal = (
+            cur_a.join(cur_b, "doc_id", "left_anti").limit(1).count() == 0
+            and cur_b.join(cur_a, "doc_id", "left_anti").limit(1).count() == 0
+        )
         kept_pairs = minhash_lsh_pairs(
-            docs.filter(F.col("doc_id").isin(list(cur_a))),
+            docs.join(cur_a, "doc_id", "left_semi"),
             "doc_id",
             "text",
         ).count()
         row = (
             s1["quality"] + s2["quality"],
             s1["fresh"] + s2["fresh"],
-            cur_a == cur_b,
+            sets_equal,
             kept_pairs == 0,
         )
     finally:

@@ -50,18 +50,54 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_event_ts_ns: int | None = None,
+) -> DataFrame:
     prepare_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
+        if max_event_ts_ns is not None:
+            df = _filter_raw_event_ts(df, max_event_ts_ns)
         df = _normalize_event_ts(df)
     return df
+
+
+def _filter_raw_event_ts(df: DataFrame, max_ts_ns: int) -> DataFrame:
+    """Bound ``events.ts`` on the RAW scan column, pre-normalization,
+    with a literal matched to the parquet physical type — so the
+    predicate lands in ``PushedFilters`` (row-group pruning) whatever
+    shape the fixture shipped in.  Filtering after
+    ``_normalize_event_ts`` would sit on a derived expression and scan
+    the whole oplog — the plan you can't afford at 100 TB.
+
+    Equivalence: fixture timestamps are non-negative and at most
+    microsecond resolution, so ``ts_ns <= B`` == ``ts_us <= B div 1000``.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        bound = F.timestamp_micros(F.lit(max_ts_ns // 1000))
+        if ts_type == "timestamp_ntz":
+            # constant-folds to an NTZ literal; the column side stays
+            # bare so the comparison remains pushable
+            bound = bound.cast("timestamp_ntz")
+        return df.filter(F.col("ts") <= bound)
+    return df.filter(F.col("ts") <= F.lit(max_ts_ns))
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """Expose ``events.ts`` as epoch-nanosecond BIGINT whatever the
     parquet physical type was (NANOS -> long via nanosAsLong, already
-    done at scan; MICROS -> timestamp[_ntz] handled here)."""
+    done at scan; MICROS -> timestamp[_ntz] handled here).
+
+    NTZ correctness depends on the session timezone being UTC at
+    analysis time — ``prepare_session`` pins it before every
+    ``load_table`` read, so the dependency holds by construction.
+    """
     from pyspark.sql import functions as F
 
     ts_type = dict(df.dtypes).get("ts")

@@ -1263,3 +1263,78 @@ def test_incremental_embedding_equals_single_batch(spark, emb, tmp_path):
     )
     assert replay.count() == 0
     assert spark.read.parquet(os.path.join(two, "vectors")).count() == n_before
+
+
+def test_clone_weighted_contract_matches_expanded(spark):
+    """clone_weighted=True must account for exactly the pairs the
+    expanded contract emits: sum(n_pairs) == expanded row count, and
+    the rep-level cross pairs carry the same scores."""
+    from mongo_es_spark.operators.dedup import jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    near = base.replace("lazy", "sleepy")
+    rows = (
+        [(i, base) for i in range(1, 6)]        # 5 clones of base
+        + [(10 + i, near) for i in range(1, 4)]  # 3 clones of a near-dup
+        + [(100, "completely different words in this unrelated text")]
+        + [(101, "x")]                            # too short to shingle
+        + [(102, "x")]                            # clone of too-short
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    expanded = jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    weighted = jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, clone_weighted=True
+    ).collect()
+
+    assert sum(r["n_pairs"] for r in weighted) == len(expanded)
+    # 5x3 cross pairs between the two clone groups + C(5,2) + C(3,2)
+    by_key = {(r["i"], r["j"]): r for r in weighted}
+    assert by_key[(1, 11)]["n_pairs"] == 15
+    assert by_key[(1, 1)]["n_pairs"] == 10 and by_key[(1, 1)]["jaccard"] == 1.0
+    assert by_key[(11, 11)]["n_pairs"] == 3
+    # too-short clone group (101, 102) produces no pairs in either shape
+    assert (101, 101) not in by_key
+    assert not any(r["i"] in (101, 102) or r["j"] in (101, 102) for r in expanded)
+    # cross-pair scores match the expanded contract's scores
+    exp_scores = {(r["i"], r["j"]): r["jaccard"] for r in expanded}
+    assert by_key[(1, 11)]["jaccard"] == exp_scores[(1, 11)]
+
+
+def test_pathological_clone_group_completes_bounded(spark):
+    """A degenerate clone group (100k copies of one text) must not
+    materialize per-group arrays or O(k^2) pair rows: the weighted
+    contract emits ONE row for the group, and drop_near_duplicates
+    keeps exactly one survivor — without ever expanding ~5e9 pairs."""
+    from mongo_es_spark.operators.dedup import (
+        drop_near_duplicates,
+        minhash_lsh_pairs,
+    )
+
+    k = 100_000
+    clones = spark.range(1, k + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "one single very duplicated document body with enough words "
+            "to shingle properly across the whole corpus"
+        ).alias("text"),
+    )
+    distinct = spark.createDataFrame(
+        [
+            (k + 1, "first unique document talking about entirely other things"),
+            (k + 2, "second unique document on yet another unrelated subject"),
+        ],
+        "doc_id long, text string",
+    )
+    df = clones.unionByName(distinct)
+
+    weighted = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.8, clone_weighted=True
+    ).collect()
+    assert len(weighted) == 1  # the within-group row only
+    r = weighted[0]
+    assert (r["i"], r["j"]) == (1, 1)
+    assert r["n_pairs"] == k * (k - 1) // 2
+
+    kept = drop_near_duplicates(df, "doc_id", "text").select("doc_id")
+    assert {x["doc_id"] for x in kept.collect()} == {1, k + 1, k + 2}
