@@ -175,10 +175,16 @@ def _text_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     buffer spills — a degenerate clone group (10^8 copies of the empty
     string) is a big spillable partition, not one unbounded array cell
     pinned in a single executor row.
+
+    The partition spec leads with ``xxhash64(text)`` so the window's
+    internal sort resolves on an 8-byte key; full texts compare only
+    within hash-equal runs (true clones + vanishing collisions).  The
+    trailing text column keeps grouping exact — correctness never
+    depends on the hash.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(text_col)
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col))
     return df.select(
         F.col(text_col).alias("__text"),
         F.col(id_col).alias("doc"),
@@ -1092,7 +1098,12 @@ def embedding_dup_pairs_lsh(
     vm = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("rep", F.min("doc").over(Window.partitionBy("v")))
+    ).withColumn(
+        # hash-led partition spec: sort resolves on 8 bytes, full
+        # vectors compare only within hash-equal runs
+        "rep",
+        F.min("doc").over(Window.partitionBy(F.xxhash64(F.col("v")), F.col("v"))),
+    )
     vecs = vm.filter(F.col("doc") == F.col("rep")).select(
         F.col("rep").alias("doc"), "v"
     )

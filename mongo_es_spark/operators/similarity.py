@@ -626,7 +626,11 @@ def semantic_dedup_frames(
     vm = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("rep", F.min("doc").over(Window.partitionBy("v")))
+    ).withColumn(
+        # hash-led partition spec: the window sort resolves on 8 bytes
+        "rep",
+        F.min("doc").over(Window.partitionBy(F.xxhash64(F.col("v")), F.col("v"))),
+    )
     reps = vm.filter(F.col("doc") == F.col("rep")).select(
         F.col("rep").alias("doc"), "v"
     )

@@ -8,6 +8,8 @@ DuckDB-SQL twin in the query registry.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -257,6 +259,47 @@ def stratified_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
     return df.filter(u < rate)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: int = 1,
+) -> DataFrame:
+    """Deterministic dataset split: tag every row with a split label
+    by hashed-id interval — the standard leak-free train/val/test
+    assignment for a training corpus.
+
+    Same engine-portable scheme as :func:`stratified_sample` (Knuth
+    multiplicative hash on the id, plain integer arithmetic): any
+    engine reproduces the exact assignment, membership is stable under
+    re-runs and appends (a doc's split never changes as the corpus
+    grows — the property that keeps eval sets honest), and ``salt``
+    re-deals the assignment when a fresh split is wanted.  Pure
+    projection: no shuffle, no RNG, fully pushable.
+    """
+    u = F.pmod(
+        (F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(HASH_MOD)
+    ) / F.lit(float(HASH_MOD))
+    acc = 0.0
+    label: Column | None = None
+    for name, frac in fractions:
+        acc += frac
+        cond = u < F.lit(acc)
+        label = (
+            F.when(cond, F.lit(name))
+            if label is None
+            else label.when(cond, F.lit(name))
+        )
+    # numeric slack: anything past the last boundary joins the final
+    # split so fractions summing to 1.0 cover every row exactly
+    out_label = label.otherwise(F.lit(fractions[-1][0]))
+    return df.select("*", out_label.alias("split"))
 
 
 def _floor6(x: Column) -> Column:

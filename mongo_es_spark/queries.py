@@ -594,6 +594,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_pairs_weighted",
+    """
+    WITH g AS (
+        SELECT text, min(doc_id) AS rep, count(*) AS k
+        FROM documents GROUP BY text
+    ),
+    w AS (
+        SELECT rep AS doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM g
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(t[i:i+2], ' ')
+                    for i in range(1, len(t) - 1)])) AS s
+        FROM w
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cross_pairs AS (
+        SELECT i, j,
+               round(shared::DOUBLE / (ca.n + cb.n - shared), 6) AS jaccard,
+               (gi.k * gj.k)::BIGINT AS n_pairs
+        FROM shared
+        JOIN counts ca ON i = ca.doc_id
+        JOIN counts cb ON j = cb.doc_id
+        JOIN g gi ON gi.rep = i
+        JOIN g gj ON gj.rep = j
+        WHERE round(shared::DOUBLE / (ca.n + cb.n - shared), 6) >= 0.8
+    ),
+    within AS (
+        SELECT g.rep AS i, g.rep AS j, 1.0::DOUBLE AS jaccard,
+               (g.k * (g.k - 1) // 2)::BIGINT AS n_pairs
+        FROM g JOIN counts c ON c.doc_id = g.rep
+        WHERE g.k > 1
+    )
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM within
+    """,
+)
+def dedup_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-output clone contract: one row per representative
+    pair with an ``n_pairs`` multiplicity instead of k_i*k_j expanded
+    member rows — the shape that keeps a 10^6-clone group from
+    emitting ~10^12 pairs.  sum(n_pairs) equals the expanded pair
+    count exactly (tested in test_extensions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, clone_weighted=True
+    )
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
@@ -1027,6 +1083,31 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", rates={"en": 0.5}, default_rate=0.2
     )
+
+
+@register(
+    "text_train_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN u < 0.9 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               ((doc_id + 1) * 2654435761) % 4294967296
+                   / 4294967296.0 AS u
+        FROM documents
+    )
+    """,
+)
+def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-free train/val/test assignment by hashed-id
+    interval (engine-portable integer arithmetic; a doc's split never
+    changes as the corpus grows)."""
+    from .operators.text import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return train_val_test_split(docs, "doc_id")
 
 
 @register(

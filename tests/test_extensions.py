@@ -1338,3 +1338,57 @@ def test_pathological_clone_group_completes_bounded(spark):
 
     kept = drop_near_duplicates(df, "doc_id", "text").select("doc_id")
     assert {x["doc_id"] for x in kept.collect()} == {1, k + 1, k + 2}
+
+
+def test_train_val_test_split_deterministic_and_leakfree(spark, docs):
+    """Split labels: cover every row, reproduce exactly across calls,
+    and stay stable when the corpus grows (append-invariance — the
+    property that keeps eval sets honest)."""
+    from mongo_es_spark.operators.text import train_val_test_split
+
+    out = train_val_test_split(docs.select("doc_id"), "doc_id")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == docs.count()
+    frac = {
+        s: sum(1 for v in rows.values() if v == s) / len(rows)
+        for s in ("train", "val", "test")
+    }
+    assert 0.8 < frac["train"] < 1.0
+    assert frac["val"] > 0 and frac["test"] > 0
+
+    again = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs.select("doc_id"), "doc_id"
+        ).collect()
+    }
+    assert again == rows
+
+    # append-invariance: labels computed on half the corpus match the
+    # full-corpus labels on the overlap
+    half = docs.select("doc_id").limit(docs.count() // 2)
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(half, "doc_id").collect()
+    }
+    assert all(rows[k] == v for k, v in sub.items())
+
+    # different salt re-deals at least some assignments
+    redeal = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs.select("doc_id"), "doc_id", salt=7
+        ).collect()
+    }
+    assert redeal != rows
+
+
+def test_train_split_is_scan_shaped(spark, docs):
+    """Pure projection: no exchange in the plan (assignment pushes to
+    the scan at any corpus size)."""
+    from mongo_es_spark.operators.text import train_val_test_split
+
+    plan = train_val_test_split(
+        docs.select("doc_id"), "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
