@@ -1004,16 +1004,41 @@ def embedding_dup_pairs(
     prefer :func:`embedding_dup_pairs_lsh` to prune the quadratic
     work.
 
-    ``n_rows`` sizes the grid; pass the catalog row count at scale to
-    avoid the sizing count job.
+    Exact-clone collapse applies here too: identical vectors (exact
+    duplicate content) enter the gram matrix once; member pairs expand
+    afterward with their representatives' cosine (identical input =>
+    identical score), within-group pairs are exactly 1.0 for nonzero
+    vectors — bit-equal to the uncollapsed brute force, while the
+    O(n^2) stage sees DISTINCT vectors only.
+
+    ``n_rows`` sizes the grid; pass the (distinct-vector) catalog
+    count at scale to avoid the sizing count job — an upper bound just
+    coarsens the grid.
     """
-    n = n_rows if n_rows is not None else df.select(id_col).count()
-    n_blocks = max(1, math.ceil(n / block_rows))
-    n_pairs = n_blocks * (n_blocks + 1) // 2
-    vecs = df.select(
+    from pyspark.sql.window import Window
+
+    vm = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    ).withColumn(
+        # hash-led partition spec: sort resolves on 8 bytes
+        "rep",
+        F.min("doc").over(Window.partitionBy(F.xxhash64(F.col("v")), F.col("v"))),
+    )
+    reps = (
+        vm.filter(F.col("doc") == F.col("rep"))
+        .select(F.col("rep").alias("doc"), "v")
+        # the grid replicates this frame n_blocks times and the member
+        # expansion reads it again — materialize the collapse once
+        .localCheckpoint(eager=True)
+    )
+    n = n_rows if n_rows is not None else reps.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    vecs = reps.select(
+        "doc",
+        "v",
+        F.pmod(F.xxhash64(F.col("doc")), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     # replicate each row to every grid cell it participates in; the
     # row acts as side A when its block is the cell's lower id
@@ -1047,9 +1072,21 @@ def embedding_dup_pairs(
             ).alias("items_b"),
         )
     )
-    return cells.mapInPandas(
+    rep_pairs = cells.mapInPandas(
         _block_pair_cosine(threshold), "i long, j long, cosine double"
     )
+    # ids only — tiny; avoids re-running the window per consumer
+    members = vm.select("rep", "doc").localCheckpoint(eager=True)
+    out = _expand_rep_pairs(rep_pairs, members, "cosine")
+    if threshold <= 1.0:
+        nonzero_reps = reps.filter(
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0
+        ).select(F.col("doc").alias("rep"))
+        members_nz = members.join(nonzero_reps, "rep", "left_semi")
+        out = out.unionByName(
+            _within_group_pairs(members_nz, F.lit(1.0), "cosine")
+        )
+    return out
 
 
 def hyperplane_signature(
