@@ -261,6 +261,43 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def unigram_cross_entropy(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document cross-entropy against the corpus's own unigram
+    distribution — the classic perplexity-proxy quality signal (CCNet
+    / Wenzek et al. style, with the corpus itself as the LM): low
+    values mark repetitive/common-token text, high values mark
+    noise and junk tokens.  Output: ``id, n_tokens, xent`` (nats,
+    floor-stabilized to 6 dp).
+
+    Shuffle shape at scale: explode -> token-keyed vocab aggregation
+    (map-side combined) -> token-keyed join back -> doc-keyed mean.
+    The vocabulary total joins in as a broadcast one-row frame; no
+    driver-side vocab, no per-row Python.  Empty docs keep
+    ``xent = 0`` by convention.
+    """
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    per_doc = (
+        toks.join(vocab, "t")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            _floor6(F.avg(-F.log(F.col("c") / F.col("n")))).alias("xent"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("xent", F.lit(0.0)).alias("xent"),
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

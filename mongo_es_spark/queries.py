@@ -1086,6 +1086,37 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_xent",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+    x AS (
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               floor(avg(-ln(c / n)) * 1000000) / 1000000 AS xent
+        FROM tok JOIN vocab USING (t) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(x.n_tokens, 0) AS n_tokens,
+           coalesce(x.xent, 0.0) AS xent
+    FROM documents d LEFT JOIN x USING (doc_id)
+    """,
+)
+def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: per-doc cross-entropy vs the
+    corpus unigram distribution (see operators/text.py)."""
+    from .operators.text import unigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_cross_entropy(docs, "doc_id", "text")
+
+
+@register(
     "text_train_split",
     """
     SELECT doc_id, source,

@@ -212,6 +212,7 @@ def run_incremental_curation(
     text_col: str = "text",
     quality_threshold: float = 0.52,
     jaccard_threshold: float = 0.8,
+    scrub_blocklist: tuple[str, ...] | None = None,
     available_now: bool = True,
     processing_time: str = "5 seconds",
 ):
@@ -221,6 +222,8 @@ def run_incremental_curation(
     batch-backfill shape); otherwise runs continuously at
     ``processing_time`` triggers, mirroring the reference's scan-then-
     tail phasing (SURVEY §3) for the curation pipeline.
+    ``scrub_blocklist`` enables the stateless redaction stage ahead of
+    quality/dedup, exactly as in :func:`curate_batch`.
     """
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
@@ -232,6 +235,7 @@ def run_incremental_curation(
             text_col=text_col,
             quality_threshold=quality_threshold,
             jaccard_threshold=jaccard_threshold,
+            scrub_blocklist=scrub_blocklist,
         )
 
     writer = (

@@ -218,3 +218,42 @@ def test_curate_to_shards_example(spark, tmp_path):
     back = spark.read.parquet(out + "/data")
     assert back.count() > 0
     assert {"seq_id", "doc_id"} <= set(back.columns)
+
+
+def test_streaming_curation_scrub_passthrough(spark, tmp_path):
+    """scrub_blocklist wired through run_incremental_curation: docs
+    identical after redaction deduplicate as one, and the curated
+    store holds redacted text only."""
+    from mongo_es_spark.streaming.curate import run_incremental_curation
+
+    long_tail = " ".join(f"w{i}" for i in range(40))
+    batches = [
+        [(1, f"contact alice@example.com about {long_tail}", "en")],
+        [
+            (2, f"contact bob@example.com about {long_tail}", "en"),
+            (3, "fresh unrelated content entirely "
+                + " ".join(f"z{i}" for i in range(40)), "en"),
+        ],
+    ]
+    feed = tmp_path / "feed"
+    _write_feed(feed, batches)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = run_incremental_curation(
+        spark, stream, state, ckpt, scrub_blocklist=()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(state, "curated")).collect()
+    }
+    assert set(got) == {1, 3}
+    assert all("@" not in t for t in got.values())
+    assert "[REDACTED]" in got[1]
