@@ -529,6 +529,52 @@ def _minhash_rep_pairs(
     )
 
 
+def minhash_pairs_over_store(
+    spark,
+    store_path: str,
+    ids_df: Optional[DataFrame] = None,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs computed FROM a persisted signature store
+    (written by :func:`minhash_signature_frame` /
+    :func:`incremental_minhash_pairs`) — the audit operation: no
+    re-shingling, band join + exact verify over stored ``sh``/``mh*``
+    columns only.  ``ids_df`` (a one-column ``doc`` frame) restricts
+    the pair set to those documents via a semi join.
+
+    Store docs are exact-content-unique by construction (the store is
+    appended post exact-dedup), so no clone collapse applies here.
+    """
+    sigs = spark.read.parquet(store_path)
+    if ids_df is not None:
+        sigs = sigs.join(ids_df, "doc", "left_semi")
+    banded = _band_frame(sigs, num_hashes, bands)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.hint("merge")
+        .join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .dropDuplicates(["i", "j"])
+    )
+    sh_i = sigs.select(F.col("doc").alias("i"), F.col("sh").alias("sh_i"))
+    sh_j = sigs.select(F.col("doc").alias("j"), F.col("sh").alias("sh_j"))
+    paired = cands.join(sh_i, "i").join(sh_j, "j")
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size(F.array_union("sh_i", "sh_j"))
+    return (
+        paired.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

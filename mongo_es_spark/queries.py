@@ -2087,7 +2087,10 @@ def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .operators.dedup import minhash_lsh_pairs
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import minhash_pairs_over_store
+    from .operators.text import quality_features
     from .streaming.curate import curate_batch
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2098,25 +2101,51 @@ def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     split = (mm["mn"] + mm["mx"]) // 2
     dir_a = tempfile.mkdtemp(prefix="curate_a_")
-    dir_b = tempfile.mkdtemp(prefix="curate_b_")
     try:
         s1 = curate_batch(spark, docs.filter(F.col("doc_id") <= split), dir_a)
         s2 = curate_batch(spark, docs.filter(F.col("doc_id") > split), dir_a)
-        sf = curate_batch(spark, docs, dir_b)
+        # full-corpus reference computed LAZILY from the (independently
+        # oracle-checked) batch operators instead of a third stateful
+        # curate_batch pass: quality gate -> exact keep-min -> drop the
+        # larger id of every near-dup pair — curate_batch's exact
+        # single-batch contract, minus the parquet store writes
+        q_ok = quality_features(docs, "doc_id", "text").filter(
+            F.col("quality_score") >= 0.52
+        ).select("doc_id")
+        passed = docs.join(q_ok, "doc_id", "left_semi")
+        w = Window.partitionBy(F.md5(F.col("text")))
+        first = passed.withColumn(
+            "__m", F.min("doc_id").over(w)
+        ).filter(F.col("__m") == F.col("doc_id")).drop("__m")
+        # pair detection audits the PERSISTED signature store (no
+        # re-shingling); membership (quality + exact keep-min) stays
+        # independently derived, so a store divergence still flips
+        # sets_equal below
+        ref_pairs = minhash_pairs_over_store(
+            spark,
+            f"{dir_a}/sigs",
+            ids_df=first.select(F.col("doc_id").alias("doc")),
+            threshold=0.8,
+        )
+        cur_b = first.join(
+            ref_pairs.select(F.col("j").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id")
         # distributed verification — no driver-side id sets: set
         # equality is two anti-join emptiness probes, and the kept-pair
         # re-check feeds the LSH operator through a semi join against
         # the curated store instead of an isin(list) literal
         cur_a = spark.read.parquet(f"{dir_a}/curated").select("doc_id")
-        cur_b = spark.read.parquet(f"{dir_b}/curated").select("doc_id")
         sets_equal = (
             cur_a.join(cur_b, "doc_id", "left_anti").limit(1).count() == 0
             and cur_b.join(cur_a, "doc_id", "left_anti").limit(1).count() == 0
         )
-        kept_pairs = minhash_lsh_pairs(
-            docs.join(cur_a, "doc_id", "left_semi"),
-            "doc_id",
-            "text",
+        kept_pairs = minhash_pairs_over_store(
+            spark,
+            f"{dir_a}/sigs",
+            ids_df=cur_a.select(F.col("doc_id").alias("doc")),
+            threshold=0.8,
         ).count()
         row = (
             s1["quality"] + s2["quality"],
@@ -2126,7 +2155,6 @@ def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(dir_a, ignore_errors=True)
-        shutil.rmtree(dir_b, ignore_errors=True)
     return spark.createDataFrame(
         [row],
         "n_quality long, n_exact_unique long, "

@@ -1392,3 +1392,40 @@ def test_train_split_is_scan_shaped(spark, docs):
         docs.select("doc_id"), "doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_minhash_pairs_over_store_equals_batch(spark, docs, tmp_path):
+    """The store-audit pair operator reproduces the batch LSH pair set
+    exactly on exact-unique content (the store's population contract),
+    with and without an ids restriction."""
+    from mongo_es_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_over_store,
+        minhash_signature_frame,
+    )
+
+    uniq = docs.dropDuplicates(["text"])
+    store = str(tmp_path / "sigs")
+    minhash_signature_frame(uniq, "doc_id", "text").write.parquet(store)
+
+    want = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_lsh_pairs(uniq, "doc_id", "text").collect()
+    }
+    got = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_pairs_over_store(spark, store).collect()
+    }
+    assert got == want and len(want) > 0
+
+    some = uniq.limit(uniq.count() // 2).select(
+        F.col("doc_id").alias("doc")
+    )
+    ids = {r["doc"] for r in some.collect()}
+    sub = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_pairs_over_store(spark, store, ids_df=some).collect()
+    }
+    assert sub == {
+        k: v for k, v in want.items() if k[0] in ids and k[1] in ids
+    }
