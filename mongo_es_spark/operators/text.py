@@ -673,6 +673,113 @@ def pack_sequences(
     )
 
 
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level content overlap between groups (sources, dumps,
+    snapshots): distinct word-``n``-gram Jaccard for every group pair
+    — the "how much of corpus B is already in corpus A" question that
+    precedes any cross-corpus dedup or train/eval split.
+
+    Output: ``src_a, src_b, n_a, n_b, n_shared, jaccard`` for pairs
+    sharing at least one shingle (``src_a < src_b``).
+
+    Scale shape: explode to distinct (group, shingle) postings (one
+    combined aggregation), then the shared counts come from the same
+    inverted-index merge-join the pair dedup uses — shuffle keyed by
+    shingle, group-pair aggregation map-side combined.  Group count is
+    assumed small (sources/dumps), shingle count is corpus-sized.
+    """
+    from .dedup import shingles_col
+
+    sh = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+        )
+        .dropDuplicates(["g", "s"])
+    )
+    counts = sh.groupBy("g").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        # identical subplans -> one shuffle via ReusedExchange
+        a.hint("merge")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(F.col("g").alias("src_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("g").alias("src_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(ca, "src_a")
+        .join(cb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            _floor6(jac).alias("jaccard"),
+        )
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: int = 1,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic corpus shuffle: assign every row its 0-based
+    position in a pseudo-random-but-reproducible global order — the
+    training-order shuffle done as a dataset column instead of an
+    in-memory permutation.
+
+    Order key = Knuth-hashed id (ties broken by id), so any engine
+    reproduces the identical permutation and ``salt`` re-deals it.
+    Positions come from the same distributed two-pass prefix sum as
+    :func:`pack_sequences`: the hash domain splits into ``n_buckets``
+    contiguous ranges, one count per bucket rolls into broadcast
+    offsets, and ranking runs *inside* each bucket — no
+    single-partition Exchange, parallelism = ``n_buckets``, driver
+    state = the offset table.
+    """
+    k = F.pmod(
+        (F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(HASH_MOD)
+    )
+    width = max(1, -(-HASH_MOD // n_buckets))  # ceil division
+    bucketed = df.withColumn("__k", k).withColumn(
+        "__bucket", (F.col("__k") / F.lit(width)).cast("long")
+    )
+    counts = (
+        bucketed.groupBy("__bucket").agg(F.count("*").alias("__c")).collect()
+    )
+    sizes = {int(r["__bucket"]): int(r["__c"]) for r in counts}
+    offsets, acc = [], 0
+    for b in sorted(sizes):
+        offsets.append((b, acc))
+        acc += sizes[b]
+    if not offsets:
+        return df.select("*", F.lit(0).cast("long").alias("shuffle_pos"))
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__bucket long, __offset long"
+    )
+    w = Window.partitionBy("__bucket").orderBy("__k", id_col)
+    return (
+        bucketed.join(F.broadcast(off_df), "__bucket")
+        .select(
+            *df.columns,
+            (F.col("__offset") + F.row_number().over(w) - 1)
+            .cast("long")
+            .alias("shuffle_pos"),
+        )
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     id_col: str,

@@ -1086,6 +1086,66 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_corpus_overlap",
+    """
+    WITH w AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT g, s FROM (
+            SELECT source AS g,
+                   unnest(list_distinct(
+                       [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)])) AS s
+            FROM w
+        )
+    ),
+    counts AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+    shared AS (
+        SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, ca.n AS n_a, cb.n AS n_b, n_shared,
+           floor(n_shared::DOUBLE / (ca.n + cb.n - n_shared) * 1000000)
+               / 1000000 AS jaccard
+    FROM shared
+    JOIN counts ca ON src_a = ca.g
+    JOIN counts cb ON src_b = cb.g
+    """,
+)
+def text_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap (distinct shingle Jaccard per
+    source pair) — the corpus-level contamination question (see
+    operators/text.corpus_overlap)."""
+    from .operators.text import corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_overlap(docs, "source", "text")
+
+
+@register(
+    "text_corpus_shuffle",
+    """
+    SELECT doc_id,
+           (row_number() OVER (
+                ORDER BY ((doc_id + 1) * 2654435761) % 4294967296,
+                         doc_id) - 1)::BIGINT AS shuffle_pos
+    FROM documents
+    """,
+)
+def text_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle as a dataset column (see
+    operators/text.corpus_shuffle — distributed two-pass prefix sum,
+    no single-partition ranking)."""
+    from .operators.text import corpus_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(docs, "doc_id")
+
+
+@register(
     "text_unigram_xent",
     """
     WITH tok AS (

@@ -225,3 +225,48 @@ def test_semantic_dedup_pairs_share_cluster_shuffle(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastExchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_shuffle_no_single_partition_ranking(spark):
+    """The global shuffle position must come from the bucketed
+    two-pass prefix sum — never a SinglePartition Exchange feeding one
+    giant window (the classic row_number-over-everything trap)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_corpus_shuffle"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # ranking runs, but inside buckets
+
+
+def test_unigram_xent_bounded_shuffles(spark):
+    """Vocab agg + token join + doc agg: the whole signal fits in a
+    handful of exchanges, total broadcast-joined (one row), no
+    nested-loop anywhere."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_unigram_xent"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) <= 6
+
+
+def test_weighted_pairs_no_cartesian(spark):
+    """The bounded clone contract stays an equi-join plan — no
+    cartesian/nested-loop even though it aggregates group sizes."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dedup_pairs_weighted"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_corpus_overlap_is_equijoin_shaped(spark):
+    """The source-pair overlap is a posting-list equi-join (merge
+    join on the shingle), never a cartesian over group pairs; the
+    identical self-join sides share their shuffle at runtime via AQE
+    ReusedExchange (not visible in the static plan)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_corpus_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan
