@@ -1174,3 +1174,100 @@ def corpus_sketch_stats(
             <= err * F.greatest(F.col("p50_tokens"), F.lit(1.0))
         ).alias("approx_p50_ok"),
     )
+
+
+# --------------------------------------------------------------------
+# Misra-Gries heavy hitters (frequent tokens without a full shuffle)
+# --------------------------------------------------------------------
+
+def _mg_partition_kernel(k: int):
+    """Per-partition Misra-Gries summary over a token column: at most
+    ``k`` counters survive; each batch folds in via value_counts (one
+    Python step per DISTINCT token per batch, Arrow-delivered).  Emits
+    the k surviving (token, cnt) rows plus one null-token row carrying
+    the partition's total decrement (the undercount bound)."""
+    import pandas as pd
+
+    def gen(batches):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for tok, c in pdf["t"].value_counts().items():
+                c = int(c)
+                if tok in counters:
+                    counters[tok] += c
+                elif len(counters) < k:
+                    counters[tok] = c
+                else:
+                    # decrement-all by the largest amount that keeps
+                    # counts non-negative (batched MG step): d =
+                    # min(c, smallest surviving counter) per round
+                    while c > 0:
+                        m = min(counters.values())
+                        d = min(c, m)
+                        err += d
+                        c -= d
+                        dead = []
+                        for t2 in counters:
+                            counters[t2] -= d
+                            if counters[t2] == 0:
+                                dead.append(t2)
+                        for t2 in dead:
+                            del counters[t2]
+                        if c > 0 and len(counters) < k:
+                            counters[tok] = c
+                            c = 0
+        out = pd.DataFrame(
+            {
+                "token": list(counters) + [None],
+                "cnt": list(counters.values()) + [0],
+                "err": [0] * len(counters) + [err],
+            }
+        )
+        yield out
+
+    return gen
+
+
+def frequent_tokens(
+    df: DataFrame,
+    text_col: str,
+    k: int = 64,
+    top: int | None = 20,
+) -> DataFrame:
+    """Corpus heavy hitters WITHOUT shuffling every token: each input
+    partition reduces to a k-sized Misra-Gries summary (mapInPandas,
+    bounded memory), summaries merge by token, and the global answer
+    carries certified bounds — ``count_min <= true count <=
+    count_max``, with every token of true frequency > N/(k+1)
+    guaranteed present across the merged summaries.
+
+    The shuffle moves at most partitions × (k+1) rows instead of N
+    tokens — the sketch path for "what dominates this 100 TB corpus"
+    next to the exact (full-shuffle) :func:`vocabulary`.
+
+    Output: ``token, count_min, count_max`` for the ``top`` tokens by
+    lower bound (ties broken by token for determinism); ``top=None``
+    returns every surviving summary token (the frame the coverage
+    guarantee speaks about).
+    """
+    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.explode(tokens_col(F.col(text_col))).alias("t")
+    )
+    sk = toks.mapInPandas(
+        _mg_partition_kernel(k), "token string, cnt long, err long"
+    ).localCheckpoint(eager=True)  # tiny: partitions x (k+1) rows
+    total_err = sk.agg(F.sum("err").alias("e"))
+    merged = (
+        sk.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("count_min"))
+    )
+    out = merged.join(F.broadcast(total_err)).select(
+        "token",
+        "count_min",
+        (F.col("count_min") + F.col("e")).alias("count_max"),
+    )
+    if top is None:
+        return out
+    return out.orderBy(F.col("count_min").desc(), F.col("token")).limit(top)

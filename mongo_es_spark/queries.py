@@ -1086,6 +1086,73 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_frequent_tokens",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM vocab)
+    SELECT n AS n_tokens,
+           (SELECT count(*) FROM vocab, tot
+             WHERE c > n / 65.0)::BIGINT AS n_heavy,
+           true AS heavy_covered,
+           true AS bounds_ok
+    FROM tot
+    """,
+)
+def text_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/text.frequent_tokens, k=64)
+    reduced to oracle-pinnable assertions:
+
+    * ``n_tokens`` / ``n_heavy``: corpus token total and the number of
+      distinct tokens above the N/(k+1) guarantee threshold — both
+      computed independently in Spark and DuckDB;
+    * ``heavy_covered``: every heavy token appears in the merged
+      sketch summaries (the MG coverage guarantee, checked against
+      Spark-exact counts);
+    * ``bounds_ok``: for every sketch token present,
+      ``count_min <= exact count <= count_max``.
+    """
+    from .operators.text import frequent_tokens, tokens_col
+
+    k = 64
+    docs = load_table(spark, sf_dir, "documents")
+    sk = frequent_tokens(docs, "text", k=k, top=None)
+    exact = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(tokens_col(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = exact.agg(F.sum("c").cast("long").alias("n"))
+    heavy = exact.join(F.broadcast(tot)).filter(
+        F.col("c") > F.col("n") / F.lit(float(k + 1))
+    )
+    n_heavy = heavy.count()
+    covered = (
+        heavy.join(sk, heavy.t == sk.token, "left_anti").limit(1).count() == 0
+    )
+    joined = sk.join(exact, sk.token == exact.t)
+    bounds_ok = (
+        joined.filter(
+            (F.col("count_min") > F.col("c"))
+            | (F.col("c") > F.col("count_max"))
+        )
+        .limit(1)
+        .count()
+        == 0
+    )
+    n_tokens = tot.first()["n"]
+    return spark.createDataFrame(
+        [(n_tokens, n_heavy, covered, bounds_ok)],
+        "n_tokens long, n_heavy long, heavy_covered boolean, "
+        "bounds_ok boolean",
+    )
+
+
+@register(
     "text_corpus_overlap",
     """
     WITH w AS (

@@ -1429,3 +1429,43 @@ def test_minhash_pairs_over_store_equals_batch(spark, docs, tmp_path):
     assert sub == {
         k: v for k, v in want.items() if k[0] in ids and k[1] in ids
     }
+
+
+def test_frequent_tokens_mg_bounds_and_coverage(spark):
+    """Misra-Gries invariants under forced eviction (k=4, many
+    distinct tokens): every token above N/(k+1) survives the merge,
+    and each reported interval brackets the exact count — for any
+    partitioning of the input."""
+    from mongo_es_spark.operators.text import frequent_tokens
+
+    rows = []
+    doc = 0
+    # heavy tokens: 'alpha' x 300, 'beta' x 200; tail: 150 singletons
+    for tok, m in (("alpha", 300), ("beta", 200)):
+        for i in range(0, m, 10):
+            rows.append((doc, " ".join([tok] * 10)))
+            doc += 1
+    for i in range(150):
+        rows.append((doc, f"tail{i}"))
+        doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+
+    sk = {
+        r["token"]: (r["count_min"], r["count_max"])
+        for r in frequent_tokens(df, "text", k=4, top=None).collect()
+    }
+    n = 300 + 200 + 150
+    exact = {"alpha": 300, "beta": 200}
+    # coverage: true count > N/(k+1) = 130 -> must be present
+    for tok, c in exact.items():
+        assert tok in sk, tok
+    # bounds bracket the truth for every reported token
+    for tok, (lo, hi) in sk.items():
+        c = exact.get(tok, 1)
+        assert lo <= c <= hi, (tok, lo, c, hi)
+    # top ordering surfaces the heavies first
+    top2 = [
+        r["token"]
+        for r in frequent_tokens(df, "text", k=4, top=2).collect()
+    ]
+    assert top2[0] == "alpha" and top2[1] == "beta"
