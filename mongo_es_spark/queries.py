@@ -1086,6 +1086,55 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_colocated_join",
+    """
+    SELECT l_orderkey AS order_key,
+           count(*)::BIGINT AS n_lines,
+           sum(l_quantity) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once layout: fact tables written bucketed +
+    in-bucket sorted on the join key, then the per-order rollup join
+    runs with ZERO exchanges (plan-contract pinned) — the scan itself
+    carries the hash distribution and sort order.  At 100 TB this is
+    the difference between an interactive join and re-shuffling both
+    tables per query."""
+    import tempfile
+
+    from .plans.bucketed import read_bucketed, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    write_bucketed(
+        li, "li_bkt", ["l_orderkey"], 16, f"{base}/li",
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        orders, "ord_bkt", ["o_orderkey"], 16, f"{base}/ord",
+        sort_cols=["o_orderkey"],
+    )
+    lb, ob = read_bucketed(spark, "li_bkt"), read_bucketed(spark, "ord_bkt")
+    return (
+        lb.hint("merge")
+        .join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .select(
+            F.col("l_orderkey").alias("order_key"), "n_lines", "total_qty"
+        )
+    )
+
+
+@register(
     "text_frequent_tokens",
     """
     WITH tok AS (

@@ -270,3 +270,14 @@ def test_corpus_overlap_is_equijoin_shaped(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    """Bucketed + sorted layout: the per-order rollup join must run
+    with NO Exchange anywhere — distribution comes from the bucketed
+    scan, order from the in-bucket sort (pay-the-shuffle-once)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["bucketed_colocated_join"](spark, SF))
+    assert n_exchanges(plan) == 0
+    assert "SortMergeJoin" in plan
