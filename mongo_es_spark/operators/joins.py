@@ -29,7 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "bucketed_range_join"]
+__all__ = ["asof_join", "bucketed_range_join", "salted_join"]
 
 
 def asof_join(
@@ -165,3 +165,42 @@ def bucketed_range_join(
         *[l_tag[c] for c in left.columns],
         *[r_tag[c] for c in r_cols],
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigation equi-join: split every hot key's rows across
+    ``n_salts`` shuffle partitions by salting the big side, replicate
+    the small side once per salt, and join on ``(key, salt)``.
+
+    The one-hot-key pathology (90% of a 100 TB fact table sharing one
+    key) turns a plain shuffle join into a single straggler task; the
+    salted form bounds any task at ~1/n_salts of the hot key.  AQE's
+    skew-join split handles the sort-merge case adaptively at runtime;
+    explicit salting is the deterministic contract that (a) also works
+    when AQE statistics are stale or disabled and (b) composes under a
+    following per-key aggregation.  The salt value is arbitrary per
+    row (any value joins correctly against the replicated side), so it
+    derives from a row-local id — no extra shuffle to assign it.
+
+    Result equals ``big.join(small, on, how)`` exactly.  ``how``
+    supports the key-preserving variants (inner / left).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    keys = list(on)
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        .cast("int"),
+    )
+    small_s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    return big_s.join(small_s, keys + ["__salt"], how).drop("__salt")

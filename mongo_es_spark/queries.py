@@ -1092,6 +1092,40 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_skew_join",
+    """
+    WITH stats AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, s.n_docs, s.total_chars
+    FROM documents d JOIN stats s USING (source)
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation join: documents (hot low-cardinality `source`
+    keys) against per-source stats via salting — every hot key's rows
+    split across n_salts shuffle partitions instead of one straggler
+    task (operators/joins.salted_join; result equals the plain join
+    exactly).  The merge hint forces the shuffle path the operator
+    exists for — broadcasting would hide the skew problem the demo
+    measures."""
+    from .operators.joins import salted_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return salted_join(
+        docs.select("doc_id", "source"), stats.hint("merge"), ["source"]
+    ).select("doc_id", "source", "n_docs", "total_chars")
+
+
+@register(
     "bucketed_colocated_join",
     """
     SELECT l_orderkey AS order_key,

@@ -1469,3 +1469,31 @@ def test_frequent_tokens_mg_bounds_and_coverage(spark):
         for r in frequent_tokens(df, "text", k=4, top=2).collect()
     ]
     assert top2[0] == "alpha" and top2[1] == "beta"
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """salted_join must reproduce the plain join exactly on a
+    pathologically skewed key distribution (one key owning 95% of
+    rows), for inner and left, and spread each key over n_salts."""
+    from mongo_es_spark.operators.joins import salted_join
+
+    big = spark.range(0, 20_000).select(
+        F.col("id").alias("k").cast("long"),
+        F.when(F.col("id") < 19_000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 37).cast("string")))
+        .alias("key"),
+    ).select(F.col("key"), F.col("k"))
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold3", 2), ("absent", 9)], "key string, v int"
+    )
+
+    for how in ("inner", "left"):
+        want = sorted(
+            (r["key"], r["k"], r["v"])
+            for r in big.join(small, "key", how).collect()
+        )
+        got = sorted(
+            (r["key"], r["k"], r["v"])
+            for r in salted_join(big, small, ["key"], n_salts=8, how=how).collect()
+        )
+        assert got == want and len(want) > 0

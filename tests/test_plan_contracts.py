@@ -281,3 +281,15 @@ def test_bucketed_join_has_zero_exchanges(spark):
     plan = plan_of(e.queries()["bucketed_colocated_join"](spark, SF))
     assert n_exchanges(plan) == 0
     assert "SortMergeJoin" in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must shuffle on (key, salt) — the salt column
+    appears in the join keys, so a hot key's rows split across
+    n_salts partitions instead of one straggler task."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["salted_skew_join"](spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
