@@ -277,6 +277,48 @@ def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "op", "value", "ts_ms")
 
 
+@register(
+    "cdc_checkpoint_replay",
+    f"""
+    WITH {_COMPACT_CTES}
+    SELECT user_id, op, value, ts_ms FROM compacted
+    """,
+)
+def cdc_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-restart invariant, cross-engine-checked:
+    compacting a time-prefix, persisting its survivors, then
+    compacting (survivors ∪ suffix) must equal one full-feed
+    compaction — the property that makes the reference's scan-then-
+    tail phasing (and any micro-batch restart) sound.  The oracle is
+    the SINGLE-pass compaction; the Spark side runs the TWO-stage
+    resume.  Note the algebra is associative only under time-ordered
+    splits — arbitrary (salted) splits are unsound, see
+    operators/compaction.py.
+    """
+    oplog = events_as_oplog(spark, sf_dir)
+    mm = oplog.agg(
+        F.min("ts_ms").alias("mn"), F.max("ts_ms").alias("mx")
+    ).first()
+    mid = (int(mm["mn"]) + int(mm["mx"])) // 2
+    cols = ["user_id", "ts_ms", "event_id", "op", "value"]
+    kw = dict(
+        key_cols=["user_id"],
+        ts_col="ts_ms",
+        op_col="op",
+        payload_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    prefix_survivors = compact_events(
+        oplog.filter(F.col("ts_ms") <= mid), **kw
+    )
+    resumed = prefix_survivors.select(*cols).unionByName(
+        oplog.filter(F.col("ts_ms") > mid).select(*cols)
+    )
+    return compact_events(resumed, **kw).select(
+        "user_id", "op", "value", "ts_ms"
+    )
+
+
 # --------------------------------------------------------------------
 # T2 — delete transform: op='d' events as IRDelete rows
 # (reference: src/processor.ts:57-64)
