@@ -1288,6 +1288,102 @@ def text_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_heavy_hitters",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM vocab)
+    SELECT n AS n_tokens,
+           (SELECT count(*) FROM vocab, tot
+             WHERE c > n / 65.0)::BIGINT AS n_heavy,
+           true AS heavy_covered,
+           true AS bounds_ok
+    FROM tot
+    """,
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sketch path under the same hard oracle as its
+    batch twin (text_frequent_tokens): the documents table replays as
+    a file stream, sharded Misra-Gries state folds across triggers
+    (streaming/heavy.py), and the latest-wins snapshot must satisfy
+    the identical coverage + bracket guarantees — per-shard err <=
+    n_shard/(k+1) <= N/(k+1), so every globally-heavy token survives
+    the stream exactly as it would the batch pass.
+    """
+    import shutil
+    import tempfile
+
+    from .operators.text import tokens_col
+    from .streaming.heavy import (
+        heavy_hitters_snapshot,
+        run_streaming_heavy_hitters,
+    )
+
+    k = 64
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="hh_stream_")
+    try:
+        # the fixture ships documents.parquet as a single file; the
+        # file-stream source wants a directory, so glob-filter it
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long"
+            )
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        q = run_streaming_heavy_hitters(
+            spark,
+            stream,
+            "text",
+            f"{base}/sink",
+            f"{base}/ckpt",
+            k=k,
+            n_shards=8,
+        )
+        q.awaitTermination(300)
+        sk = heavy_hitters_snapshot(spark, f"{base}/sink", top=None)
+
+        exact = (
+            docs.filter(F.length(F.trim(F.col("text"))) > 0)
+            .select(F.explode(tokens_col(F.col("text"))).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("c"))
+        )
+        tot = exact.agg(F.sum("c").cast("long").alias("n"))
+        heavy = exact.join(F.broadcast(tot)).filter(
+            F.col("c") > F.col("n") / F.lit(float(k + 1))
+        )
+        n_heavy = heavy.count()
+        covered = (
+            heavy.join(sk, heavy.t == sk.token, "left_anti").limit(1).count()
+            == 0
+        )
+        joined = sk.join(exact, sk.token == exact.t)
+        bounds_ok = (
+            joined.filter(
+                (F.col("count_min") > F.col("c"))
+                | (F.col("c") > F.col("count_max"))
+            )
+            .limit(1)
+            .count()
+            == 0
+        )
+        n_tokens = tot.first()["n"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_tokens, n_heavy, covered, bounds_ok)],
+        "n_tokens long, n_heavy long, heavy_covered boolean, "
+        "bounds_ok boolean",
+    )
+
+
+@register(
     "text_corpus_overlap",
     """
     WITH w AS (
