@@ -2709,6 +2709,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc, pairs = semantic_dedup_frames(
         emb, "vec_id", "embedding", n_clusters=8, threshold=0.45
     )
+    # NOTE: eager localCheckpoints of per_doc/pairs were measured
+    # SLOWER here (6.5 s vs 6.0 s at sf0.1) — the materialization
+    # barriers cost more than the repeated lazy evaluation saves
     flags = per_doc.select(F.col("vec_id"), "kept")
 
     kept_pairs = (
