@@ -1134,6 +1134,50 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_profile",
+    """
+    WITH t AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)
+    SELECT p.* FROM t, LATERAL (
+        SELECT 'l_orderkey' AS "column", n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT AS n_nulls,
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS n_distinct,
+               (SELECT CAST(min(l_orderkey) AS VARCHAR) FROM lineitem) AS min_value,
+               (SELECT CAST(max(l_orderkey) AS VARCHAR) FROM lineitem) AS max_value
+        UNION ALL
+        SELECT 'l_suppkey', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)::BIGINT,
+               (SELECT count(DISTINCT l_suppkey) FROM lineitem)::BIGINT,
+               (SELECT CAST(min(l_suppkey) AS VARCHAR) FROM lineitem),
+               (SELECT CAST(max(l_suppkey) AS VARCHAR) FROM lineitem)
+        UNION ALL
+        SELECT 'l_returnflag', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL)::BIGINT,
+               (SELECT count(DISTINCT l_returnflag) FROM lineitem)::BIGINT,
+               (SELECT min(l_returnflag) FROM lineitem),
+               (SELECT max(l_returnflag) FROM lineitem)
+        UNION ALL
+        SELECT 'l_linestatus', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL)::BIGINT,
+               (SELECT count(DISTINCT l_linestatus) FROM lineitem)::BIGINT,
+               (SELECT min(l_linestatus) FROM lineitem),
+               (SELECT max(l_linestatus) FROM lineitem)
+    ) p
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ingest-QA profile (operators/profile.py): nulls,
+    distincts, min/max for every column in ONE aggregation — the
+    oracle does it the naive way (one subquery per statistic) and the
+    results must match exactly."""
+    from .operators.profile import table_profile as profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(
+        li, ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    )
+
+
+@register(
     "salted_skew_join",
     """
     WITH stats AS (

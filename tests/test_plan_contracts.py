@@ -293,3 +293,16 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "SortMergeJoin" in plan
     assert "__salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_table_profile_is_single_pass(spark):
+    """All column statistics must come from ONE table scan (the
+    multi-distinct compiles to a single Expand + aggregate), never a
+    scan per statistic."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["table_profile"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
