@@ -306,3 +306,19 @@ def test_table_profile_is_single_pass(spark):
     plan = plan_of(e.queries()["table_profile"](spark, SF))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan
+
+
+def test_frequent_tokens_merges_sketch_rows_only(spark):
+    """The heavy-hitters merge plan must operate on the MATERIALIZED
+    per-partition summaries (partitions x (k+1) rows, the checkpointed
+    RDD scan), never re-explode the token stream: no Generate, total
+    joined as a broadcast one-row frame, top-k via TakeOrdered."""
+    from mongo_es_spark.operators.text import frequent_tokens
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(frequent_tokens(docs, "text", k=16, top=5))
+    assert "Scan ExistingRDD" in plan  # the materialized sketch
+    assert "Generate" not in plan      # tokens never re-exploded
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # the one-row error total
