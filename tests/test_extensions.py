@@ -1497,3 +1497,35 @@ def test_salted_join_equals_plain_join_under_skew(spark):
             for r in salted_join(big, small, ["key"], n_salts=8, how=how).collect()
         )
         assert got == want and len(want) > 0
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(emb):
+    """Multi-probe candidates are a superset of single-probe (Hamming
+    radius 0 is always probed), scores stay exact cosines, and the
+    probe radius strictly expands the candidate set on this corpus."""
+    from mongo_es_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in cosine_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    }
+    r0 = {
+        r["vec_id"]: r["score"]
+        for r in ann_lsh_topk(
+            emb, "vec_id", "embedding", 0, 64, k=10, multiprobe=0
+        ).collect()
+    }
+    r1 = {
+        r["vec_id"]: r["score"]
+        for r in ann_lsh_topk(
+            emb, "vec_id", "embedding", 0, 64, k=10, multiprobe=1
+        ).collect()
+    }
+    # where ANN and exact top-10 overlap, scores are the exact cosines
+    for got in (r0, r1):
+        for vid, s in got.items():
+            if vid in exact:
+                assert s == exact[vid], (vid, s)
+    # recall (overlap with exact top-10) never decreases with probes
+    assert len(set(r1) & set(exact)) >= len(set(r0) & set(exact))
+    assert len(set(r1) & set(exact)) >= 5  # the asserted floor
