@@ -298,6 +298,68 @@ def unigram_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated bigram LM
+    trained on the corpus itself:
+
+        P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                         + (1 - lam) * c(w_i) / N
+
+    The conditional term catches what unigram statistics can't —
+    shuffled word salad scores high here while its unigram entropy
+    looks normal — which is why fluency-style quality filters use a
+    (at least) bigram model.  Output: ``id, n_bigrams, xent2`` (nats,
+    floor-stabilized; docs with < 2 tokens get 0 by convention).
+
+    Shuffle shape: bigram pairs come from zipping the token array
+    with its tail (pure JVM, no self-join on positions), then the
+    usual combined count aggregations and key-joins — the same plan
+    family as the unigram signal, one extra join for the bigram table.
+    """
+    toks = tokens_col(F.col(text_col))
+    nt = F.size(toks)
+    pairs = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, nt - 1).alias("p"),
+                F.slice(toks, 2, nt - 1).alias("c"),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.c").alias("c"))
+
+    uni = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("n"))
+    bi = pairs.groupBy("p", "c").agg(F.count("*").alias("c2"))
+
+    prob = F.lit(lam) * (F.col("c2") / F.col("c1p")) + F.lit(1.0 - lam) * (
+        F.col("c1c") / F.col("n")
+    )
+    per_doc = (
+        pairs.join(bi, ["p", "c"])
+        .join(uni.select(F.col("t").alias("p"), F.col("c1").alias("c1p")), "p")
+        .join(uni.select(F.col("t").alias("c"), F.col("c1").alias("c1c")), "c")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            _floor6(F.avg(-F.log(prob))).alias("xent2"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("xent2", F.lit(0.0)).alias("xent2"),
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

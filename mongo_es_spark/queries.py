@@ -1520,6 +1520,51 @@ def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_xent",
+    """
+    WITH t0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM t0),
+    uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+    tot AS (SELECT sum(c1)::DOUBLE AS n FROM uni),
+    pairs AS (
+        SELECT doc_id,
+               unnest([{'p': w[i], 'c': w[i + 1]}
+                       for i in range(1, len(w))], recursive := true)
+        FROM t0
+    ),
+    bi AS (SELECT p, c, count(*) AS c2 FROM pairs GROUP BY p, c),
+    x AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               floor(avg(-ln(0.7 * (c2 / up.c1)
+                             + 0.3 * (uc.c1 / n))) * 1000000)
+                   / 1000000 AS xent2
+        FROM pairs
+        JOIN bi USING (p, c)
+        JOIN uni up ON pairs.p = up.t
+        JOIN uni uc ON pairs.c = uc.t
+        CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(x.n_bigrams, 0) AS n_bigrams,
+           coalesce(x.xent2, 0.0) AS xent2
+    FROM documents d LEFT JOIN x USING (doc_id)
+    """,
+)
+def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency-style quality signal: per-doc cross-entropy under the
+    corpus's interpolated bigram LM (see operators/text.py — catches
+    word salad that unigram entropy misses)."""
+    from .operators.text import bigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy(docs, "doc_id", "text")
+
+
+@register(
     "text_train_split",
     """
     SELECT doc_id, source,

@@ -1529,3 +1529,34 @@ def test_multiprobe_lsh_recall_dominates_single_probe(emb):
     # recall (overlap with exact top-10) never decreases with probes
     assert len(set(r1) & set(exact)) >= len(set(r0) & set(exact))
     assert len(set(r1) & set(exact)) >= 5  # the asserted floor
+
+
+def test_bigram_xent_flags_word_salad(spark):
+    """The conditional term must separate fluent repetition from
+    shuffled word salad built from the same vocabulary — the signal
+    unigram entropy cannot see (identical token multiset => identical
+    unigram xent)."""
+    from mongo_es_spark.operators.text import (
+        bigram_cross_entropy,
+        unigram_cross_entropy,
+    )
+
+    fluent = "the cat sat on the mat " * 20
+    # same token multiset, scrambled order (fixed co-prime stride) —
+    # the corpus is dominated by fluent docs, so the LM's bigram
+    # statistics reflect fluent order and the salad's transitions
+    # are rare under it
+    toks = fluent.split()
+    salad = " ".join(toks[(i * 77) % len(toks)] for i in range(len(toks)))
+    rows = [(i, fluent) for i in range(1, 11)] + [(99, salad)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bx = {
+        r["doc_id"]: r["xent2"]
+        for r in bigram_cross_entropy(df, "doc_id", "text").collect()
+    }
+    ux = {
+        r["doc_id"]: r["xent"]
+        for r in unigram_cross_entropy(df, "doc_id", "text").collect()
+    }
+    assert abs(ux[1] - ux[99]) < 0.05     # unigram can't tell them apart
+    assert bx[99] > bx[1] + 0.1           # bigram can
