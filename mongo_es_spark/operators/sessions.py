@@ -136,3 +136,45 @@ def retention(
         .groupBy("cohort_bucket", "offset")
         .agg(F.count("*").cast("long").alias("n_active"))
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    bucket_ms: int = 3_600_000,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Event-rate anomaly detection — the monitoring query a CDC/event
+    pipeline runs continuously: bucket counts per (type, window),
+    z-score each bucket against its type's own mean/stddev, flag
+    |z| >= threshold (traffic spikes, source outages, replay storms).
+
+    Two aggregations sharing the type keying: per-(type, bucket)
+    counts (map-side combined), then tiny per-type moment rows join
+    back broadcast-style.  Population stddev over the type's observed
+    buckets; types with one bucket or zero variance yield no
+    anomalies (z undefined -> dropped), which is the right monitoring
+    default.  Output: ``event_type, bucket, n, z`` for flagged
+    buckets only.
+    """
+    counts = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.floor(F.col(ts_col) / F.lit(bucket_ms)).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_pop("n").alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .withColumn("z", F.floor(z * 1_000_000) / 1_000_000)
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select("event_type", "bucket", "n", "z")
+    )

@@ -278,6 +278,40 @@ def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rate_anomaly",
+    """
+    WITH c AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, bucket, n,
+           floor((n - mu) / sigma * 1000000) / 1000000 AS z
+    FROM c JOIN s USING (event_type)
+    WHERE sigma > 0
+      AND abs(floor((n - mu) / sigma * 1000000) / 1000000) >= 3.0
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly monitor (operators/sessions.rate_anomalies):
+    hourly per-type counts z-scored against the type's own history,
+    |z| >= 3 flagged — the replay-storm / source-outage detector a
+    CDC pipeline runs continuously."""
+    from .operators.sessions import rate_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select(
+        # integer div: ts is epoch-ns and exceeds double's exact range
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_type",
+    )
+    return rate_anomalies(ev, "ts_ms", "event_type")
+
+
+@register(
     "cdc_checkpoint_replay",
     f"""
     WITH {_COMPACT_CTES}
