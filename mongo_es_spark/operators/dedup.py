@@ -65,15 +65,37 @@ def _shingle_kernel(n: int):
     return kernel
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column.
+def _char_shingle_kernel(n: int):
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < n:
+                out.append([])
+            else:
+                out.append(
+                    list(dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1)))
+                )
+        return pd.Series(out)
+
+    return kernel
+
+
+def shingles_col(text: Column, n: int = 3, mode: str = "word") -> Column:
+    """Distinct n-gram shingles as an array column.
+
+    ``mode="word"`` (default): whitespace-token n-grams.
+    ``mode="char"``: raw character n-grams — the language-agnostic
+    form for unsegmented scripts (CJK, Thai) where whitespace
+    tokenization degenerates to whole-line tokens; use n ~ 12 there
+    (the standard char-shingle width).
 
     Arrow-batched kernel: per-element SQL higher-order functions
     (transform + slice + concat_ws) evaluate interpreted and dominate
     every shingle-based operator's runtime; the Python loop over
     Arrow-delivered strings is ~10x faster and identical in output.
     """
-    return pandas_udf(_shingle_kernel(n), "array<string>")(text)
+    k = _char_shingle_kernel(n) if mode == "char" else _shingle_kernel(n)
+    return pandas_udf(k, "array<string>")(text)
 
 
 # ------------------------------------------------------------------ #
@@ -293,6 +315,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_df: Optional[int] = None,
     clone_weighted: bool = False,
+    mode: str = "word",
 ) -> DataFrame:
     """All pairs (i < j) with shingle-set Jaccard >= threshold.
 
@@ -313,7 +336,7 @@ def jaccard_pairs(
     reps = _group_reps(tm)
     sh = reps.select(
         F.col("rep").alias("doc"),
-        F.explode(shingles_col(F.col("__text"), n)).alias("s"),
+        F.explode(shingles_col(F.col("__text"), n, mode)).alias("s"),
     )
     if max_df is not None:
         hot = (
@@ -345,7 +368,7 @@ def jaccard_pairs(
     # in the brute-force result either
     members = tm.select("rep", "doc")
     shingled_reps = reps.filter(
-        F.size(shingles_col(F.col("__text"), n)) > 0
+        F.size(shingles_col(F.col("__text"), n, mode)) > 0
     ).select("rep")
     if clone_weighted:
         return _weighted_rep_pairs(
@@ -477,12 +500,12 @@ def incremental_minhash_pairs(
     new_sigs.write.mode("append").parquet(store_path)
     return out
 
-def _rep_docs(reps: DataFrame, n: int) -> DataFrame:
+def _rep_docs(reps: DataFrame, n: int, mode: str = "word") -> DataFrame:
     """Clone-group representatives with their shingle sets:
     ``(__text, rep) -> (doc, sh)``, too-short texts dropped."""
     return reps.select(
         F.col("rep").alias("doc"),
-        shingles_col(F.col("__text"), n).alias("sh"),
+        shingles_col(F.col("__text"), n, mode).alias("sh"),
     ).filter(F.size("sh") > 0)
 
 
@@ -584,6 +607,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     clone_weighted: bool = False,
+    mode: str = "word",
 ) -> DataFrame:
     """LSH-accelerated near-duplicate pairs, exact-verified.
 
@@ -598,7 +622,7 @@ def minhash_lsh_pairs(
     """
     tm = _text_groups(df, id_col, text_col)
     reps = _group_reps(tm)
-    docs = _rep_docs(reps, n)
+    docs = _rep_docs(reps, n, mode)
     rep_pairs = _minhash_rep_pairs(docs, threshold, num_hashes, bands)
     members = tm.select("rep", "doc")
     shingled_reps = docs.select(F.col("doc").alias("rep"))

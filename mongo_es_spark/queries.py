@@ -671,6 +671,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_char_jaccard",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [text[i:i+11] for i in range(1, length(text) - 10)]
+               )) AS s
+        FROM documents WHERE length(text) >= 12
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j,
+           round(shared::DOUBLE / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN counts ca ON i = ca.doc_id
+    JOIN counts cb ON j = cb.doc_id
+    WHERE round(shared::DOUBLE / (ca.n + cb.n - shared), 6) >= 0.7
+    """,
+)
+def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-agnostic near-dup pairs: character-12-gram Jaccard
+    (mode='char' on the shared shingle pipeline) — the form that works
+    on unsegmented scripts where whitespace tokenization degenerates.
+    Same inverted-index plan as the word variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        docs, "doc_id", "text", n=12, threshold=0.7, mode="char"
+    )
+
+
+@register(
     "dedup_pairs_weighted",
     """
     WITH g AS (

@@ -1560,3 +1560,23 @@ def test_bigram_xent_flags_word_salad(spark):
     }
     assert abs(ux[1] - ux[99]) < 0.05     # unigram can't tell them apart
     assert bx[99] > bx[1] + 0.1           # bigram can
+
+
+def test_char_shingles_catch_unsegmented_near_dups(spark):
+    """mode='char' must find near-duplicates in whitespace-free text
+    where word shingles see one giant token and find nothing."""
+    from mongo_es_spark.operators.dedup import jaccard_pairs
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789" * 4
+    near = base[:-3] + "XYZ"  # ~98% shared char-12-grams
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "Z" * 60)], "doc_id long, text string"
+    )
+    word = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    char = jaccard_pairs(
+        df, "doc_id", "text", n=12, threshold=0.5, mode="char"
+    ).collect()
+    assert word == []  # single-token docs: no word 3-grams at all
+    got = {(r["i"], r["j"]): r["jaccard"] for r in char}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert all(3 not in k for k in got)
