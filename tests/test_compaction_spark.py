@@ -111,3 +111,52 @@ def test_compaction_one_survivor_per_key(spark):
     ]
     got = spark_fold(spark, events)
     assert len(got) <= 6
+
+
+def test_checkpoint_replay_associativity_randomized(spark):
+    """The prefix-split invariant behind scan-then-tail restarts (and
+    the cdc_checkpoint_replay query): compacting a TIME-ordered prefix
+    and resuming over (survivors ∪ suffix) equals one full-feed
+    compaction — for random event sequences and random split points.
+    (Arbitrary/salted splits are unsound by the documented
+    counterexample; only time-ordered splits carry this property.)"""
+    rng = random.Random(7)
+    for trial in range(5):
+        events = []
+        seq = 0
+        for _ in range(400):
+            key = rng.randint(0, 15)
+            op = rng.choice("iuuud")
+            events.append(
+                (key, rng.randint(0, 40), seq, op, rng.randint(0, 999))
+            )
+            seq += 1
+        full = spark_fold(spark, events)
+
+        split_ts = rng.randint(0, 40)
+        prefix = [e for e in events if e[1] <= split_ts]
+        suffix = [e for e in events if e[1] > split_ts]
+        pre_df = spark.createDataFrame(
+            [(str(k), ts, s, op, float(v)) for k, ts, s, op, v in prefix],
+            "key string, ts long, seq long, op string, value double",
+        )
+        survivors = compact_events(
+            pre_df, ["key"], ts_col="ts", op_col="op",
+            payload_cols=["value"], tiebreak_col="seq",
+        )
+        suf_df = spark.createDataFrame(
+            [(str(k), ts, s, op, float(v)) for k, ts, s, op, v in suffix],
+            "key string, ts long, seq long, op string, value double",
+        )
+        resumed = survivors.select(
+            "key", "ts", "seq", "op", "value"
+        ).unionByName(suf_df)
+        two_stage = compact_events(
+            resumed, ["key"], ts_col="ts", op_col="op",
+            payload_cols=["value"], tiebreak_col="seq",
+        )
+        got = {
+            r["key"]: (r["op"], r["value"], make_ts(r["ts"], r["seq"]))
+            for r in two_stage.collect()
+        }
+        assert got == full, f"trial {trial} split {split_ts}"
