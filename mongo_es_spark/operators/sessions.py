@@ -166,15 +166,32 @@ def rate_anomalies(
         .groupBy("event_type", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    stats = counts.groupBy("event_type").agg(
-        F.avg("n").alias("mu"),
-        F.stddev_pop("n").alias("sigma"),
+    return score_counts(counts, ["event_type"], z_threshold=z_threshold).select(
+        "event_type", "bucket", "n", "z"
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+
+
+def score_counts(
+    counts: DataFrame,
+    key_cols,
+    n_col: str = "n",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Score a pre-bucketed count frame: z per row against its key
+    group's mean/stddev, |z| >= threshold kept.  Shared by the batch
+    monitor above and the streaming windowed monitor
+    (streaming/windows.windowed_anomalies) — counts come from anywhere
+    (raw events, a windowed-aggregation changelog), scoring is the
+    same tiny broadcast-moments join."""
+    stats = counts.groupBy(*key_cols).agg(
+        F.avg(n_col).alias("__mu"),
+        F.stddev_pop(n_col).alias("__sigma"),
+    )
+    z = (F.col(n_col) - F.col("__mu")) / F.col("__sigma")
     return (
-        counts.join(F.broadcast(stats), "event_type")
-        .filter(F.col("sigma") > 0)
+        counts.join(F.broadcast(stats), list(key_cols))
+        .filter(F.col("__sigma") > 0)
         .withColumn("z", F.floor(z * 1_000_000) / 1_000_000)
         .filter(F.abs(F.col("z")) >= z_threshold)
-        .select("event_type", "bucket", "n", "z")
+        .drop("__mu", "__sigma")
     )

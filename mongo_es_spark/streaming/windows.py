@@ -48,3 +48,18 @@ def windowed_op_counts(
             "n",
         )
     )
+
+
+def windowed_anomalies(counts: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """Score a ``windowed_op_counts`` changelog (batch read of the
+    streaming sink): each (ns, op) series z-scored against its own
+    window history — the continuous form of
+    ``operators/sessions.rate_anomalies``.  The stream emits final
+    windows append-only; this scoring pass runs batch over the
+    accumulated sink (or inside ``foreachBatch`` on a schedule), so
+    watermarking and anomaly math stay decoupled."""
+    from ..operators.sessions import score_counts
+
+    return score_counts(counts, ["ns", "op"], z_threshold=z_threshold).select(
+        "window_start", "ns", "op", "n", "z"
+    )

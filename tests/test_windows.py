@@ -68,3 +68,46 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     # late one) + 1 u; the too-late t=80 event never surfaces
     assert got == {(100, "i"): 3, (100, "u"): 1}
     assert not any(int(r["window_start"].timestamp()) == 80 for r in rows)
+
+
+def test_windowed_anomaly_monitor_flags_spike(spark, tmp_path):
+    """The streaming monitor composition: windowed counts drain to a
+    parquet changelog, batch scoring flags the spike window — and
+    nothing else — for the right (ns, op) series."""
+    from mongo_es_spark.streaming.windows import windowed_anomalies
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # steady traffic: 2 inserts per 10s window for windows 100..250;
+    # one spike window at 200 with 14 inserts
+    events = []
+    for w in range(100, 260, 10):
+        events.append((w, "i"))
+        events.append((w + 5, "i"))
+    events += [(200 + k % 10, "i") for k in range(12)]
+    _write_batch(feed, 0, sorted(events))
+    _write_batch(feed, 1, [(400, "i")])  # watermark advancer
+
+    stream = (
+        spark.readStream.schema(OPLOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        windowed_op_counts(stream, window="10 seconds", watermark="30 seconds")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    counts = spark.read.parquet(sink)
+    flagged = windowed_anomalies(counts, z_threshold=3.0).collect()
+    assert len(flagged) == 1
+    r = flagged[0]
+    assert int(r["window_start"].timestamp()) == 200
+    assert r["op"] == "i" and r["n"] == 14 and r["z"] > 3.0
