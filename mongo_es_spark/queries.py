@@ -1636,6 +1636,52 @@ def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_fertility",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               length(text)::BIGINT AS n_chars,
+               len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))::BIGINT AS n_tok
+        FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(n_tok)::BIGINT AS total_bpe,
+           floor(sum(n_chars)::DOUBLE / sum(n_tok) * 1000000) / 1000000
+               AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters per BPE-style
+    pre-token — the standard tokenizer-efficiency report (fertility
+    spread across languages is why multilingual tokenizers get
+    re-trained).  Pure JVM regexp counting + one combined
+    aggregation; the oracle counts the identical RE2/Java-shared
+    pattern's matches."""
+    from .operators.text import bpe_token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        bpe_token_count_col(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tok").alias("total_bpe"),
+        _floor6_local(
+            F.sum("n_chars").cast("double") / F.sum("n_tok")
+        ).alias("chars_per_token"),
+    )
+
+
+def _floor6_local(x):
+    return F.floor(x * 1_000_000) / 1_000_000
+
+
+@register(
     "text_train_split",
     """
     SELECT doc_id, source,
