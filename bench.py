@@ -48,7 +48,15 @@ def main() -> int:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+            # adaptive precision: the driver records only the last
+            # 2000 chars of stdout, and 77 query names + timings must
+            # fit that window as one JSON line (r3 overflowed it)
+            if best >= 10:
+                timings[name] = int(round(best))
+            elif best >= 1:
+                timings[name] = round(best, 1)
+            else:
+                timings[name] = round(best, 2)
         except Exception as exc:  # one broken query must not kill the run
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -116,18 +124,37 @@ def main() -> int:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = sf_dir
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "throughput": throughput,
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "all_queries_total",
+        "value": round(total, 1),
+        "unit": "sec",
+        "queries": timings,
+        "throughput": throughput,
+        "sf": sf,
+    }
+    # Full record to a file for the judge / local diffing.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
     )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the final line as JSON (BENCH_r03 had "parsed": null because the
+    # pretty-printed line overflowed that window).  Throughput goes on
+    # its own line; the final line is minimal compact JSON (~1.95k
+    # chars with 77 query names) so it fits the window whole.
+    print(json.dumps({"throughput": throughput}, separators=(",", ":")))
+    final = dict(result)
+    final.pop("throughput")
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1990:  # last-resort guard: never overflow the window
+        final["queries"] = {
+            k: int(round(v)) for k, v in timings.items()
+        }
+        line = json.dumps(final, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
     return 0
 
 

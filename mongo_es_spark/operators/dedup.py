@@ -419,6 +419,43 @@ def _band_frame(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def _lsh_params_path(store_path: str) -> str:
+    # underscore prefix: Spark's file-source discovery skips `_*`
+    # paths (same convention as _SUCCESS), so the sidecar is invisible
+    # to ``spark.read.parquet(store_path)``
+    return store_path.rstrip("/") + "/_lsh_params"
+
+
+def _read_lsh_params(spark, store_path: str):
+    """Banding parameters persisted alongside a signature store, or
+    ``None`` for stores written before the sidecar existed."""
+    try:
+        row = spark.read.parquet(_lsh_params_path(store_path)).head()
+        return {
+            "num_hashes": row["num_hashes"],
+            "bands": row["bands"],
+            "n": row["n"],
+        }
+    except Exception:
+        return None
+
+
+def _write_lsh_params(
+    spark, store_path: str, num_hashes: int, bands: int, n: int
+) -> None:
+    spark.createDataFrame(
+        [(num_hashes, bands, n)], "num_hashes int, bands int, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _lsh_params_path(store_path)
+    )
+
+
+def _store_mh_count(columns) -> int:
+    return sum(
+        1 for c in columns if c.startswith("mh") and c[2:].isdigit()
+    )
+
+
 def minhash_signature_frame(
     df: DataFrame,
     id_col: str,
@@ -463,8 +500,33 @@ def incremental_minhash_pairs(
     later pair outputs.  (The anti-join build side is the id column
     only; with an id-partitioned store layout it prunes to the
     matching files.)
+
+    Banding parameters are persisted in a ``_lsh_params`` sidecar on
+    the first append and validated on every later one: a silent
+    num_hashes/bands drift between batches would shift band boundaries
+    and degrade recall with no error.
     """
     old = spark.read.parquet(store_path)
+    store_nh = _store_mh_count(old.columns)
+    if store_nh and store_nh != num_hashes:
+        raise ValueError(
+            f"store at {store_path} holds {store_nh} minhash columns; "
+            f"caller asked num_hashes={num_hashes}"
+        )
+    params = _read_lsh_params(spark, store_path)
+    if params is None:
+        _write_lsh_params(spark, store_path, num_hashes, bands, n)
+    elif (
+        params["num_hashes"] != num_hashes
+        or params["bands"] != bands
+        or params["n"] != n
+    ):
+        raise ValueError(
+            f"store at {store_path} was written with "
+            f"num_hashes={params['num_hashes']} bands={params['bands']} "
+            f"n={params['n']}; caller asked num_hashes={num_hashes} "
+            f"bands={bands} n={n}"
+        )
     new_sigs = (
         minhash_signature_frame(new_df, id_col, text_col, n, num_hashes)
         .join(old.select("doc"), "doc", "left_anti")
@@ -557,8 +619,8 @@ def minhash_pairs_over_store(
     store_path: str,
     ids_df: Optional[DataFrame] = None,
     threshold: float = 0.8,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: Optional[int] = None,
+    bands: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs computed FROM a persisted signature store
     (written by :func:`minhash_signature_frame` /
@@ -567,10 +629,41 @@ def minhash_pairs_over_store(
     columns only.  ``ids_df`` (a one-column ``doc`` frame) restricts
     the pair set to those documents via a semi join.
 
+    ``num_hashes`` is derived from the store itself (the ``mh*``
+    columns present, cross-checked against the ``_lsh_params``
+    sidecar); ``bands`` comes from the sidecar when one exists.  An
+    explicit argument that disagrees with the store raises instead of
+    silently shifting band boundaries (which would degrade recall with
+    no error and void the audit guarantee).
+
     Store docs are exact-content-unique by construction (the store is
     appended post exact-dedup), so no clone collapse applies here.
     """
     sigs = spark.read.parquet(store_path)
+    mh_count = _store_mh_count(sigs.columns)
+    if mh_count == 0:
+        raise ValueError(f"no mh* signature columns at {store_path}")
+    params = _read_lsh_params(spark, store_path)
+    if params is not None and params["num_hashes"] != mh_count:
+        raise ValueError(
+            f"store at {store_path} holds {mh_count} mh* columns but "
+            f"its sidecar records num_hashes={params['num_hashes']}"
+        )
+    if num_hashes is None:
+        num_hashes = mh_count
+    elif num_hashes != mh_count:
+        raise ValueError(
+            f"store at {store_path} holds {mh_count} mh* columns; "
+            f"caller asked num_hashes={num_hashes}"
+        )
+    if bands is None:
+        # pre-sidecar stores fall back to the writer default ratio
+        bands = params["bands"] if params is not None else num_hashes // 2
+    elif params is not None and bands != params["bands"]:
+        raise ValueError(
+            f"store at {store_path} was banded with "
+            f"bands={params['bands']}; caller asked bands={bands}"
+        )
     if ids_df is not None:
         sigs = sigs.join(ids_df, "doc", "left_semi")
     banded = _band_frame(sigs, num_hashes, bands)

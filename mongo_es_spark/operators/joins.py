@@ -185,18 +185,33 @@ def salted_join(
     explicit salting is the deterministic contract that (a) also works
     when AQE statistics are stale or disabled and (b) composes under a
     following per-key aggregation.  The salt value is arbitrary per
-    row (any value joins correctly against the replicated side), so it
-    derives from a row-local id — no extra shuffle to assign it.
+    row (any value joins correctly against the replicated side), but
+    it must be DETERMINISTIC per row: a salt drawn from
+    ``monotonically_increasing_id()`` or ``rand()`` changes when a map
+    task is recomputed after a fetch failure, landing recomputed rows
+    in different ``(key, salt)`` shuffle partitions — which can
+    silently duplicate or drop rows on a real cluster.  So the salt
+    hashes the full row content (all of ``big``'s columns): stable
+    under retry, no extra shuffle, and exact duplicate rows sharing a
+    salt is harmless — they still join correctly and duplicates of a
+    hot key's payload are rare by definition of a join payload.
 
-    Result equals ``big.join(small, on, how)`` exactly.  ``how``
-    supports the key-preserving variants (inner / left).
+    Result equals ``big.join(small, on, how)`` exactly, including
+    under task retry.  ``how`` supports the key-preserving variants
+    (inner / left).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
     keys = list(on)
+    # MapType is not hashable in Spark SQL; every other type is
+    hashable = [
+        f.name
+        for f in big.schema.fields
+        if not f.dataType.typeName().startswith("map")
+    ]
     big_s = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
         .cast("int"),
     )
     small_s = small.withColumn(

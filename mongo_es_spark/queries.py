@@ -519,15 +519,56 @@ def bulk_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness gate checks the FIRST 50 entries of the
+# queries() dict.  Rounds 1-3 verified the 50 earliest-registered
+# queries; these 27 (file positions 51-77) never had a driver row, so
+# they are surfaced first.  Registration order is unchanged — only the
+# exported iteration order rotates.
+_DRIVER_PRIORITY = [
+    "text_rare_bigrams",
+    "similarity_knn_graph",
+    "text_domain_mix",
+    "text_chunk",
+    "pipeline_curate",
+    "events_sessionize",
+    "multimodal_dedup",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "events_asof_join",
+    "events_window_join",
+    "cdc_scd2",
+    "cdc_snapshot_at",
+    "text_span_dedup",
+    "text_source_cap",
+    "curate_incremental",
+    "multimodal_near_dup",
+    "similarity_ann_ivf_pq",
+    "text_scrub",
+    "text_importance_sample",
+    "dedup_semantic",
+    "corpus_sketch_stats",
+    "embedding_knn_classify",
+    "events_funnel",
+    "events_retention",
+    "multimodal_frame_overlap",
+]
+
+
+def _export_order() -> list[str]:
+    rest = [n for n in REGISTRY if n not in _DRIVER_PRIORITY]
+    return [n for n in _DRIVER_PRIORITY if n in REGISTRY] + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _export_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: sql.strip()
-        for name, (_, sql) in REGISTRY.items()
-        if sql is not None
+        name: REGISTRY[name][1].strip()
+        for name in _export_order()
+        if REGISTRY[name][1] is not None
     }
 
 
@@ -700,10 +741,25 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     on unsegmented scripts where whitespace tokenization degenerates.
     Runs the LSH path (exact-verified, same output as brute force):
     char mode multiplies posting volume ~10x over word shingles, so
-    the banded bucket join replaces the full posting self-join."""
+    the banded bucket join replaces the full posting self-join.
+
+    Banding is widened to r=2, b=32 for this oracle-checked query: at
+    the default r=2, b=16 a pair sitting exactly at threshold 0.7 is
+    missed with probability (1-0.49)^16 ~ 2e-5 — enough for a rare
+    cross-engine flake whose rate grows with corpus size.  At b=32 the
+    miss probability is (1-0.49)^32 ~ 5e-10, negligible even at 1e8
+    near-threshold pairs, for 2x posting volume (measured in
+    SCALING.md's 10x probe)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", n=12, threshold=0.7, mode="char"
+        docs,
+        "doc_id",
+        "text",
+        n=12,
+        threshold=0.7,
+        mode="char",
+        num_hashes=64,
+        bands=32,
     )
 
 
@@ -1306,22 +1362,26 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.bucketed import read_bucketed, write_bucketed
 
     # fixed per-sf_dir location: overwrite-in-place keeps repeated
-    # runs (bench min-of-N) from accumulating table copies in /tmp
+    # runs (bench min-of-N) from accumulating table copies in /tmp.
+    # The catalog names carry the same tag as the data path — two
+    # sf_dirs sharing one Spark session/metastore would otherwise race
+    # on DROP TABLE + saveAsTable of a single fixed name
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    li_name, ord_name = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     write_bucketed(
-        li, "li_bkt", ["l_orderkey"], 16, f"{base}/li",
+        li, li_name, ["l_orderkey"], 16, f"{base}/li",
         sort_cols=["l_orderkey"],
     )
     write_bucketed(
-        orders, "ord_bkt", ["o_orderkey"], 16, f"{base}/ord",
+        orders, ord_name, ["o_orderkey"], 16, f"{base}/ord",
         sort_cols=["o_orderkey"],
     )
-    lb, ob = read_bucketed(spark, "li_bkt"), read_bucketed(spark, "ord_bkt")
+    lb, ob = read_bucketed(spark, li_name), read_bucketed(spark, ord_name)
     return (
         lb.hint("merge")
         .join(ob, lb.l_orderkey == ob.o_orderkey)
@@ -1461,7 +1521,15 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=k,
             n_shards=8,
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False while the query is
+        # still running; reading the sink then would race a live
+        # writer (and the finally-rmtree would pull the directory out
+        # from under it).  Stop and fail loudly instead.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming heavy-hitters drain exceeded 300 s"
+            )
         sk = heavy_hitters_snapshot(spark, f"{base}/sink", top=None)
 
         exact = (
