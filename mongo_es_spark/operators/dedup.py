@@ -799,6 +799,30 @@ def _simhash_chunks(sims: DataFrame) -> DataFrame:
     ).select("doc", "sig", "bb.chunk", "bb.val")
 
 
+def _first_colliding_chunk() -> Column:
+    """Join-side canonicalization predicate: a pair colliding in
+    several pigeonhole chunks would surface once per collision; rather
+    than shuffling the candidate set through dropDuplicates (an extra
+    exchange of the quadratic intermediate — the one frame worth
+    keeping off the wire at scale), emit the pair only from the
+    SMALLEST colliding chunk index.  For every chunk index c' below
+    the joined row's chunk, the two signatures must differ at c' —
+    a pure row-local filter evaluated from the rode-along ``sig``
+    columns."""
+    conds = []
+    for cp in range(3):
+        differs = (
+            F.shiftrightunsigned(F.col("a.sig"), 16 * cp) % F.lit(1 << 16)
+        ) != (
+            F.shiftrightunsigned(F.col("b.sig"), 16 * cp) % F.lit(1 << 16)
+        )
+        conds.append((F.col("a.chunk") <= F.lit(cp)) | differs)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -831,7 +855,8 @@ def simhash_pairs(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            & _first_colliding_chunk(),
         )
         .select(
             F.col("a.doc").alias("i"),
@@ -839,7 +864,6 @@ def simhash_pairs(
             F.col("a.sig").alias("sig_i"),
             F.col("b.sig").alias("sig_j"),
         )
-        .dropDuplicates(["i", "j"])
     )
     hamming = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
     rep_pairs = (
@@ -847,8 +871,12 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
-    # identical text => identical signature => Hamming 0
-    members = tm.select("rep", "doc")
+    # identical text => identical signature => Hamming 0.
+    # The membership frame feeds three consumers (within-group pairs,
+    # both expansion sides); materialize the 2-long-column projection
+    # once so the clone-group text window isn't re-evaluated per
+    # consumer — 16 bytes/row, never corpus-payload-sized
+    members = tm.select("rep", "doc").localCheckpoint(eager=True)
     if clone_weighted:
         return _weighted_rep_pairs(
             rep_pairs, members, "hamming", reps.select("rep"), F.lit(0)
@@ -904,11 +932,15 @@ def incremental_simhash_pairs(
     a = _simhash_chunks(new_sigs).alias("a")
     b = _simhash_chunks(all_sigs).alias("b")
     out = (
+        # the chunk-canonical predicate removes multi-chunk duplicates
+        # before the dropDuplicates shuffle (which must remain: a
+        # both-new pair still arrives twice with sides swapped)
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc") != F.col("b.doc")),
+            & (F.col("a.doc") != F.col("b.doc"))
+            & _first_colliding_chunk(),
         )
         .select(
             F.least("a.doc", "b.doc").alias("i"),
