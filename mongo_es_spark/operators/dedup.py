@@ -443,8 +443,13 @@ def _read_lsh_params(spark, store_path: str):
 def _write_lsh_params(
     spark, store_path: str, num_hashes: int, bands: int, n: int
 ) -> None:
-    spark.createDataFrame(
-        [(num_hashes, bands, n)], "num_hashes int, bands int, n int"
+    # range().select(lit) rather than createDataFrame: the local-data
+    # path evaluates through a Python RDD and costs seconds per write;
+    # this stays JVM-side (~0.1 s)
+    spark.range(1).select(
+        F.lit(int(num_hashes)).cast("int").alias("num_hashes"),
+        F.lit(int(bands)).cast("int").alias("bands"),
+        F.lit(int(n)).cast("int").alias("n"),
     ).coalesce(1).write.mode("overwrite").parquet(
         _lsh_params_path(store_path)
     )
@@ -505,8 +510,16 @@ def incremental_minhash_pairs(
     the first append and validated on every later one: a silent
     num_hashes/bands drift between batches would shift band boundaries
     and degrade recall with no error.
+
+    A missing store is treated as empty (the first batch creates it) —
+    no seed-write round-trip needed before the first call.
     """
-    old = spark.read.parquet(store_path)
+    try:
+        old = spark.read.parquet(store_path)
+    except Exception:
+        old = minhash_signature_frame(
+            new_df.limit(0), id_col, text_col, n, num_hashes
+        )
     store_nh = _store_mh_count(old.columns)
     if store_nh and store_nh != num_hashes:
         raise ValueError(

@@ -560,6 +560,18 @@ def _export_order() -> list[str]:
     return [n for n in _DRIVER_PRIORITY if n in REGISTRY] + rest
 
 
+def _verdict_frame(spark: SparkSession, cols) -> DataFrame:
+    """One-row verdict frame built JVM-side.  ``cols`` is a list of
+    ``(name, value, sql_type)``.  createDataFrame's local-data path
+    evaluates through a Python RDD (one partition per default-
+    parallelism slice, each needing a Python worker round-trip) and
+    costs whole seconds per downstream action; range+lit never leaves
+    the JVM."""
+    return spark.range(1).select(
+        *[F.lit(v).cast(t).alias(n) for n, v, t in cols]
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: REGISTRY[name][0] for name in _export_order()}
 
@@ -1456,10 +1468,14 @@ def text_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     n_tokens = tot.first()["n"]
-    return spark.createDataFrame(
-        [(n_tokens, n_heavy, covered, bounds_ok)],
-        "n_tokens long, n_heavy long, heavy_covered boolean, "
-        "bounds_ok boolean",
+    return _verdict_frame(
+        spark,
+        [
+            ("n_tokens", n_tokens, "long"),
+            ("n_heavy", n_heavy, "long"),
+            ("heavy_covered", covered, "boolean"),
+            ("bounds_ok", bounds_ok, "boolean"),
+        ],
     )
 
 
@@ -1560,10 +1576,14 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens = tot.first()["n"]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(n_tokens, n_heavy, covered, bounds_ok)],
-        "n_tokens long, n_heavy long, heavy_covered boolean, "
-        "bounds_ok boolean",
+    return _verdict_frame(
+        spark,
+        [
+            ("n_tokens", n_tokens, "long"),
+            ("n_heavy", n_heavy, "long"),
+            ("heavy_covered", covered, "boolean"),
+            ("bounds_ok", bounds_ok, "boolean"),
+        ],
     )
 
 
@@ -2735,51 +2755,75 @@ def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (mm["mn"] + mm["mx"]) // 2
     dir_a = tempfile.mkdtemp(prefix="curate_a_")
     try:
-        s1 = curate_batch(spark, docs.filter(F.col("doc_id") <= split), dir_a)
-        s2 = curate_batch(spark, docs.filter(F.col("doc_id") > split), dir_a)
-        # full-corpus reference computed LAZILY from the (independently
-        # oracle-checked) batch operators instead of a third stateful
-        # curate_batch pass: quality gate -> exact keep-min -> drop the
-        # larger id of every near-dup pair — curate_batch's exact
-        # single-batch contract, minus the parquet store writes
+        # full-corpus reference: quality gate -> exact keep-min —
+        # independent of the store state, so its materialization runs
+        # CONCURRENTLY with the two stateful batch passes (Spark job
+        # submission is thread-safe; the narrow id frame is
+        # checkpointed once and every later assertion reuses it)
+        import threading
+
         q_ok = quality_features(docs, "doc_id", "text").filter(
             F.col("quality_score") >= 0.52
         ).select("doc_id")
         passed = docs.join(q_ok, "doc_id", "left_semi")
         w = Window.partitionBy(F.md5(F.col("text")))
-        first = passed.withColumn(
-            "__m", F.min("doc_id").over(w)
-        ).filter(F.col("__m") == F.col("doc_id")).drop("__m")
+        ref_box: dict = {}
+
+        def _materialize_ref() -> None:
+            try:
+                ref_box["first_ids"] = (
+                    passed.withColumn("__m", F.min("doc_id").over(w))
+                    .filter(F.col("__m") == F.col("doc_id"))
+                    .select("doc_id")
+                    .localCheckpoint(eager=True)
+                )
+            except Exception as exc:  # surfaced after join()
+                ref_box["err"] = exc
+
+        ref_thread = threading.Thread(target=_materialize_ref)
+        ref_thread.start()
+        s1 = curate_batch(spark, docs.filter(F.col("doc_id") <= split), dir_a)
+        s2 = curate_batch(spark, docs.filter(F.col("doc_id") > split), dir_a)
+        ref_thread.join()
+        if "err" in ref_box:
+            raise ref_box["err"]
+        first_ids = ref_box["first_ids"]
         # pair detection audits the PERSISTED signature store (no
         # re-shingling); membership (quality + exact keep-min) stays
         # independently derived, so a store divergence still flips
-        # sets_equal below
+        # sets_equal below.  ONE band join over the store total — the
+        # pair frame is tiny and every later assertion derives from it
         ref_pairs = minhash_pairs_over_store(
             spark,
             f"{dir_a}/sigs",
-            ids_df=first.select(F.col("doc_id").alias("doc")),
+            ids_df=first_ids.select(F.col("doc_id").alias("doc")),
             threshold=0.8,
-        )
-        cur_b = first.join(
+        ).localCheckpoint(eager=True)
+        cur_b = first_ids.join(
             ref_pairs.select(F.col("j").alias("doc_id")),
             "doc_id",
             "left_anti",
-        ).select("doc_id")
+        )
         # distributed verification — no driver-side id sets: set
-        # equality is two anti-join emptiness probes, and the kept-pair
-        # re-check feeds the LSH operator through a semi join against
-        # the curated store instead of an isin(list) literal
+        # equality is two anti-join emptiness probes over checkpointed
+        # id frames
         cur_a = spark.read.parquet(f"{dir_a}/curated").select("doc_id")
         sets_equal = (
             cur_a.join(cur_b, "doc_id", "left_anti").limit(1).count() == 0
             and cur_b.join(cur_a, "doc_id", "left_anti").limit(1).count() == 0
         )
-        kept_pairs = minhash_pairs_over_store(
-            spark,
-            f"{dir_a}/sigs",
-            ids_df=cur_a.select(F.col("doc_id").alias("doc")),
-            threshold=0.8,
-        ).count()
+        # no-kept-near-pair: a pair of KEPT docs in the audited pair
+        # set.  Restricting the materialized ref_pairs by membership is
+        # the same check as a second store audit whenever cur_a is a
+        # subset of first_ids — and when it isn't, sets_equal has
+        # already flipped the verdict false
+        ka = cur_a.select(F.col("doc_id").alias("i"))
+        kb = cur_a.select(F.col("doc_id").alias("j"))
+        kept_pairs = (
+            ref_pairs.join(ka, "i", "left_semi")
+            .join(kb, "j", "left_semi")
+            .count()
+        )
         row = (
             s1["quality"] + s2["quality"],
             s1["fresh"] + s2["fresh"],
@@ -2788,10 +2832,14 @@ def curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(dir_a, ignore_errors=True)
-    return spark.createDataFrame(
-        [row],
-        "n_quality long, n_exact_unique long, "
-        "incremental_equals_full boolean, no_kept_near_pair boolean",
+    return _verdict_frame(
+        spark,
+        [
+            ("n_quality", row[0], "long"),
+            ("n_exact_unique", row[1], "long"),
+            ("incremental_equals_full", row[2], "boolean"),
+            ("no_kept_near_pair", row[3], "boolean"),
+        ],
     )
 
 

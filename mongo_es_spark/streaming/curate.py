@@ -41,10 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import (
-    incremental_minhash_pairs,
-    minhash_signature_frame,
-)
+from ..operators.dedup import incremental_minhash_pairs
 from ..operators.text import (
     quality_features,
     token_count_col,
@@ -147,11 +144,9 @@ def curate_batch(
 
     # 3. near dedup vs the signature store.  ALL fresh docs enter the
     # store (kept or dropped) so chains keep suppressing later copies.
+    # A missing store is handled inside incremental_minhash_pairs (the
+    # first batch creates it) — no seed write here.
     sig_path = _sig_store(state_dir)
-    if _read_or_none(spark, sig_path) is None:
-        minhash_signature_frame(
-            batch_df.limit(0), id_col, text_col
-        ).write.parquet(sig_path)
     pairs = incremental_minhash_pairs(
         spark,
         fresh.select(id_col, text_col),
