@@ -95,6 +95,29 @@ def file_oplog_stream(
     return oplog_filters(raw, ns, since)
 
 
+def parse_kafka_oplog(
+    records: DataFrame,
+    task: Task,
+    checkpoint: CheckPoint | None = None,
+) -> DataFrame:
+    """The wire-to-oplog transformation shared by the Kafka source:
+    ``value`` (binary, as the Kafka source emits it) -> JSON parse
+    against OPLOG_SCHEMA -> ns/ts/fromMigrate filters.
+
+    Split out from :func:`kafka_oplog_stream` so the parse + filter
+    expressions are unit-testable on a batch frame of synthetic
+    records without a broker (the same pattern the file feed uses).
+    Malformed JSON parses to an all-null struct whose null ``ns``
+    fails the namespace equality filter — corrupt records drop out
+    instead of poisoning the batch."""
+    parsed = records.select(
+        F.from_json(F.col("value").cast("string"), OPLOG_SCHEMA).alias("ev")
+    ).select("ev.*")
+    ns = f"{task.extract.db}.{task.extract.collection}"
+    since = ms_to_bson_ts(checkpoint.time) if checkpoint else 0
+    return oplog_filters(parsed, ns, since)
+
+
 def kafka_oplog_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -106,9 +129,9 @@ def kafka_oplog_stream(
     """Streaming oplog feed from a Kafka/Debezium-style topic carrying
     the same JSON event rows as the file feed — the common production
     CDC transport.  Requires the spark-sql-kafka package on the
-    classpath (not bundled here; untested in this environment, shaped
-    identically to :func:`file_oplog_stream` so every downstream plan
-    is shared).
+    classpath (not bundled here; the wire parsing is unit-tested via
+    :func:`parse_kafka_oplog`, and the downstream plan is shared with
+    :func:`file_oplog_stream`).
     """
     raw = (
         spark.readStream.format("kafka")
@@ -116,14 +139,8 @@ def kafka_oplog_stream(
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()
-        .select(
-            F.from_json(F.col("value").cast("string"), OPLOG_SCHEMA).alias("ev")
-        )
-        .select("ev.*")
     )
-    ns = f"{task.extract.db}.{task.extract.collection}"
-    since = ms_to_bson_ts(checkpoint.time) if checkpoint else 0
-    return oplog_filters(raw, ns, since)
+    return parse_kafka_oplog(raw, task, checkpoint)
 
 
 def batch_oplog_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
