@@ -332,6 +332,54 @@ def jaccard_pairs(
     column (see :func:`_weighted_rep_pairs`) — the shape to use when
     clone groups can be huge.
     """
+    return _setsim_pairs(
+        df, id_col, text_col, n, threshold, max_df, clone_weighted,
+        mode, score="jaccard",
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+    clone_weighted: bool = False,
+    mode: str = "word",
+) -> DataFrame:
+    """All pairs (i < j) with max-direction shingle containment
+    ``|Si ∩ Sj| / min(|Si|, |Sj|) >= threshold`` (Broder's containment
+    coefficient, symmetrized by taking the larger direction).
+
+    Jaccard misses subset duplicates: a paragraph fully embedded in a
+    10x-longer document scores ``|A|/|B| ≈ 0.1`` Jaccard but ``1.0``
+    containment.  This is the detector for quote/excerpt/expansion
+    relationships a crawl corpus is full of — the kind of near-dup
+    exact and Jaccard dedup both let through.
+
+    Output: ``i, j, containment`` (rounded to 6 dp), exact vs brute
+    force.  Same scale shape as :func:`jaccard_pairs`: clone collapse
+    first, one shared-shuffle posting self-join, ``max_df`` stop
+    shingles; ``clone_weighted`` gives the bounded-output contract.
+    """
+    return _setsim_pairs(
+        df, id_col, text_col, n, threshold, max_df, clone_weighted,
+        mode, score="containment",
+    )
+
+
+def _setsim_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_df: Optional[int],
+    clone_weighted: bool,
+    mode: str,
+    score: str,
+) -> DataFrame:
     tm = _text_groups(df, id_col, text_col)
     reps = _group_reps(tm)
     sh = reps.select(
@@ -357,12 +405,15 @@ def jaccard_pairs(
     )
     ca = counts.select(F.col("doc").alias("i"), F.col("n_sh").alias("ni"))
     cb = counts.select(F.col("doc").alias("j"), F.col("n_sh").alias("nj"))
-    jac = F.col("shared") / (F.col("ni") + F.col("nj") - F.col("shared"))
+    if score == "containment":
+        sim = F.col("shared") / F.least(F.col("ni"), F.col("nj"))
+    else:
+        sim = F.col("shared") / (F.col("ni") + F.col("nj") - F.col("shared"))
     rep_pairs = (
         shared.join(ca, "i").join(cb, "j")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("i", "j", "jaccard")
+        .withColumn(score, F.round(sim, 6))
+        .filter(F.col(score) >= threshold)
+        .select("i", "j", score)
     )
     # clone groups with no shingles (too-short text) produce no pairs
     # in the brute-force result either
@@ -372,13 +423,13 @@ def jaccard_pairs(
     ).select("rep")
     if clone_weighted:
         return _weighted_rep_pairs(
-            rep_pairs, members, "jaccard", shingled_reps, F.lit(1.0)
+            rep_pairs, members, score, shingled_reps, F.lit(1.0)
         )
-    out = _expand_rep_pairs(rep_pairs, members, "jaccard")
+    out = _expand_rep_pairs(rep_pairs, members, score)
     if threshold <= 1.0:
         members_sh = members.join(shingled_reps, "rep", "left_semi")
         out = out.unionByName(
-            _within_group_pairs(members_sh, F.lit(1.0), "jaccard")
+            _within_group_pairs(members_sh, F.lit(1.0), score)
         )
     return out
 

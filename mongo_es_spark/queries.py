@@ -552,6 +552,9 @@ _DRIVER_PRIORITY = [
     "events_funnel",
     "events_retention",
     "multimodal_frame_overlap",
+    # round-4 additions (no driver row yet) — keep inside the first-50
+    # window so they get CORRECTNESS rows in their first round
+    "dedup_containment",
 ]
 
 
@@ -590,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
 # ====================================================================
 
 from .operators.dedup import (  # noqa: E402
+    containment_pairs,
     dedup_components,
     drop_near_duplicates,
     embedding_dup_pairs,
@@ -713,6 +717,44 @@ def dedup_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, len(w) - 1)])) AS s
+        FROM w
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j,
+           round(shared::DOUBLE / least(ca.n, cb.n), 6) AS containment
+    FROM shared
+    JOIN counts ca ON i = ca.doc_id
+    JOIN counts cb ON j = cb.doc_id
+    WHERE round(shared::DOUBLE / least(ca.n, cb.n), 6) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection: max-direction shingle containment
+    ``|Si ∩ Sj| / min(|Si|,|Sj|)`` catches quote/excerpt/expansion
+    pairs that Jaccard under-scores (a passage embedded in a 10x
+    longer doc has Jaccard ~0.1 but containment 1.0).  Same posting
+    self-join scale shape as ``dedup_ngram_jaccard``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 @register("dedup_minhash_lsh", _JACCARD_ORACLE)
