@@ -958,6 +958,125 @@ def rare_ngram_density(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Sliding-window exact substring deduplication (the ExactSubstr
+    move from Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — public paper; they use a suffix array,
+    which is the single-machine shape).  Spark-first restatement:
+
+    * every ``window_tokens``-token window at every position is an
+      *instance* ``(doc, pos, window_text)`` — the explode is
+      JVM-local, x``window_tokens`` the corpus token count;
+    * the corpus-wide FIRST instance of each distinct window text
+      (lexicographic min ``(doc, pos)``) survives; every other
+      instance marks its token range ``[pos, pos+w)`` as duplicated —
+      one shuffle keyed by window text, carrying ``(doc, pos)`` pairs
+      only;
+    * a document's duplicated-token set is the union of its marked
+      ranges (distinct positions — overlapping windows don't double
+      count), bounded by the document's own length;
+    * ``clean_text`` keeps the tokens not covered by any duplicated
+      window, preserving order.
+
+    Unlike :func:`span_dedup` (fixed non-overlapping spans), this
+    catches duplicated passages at ANY offset — the common case for
+    boilerplate and quoted text.  Within-document repeats beyond the
+    first occurrence are marked too (self-repetition is duplication).
+
+    Output: ``(id, n_tokens, dup_tokens, keep_frac, clean_text)``.
+    Work is linear in corpus tokens x window size; no quadratic stage.
+    """
+    if window_tokens <= 1:
+        raise ValueError("window_tokens must be > 1")
+    w = window_tokens
+    toks = tokens_col(F.col(text_col))
+    n = token_count_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+        n.alias("n_tokens"),
+    )
+    # instances: 1-based pos in 1..n-w+1 (empty for short docs)
+    inst = base.filter(F.col("n_tokens") >= w).select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - w + 1),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"), p, w)
+                    ).alias("win"),
+                ),
+            )
+        ).alias("__i"),
+    ).select("__id", F.col("__i.pos").alias("pos"), F.col("__i.win").alias("win"))
+    first = Window.partitionBy("win")
+    losers = (
+        inst.withColumn(
+            "__min",
+            F.min(F.struct(F.col("__id"), F.col("pos"))).over(first),
+        )
+        .filter(
+            ~((F.col("__min.__id") == F.col("__id"))
+              & (F.col("__min.pos") == F.col("pos")))
+        )
+        .select("__id", "pos")
+    )
+    covered = (
+        losers.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + w - 1)
+            ).alias("tp"),
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("dup_tokens"),
+            F.collect_set("tp").alias("__cov"),
+        )
+    )
+    out = base.join(covered, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+            6,
+        ).alias("keep_frac"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.transform(
+                        F.col("__toks"),
+                        lambda t, i: F.struct(
+                            t.alias("t"), (i + 1).alias("p")
+                        ),
+                    ),
+                    lambda s: ~F.array_contains(
+                        F.coalesce(
+                            F.col("__cov"),
+                            F.array().cast("array<int>"),
+                        ),
+                        s["p"],
+                    ),
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("clean_text"),
+    )
+    return out
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str,

@@ -555,6 +555,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions (no driver row yet) — keep inside the first-50
     # window so they get CORRECTNESS rows in their first round
     "dedup_containment",
+    "text_substring_dedup",
 ]
 
 
@@ -630,6 +631,7 @@ from .operators.text import (  # noqa: E402
     quality_features,
     repetition_features,
     stratified_sample,
+    substring_dedup,
     token_count_col,
     vocabulary,
 )
@@ -2654,6 +2656,65 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-level span dedup + per-source cap (operators/text.py —
 # passage-level curation beyond whole-document dedup)
 # --------------------------------------------------------------------
+
+
+@register(
+    "text_substring_dedup",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+        FROM documents
+    ),
+    inst AS (
+        SELECT doc_id, u.pos AS pos, u.win AS win FROM (
+            SELECT doc_id,
+                   unnest([{'pos': i,
+                            'win': array_to_string(toks[i:i+7], ' ')}
+                           for i in range(1, greatest(n_tokens - 6, 1))])
+                       AS u
+            FROM w)
+    ),
+    rk AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY win ORDER BY doc_id, pos)
+                   AS rn
+        FROM inst
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, tp FROM (
+            SELECT doc_id, unnest(range(pos, pos + 8)) AS tp
+            FROM rk WHERE rn > 1)
+    ),
+    cagg AS (
+        SELECT doc_id, count(*) AS dup_tokens, list(tp) AS cov
+        FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_tokens,
+           coalesce(cagg.dup_tokens, 0) AS dup_tokens,
+           round(1.0 - coalesce(cagg.dup_tokens, 0)::DOUBLE /
+                 (CASE WHEN w.n_tokens > 0 THEN w.n_tokens END), 6)
+               AS keep_frac,
+           coalesce(array_to_string(
+               [w.toks[j] FOR j IN range(1, len(w.toks) + 1)
+                IF NOT coalesce(list_contains(cagg.cov, j), false)], ' '),
+               '') AS clean_text
+    FROM w LEFT JOIN cagg ON w.doc_id = cagg.doc_id
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact substring dedup (Lee et al. 2021's
+    ExactSubstr, re-expressed as a window-text shuffle instead of a
+    suffix array): any 8-token passage whose exact text occurred
+    earlier in the corpus — any document, any offset — is marked and
+    removed; ``clean_text`` keeps the surviving tokens.  Catches
+    boilerplate and quoted passages that whole-document and fixed-span
+    dedup both miss."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", window_tokens=8)
 
 
 @register(

@@ -1580,3 +1580,83 @@ def test_char_shingles_catch_unsegmented_near_dups(spark):
     got = {(r["i"], r["j"]): r["jaccard"] for r in char}
     assert (1, 2) in got and got[(1, 2)] > 0.5
     assert all(3 not in k for k in got)
+
+
+def test_substring_dedup_matches_python(spark):
+    """Randomized replay of the ExactSubstr semantics: the corpus-wide
+    first instance (min (doc, pos)) of each distinct w-token window
+    survives; every other instance marks its token range; clean_text
+    keeps unmarked tokens in order."""
+    import random
+
+    from mongo_es_spark.operators.text import substring_dedup
+
+    rng = random.Random(41)
+    vocab = ["a", "b", "c", "d"]
+    W = 4
+    rows = []
+    for d in range(40):
+        n = rng.randint(0, 14)
+        toks = (
+            ["p", "q", "r", "s", "t"] * rng.randint(0, 2)
+            + [rng.choice(vocab) for _ in range(n)]
+        )
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_tokens"], r["clean_text"]
+        )
+        for r in substring_dedup(
+            df, "doc_id", "text", window_tokens=W
+        ).collect()
+    }
+
+    inst = []  # (doc, pos 1-based, window text)
+    for d, text in rows:
+        toks = text.split()
+        for p in range(1, len(toks) - W + 2):
+            inst.append((d, p, " ".join(toks[p - 1:p - 1 + W])))
+    first = {}
+    for d, p, s in sorted(inst, key=lambda x: (x[2], x[0], x[1])):
+        first.setdefault(s, (d, p))
+    covered = {}  # doc -> set of 1-based positions
+    for d, p, s in inst:
+        if first[s] != (d, p):
+            covered.setdefault(d, set()).update(range(p, p + W))
+    want = {}
+    for d, text in rows:
+        toks = text.split() if text.strip() else [""]
+        n = len(text.split()) if text.strip() else 0
+        cov = covered.get(d, set())
+        clean = " ".join(
+            t for i, t in enumerate(toks, start=1) if i not in cov
+        )
+        want[d] = (n, len(cov), clean)
+    assert got == want
+
+
+def test_substring_dedup_marks_offset_and_self_repeats(spark):
+    from mongo_es_spark.operators.text import substring_dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),          # original
+        (2, "x x a b c d e f g h w"),        # contains d1's 8-gram at offset
+        (3, "a b c d e f g h i j"),          # exact clone -> fully covered
+        (4, "p q"),                           # too short for any window
+        (5, "r s t u v w y z r s t u v w y z"),  # self-repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(
+            df, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    assert out[1]["dup_tokens"] == 0
+    assert out[2]["dup_tokens"] == 8  # positions 3..10
+    assert out[2]["clean_text"] == "x x w"
+    assert out[3]["dup_tokens"] == 10 and out[3]["clean_text"] == ""
+    assert out[4]["dup_tokens"] == 0 and out[4]["clean_text"] == "p q"
+    assert out[5]["dup_tokens"] == 8
+    assert out[5]["clean_text"] == "r s t u v w y z"
