@@ -148,7 +148,13 @@ def main() -> int:
     final = dict(result)
     final.pop("throughput")
     line = json.dumps(final, separators=(",", ":"))
-    if len(line) > 1990:  # last-resort guard: never overflow the window
+    if len(line) > 1990:  # degrade precision before overflowing the window
+        final["queries"] = {
+            k: (int(round(v)) if v >= 10 else round(v, 1))
+            for k, v in timings.items()
+        }
+        line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1990:  # last resort: integers everywhere
         final["queries"] = {
             k: int(round(v)) for k, v in timings.items()
         }

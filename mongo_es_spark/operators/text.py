@@ -958,6 +958,96 @@ def rare_ngram_density(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train byte-pair-encoding merges on the corpus (Sennrich et al.
+    2016, public paper): starting from characters, repeatedly merge
+    the most frequent adjacent symbol pair, weighted by word
+    frequency; ties break lexicographically on (left, right).
+
+    Spark shape — the classic single-machine trainer keeps the corpus
+    in RAM; here every heavy step is distributed and the only driver
+    state is the model itself:
+
+    * the *word frequency table* (distinct tokens + counts — the
+      standard BPE compression of the corpus, turning O(corpus) work
+      into O(vocab)) is built by one hash aggregation;
+    * each round, adjacent-pair counts are a JVM-local ``zip_with``
+      explode + one aggregation; the argmax is a 1-row collect
+      (model state, the legitimate broadcast pattern);
+    * the chosen merge is applied to every word via a greedy
+      left-to-right array fold (pure column expressions — identical
+      semantics to scanning replace), and the words frame is
+      localCheckpoint'd so plan depth stays constant across rounds.
+
+    ``n_merges`` driver round-trips is the honest cost of the
+    sequential algorithm; a production 30k-merge run would batch
+    several non-overlapping merges per round, which changes the
+    schedule, not the shape.
+
+    Output: ``(rank, left_sym, right_sym, pair_count)`` — the merge
+    table, ``n_merges`` rows (fewer if the corpus runs out of pairs).
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cur = words.select(
+        "cnt", F.split(F.col("w"), "").alias("syms")
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = cur.filter(F.size("syms") > 1).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.l").alias("l"), F.col("p.r").alias("r")
+            )
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, l, r, c))
+        merged = l + r
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select("cnt", folded.alias("syms")).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str,

@@ -556,6 +556,7 @@ _DRIVER_PRIORITY = [
     # window so they get CORRECTNESS rows in their first round
     "dedup_containment",
     "text_substring_dedup",
+    "text_bpe_train",
 ]
 
 
@@ -2656,6 +2657,72 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-level span dedup + per-source cap (operators/text.py —
 # passage-level curation beyond whole-document dedup)
 # --------------------------------------------------------------------
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the ``n_merges``-stage DuckDB replay of BPE training.
+
+    Words are wrapped as ``(sym)(sym)...`` strings so DuckDB's plain
+    left-to-right ``replace`` applies a merge with exactly the greedy
+    non-overlapping semantics of the Spark array fold (symbol
+    boundaries are explicit, so no match can straddle or share a
+    token).  Every stage CTE is MATERIALIZED: scalar subqueries
+    reference each merge four times and inlining would re-expand the
+    whole prefix exponentially.
+    """
+    parts = [r"""
+    WITH w0 AS MATERIALIZED (
+        SELECT regexp_replace(t, '(.)', '(\1)', 'g') AS repr,
+               count(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE len(t) > 0
+        GROUP BY 1
+    )"""]
+    for k in range(n_merges):
+        parts.append(f"""
+    , m{k} AS MATERIALIZED (
+        SELECT u.l AS l, u.r AS r, sum(cnt) AS c FROM (
+            SELECT cnt,
+                   unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                           for i in range(1, len(syms))]) AS u
+            FROM (SELECT cnt,
+                         string_split(substr(repr, 2, len(repr) - 2),
+                                      ')(') AS syms
+                  FROM w{k})
+        ) GROUP BY 1, 2
+        ORDER BY c DESC, l, r LIMIT 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+        SELECT cnt,
+               replace(repr,
+                       '(' || (SELECT l FROM m{k}) || ')(' ||
+                       (SELECT r FROM m{k}) || ')',
+                       '(' || (SELECT l FROM m{k}) ||
+                       (SELECT r FROM m{k}) || ')') AS repr
+        FROM w{k}
+    )""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS rank, l AS left_sym, r AS right_sym,"
+        f" c::BIGINT AS pair_count FROM m{k}"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@register("text_bpe_train", _bpe_oracle(8))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BPE tokenizer training (Sennrich et al. 2016):
+    8 most-frequent-pair merges over the word-frequency table, ties
+    broken lexicographically.  The distributed shape is one hash agg
+    for word counts, then per round a JVM zip_with pair explode + agg
+    with a 1-row argmax collect (model state) and a column-fold merge
+    application — no Python in the hot path, driver state = the merge
+    table itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import bpe_train
+
+    return bpe_train(docs, "text", n_merges=8)
 
 
 @register(

@@ -1660,3 +1660,46 @@ def test_substring_dedup_marks_offset_and_self_repeats(spark):
     assert out[4]["dup_tokens"] == 0 and out[4]["clean_text"] == "p q"
     assert out[5]["dup_tokens"] == 8
     assert out[5]["clean_text"] == "r s t u v w y z"
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The worked example every BPE description uses: 'low lower
+    lowest' family — first merges build up the shared stem."""
+    from mongo_es_spark.operators.text import bpe_train
+
+    rows = [(1, "low low low lower lower lowest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, "text", n_merges=4).collect()]
+    # pair counts over words weighted by frequency:
+    # low x3, lower x2, lowest x1 -> (l,o)=6 ties (o,w)=6, lexicographic
+    # tie-break picks (l,o); then (lo,w)=6, (low,e)=3, and after that
+    # merge 'lower' is [lowe r] so round 4 finds (lowe,r)=2
+    assert got == [
+        (0, "l", "o", 6),
+        (1, "lo", "w", 6),
+        (2, "low", "e", 3),
+        (3, "lowe", "r", 2),
+    ]
+
+
+def test_bpe_train_greedy_overlap_and_ties(spark):
+    from mongo_es_spark.operators.text import bpe_train
+
+    # 'aaaa': adjacent (a,a) occurs 3x per word instance (overlapping
+    # counts), but the merge application is greedy non-overlapping:
+    # aaaa -> [aa][aa], so round 2's top pair is (aa,aa)
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa bb")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(df, "text", n_merges=2).collect()]
+    assert got[0] == (0, "a", "a", 6)
+    assert got[1] == (1, "aa", "aa", 2)
+
+
+def test_bpe_train_runs_out_of_pairs(spark):
+    from mongo_es_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, "text", n_merges=5).collect()]
+    # one merge exhausts the corpus (every word becomes one symbol)
+    assert got == [(0, "a", "b", 2)]
