@@ -958,6 +958,63 @@ def rare_ngram_density(
     )
 
 
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    scale: float = 4.0,
+) -> DataFrame:
+    """fastText-shaped linear quality classifier: hashed unigram
+    features x a weight table, mean-pooled, through a sigmoid — the
+    architecture CCNet/fastText quality filters deploy at crawl scale.
+
+    The weight table is a deterministic stand-in for trained
+    parameters (this environment has no training artifacts): weight of
+    bucket ``b`` is ``((b * 2654435761) % 1000) / 1000 - 0.5``.  The
+    engine-relevant part is the *shape*: the feature hash is an
+    engine-portable integer recurrence (first char, length, last
+    char — no engine hash builtins), scoring is a JVM-side fold over
+    the token array, and the whole operator is a zero-shuffle
+    projection; swapping real weights in changes numbers, not the
+    plan.  At 100 TB a real weight table (millions of buckets) would
+    broadcast-join on the bucket id instead of inlining arithmetic —
+    still shuffle-free on the corpus side.
+
+    Output: ``(id, n_tokens, quality_score, label)`` with
+    ``label = 'keep' iff round(score,6) >= 0.5`` and a NULL score for
+    empty documents.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = token_count_col(F.col(text_col))
+
+    def wgt(t: Column) -> Column:
+        bucket = (
+            F.ascii(F.substring(t, 1, 1)) * 31
+            + F.length(t) * 7
+            + F.ascii(F.substring(t, -1, 1))
+        ).cast("long") % n_buckets
+        return (
+            (bucket * F.lit(2654435761).cast("long")) % 1000
+        ).cast("double") / 1000.0 - 0.5
+
+    raw = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + wgt(x)
+    ) / n.cast("double")
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(scale) * raw)), 6
+    )
+    guarded = F.when(F.length(F.trim(F.col(text_col))) > 0, score)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        guarded.alias("quality_score"),
+        F.when(guarded >= 0.5, F.lit("keep"))
+        .when(guarded.isNotNull(), F.lit("drop"))
+        .alias("label"),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,

@@ -557,6 +557,7 @@ _DRIVER_PRIORITY = [
     "dedup_containment",
     "text_substring_dedup",
     "text_bpe_train",
+    "text_quality_classify",
 ]
 
 
@@ -2657,6 +2658,48 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-level span dedup + per-source cap (operators/text.py —
 # passage-level curation beyond whole-document dedup)
 # --------------------------------------------------------------------
+
+
+@register(
+    "text_quality_classify",
+    r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS toks,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens = 0 THEN NULL ELSE
+                   round(1.0 / (1.0 + exp(-4.0 *
+                       (list_sum([
+                           ((((ascii(x[1]) * 31 + len(x) * 7 +
+                               ascii(substr(x, len(x), 1)))::BIGINT % 64)
+                             * 2654435761) % 1000)::DOUBLE / 1000.0 - 0.5
+                           for x in toks])::DOUBLE / n_tokens))), 6)
+               END AS quality_score
+        FROM t
+    )
+    SELECT doc_id, n_tokens, quality_score,
+           CASE WHEN quality_score IS NULL THEN NULL
+                WHEN quality_score >= 0.5 THEN 'keep'
+                ELSE 'drop' END AS label
+    FROM s
+    """,
+)
+def text_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fastText/CCNet
+    architecture): portable integer feature hash, mean-pooled weight
+    lookup, sigmoid — a zero-shuffle JVM projection.  Weights are a
+    deterministic pretrained-model stand-in; the plan shape is the
+    deliverable."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import quality_classifier
+
+    return quality_classifier(docs, "doc_id", "text")
 
 
 def _bpe_oracle(n_merges: int) -> str:

@@ -1703,3 +1703,27 @@ def test_bpe_train_runs_out_of_pairs(spark):
     got = [tuple(r) for r in bpe_train(df, "text", n_merges=5).collect()]
     # one merge exhausts the corpus (every word becomes one symbol)
     assert got == [(0, "a", "b", 2)]
+
+
+def test_quality_classifier_shape_and_edges(spark):
+    from mongo_es_spark.operators.text import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           quality_classifier(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 2
+    assert 0.0 < out[1]["quality_score"] < 1.0
+    assert out[1]["label"] in ("keep", "drop")
+    for d in (2, 3):  # empty docs: NULL score, NULL label
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["quality_score"] is None
+        assert out[d]["label"] is None
+    # deterministic: same text -> same score
+    df2 = spark.createDataFrame(
+        [(9, "hello world")], "doc_id long, text string"
+    )
+    s2 = quality_classifier(df2, "doc_id", "text").collect()[0]
+    assert s2["quality_score"] == out[1]["quality_score"]
