@@ -186,6 +186,56 @@ def dequantize_col(codes: Column, scale: Column) -> Column:
     return F.transform(codes, lambda c: c.cast("double") * scale)
 
 
+def whiten_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, eps: float = 1e-12
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening):
+    ``z_d = (x_d - mean_d) / std_d`` — the preprocessing step before
+    cosine/IVF/PQ indexing when dimensions carry wildly different
+    scales, and the cheap diagonal approximation of full PCA
+    whitening.
+
+    Scale shape: ONE aggregation computes all per-dimension moments
+    (posexplode is JVM-local, the groupBy key space is exactly ``d``
+    rows), the d-row result collects as model state (the legitimate
+    broadcast pattern — same as k-means centroids), and the transform
+    is a zero-shuffle projection against literal arrays.  Moments use
+    the explicit ``sum/sum-of-squares`` formulation so any engine
+    replays the identical arithmetic.
+
+    Output: ``(id, z array<double>)``; dimensions with ~zero variance
+    floor the divisor at ``eps`` so constant columns map to 0-ish
+    rather than NaN.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    moments = (
+        df.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    d = len(moments)
+    means = [0.0] * d
+    stds = [1.0] * d
+    for r in moments:
+        m = r["sx"] / r["n"]
+        var = r["sxx"] / r["n"] - m * m
+        means[r["i"]] = m
+        stds[r["i"]] = max(var, 0.0) ** 0.5
+    m_lit = F.array(*[F.lit(m) for m in means])
+    s_lit = F.array(*[F.lit(max(s, eps)) for s in stds])
+    z = F.transform(
+        v,
+        lambda x, i: (x - F.element_at(m_lit, i + 1))
+        / F.element_at(s_lit, i + 1),
+    )
+    return df.select(F.col(id_col), z.alias("z"))
+
+
 def materialize_ivf_index(
     df: DataFrame,
     id_col: str,

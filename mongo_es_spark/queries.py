@@ -558,6 +558,7 @@ _DRIVER_PRIORITY = [
     "text_substring_dedup",
     "text_bpe_train",
     "text_quality_classify",
+    "embedding_whiten",
 ]
 
 
@@ -1153,6 +1154,58 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("codes").cast("array<string>"), ",").alias(
             "codes_csv"
         ),
+    )
+
+
+@register(
+    "embedding_whiten",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    x AS (
+        SELECT u.i AS i, u.x AS x FROM (
+            SELECT unnest([{'i': i, 'x': v[i]}
+                           for i in range(1, len(v) + 1)]) AS u
+            FROM e)
+    ),
+    mo AS (
+        SELECT i, sum(x) AS sx, sum(x * x) AS sxx, count(*) AS n
+        FROM x GROUP BY i
+    ),
+    st AS (
+        SELECT list(sx / n ORDER BY i) AS ms,
+               list(greatest(sqrt(greatest(
+                   sxx / n - (sx / n) * (sx / n), 0)), 1e-12)
+                   ORDER BY i) AS ss
+        FROM mo
+    )
+    SELECT vec_id,
+           array_to_string(
+               [round((v[i] - ms[i]) / ss[i] * 1000000)::BIGINT
+                for i in range(1, len(v) + 1)], ',') AS z_micro_csv
+    FROM e, st
+    """,
+)
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal whitening of the embedding table: one aggregation for
+    all per-dimension moments (d-row model state), then a zero-shuffle
+    projection against literal mean/std arrays.  The registry
+    serializes z in integer micro-units so the cross-engine hash isn't
+    at the mercy of float-to-string formatting."""
+    from .operators.similarity import whiten_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = whiten_embeddings(emb, "vec_id", "embedding")
+    return z.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("z"),
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("z_micro_csv"),
     )
 
 
