@@ -1122,8 +1122,8 @@ def substring_dedup(
     * the corpus-wide FIRST instance of each distinct window text
       (lexicographic min ``(doc, pos)``) survives; every other
       instance marks its token range ``[pos, pos+w)`` as duplicated —
-      one shuffle keyed by window text, carrying ``(doc, pos)`` pairs
-      only;
+      one shuffle keyed by a 128-bit window hash, carrying
+      ``(doc, pos)`` pairs only;
     * a document's duplicated-token set is the union of its marked
       ranges (distinct positions — overlapping windows don't double
       count), bounded by the document's own length;
@@ -1148,7 +1148,13 @@ def substring_dedup(
         toks.alias("__toks"),
         n.alias("n_tokens"),
     )
-    # instances: 1-based pos in 1..n-w+1 (empty for short docs)
+    # instances: 1-based pos in 1..n-w+1 (empty for short docs).
+    # The winner shuffle is keyed by a 128-bit hash pair of the window
+    # text, not the text itself — w tokens per position would put
+    # ~w x corpus-bytes on the wire; two independently-seeded
+    # xxhash64s make a false window collision (which would wrongly
+    # mark a unique span as duplicated) a ~2^-128 event, i.e. exact
+    # in practice at any corpus size.
     inst = base.filter(F.col("n_tokens") >= w).select(
         "__id",
         F.explode(
@@ -1162,8 +1168,13 @@ def substring_dedup(
                 ),
             )
         ).alias("__i"),
-    ).select("__id", F.col("__i.pos").alias("pos"), F.col("__i.win").alias("win"))
-    first = Window.partitionBy("win")
+    ).select(
+        "__id",
+        F.col("__i.pos").alias("pos"),
+        F.xxhash64(F.lit("sub0"), F.col("__i.win")).alias("h1"),
+        F.xxhash64(F.lit("sub1"), F.col("__i.win")).alias("h2"),
+    )
+    first = Window.partitionBy("h1", "h2")
     losers = (
         inst.withColumn(
             "__min",
