@@ -1025,6 +1025,42 @@ def incremental_simhash_pairs(
 # duplicate clustering (pairs -> connected components)
 # ------------------------------------------------------------------ #
 
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup-aware leak-free train/val/test split: hash-interval
+    assignment (as in ``train_val_test_split``) applied to each
+    document's *near-duplicate cluster representative* instead of its
+    own id, so a near-copy of a test document can never land in train
+    — the leak plain id-hash splits famously have (benchmark
+    contamination via paraphrase/mirror pages survives exact-id
+    splitting).
+
+    Composition of existing scale shapes: ``jaccard_pairs`` (clone
+    collapse + posting join) -> ``dedup_components`` (min-label
+    propagation) -> one left join to attach representatives
+    (singletons represent themselves) -> the zero-shuffle hash
+    projection.  Output: ``(id, rep, split)``.
+    """
+    from .text import train_val_test_split
+
+    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    comp = dedup_components(pairs)
+    base = df.select(F.col(id_col))
+    withrep = base.join(
+        comp, base[id_col] == comp["doc"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("rep"),
+    )
+    out = train_val_test_split(withrep, "rep")
+    return out.select(id_col, "rep", "split")
+
+
 def dedup_components(
     pairs: DataFrame,
     i_col: str = "i",

@@ -559,6 +559,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_train",
     "text_quality_classify",
     "embedding_whiten",
+    "text_split_cluster_safe",
 ]
 
 
@@ -1617,16 +1618,22 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="hh_stream_")
     try:
-        # the fixture ships documents.parquet as a single file; the
-        # file-stream source wants a directory, so glob-filter it
-        stream = (
-            spark.readStream.schema(
-                "doc_id long, text string, lang string, source string, "
-                "n_chars long"
-            )
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
+        # the fixture ships documents.parquet as a single file (so the
+        # file-stream source gets the parent dir + a glob), while the
+        # scale-probe replicas write it as a parquet DIRECTORY — read
+        # whichever layout is present
+        schema = (
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
         )
+        doc_path = os.path.join(sf_dir, "documents.parquet")
+        reader = spark.readStream.schema(schema)
+        if os.path.isdir(doc_path):
+            stream = reader.parquet(doc_path)
+        else:
+            stream = reader.option(
+                "pathGlobFilter", "documents.parquet"
+            ).parquet(sf_dir)
         q = run_streaming_heavy_hitters(
             spark,
             stream,
@@ -1891,6 +1898,50 @@ def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return train_val_test_split(docs, "doc_id")
+
+
+@register(
+    "text_split_cluster_safe",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION
+        SELECT j AS a, i AS b FROM pairs
+    ),
+    walk AS (
+        SELECT a AS doc, a AS comp FROM edges
+        UNION
+        SELECT e.a AS doc, w.comp FROM edges e JOIN walk w ON e.b = w.doc
+    ),
+    comp AS (SELECT doc, min(comp) AS rep FROM walk GROUP BY doc),
+    r AS (
+        SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    )
+    SELECT doc_id, rep,
+           CASE WHEN u < 0.9 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, rep,
+               ((rep + 1) * 2654435761) % 4294967296
+                   / 4294967296.0 AS u
+        FROM r
+    )
+    """,
+)
+def text_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free split hardened against near-duplicates: the
+    hash-interval assignment is computed on each doc's near-dup
+    cluster representative (jaccard>=0.8 connected components), so a
+    paraphrase/mirror of a test document cannot land in train.
+    Composes jaccard_pairs -> dedup_components -> one left join ->
+    zero-shuffle hash projection."""
+    from .operators.dedup import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_safe_split(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
 @register(
