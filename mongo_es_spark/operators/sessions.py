@@ -47,6 +47,79 @@ def sessionize(
     )
 
 
+def trailing_features(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    window_ms: int,
+) -> DataFrame:
+    """Point-in-time trailing-window features — the feature-store
+    primitive: for every event, aggregates over the key's events in
+    ``[ts - window_ms, ts)``, STRICTLY before event time so a model
+    trained on the output cannot leak the label row into its own
+    features.
+
+    Output: ``(key, id, ts, n_prev, sum_value_milli_prev)`` with
+    the value sum in integer milli-units (exact, engine-portable);
+    ``id_col`` rides along to identify the event row (the RANGE frame
+    is value-based, so no tiebreaker is needed for determinism).
+
+    One exchange keyed by ``key_col``; the RANGE frame is value-based
+    on the timestamp so same-ms peers resolve identically everywhere.
+    Per-key event volume bounds window state — hot keys concentrate
+    work exactly like sessionize's window, and the same salting tools
+    apply if a single key outgrows an executor.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col))
+        .rangeBetween(-window_ms, -1)
+    )
+    milli = F.round(F.col(value_col) * 1000).cast("long")
+    return df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.count("*").over(w).alias("n_prev"),
+        F.coalesce(F.sum(milli).over(w), F.lit(0)).alias(
+            "sum_value_milli_prev"
+        ),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event
+    sequences: for each key, order events by ``(ts, order)`` and count
+    every consecutive ``(prev_state, next_state)`` pair corpus-wide —
+    the journey/behavior-model aggregate (and the input to any
+    sequence-anomaly scorer).
+
+    One exchange keyed by ``key_col`` feeds the lag window; the
+    transition aggregation is a hash agg over a state-pair key space
+    (|states|^2 groups — tiny), with map-side partial combine.
+
+    Output: ``(prev_state, next_state, n)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    prev = F.lag(F.col(state_col)).over(w)
+    return (
+        df.select(prev.alias("prev_state"), F.col(state_col).alias("next_state"))
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "next_state")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def funnel(
     df: DataFrame,
     key_col: str,

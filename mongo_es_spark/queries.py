@@ -560,6 +560,8 @@ _DRIVER_PRIORITY = [
     "text_quality_classify",
     "embedding_whiten",
     "text_split_cluster_safe",
+    "events_trailing_features",
+    "events_transitions",
 ]
 
 
@@ -2440,6 +2442,80 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessionize(
         ev, "user_id", "ts_ms", "event_id", gap_ms=30 * 60 * 1000
+    )
+
+
+@register(
+    "events_trailing_features",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, epoch_ms(ts)::BIGINT AS ts_ms,
+               round(value * 1000)::BIGINT AS v_milli
+        FROM events
+    )
+    SELECT user_id, event_id, ts_ms,
+           count(*) OVER w AS n_prev,
+           coalesce(sum(v_milli) OVER w, 0)::BIGINT
+               AS sum_value_milli_prev
+    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+                        RANGE BETWEEN 3600000 PRECEDING
+                                  AND 1 PRECEDING)
+    """,
+)
+def events_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time aggregates: per event, the user's
+    event count and value sum over the trailing hour STRICTLY before
+    event time (no label leakage).  Value sums in integer milli-units
+    keep the cross-engine compare exact."""
+    from .operators.sessions import trailing_features
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "value",
+    )
+    return trailing_features(
+        ev, "user_id", "event_id", "ts_ms", "value",
+        window_ms=3600 * 1000,
+    )
+
+
+@register(
+    "events_transitions",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(ts)::BIGINT AS ts_ms
+        FROM events
+    ),
+    lagged AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_ms, event_id)
+                   AS prev_state,
+               event_type AS next_state
+        FROM o
+    )
+    SELECT prev_state, next_state, count(*) AS n
+    FROM lagged WHERE prev_state IS NOT NULL
+    GROUP BY prev_state, next_state
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences — the behavior-model aggregate.  One user-keyed
+    exchange for the lag window, then a hash agg over the tiny
+    |states|^2 key space."""
+    from .operators.sessions import transition_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+    return transition_counts(
+        ev, "user_id", "ts_ms", "event_id", "event_type"
     )
 
 

@@ -1727,3 +1727,53 @@ def test_quality_classifier_shape_and_edges(spark):
     )
     s2 = quality_classifier(df2, "doc_id", "text").collect()[0]
     assert s2["quality_score"] == out[1]["quality_score"]
+
+
+def test_trailing_features_strictly_before(spark):
+    from mongo_es_spark.operators.sessions import trailing_features
+
+    rows = [
+        # user 1: events at t=0, 500, 1000, 5000 (window 1000ms)
+        (1, 10, 0, 2.0),
+        (1, 11, 500, 3.0),
+        (1, 12, 1000, 5.0),
+        (1, 13, 5000, 7.0),
+        # same-ts peers must NOT see each other (strictly before)
+        (2, 20, 100, 1.0),
+        (2, 21, 100, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ms long, value double"
+    )
+    out = {r["event_id"]: r for r in trailing_features(
+        df, "user_id", "event_id", "ts_ms", "value", window_ms=1000
+    ).collect()}
+    assert (out[10]["n_prev"], out[10]["sum_value_milli_prev"]) == (0, 0)
+    assert (out[11]["n_prev"], out[11]["sum_value_milli_prev"]) == (1, 2000)
+    # t=1000 sees [0, 999]: both earlier events
+    assert (out[12]["n_prev"], out[12]["sum_value_milli_prev"]) == (2, 5000)
+    assert out[13]["n_prev"] == 0  # window expired
+    assert out[20]["n_prev"] == 0 and out[21]["n_prev"] == 0
+
+
+def test_transition_counts_orders_by_ts_then_id(spark):
+    from mongo_es_spark.operators.sessions import transition_counts
+
+    rows = [
+        (1, 1, 100, "a"),
+        (1, 2, 200, "b"),
+        (1, 3, 200, "c"),  # tie on ts: event_id orders b before c
+        (1, 4, 300, "a"),
+        (2, 5, 50, "a"),
+        (2, 6, 60, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ms long, event_type string"
+    )
+    got = {
+        (r["prev_state"], r["next_state"]): r["n"]
+        for r in transition_counts(
+            df, "user_id", "ts_ms", "event_id", "event_type"
+        ).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "c"): 1, ("c", "a"): 1}
