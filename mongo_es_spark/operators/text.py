@@ -1119,6 +1119,88 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train BPE merges on the corpus (:func:`bpe_train`) and encode
+    every document with them, reporting per-document symbol counts —
+    the tokenizer-efficiency measurement (chars per BPE symbol) that
+    decides whether a tokenizer fits a corpus.
+
+    Scale shape: encoding applies the merge folds to the DISTINCT
+    word table only (vocab-sized work, exactly like training), then
+    one explode + word-keyed join + per-doc aggregation attaches
+    ``n_syms`` to every token occurrence.  Documents never carry
+    their symbol arrays around — only two integers per doc survive.
+
+    Output: ``(id, n_char_syms, n_bpe_syms, compression)`` where
+    compression = chars/symbols rounded to 6 dp (NULL for empty
+    docs).
+    """
+    spark = df.sparkSession
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(df, text_col, n_merges=n_merges).collect()
+    ]
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+        .select("w", F.split(F.col("w"), "").alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    for l, r in merges:
+        merged = l + r
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select("w", folded.alias("syms")).localCheckpoint(
+            eager=False
+        )
+    enc = words.select(
+        "w",
+        F.length("w").cast("long").alias("__nc"),
+        F.size("syms").cast("long").alias("__ns"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.col(text_col))).alias("w"),
+    ).filter(F.length("w") > 0)
+    agg = (
+        toks.join(enc, "w")
+        .groupBy("__id")
+        .agg(
+            F.sum("__nc").alias("n_char_syms"),
+            F.sum("__ns").alias("n_bpe_syms"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(agg, base[id_col] == agg["__id"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_char_syms"), F.lit(0)).alias("n_char_syms"),
+        F.coalesce(F.col("n_bpe_syms"), F.lit(0)).alias("n_bpe_syms"),
+        F.round(
+            F.col("n_char_syms").cast("double")
+            / F.when(F.col("n_bpe_syms") > 0, F.col("n_bpe_syms")),
+            6,
+        ).alias("compression"),
+    )
+    return out
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str,

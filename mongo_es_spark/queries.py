@@ -562,6 +562,7 @@ _DRIVER_PRIORITY = [
     "text_split_cluster_safe",
     "events_trailing_features",
     "events_transitions",
+    "text_bpe_encode",
 ]
 
 
@@ -2931,6 +2932,58 @@ def _bpe_oracle(n_merges: int) -> str:
         for k in range(n_merges)
     )
     return "".join(parts) + "\n    " + sel
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Replay training (same staged CTEs), then decode the final word
+    representations back to ``(word, n_chars, n_syms)`` — stripping
+    the parens wrapper recovers the original word exactly — and
+    aggregate symbol counts per document through a token join."""
+    prefix = _bpe_oracle(n_merges)
+    # drop the trailing merge-table SELECT; keep the CTE chain
+    prefix = prefix[: prefix.rindex("\n    SELECT 0 AS rank")]
+    return (
+        prefix
+        + f"""
+    , enc AS (
+        SELECT replace(replace(repr, '(', ''), ')', '') AS w,
+               len(replace(replace(repr, '(', ''), ')', ''))::BIGINT
+                   AS nc,
+               len(string_split(substr(repr, 2, len(repr) - 2),
+                   ')('))::BIGINT AS ns
+        FROM w{n_merges}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+                   AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    agg AS (
+        SELECT doc_id, sum(nc)::BIGINT AS n_char_syms,
+               sum(ns)::BIGINT AS n_bpe_syms
+        FROM tok JOIN enc USING (w) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_char_syms, 0) AS n_char_syms,
+           coalesce(a.n_bpe_syms, 0) AS n_bpe_syms,
+           round(a.n_char_syms::DOUBLE /
+                 (CASE WHEN a.n_bpe_syms > 0 THEN a.n_bpe_syms END), 6)
+               AS compression
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+    )
+
+
+@register("text_bpe_encode", _bpe_encode_oracle(8))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency measurement: train 8 BPE merges, encode
+    every document, report per-doc char-symbol vs BPE-symbol counts.
+    Encoding folds run on the DISTINCT word table only; documents get
+    their counts via one explode + word join + aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import bpe_encode
+
+    return bpe_encode(docs, "doc_id", "text", n_merges=8)
 
 
 @register("text_bpe_train", _bpe_oracle(8))

@@ -1777,3 +1777,19 @@ def test_transition_counts_orders_by_ts_then_id(spark):
         ).collect()
     }
     assert got == {("a", "b"): 2, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_bpe_encode_compression(spark):
+    from mongo_es_spark.operators.text import bpe_encode
+
+    # one merge trained: (a,b) wins round 1 (count 2 beats (b,a)'s 1).
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ba"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bpe_encode(df, "doc_id", "text", n_merges=1).collect()}
+    assert (out[1]["n_char_syms"], out[1]["n_bpe_syms"]) == (4, 2)
+    assert out[1]["compression"] == 2.0
+    assert (out[2]["n_char_syms"], out[2]["n_bpe_syms"]) == (2, 2)
+    assert out[3]["n_bpe_syms"] == 0 and out[3]["compression"] is None
