@@ -148,16 +148,26 @@ def main() -> int:
     final = dict(result)
     final.pop("throughput")
     line = json.dumps(final, separators=(",", ":"))
-    if len(line) > 1990:  # degrade precision before overflowing the window
-        final["queries"] = {
-            k: (int(round(v)) if v >= 10 else round(v, 1))
-            for k, v in timings.items()
-        }
-        line = json.dumps(final, separators=(",", ":"))
-    if len(line) > 1990:  # last resort: integers everywhere
-        final["queries"] = {
+    if len(line) > 1995:
+        # The window cannot hold decimals for every query once the
+        # registry is this large (86 names ≈ the whole budget), so:
+        # integers everywhere, then spend whatever budget remains on
+        # 1-decimal precision for the SLOWEST queries first — the
+        # ones the baseline comparison actually grades.  Full
+        # precision is always in bench_result.json (committed).
+        vals: dict[str, object] = {
             k: int(round(v)) for k, v in timings.items()
         }
+        final["queries"] = vals
+        budget = 1995 - len(json.dumps(final, separators=(",", ":")))
+        for k in sorted(timings, key=lambda k: -timings[k]):
+            if timings[k] < 0.05:
+                continue  # 0.0 adds chars, no information
+            v1 = round(timings[k], 1)
+            cost = len(json.dumps(v1)) - len(json.dumps(vals[k]))
+            if cost <= budget:
+                vals[k] = v1
+                budget -= cost
         line = json.dumps(final, separators=(",", ":"))
     sys.stdout.flush()
     print(line, flush=True)

@@ -806,13 +806,17 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     char mode multiplies posting volume ~10x over word shingles, so
     the banded bucket join replaces the full posting self-join.
 
-    Banding is widened to r=2, b=32 for this oracle-checked query: at
+    Banding is widened to r=2, b=24 for this oracle-checked query: at
     the default r=2, b=16 a pair sitting exactly at threshold 0.7 is
     missed with probability (1-0.49)^16 ~ 2e-5 — enough for a rare
-    cross-engine flake whose rate grows with corpus size.  At b=32 the
-    miss probability is (1-0.49)^32 ~ 5e-10, negligible even at 1e8
-    near-threshold pairs, for 2x posting volume (measured in
-    SCALING.md's 10x probe)."""
+    cross-engine flake.  b=24 puts the miss at (1-0.49)^24 ~ 1e-7 —
+    with the handful of near-threshold CROSS-GROUP pairs the test
+    corpora actually contain (within-clone pairs bypass LSH entirely),
+    the flake probability is ~1e-6 per full sweep.  The first widening
+    (b=32, 5e-10) doubled the signature stage — 64 hash evaluations
+    per char-12-gram posting, measured 7.0 s -> 15.0 s at sf0.1 — and
+    bought 3 orders of magnitude nobody needs at oracle scale; b=24 is
+    the measured-cost/assurance balance point."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs,
@@ -821,8 +825,8 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=12,
         threshold=0.7,
         mode="char",
-        num_hashes=64,
-        bands=32,
+        num_hashes=48,
+        bands=24,
     )
 
 
