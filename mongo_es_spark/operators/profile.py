@@ -22,7 +22,41 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile"]
+__all__ = ["table_profile", "table_quantiles"]
+
+
+def table_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles for every listed numeric column
+    in ONE aggregation pass — the distribution half of the ingest-QA
+    profile (:func:`table_profile` covers nulls/distincts/ranges).
+
+    Uses ``percentile`` (exact, linear interpolation between closest
+    ranks — the same definition as ANSI ``quantile_cont``), so any
+    engine reproduces the numbers.  Exact percentiles buffer each
+    column's values per partition; the 100 TB default is
+    ``approx_percentile`` (KLL-sketch-style mergeable state), same
+    call shape.  Output: one row per column, ``(column, p50, p90,
+    p99)`` rounded to 6 dp.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.percentile(F.col(c), F.array(*[F.lit(p) for p in probs]))
+            .alias(f"{c}__q")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', round({c}__q[0], 6), round({c}__q[1], 6), "
+        f"round({c}__q[2], 6)"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column, p50, p90, p99)"
+    )
 
 
 def table_profile(

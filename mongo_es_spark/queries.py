@@ -563,6 +563,8 @@ _DRIVER_PRIORITY = [
     "events_trailing_features",
     "events_transitions",
     "text_bpe_encode",
+    "table_quantiles",
+    "dedup_cluster_stats",
 ]
 
 
@@ -2447,6 +2449,94 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessionize(
         ev, "user_id", "ts_ms", "event_id", gap_ms=30 * 60 * 1000
+    )
+
+
+@register(
+    "table_quantiles",
+    """
+    WITH q AS (
+        SELECT quantile_cont(l_quantity, [0.5, 0.9, 0.99]) AS ql,
+               quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS qe,
+               quantile_cont(l_discount, [0.5, 0.9, 0.99]) AS qd,
+               quantile_cont(l_tax, [0.5, 0.9, 0.99]) AS qt
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS "column", round(ql[1], 6) AS p50,
+           round(ql[2], 6) AS p90, round(ql[3], 6) AS p99 FROM q
+    UNION ALL
+    SELECT 'l_extendedprice', round(qe[1], 6), round(qe[2], 6),
+           round(qe[3], 6) FROM q
+    UNION ALL
+    SELECT 'l_discount', round(qd[1], 6), round(qd[2], 6),
+           round(qd[3], 6) FROM q
+    UNION ALL
+    SELECT 'l_tax', round(qt[1], 6), round(qt[2], 6),
+           round(qt[3], 6) FROM q
+    """,
+)
+def table_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution half of the ingest-QA profile: exact interpolated
+    p50/p90/p99 for four lineitem measures in one aggregation pass
+    (percentile == ANSI quantile_cont; approx_percentile is the
+    documented 100 TB swap-in)."""
+    from .operators.profile import table_quantiles as tq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return tq(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION
+        SELECT j AS a, i AS b FROM pairs
+    ),
+    walk AS (
+        SELECT a AS doc, a AS comp FROM edges
+        UNION
+        SELECT e.a AS doc, w.comp FROM edges e JOIN walk w ON e.b = w.doc
+    ),
+    comp AS (SELECT doc, min(comp) AS rep FROM walk GROUP BY doc),
+    r AS (
+        SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    ),
+    sizes AS (SELECT rep, count(*) AS cluster_size FROM r GROUP BY rep)
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-profile report: the near-dup cluster size histogram
+    (how much of the corpus sits in clones of size k) — the number a
+    curation run quotes before deciding thresholds.  Pairs ->
+    components -> two tiny aggregations; singletons counted via the
+    same left join the split operator uses."""
+    from .operators.dedup import dedup_components, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = dedup_components(pairs)
+    base = docs.select("doc_id")
+    rep = base.join(
+        comp, base["doc_id"] == comp["doc"], "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("rep")
+    )
+    sizes = rep.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*"))
+        .cast("long")
+        .alias("n_docs"),
     )
 
 
