@@ -958,6 +958,56 @@ def rare_ngram_density(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: score every (doc,
+    term) as ``tf * ln(N/df)`` and keep each document's ``top_k``
+    terms — the metadata tagger for corpus browsing/faceting.
+
+    Plan: one explode + (doc, term) count, one term-keyed df
+    aggregation joined back (term-keyed shuffle), then the per-doc
+    top-k via a rank window — Spark turns the rank filter into
+    WindowGroupLimit, so each partition retains k rows per doc rather
+    than sorting whole documents.  Ordering uses the 6-dp ROUNDED
+    score (ties then break on the term string) so any engine ranks
+    identically — raw float ordering would be at the mercy of libm's
+    last ulp.
+
+    Output: ``(id, term, rank, score)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("__id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("__id").alias("df")
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    score = F.round(
+        F.col("tf")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        6,
+    )
+    scored = tf.join(dfreq, "term").select(
+        "__id", "term", score.alias("score")
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__id").alias(id_col), "term", "rank", "score"
+        )
+    )
+
+
 def quality_classifier(
     df: DataFrame,
     id_col: str,

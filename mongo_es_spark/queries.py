@@ -565,6 +565,7 @@ _DRIVER_PRIORITY = [
     "text_bpe_encode",
     "table_quantiles",
     "dedup_cluster_stats",
+    "text_idf_keywords",
 ]
 
 
@@ -2450,6 +2451,47 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
         ev, "user_id", "ts_ms", "event_id", gap_ms=30 * 60 * 1000
     )
+
+
+@register(
+    "text_idf_keywords",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok WHERE len(term) > 0 GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    s AS (
+        SELECT doc_id, term,
+               round(tf * ln(n / df), 6) AS score
+        FROM tf JOIN dfq USING (term), n
+    ),
+    r AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM s
+    )
+    SELECT doc_id, term, rank::INT AS rank, score FROM r WHERE rank <= 3
+    """,
+)
+def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms): explode +
+    per-doc term counts, term-keyed df join, WindowGroupLimit top-k
+    on the 6-dp-rounded score (raw float ordering would hang rank
+    boundaries on libm's last ulp)."""
+    from .operators.text import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "doc_id", "text", top_k=3)
 
 
 @register(
