@@ -322,3 +322,84 @@ def test_frequent_tokens_merges_sketch_rows_only(spark):
     assert "Generate" not in plan      # tokens never re-exploded
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan  # the one-row error total
+
+
+def test_quality_classify_single_scan_one_exchange(spark):
+    """Scoring is a codegen'd explode + partial aggregation: the
+    corpus side must show exactly one aggregate exchange (one
+    partially-aggregated row per doc on the wire) and the scan must
+    prune to (doc_id, text).  No BatchEvalPython anywhere — the hash
+    arithmetic is all JVM."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_quality_classify"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # one shuffle for the doc-keyed aggregation; the empty-doc union
+    # branch reuses the same scan shape with no exchange of its own
+    assert n_exchanges(plan) == 1
+
+
+def test_substring_dedup_shuffles_hashes_not_window_text(spark):
+    """The winner-per-window shuffle must carry the 128-bit hash pair,
+    never the window string: the exchange's input attributes include
+    h1/h2 and no win column survives past the instance projection."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_substring_dedup"](spark, SF))
+    assert "h1" in plan and "h2" in plan
+    # the window text column is consumed by the hash projection and
+    # must not appear as a shuffle output attribute
+    assert not re.search(r"Arguments: hashpartitioning\(win", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_features_single_exchange(spark):
+    """One user-keyed exchange feeds the RANGE window; no extra
+    shuffle, no Python, no cartesian."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_trailing_features"](spark, SF))
+    assert n_exchanges(plan) == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transitions_lag_then_tiny_agg(spark):
+    """The lag window rides one user-keyed exchange; the transition
+    aggregation adds one more (states^2 key space) and nothing else."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_transitions"](spark, SF))
+    assert n_exchanges(plan) == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_table_quantiles_single_pass(spark):
+    """All percentile columns must come from ONE scan + one aggregate
+    (no per-column scans, no Expand — percentile needs no distinct)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["table_quantiles"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_whiten_is_projection_after_model_collect(spark):
+    """After the d-row moment collect, the output plan must be a pure
+    projection over one scan — no join, no exchange, no Python."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["embedding_whiten"](spark, SF))
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_idf_keywords_windowgrouplimit(spark):
+    """The per-doc top-k must prune via WindowGroupLimit (rank filter
+    pushed into the window), not sort whole documents and filter."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_idf_keywords"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
