@@ -150,17 +150,27 @@ def main() -> int:
     line = json.dumps(final, separators=(",", ":"))
     if len(line) > 1995:
         # The window cannot hold decimals for every query once the
-        # registry is this large (86 names ≈ the whole budget), so:
-        # integers everywhere, then spend whatever budget remains on
-        # 1-decimal precision for the SLOWEST queries first — the
-        # ones the baseline comparison actually grades.  Full
-        # precision is always in bench_result.json (committed).
+        # registry is this large (the ~90 names alone ≈ the whole
+        # budget), so degrade deterministically: integers everywhere;
+        # if even the NAME SET overflows, shed the fastest queries
+        # (their timings live in bench_result.json and their seconds
+        # are inside "value") and record how many were shed; then
+        # spend any remaining budget on 1-decimal precision for the
+        # SLOWEST queries — the ones the baseline comparison grades.
         vals: dict[str, object] = {
             k: int(round(v)) for k, v in timings.items()
         }
         final["queries"] = vals
-        budget = 1995 - len(json.dumps(final, separators=(",", ":")))
-        for k in sorted(timings, key=lambda k: -timings[k]):
+        order = sorted(timings, key=lambda k: timings[k])
+        omitted = 0
+        line = json.dumps(final, separators=(",", ":"))
+        while len(line) > 1995 and order:
+            del vals[order.pop(0)]
+            omitted += 1
+            final["omitted_fastest"] = omitted
+            line = json.dumps(final, separators=(",", ":"))
+        budget = 1995 - len(line)
+        for k in sorted(vals, key=lambda k: -timings[k]):
             if timings[k] < 0.05:
                 continue  # 0.0 adds chars, no information
             v1 = round(timings[k], 1)
