@@ -566,6 +566,7 @@ _DRIVER_PRIORITY = [
     "table_quantiles",
     "dedup_cluster_stats",
     "text_idf_keywords",
+    "streaming_transitions",
 ]
 
 
@@ -2653,6 +2654,79 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return transition_counts(
         ev, "user_id", "ts_ms", "event_id", "event_type"
+    )
+
+
+_TRANSITIONS_ORACLE = """
+    WITH o AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(ts)::BIGINT AS ts_ms
+        FROM events
+    ),
+    lagged AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_ms, event_id)
+                   AS prev_state,
+               event_type AS next_state
+        FROM o
+    )
+    SELECT prev_state, next_state, count(*) AS n
+    FROM lagged WHERE prev_state IS NOT NULL
+    GROUP BY prev_state, next_state
+"""
+
+
+@register("streaming_transitions", _TRANSITIONS_ORACLE)
+def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING transition-matrix maintainer under the batch
+    twin's hard oracle: the events table replays as a file stream,
+    per-user last-event state folds across triggers
+    (streaming/transitions.py), and the summed increment changelog
+    must equal the batch lag-window result exactly (no late events in
+    an ordered drain — the late path is pytest-covered)."""
+    import shutil
+    import tempfile
+
+    from .streaming.transitions import (
+        run_streaming_transitions,
+        transitions_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="trans_stream_")
+    try:
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        ev_path = os.path.join(sf_dir, "events.parquet")
+        reader = spark.readStream.schema(schema)
+        if os.path.isdir(ev_path):
+            stream = reader.parquet(ev_path)
+        else:
+            stream = reader.option(
+                "pathGlobFilter", "events.parquet"
+            ).parquet(sf_dir)
+        ev = stream.select(
+            "user_id",
+            "event_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            "event_type",
+        )
+        q = run_streaming_transitions(
+            spark, ev, f"{base}/sink", f"{base}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming transitions drain exceeded 300 s"
+            )
+        out = transitions_snapshot(spark, f"{base}/sink")
+        # materialize before the tempdir vanishes
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "prev_state string, next_state string, n long"
     )
 
 
