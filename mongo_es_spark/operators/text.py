@@ -1251,6 +1251,186 @@ def bpe_encode(
     return out
 
 
+def _substring_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+
+
+def _substring_instances(base: DataFrame, w: int) -> DataFrame:
+    """All w-token window instances: 1-based pos in 1..n-w+1 (empty
+    for short docs).  The downstream winner shuffle is keyed by a
+    128-bit hash pair of the window text, not the text itself — w
+    tokens per position would put ~w x corpus-bytes on the wire; two
+    independently-seeded xxhash64s make a false window collision
+    (which would wrongly mark a unique span as duplicated) a ~2^-128
+    event, i.e. exact in practice at any corpus size."""
+    return base.filter(F.col("n_tokens") >= w).select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - w + 1),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"), p, w)
+                    ).alias("win"),
+                ),
+            )
+        ).alias("__i"),
+    ).select(
+        "__id",
+        F.col("__i.pos").alias("pos"),
+        F.xxhash64(F.lit("sub0"), F.col("__i.win")).alias("h1"),
+        F.xxhash64(F.lit("sub1"), F.col("__i.win")).alias("h2"),
+    )
+
+
+def _substring_cover_output(
+    base: DataFrame, losers: DataFrame, id_col: str, w: int
+) -> DataFrame:
+    """(loser instances -> covered positions -> per-doc output) —
+    shared tail of the batch and incremental substring dedup."""
+    covered = (
+        losers.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + w - 1)
+            ).alias("tp"),
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("dup_tokens"),
+            F.collect_set("tp").alias("__cov"),
+        )
+    )
+    return base.join(covered, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+            6,
+        ).alias("keep_frac"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.transform(
+                        F.col("__toks"),
+                        lambda t, i: F.struct(
+                            t.alias("t"), (i + 1).alias("p")
+                        ),
+                    ),
+                    lambda s: ~F.array_contains(
+                        F.coalesce(
+                            F.col("__cov"),
+                            F.array().cast("array<int>"),
+                        ),
+                        s["p"],
+                    ),
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def _sub_params_path(store_path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(store_path)
+    return store_path.rstrip("/") + "/_sub_params"
+
+
+def incremental_substring_dedup(
+    spark,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Running ExactSubstr: dedup a NEW batch of documents against
+    every window ever seen (persisted window-hash store) plus the
+    batch itself, and append the batch's first-seen windows to the
+    store — work ∝ the new batch, the same incremental contract as
+    the MinHash/SimHash signature stores.
+
+    Feeding a corpus through in ascending-id batches reproduces
+    :func:`substring_dedup` on the full corpus exactly (first-seen ==
+    global min ``(doc, pos)`` when arrival order matches id order).
+
+    ``window_tokens`` is persisted in a ``_sub_params`` sidecar and
+    validated on every call — a silent window-size mismatch would
+    make old store entries unmatchable and quietly disable dedup.
+
+    Output: the batch's ``(id, n_tokens, dup_tokens, keep_frac,
+    clean_text)`` frame.
+    """
+    if window_tokens <= 1:
+        raise ValueError("window_tokens must be > 1")
+    w = window_tokens
+    params_path = _sub_params_path(store_path)
+    try:
+        stored_w = int(
+            spark.read.parquet(params_path).head()["window_tokens"]
+        )
+        store = spark.read.parquet(store_path).select("h1", "h2")
+        store_exists = True
+    except Exception:
+        stored_w, store, store_exists = None, None, False
+    if stored_w is not None and stored_w != w:
+        raise ValueError(
+            f"substring store at {store_path} was written with "
+            f"window_tokens={stored_w}, called with {w}"
+        )
+
+    base = _substring_base(batch_df, id_col, text_col)
+    inst = _substring_instances(base, w)
+    first = Window.partitionBy("h1", "h2")
+    ranked = inst.withColumn(
+        "__min",
+        F.min(F.struct(F.col("__id"), F.col("pos"))).over(first),
+    )
+    is_winner = (F.col("__min.__id") == F.col("__id")) & (
+        F.col("__min.pos") == F.col("pos")
+    )
+    # materialize once: winners feed the store probe, the store
+    # append, AND (via their complement) the loser set
+    marked = ranked.withColumn("__w", is_winner).localCheckpoint(
+        eager=True
+    )
+    batch_losers = marked.filter(~F.col("__w")).select("__id", "pos")
+    winners = marked.filter(F.col("__w")).select(
+        "__id", "pos", "h1", "h2"
+    )
+    if store_exists:
+        hit_store = winners.join(store, ["h1", "h2"], "left_semi").select(
+            "__id", "pos"
+        )
+        losers = batch_losers.unionByName(hit_store)
+        fresh = winners.join(store, ["h1", "h2"], "left_anti").select(
+            "h1", "h2"
+        )
+    else:
+        losers = batch_losers
+        fresh = winners.select("h1", "h2")
+    out = _substring_cover_output(base, losers, id_col, w)
+    # force the output (it reads the store listing pinned above)
+    # before appending, then persist the batch's first-seen windows
+    out = out.localCheckpoint(eager=True)
+    fresh.write.mode("append").parquet(store_path)
+    if not store_exists:
+        spark.range(1).select(
+            F.lit(int(w)).cast("int").alias("window_tokens")
+        ).coalesce(1).write.mode("overwrite").parquet(params_path)
+    return out
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str,
@@ -1287,39 +1467,8 @@ def substring_dedup(
     if window_tokens <= 1:
         raise ValueError("window_tokens must be > 1")
     w = window_tokens
-    toks = tokens_col(F.col(text_col))
-    n = token_count_col(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        toks.alias("__toks"),
-        n.alias("n_tokens"),
-    )
-    # instances: 1-based pos in 1..n-w+1 (empty for short docs).
-    # The winner shuffle is keyed by a 128-bit hash pair of the window
-    # text, not the text itself — w tokens per position would put
-    # ~w x corpus-bytes on the wire; two independently-seeded
-    # xxhash64s make a false window collision (which would wrongly
-    # mark a unique span as duplicated) a ~2^-128 event, i.e. exact
-    # in practice at any corpus size.
-    inst = base.filter(F.col("n_tokens") >= w).select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - w + 1),
-                lambda p: F.struct(
-                    p.alias("pos"),
-                    F.concat_ws(
-                        " ", F.slice(F.col("__toks"), p, w)
-                    ).alias("win"),
-                ),
-            )
-        ).alias("__i"),
-    ).select(
-        "__id",
-        F.col("__i.pos").alias("pos"),
-        F.xxhash64(F.lit("sub0"), F.col("__i.win")).alias("h1"),
-        F.xxhash64(F.lit("sub1"), F.col("__i.win")).alias("h2"),
-    )
+    base = _substring_base(df, id_col, text_col)
+    inst = _substring_instances(base, w)
     first = Window.partitionBy("h1", "h2")
     losers = (
         inst.withColumn(
@@ -1332,53 +1481,7 @@ def substring_dedup(
         )
         .select("__id", "pos")
     )
-    covered = (
-        losers.select(
-            "__id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + w - 1)
-            ).alias("tp"),
-        )
-        .distinct()
-        .groupBy("__id")
-        .agg(
-            F.count("*").alias("dup_tokens"),
-            F.collect_set("tp").alias("__cov"),
-        )
-    )
-    out = base.join(covered, "__id", "left").select(
-        F.col("__id").alias(id_col),
-        "n_tokens",
-        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
-        F.round(
-            F.lit(1.0)
-            - F.coalesce(F.col("dup_tokens"), F.lit(0))
-            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
-            6,
-        ).alias("keep_frac"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.filter(
-                    F.transform(
-                        F.col("__toks"),
-                        lambda t, i: F.struct(
-                            t.alias("t"), (i + 1).alias("p")
-                        ),
-                    ),
-                    lambda s: ~F.array_contains(
-                        F.coalesce(
-                            F.col("__cov"),
-                            F.array().cast("array<int>"),
-                        ),
-                        s["p"],
-                    ),
-                ),
-                lambda s: s["t"],
-            ),
-        ).alias("clean_text"),
-    )
-    return out
+    return _substring_cover_output(base, losers, id_col, w)
 
 
 def span_dedup(

@@ -1793,3 +1793,63 @@ def test_bpe_encode_compression(spark):
     assert out[1]["compression"] == 2.0
     assert (out[2]["n_char_syms"], out[2]["n_bpe_syms"]) == (2, 2)
     assert out[3]["n_bpe_syms"] == 0 and out[3]["compression"] is None
+
+
+def test_incremental_substring_dedup_matches_full_run(spark, tmp_path):
+    """Ascending-id batches through the window-hash store == the batch
+    operator over the concatenated corpus; replaying a batch is a
+    no-op on the store; a window-size mismatch fails loudly."""
+    import pytest as _pytest
+
+    from mongo_es_spark.operators.text import (
+        incremental_substring_dedup,
+        substring_dedup,
+    )
+
+    W = 4
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x a b c d y"),        # contains batch-1's 4-gram
+        (3, "x a b c d y"),        # exact clone of 2 (later batch)
+        (4, "p q r s p q r s"),    # self-repeat
+        (5, "zz"),                 # short
+    ]
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["clean_text"])
+        for r in substring_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", window_tokens=W,
+        ).collect()
+    }
+
+    store = str(tmp_path / "substore")
+    got = {}
+    for lo, hi in ((0, 2), (2, 5)):
+        batch = spark.createDataFrame(
+            rows[lo:hi], "doc_id long, text string"
+        )
+        out = incremental_substring_dedup(
+            spark, batch, "doc_id", "text", store, window_tokens=W
+        )
+        for r in out.collect():
+            got[r["doc_id"]] = (
+                r["n_tokens"], r["dup_tokens"], r["clean_text"]
+            )
+    assert got == full
+
+    n_store = spark.read.parquet(store).count()
+    # replay batch 2: already-stored windows must not re-append
+    replay = incremental_substring_dedup(
+        spark,
+        spark.createDataFrame(rows[2:5], "doc_id long, text string"),
+        "doc_id", "text", store, window_tokens=W,
+    )
+    assert replay.count() == 3
+    assert spark.read.parquet(store).count() == n_store
+
+    with _pytest.raises(ValueError, match="window_tokens"):
+        incremental_substring_dedup(
+            spark,
+            spark.createDataFrame(rows[:1], "doc_id long, text string"),
+            "doc_id", "text", store, window_tokens=5,
+        )
