@@ -278,6 +278,57 @@ def materialize_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+) -> int:
+    """Index maintenance under appends: assign NEW vectors to the
+    EXISTING centroids and append them into the index's cell
+    partitions — no retrain, no rewrite of resident cells, work ∝ the
+    new batch.  This is how production IVF systems absorb a stream of
+    vectors between periodic re-trainings: assignment quality
+    degrades only as the data distribution drifts away from the
+    trained centroids, which re-materializing periodically repairs.
+
+    Already-indexed ids are skipped (anti-join on the index's id set
+    — the idempotent-replay contract the signature stores use).
+    Returns the number of vectors appended.
+    """
+    spark = df.sparkSession
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(rows), len(rows[0]["centroid"])))
+    for r in rows:
+        C[r["cell"]] = r["centroid"]
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    existing = spark.read.parquet(f"{path}/vectors").select(id_col)
+    fresh = vecs.join(existing, id_col, "left_anti")
+
+    def assign_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    assign = pandas_udf(assign_kernel, "int")
+    staged = fresh.withColumn("cell", assign(F.col("v"))).localCheckpoint(
+        eager=True
+    )
+    n = staged.count()
+    if n:
+        staged.write.mode("append").partitionBy("cell").parquet(
+            f"{path}/vectors"
+        )
+    return n
+
+
 def ann_ivf_search(
     spark,
     path: str,

@@ -1853,3 +1853,43 @@ def test_incremental_substring_dedup_matches_full_run(spark, tmp_path):
             spark.createDataFrame(rows[:1], "doc_id long, text string"),
             "doc_id", "text", store, window_tokens=5,
         )
+
+
+def test_ivf_append_assigns_to_existing_cells(spark, tmp_path):
+    """Appending new vectors to a materialized IVF index: assignment
+    uses the EXISTING centroids (no retrain), search finds the new
+    vectors through the probed partitions, replay appends nothing."""
+    import numpy as np
+
+    from mongo_es_spark.operators.similarity import (
+        ann_ivf_search,
+        append_to_ivf_index,
+        materialize_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    base = [
+        (i, (rng.randn(8) + (5.0 if i % 2 else -5.0) * np.eye(8)[0])
+            .astype(float).tolist())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(df, "vec_id", "embedding", path, n_cells=2)
+
+    # a new vector deep inside the +x cluster
+    target = [5.0] + [0.0] * 7
+    newdf = spark.createDataFrame(
+        [(100, target), (1, base[1][1])],  # id 1 already indexed
+        "vec_id long, embedding array<float>",
+    )
+    appended = append_to_ivf_index(newdf, "vec_id", "embedding", path)
+    assert appended == 1  # the resident id was skipped
+
+    hits = ann_ivf_search(
+        spark, path, target, "vec_id", k=3, n_probe=1
+    ).collect()
+    assert hits[0]["vec_id"] == 100 and hits[0]["score"] == 1.0
+
+    # replay: nothing new to add
+    assert append_to_ivf_index(newdf, "vec_id", "embedding", path) == 0
