@@ -567,6 +567,8 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_stats",
     "text_idf_keywords",
     "streaming_transitions",
+    "text_corpus_rollup",
+    "corpus_diff",
 ]
 
 
@@ -2452,6 +2454,93 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
         ev, "user_id", "ts_ms", "event_id", gap_ms=30 * 60 * 1000
     )
+
+
+@register(
+    "text_corpus_rollup",
+    r"""
+    WITH t AS (
+        SELECT source, lang,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                END)::BIGINT AS n_tok
+        FROM documents
+    )
+    SELECT coalesce(source, '<all>') AS source,
+           coalesce(lang, '<all>') AS lang,
+           count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens
+    FROM t GROUP BY ROLLUP (source, lang)
+    """,
+)
+def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity corpus accounting in ONE pass: per
+    (source, lang), per source, and grand total via ROLLUP — Catalyst
+    compiles the grouping sets into a single Expand + aggregate, so
+    the reporting layer costs one scan instead of three queries.
+    NULL grouping slots render as '<all>' to keep the frame
+    join-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        token_count_col(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return (
+        t.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+@register(
+    "corpus_diff",
+    """
+    WITH a AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+        WHERE doc_id % 10 <> 0
+    ),
+    b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 0 THEN upper(text)
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h = b.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-ops primitive for auditing what a
+    pipeline rerun changed: full outer join on the document key with a
+    content-hash compare classifies every id as added / removed /
+    changed / unchanged.  One equi-join shuffle; hashes computed
+    during the scan so the join carries 16 bytes per side, not
+    document payloads.  (The two 'snapshots' here are deterministic
+    slices of the fixture corpus — the operator is the join shape.)"""
+    from .operators.diff import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    b = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.upper(F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(a, b, "doc_id", "text")
 
 
 @register(
