@@ -569,6 +569,7 @@ _DRIVER_PRIORITY = [
     "streaming_transitions",
     "text_corpus_rollup",
     "corpus_diff",
+    "cdc_full_replace",
 ]
 
 
@@ -2743,6 +2744,107 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return transition_counts(
         ev, "user_id", "ts_ms", "event_id", "event_type"
+    )
+
+
+@register(
+    "cdc_full_replace",
+    """
+    WITH o AS (
+        SELECT event_id, (epoch_ms(ts) // 1000)::BIGINT AS ts_s, value,
+               CASE event_type WHEN 'signup' THEN 'i'
+                               WHEN 'error'  THEN 'd'
+                               ELSE 'u' END AS op
+        FROM events
+    )
+    SELECT CASE WHEN op = 'd' THEN 'delete' ELSE 'upsert' END AS action,
+           CAST(event_id AS VARCHAR) AS _id,
+           CASE WHEN op = 'd' THEN NULL
+                WHEN op = 'u' AND event_id % 2 = 0 THEN -1.0
+                ELSE round(value, 6) END AS balance,
+           CASE WHEN op = 'i' THEN 'ins'
+                WHEN op = 'u' AND event_id % 2 = 0 THEN 'src'
+                ELSE NULL END AS name,
+           ts_s AS ts_sec
+    FROM o
+    """,
+)
+def cdc_full_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (full-replace update detect) + J3 (source fallback) under a
+    hard oracle, driving the REAL pipeline operators: every event
+    becomes its own oplog document — inserts carry {value, name},
+    even-id updates a {"$set": {value}} patch (must consult the
+    source lookup: both mapped fields come back from the source doc,
+    the Mongo-current-document semantic), odd-id updates a PLAIN
+    {value} document (the has_plain marker routes it through the
+    insert-like branch: no lookup, unmapped name dropped), errors
+    delete.  The frame runs compact_oplog_docs -> dispatch_ir_frame —
+    the same code the streaming tail executes per micro-batch
+    (reference: src/processor.ts:186 replace detect, :202 lookup
+    fallback)."""
+    from .operators.oplog_compaction import compact_oplog_docs
+    from .streaming.tail import dispatch_ir_frame
+
+    task = Task(
+        {
+            "extract": {"db": "tpch", "collection": "docs"},
+            "transform": {
+                "mapping": {"value": "balance", "name": "name"}
+            },
+            "load": {"index": "docs", "type": "doc"},
+        }
+    )
+    ev = load_table(spark, sf_dir, "events")
+    opc = (
+        F.when(F.col("event_type") == "signup", "i")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    val = F.col("value")
+    doc = (
+        F.when(
+            opc == "i",
+            F.to_json(
+                F.struct(val.alias("value"), F.lit("ins").alias("name"))
+            ),
+        )
+        .when(
+            (opc == "u") & (F.col("event_id") % 2 == 0),
+            F.to_json(
+                F.struct(
+                    F.struct(val.alias("value")).alias("$set")
+                )
+            ),
+        )
+        .when(opc == "u", F.to_json(F.struct(val.alias("value"))))
+        .otherwise(F.lit("{}"))
+    )
+    frame = ev.select(
+        F.expr("shiftleft(ts div 1000000000, 32)").alias("ts"),
+        F.lit("tpch.docs").alias("ns"),
+        opc.alias("op"),
+        F.col("event_id").cast("string").alias("id"),
+        doc.alias("doc"),
+    )
+    compacted = compact_oplog_docs(frame, task)
+    source_df = ev.select(
+        F.col("event_id").alias("_id"),
+        F.lit(-1.0).alias("value"),
+        F.lit("src").alias("name"),
+    )
+    irs = dispatch_ir_frame(
+        compacted,
+        task,
+        sink_state=None,
+        source_df=source_df,
+        hints={"value": "double"},
+    )
+    return irs.select(
+        "action",
+        F.col("id").alias("_id"),
+        F.round(F.col("data.balance"), 6).alias("balance"),
+        F.col("data.name").alias("name"),
+        F.col("timestamp").alias("ts_sec"),
     )
 
 
