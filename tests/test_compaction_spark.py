@@ -160,3 +160,65 @@ def test_checkpoint_replay_associativity_randomized(spark):
             for r in two_stage.collect()
         }
         assert got == full, f"trial {trial} split {split_ts}"
+
+
+def test_doc_compaction_groups_straddling_arrow_batches(spark):
+    """The mapInPandas fold carries a group split across Arrow batch
+    boundaries: with a 3-row batch cap, multi-event groups must still
+    fold to exactly the same survivors as the unconstrained run."""
+    import json
+
+    from mongo_es_spark.config import Task
+    from mongo_es_spark.operators.oplog_compaction import (
+        compact_oplog_docs,
+    )
+
+    task = Task(
+        {
+            "extract": {"db": "db", "collection": "c"},
+            "transform": {"mapping": {"a": "a", "b": "b"}},
+            "load": {"index": "c", "type": "doc"},
+        }
+    )
+    rows = []
+    # 6 ids x 4 events each: i, $set patch, $set patch, plain replace
+    for i in range(6):
+        rid = f"d{i}"
+        rows += [
+            (1, "db.c", "i", rid, json.dumps({"a": 1})),
+            (2, "db.c", "u", rid, json.dumps({"$set": {"b": i}})),
+            (3, "db.c", "u", rid, json.dumps({"$set": {"a": 9}})),
+        ]
+        if i % 2:
+            rows.append(
+                (4, "db.c", "u", rid, json.dumps({"a": 7, "b": 7}))
+            )
+    df = spark.createDataFrame(
+        rows, "ts long, ns string, op string, id string, doc string"
+    )
+
+    def run():
+        out = compact_oplog_docs(df, task).collect()
+        return sorted(
+            (r["id"], r["op"], json.loads(r["doc"]), r["has_plain"])
+            for r in out
+        )
+
+    base = run()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        tiny = run()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert tiny == base
+    assert len(base) == 6  # one survivor per id
+    # i∘u folds the update's $set into the insert; a PLAIN update has
+    # no $set, so the reference merge leaves the insert unchanged
+    # (full-replace handling is dispatch-time, for standalone updates
+    # — processor.ts:186; merge only consumes operator-shaped docs)
+    by_id = {i: (op, doc) for i, op, doc, _ in base}
+    assert by_id["d0"] == ("i", {"a": 9, "b": 0})
+    assert by_id["d1"] == ("i", {"a": 9, "b": 1})
