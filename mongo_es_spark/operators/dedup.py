@@ -483,18 +483,34 @@ def _lsh_params_path(store_path: str) -> str:
     return store_path.rstrip("/") + "/_lsh_params"
 
 
+# Signature scheme 2: shingle hashes to a long once, per-seed minhash
+# values derive from the 8-byte hash (scheme 1 re-hashed the string
+# per seed).  Identical shingle sets produce DIFFERENT mh values
+# across schemes, so mixing them in one store silently zeroes
+# cross-batch collision recall — the sidecar records the scheme and
+# readers refuse a mismatch instead.
+_MH_SCHEME = 2
+
+
 def _read_lsh_params(spark, store_path: str):
     """Banding parameters persisted alongside a signature store, or
-    ``None`` for stores written before the sidecar existed."""
-    try:
-        row = spark.read.parquet(_lsh_params_path(store_path)).head()
-        return {
-            "num_hashes": row["num_hashes"],
-            "bands": row["bands"],
-            "n": row["n"],
-        }
-    except Exception:
+    ``None`` for stores written before the sidecar existed.  A
+    BROKEN sidecar read raises (see storeio) — returning None here
+    would let the caller overwrite the sidecar with its own params,
+    erasing the drift guard."""
+    from ..storeio import read_parquet_if_exists
+
+    frame = read_parquet_if_exists(spark, _lsh_params_path(store_path))
+    if frame is None:
         return None
+    row = frame.head()
+    d = row.asDict()
+    return {
+        "num_hashes": d["num_hashes"],
+        "bands": d["bands"],
+        "n": d["n"],
+        "scheme": d.get("scheme", 1),
+    }
 
 
 def _write_lsh_params(
@@ -507,9 +523,33 @@ def _write_lsh_params(
         F.lit(int(num_hashes)).cast("int").alias("num_hashes"),
         F.lit(int(bands)).cast("int").alias("bands"),
         F.lit(int(n)).cast("int").alias("n"),
+        F.lit(int(_MH_SCHEME)).cast("int").alias("scheme"),
     ).coalesce(1).write.mode("overwrite").parquet(
         _lsh_params_path(store_path)
     )
+
+
+def _check_lsh_params(
+    params, store_path: str, num_hashes: int, bands: int, n: int
+) -> None:
+    if params["scheme"] != _MH_SCHEME:
+        raise ValueError(
+            f"store at {store_path} was written with signature scheme "
+            f"{params['scheme']}; this build computes scheme "
+            f"{_MH_SCHEME} — rebuild the store (mixed schemes never "
+            f"collide, silently disabling cross-batch dedup)"
+        )
+    if (
+        params["num_hashes"] != num_hashes
+        or params["bands"] != bands
+        or params["n"] != n
+    ):
+        raise ValueError(
+            f"store at {store_path} was written with "
+            f"num_hashes={params['num_hashes']} bands={params['bands']} "
+            f"n={params['n']}; caller asked num_hashes={num_hashes} "
+            f"bands={bands} n={n}"
+        )
 
 
 def _store_mh_count(columns) -> int:
@@ -571,9 +611,10 @@ def incremental_minhash_pairs(
     A missing store is treated as empty (the first batch creates it) —
     no seed-write round-trip needed before the first call.
     """
-    try:
-        old = spark.read.parquet(store_path)
-    except Exception:
+    from ..storeio import read_parquet_if_exists
+
+    old = read_parquet_if_exists(spark, store_path)
+    if old is None:
         old = minhash_signature_frame(
             new_df.limit(0), id_col, text_col, n, num_hashes
         )
@@ -586,17 +627,8 @@ def incremental_minhash_pairs(
     params = _read_lsh_params(spark, store_path)
     if params is None:
         _write_lsh_params(spark, store_path, num_hashes, bands, n)
-    elif (
-        params["num_hashes"] != num_hashes
-        or params["bands"] != bands
-        or params["n"] != n
-    ):
-        raise ValueError(
-            f"store at {store_path} was written with "
-            f"num_hashes={params['num_hashes']} bands={params['bands']} "
-            f"n={params['n']}; caller asked num_hashes={num_hashes} "
-            f"bands={bands} n={n}"
-        )
+    else:
+        _check_lsh_params(params, store_path, num_hashes, bands, n)
     new_sigs = (
         minhash_signature_frame(new_df, id_col, text_col, n, num_hashes)
         .join(old.select("doc"), "doc", "left_anti")

@@ -38,7 +38,10 @@ def snapshot_diff(
         F.coalesce(F.col("__ida"), F.col("__idb")).alias(id_col),
         F.when(F.col("__ida").isNull(), "added")
         .when(F.col("__idb").isNull(), "removed")
-        .when(F.col("__ha") == F.col("__hb"), "unchanged")
+        # null-SAFE hash compare: md5(NULL) is NULL, and NULL = NULL
+        # would fall through to 'changed' — a key whose content is
+        # NULL in both snapshots is unchanged
+        .when(F.col("__ha").eqNullSafe(F.col("__hb")), "unchanged")
         .otherwise("changed")
         .alias("status"),
     )

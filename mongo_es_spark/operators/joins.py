@@ -203,17 +203,33 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
     keys = list(on)
-    # MapType is not hashable in Spark SQL; every other type is
+
+    # MapType is not hashable in Spark SQL — and the check must be
+    # RECURSIVE: a struct<m: map<...>> or array<map<...>> column fails
+    # xxhash64 analysis just like a top-level map
+    def _hashable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
     hashable = [
-        f.name
-        for f in big.schema.fields
-        if not f.dataType.typeName().startswith("map")
+        f.name for f in big.schema.fields if _hashable(f.dataType)
     ]
-    big_s = big.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
-        .cast("int"),
-    )
+    if hashable:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts)
+        ).cast("int")
+    else:
+        # nothing hashable to derive a deterministic per-row salt
+        # from: degrade to an unsalted (but still correct) join shape
+        salt = F.lit(0).cast("int")
+    big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),

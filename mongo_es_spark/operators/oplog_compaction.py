@@ -57,9 +57,10 @@ def _fold_one_group(ns, doc_id, rows, task: Task) -> list[tuple]:
     out = []
     for lg in merge_oplogs(task, oplogs):
         if lg["op"] == "u":
-            out_id = str(lg["o2"]["_id"])
+            raw_id = lg["o2"]["_id"]
         else:
-            out_id = str(lg["o"]["_id"])
+            raw_id = lg["o"].get("_id")
+        out_id = None if raw_id is None else str(raw_id)
         doc = {k: v for k, v in lg["o"].items() if k != "_id"}
         has_plain = any(not k.startswith("$") for k in doc)
         unset = doc.get("$unset") or {}
@@ -120,17 +121,29 @@ def compact_oplog_docs(df: DataFrame, task: Task) -> DataFrame:
 
     def _fold_frame(pdf: "pd.DataFrame") -> "pd.DataFrame":
         out: list[tuple] = []
-        # contiguous groups (input sorted by ns, id)
-        for (ns, doc_id), grp in pdf.groupby(["ns", "id"], sort=False):
+        # contiguous groups (input sorted by ns, id).  dropna=False: a
+        # malformed feed row with a null id must surface in the output
+        # (as a null-id survivor), not silently vanish — pandas
+        # groupby drops NaN keys by default.
+        for (ns, doc_id), grp in pdf.groupby(
+            ["ns", "id"], sort=False, dropna=False
+        ):
             out.extend(
                 _fold_one_group(
-                    ns,
-                    doc_id,
+                    None if pd.isna(ns) else ns,
+                    None if pd.isna(doc_id) else doc_id,
                     zip(grp["ts"], grp["op"], grp["doc"]),
                     task,
                 )
             )
         return pd.DataFrame(out, columns=_OUT_COLS)
+
+    def _key_eq(series: "pd.Series", value) -> "pd.Series":
+        # null-safe equality: NaN == NaN is False in pandas, which
+        # would make the tail split below crash on a null-keyed tail
+        if pd.isna(value):
+            return series.isna()
+        return series == value
 
     def fold_partition(batches):
         carry: "pd.DataFrame | None" = None
@@ -143,7 +156,9 @@ def compact_oplog_docs(df: DataFrame, task: Task) -> DataFrame:
             # it back (groups are contiguous under the partition sort)
             last_ns = pdf["ns"].iloc[-1]
             last_id = pdf["id"].iloc[-1]
-            tail_mask = (pdf["ns"] == last_ns) & (pdf["id"] == last_id)
+            tail_mask = _key_eq(pdf["ns"], last_ns) & _key_eq(
+                pdf["id"], last_id
+            )
             first_tail = int(pdf.index[tail_mask][0])
             carry = pdf.iloc[first_tail:]
             head = pdf.iloc[:first_tail]

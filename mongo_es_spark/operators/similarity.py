@@ -931,12 +931,15 @@ def incremental_embedding_pairs(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    try:
-        cent_rows = spark.read.parquet(cent_path).collect()
+    from ..storeio import read_parquet_if_exists
+
+    cent_frame = read_parquet_if_exists(spark, cent_path)
+    if cent_frame is not None:
+        cent_rows = cent_frame.collect()
         C = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
         for r in cent_rows:
             C[r["cell"]] = r["centroid"]
-    except Exception:
+    else:
         sample = vecs.select("v").limit(train_sample).collect()
         X = np.asarray([r["v"] for r in sample], dtype=np.float64)
         C = _kmeans_fit(X, n_clusters, seed)
@@ -953,12 +956,8 @@ def incremental_embedding_pairs(
         return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
 
     assign = pandas_udf(assign_kernel, "int")
-    try:
-        old = spark.read.parquet(vec_path)
-        have_store = True
-    except Exception:
-        old = None
-        have_store = False
+    old = read_parquet_if_exists(spark, vec_path)
+    have_store = old is not None
 
     new_vecs = vecs.withColumn("cell", assign(F.col("v")))
     if have_store:

@@ -987,14 +987,20 @@ def tfidf_keywords(
     dfreq = tf.groupBy("term").agg(
         F.countDistinct("__id").alias("df")
     )
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # N rides along as a broadcast one-row frame (the scalar-subquery
+    # shape): keeps the operator lazy and single-pipeline instead of
+    # paying an eager extra scan+count job per call
+    n_frame = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("__n")
+    )
     score = F.round(
-        F.col("tf")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double")),
         6,
     )
-    scored = tf.join(dfreq, "term").select(
-        "__id", "term", score.alias("score")
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_frame))
+        .select("__id", "term", score.alias("score"))
     )
     w = Window.partitionBy("__id").orderBy(
         F.col("score").desc(), F.col("term").asc()
@@ -1047,7 +1053,12 @@ def quality_classifier(
         (bucket * F.lit(2654435761).cast("long")) % 1000
     ).cast("double") / 1000.0 - 0.5
 
-    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    # coalesce: a NULL text must land in the empties branch, not
+    # vanish from both filters (NULL > 0 and NULL == 0 are both NULL)
+    text_len = F.coalesce(
+        F.length(F.trim(F.col(text_col))), F.lit(0)
+    )
+    nonempty = df.filter(text_len > 0)
     agg = (
         nonempty.select(
             F.col(id_col),
@@ -1068,9 +1079,7 @@ def quality_classifier(
         .when(score.isNotNull(), F.lit("drop"))
         .alias("label"),
     )
-    empties = df.filter(
-        F.length(F.trim(F.col(text_col))) == 0
-    ).select(
+    empties = df.filter(text_len == 0).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_tokens"),
         F.lit(None).cast("double").alias("quality_score"),
@@ -1112,7 +1121,37 @@ def bpe_train(
     Output: ``(rank, left_sym, right_sym, pair_count)`` — the merge
     table, ``n_merges`` rows (fewer if the corpus runs out of pairs).
     """
-    spark = df.sparkSession
+    merges, _ = _bpe_train_state(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _merge_fold(l: str, r: str) -> Column:
+    """Greedy left-to-right application of one merge to the ``syms``
+    array (pure column expressions; identical semantics to a scanning
+    string replace over wrapped symbols)."""
+    merged = l + r
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _bpe_train_state(df: DataFrame, text_col: str, n_merges: int):
+    """Shared trainer core: returns ``(merges, folded_words)`` where
+    ``folded_words`` is the distinct-word frame AFTER all merges
+    (columns ``w, cnt, syms``) — the encoder reuses it instead of
+    replaying every fold round."""
     words = (
         df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
@@ -1120,7 +1159,7 @@ def bpe_train(
         .agg(F.count("*").alias("cnt"))
     )
     cur = words.select(
-        "cnt", F.split(F.col("w"), "").alias("syms")
+        "w", "cnt", F.split(F.col("w"), "").alias("syms")
     ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -1147,26 +1186,10 @@ def bpe_train(
             break
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rank, l, r, c))
-        merged = l + r
-        folded = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        cur = cur.select("cnt", folded.alias("syms")).localCheckpoint(
-            eager=False
-        )
-    return spark.createDataFrame(
-        merges, "rank int, left_sym string, right_sym string, pair_count long"
-    )
+        cur = cur.select(
+            "w", "cnt", _merge_fold(l, r).alias("syms")
+        ).localCheckpoint(eager=False)
+    return merges, cur
 
 
 def bpe_encode(
@@ -1190,37 +1213,8 @@ def bpe_encode(
     compression = chars/symbols rounded to 6 dp (NULL for empty
     docs).
     """
-    spark = df.sparkSession
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe_train(df, text_col, n_merges=n_merges).collect()
-    ]
-    words = (
-        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
-        .filter(F.length("w") > 0)
-        .distinct()
-        .select("w", F.split(F.col("w"), "").alias("syms"))
-        .localCheckpoint(eager=False)
-    )
-    for l, r in merges:
-        merged = l + r
-        folded = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        words = words.select("w", folded.alias("syms")).localCheckpoint(
-            eager=False
-        )
-    enc = words.select(
+    _, folded_words = _bpe_train_state(df, text_col, n_merges)
+    enc = folded_words.select(
         "w",
         F.length("w").cast("long").alias("__nc"),
         F.size("syms").cast("long").alias("__ns"),
@@ -1374,20 +1368,25 @@ def incremental_substring_dedup(
     if window_tokens <= 1:
         raise ValueError("window_tokens must be > 1")
     w = window_tokens
+    from ..storeio import read_parquet_if_exists
+
     params_path = _sub_params_path(store_path)
-    try:
-        stored_w = int(
-            spark.read.parquet(params_path).head()["window_tokens"]
-        )
-        store = spark.read.parquet(store_path).select("h1", "h2")
-        store_exists = True
-    except Exception:
-        stored_w, store, store_exists = None, None, False
-    if stored_w is not None and stored_w != w:
-        raise ValueError(
-            f"substring store at {store_path} was written with "
-            f"window_tokens={stored_w}, called with {w}"
-        )
+    # sidecar and store read separately: a broken read RAISES (one
+    # blanket try here would silently skip the window-size guard AND
+    # dedup the batch against nothing)
+    params_frame = read_parquet_if_exists(spark, params_path)
+    if params_frame is not None:
+        stored_w = int(params_frame.head()["window_tokens"])
+        if stored_w != w:
+            raise ValueError(
+                f"substring store at {store_path} was written with "
+                f"window_tokens={stored_w}, called with {w}"
+            )
+    store_frame = read_parquet_if_exists(spark, store_path)
+    store_exists = store_frame is not None
+    store = (
+        store_frame.select("h1", "h2") if store_exists else None
+    )
 
     base = _substring_base(batch_df, id_col, text_col)
     inst = _substring_instances(base, w)
@@ -1424,7 +1423,10 @@ def incremental_substring_dedup(
     # before appending, then persist the batch's first-seen windows
     out = out.localCheckpoint(eager=True)
     fresh.write.mode("append").parquet(store_path)
-    if not store_exists:
+    if params_frame is None:
+        # first batch, or a prior run crashed between its data append
+        # and this sidecar write; the retry is assumed to use the same
+        # w (window hashes carry no recoverable provenance to verify)
         spark.range(1).select(
             F.lit(int(w)).cast("int").alias("window_tokens")
         ).coalesce(1).write.mode("overwrite").parquet(params_path)

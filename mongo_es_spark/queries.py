@@ -2518,7 +2518,7 @@ def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
            CASE WHEN a.doc_id IS NULL THEN 'added'
                 WHEN b.doc_id IS NULL THEN 'removed'
-                WHEN a.h = b.h THEN 'unchanged'
+                WHEN a.h IS NOT DISTINCT FROM b.h THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     """,
@@ -2885,11 +2885,22 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="trans_stream_")
     try:
+        from pyspark.sql.types import LongType
+
+        ev_path = os.path.join(sf_dir, "events.parquet")
+        # fixtures have shipped events.ts as TIMESTAMP(MICROS) and as
+        # TIMESTAMP(NANOS) (which the session's nanosAsLong flag reads
+        # as LongType) — a hard-coded stream schema breaks on one or
+        # the other, so derive the ts shape from the batch footer
+        probe = spark.read.parquet(ev_path)
+        ts_is_long = isinstance(
+            probe.schema["ts"].dataType, LongType
+        )
+        ts_type = "long" if ts_is_long else "timestamp"
         schema = (
-            "event_id long, ts timestamp, user_id long, "
+            f"event_id long, ts {ts_type}, user_id long, "
             "event_type string, value double, props string"
         )
-        ev_path = os.path.join(sf_dir, "events.parquet")
         reader = spark.readStream.schema(schema)
         if os.path.isdir(ev_path):
             stream = reader.parquet(ev_path)
@@ -2897,10 +2908,15 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = reader.option(
                 "pathGlobFilter", "events.parquet"
             ).parquet(sf_dir)
+        ts_ms = (
+            F.expr("ts div 1000000")
+            if ts_is_long
+            else F.unix_millis(F.col("ts"))
+        )
         ev = stream.select(
             "user_id",
             "event_id",
-            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            ts_ms.alias("ts_ms"),
             "event_type",
         )
         q = run_streaming_transitions(

@@ -65,10 +65,12 @@ def _curated(state_dir: str) -> str:
 
 
 def _read_or_none(spark: SparkSession, path: str):
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+    # missing/empty -> None; any OTHER read failure raises (treating
+    # a transient storage error as "no store yet" would dedup the
+    # batch against nothing and re-append stored hashes)
+    from ..storeio import read_parquet_if_exists
+
+    return read_parquet_if_exists(spark, path)
 
 
 def curate_batch(

@@ -222,3 +222,35 @@ def test_doc_compaction_groups_straddling_arrow_batches(spark):
     by_id = {i: (op, doc) for i, op, doc, _ in base}
     assert by_id["d0"] == ("i", {"a": 9, "b": 0})
     assert by_id["d1"] == ("i", {"a": 9, "b": 1})
+
+
+def test_doc_compaction_null_id_rows_survive(spark):
+    """Malformed feed rows with a null id must neither vanish
+    (pandas groupby dropna) nor crash the tail-split when a batch
+    ends on a null-keyed row — they come through as null-id
+    survivors."""
+    import json
+
+    from mongo_es_spark.config import Task
+    from mongo_es_spark.operators.oplog_compaction import (
+        compact_oplog_docs,
+    )
+
+    task = Task(
+        {
+            "extract": {"db": "db", "collection": "c"},
+            "transform": {"mapping": {"a": "a"}},
+            "load": {"index": "c", "type": "doc"},
+        }
+    )
+    rows = [
+        (1, "db.c", "i", "d1", json.dumps({"a": 1})),
+        (2, "db.c", "i", None, json.dumps({"a": 2})),
+        (3, "db.c", "i", None, json.dumps({"a": 3})),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, ns string, op string, id string, doc string"
+    )
+    out = compact_oplog_docs(df, task).collect()
+    ids = sorted((r["id"] for r in out), key=lambda x: (x is None, x))
+    assert ids == ["d1", None]  # null-id rows compact to one survivor
