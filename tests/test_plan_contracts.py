@@ -332,12 +332,16 @@ def test_quality_classify_single_scan_one_exchange(spark):
     arithmetic is all JVM."""
     import __spark_entry__ as e
 
-    plan = plan_of(e.queries()["text_quality_classify"](spark, SF))
+    from mongo_es_spark.operators.text import quality_classifier
+
+    # a FRESH read rather than the registry path: the shared
+    # load_table frame may be cached by another test, and a cached
+    # relation legitimately materializes all columns below the cache
+    # point — the contract is about the operator's own plan
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(quality_classifier(docs, "doc_id", "text"))
     assert "BatchEvalPython" not in plan
-    # pruning: no parquet scan of documents may read the unmapped
-    # lang/source/n_chars columns.  (Asserted per ReadSchema line
-    # rather than as one exact string: under the shared test session
-    # other tests can cache the table or perturb scan formatting.)
+    # pruning: no parquet scan may read the unmapped lang/source cols
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert "lang" not in m.group(1)
         assert "source" not in m.group(1)
