@@ -1533,3 +1533,94 @@ def embedding_dup_pairs_lsh(
             _within_group_pairs(members_nz, F.lit(1.0), "cosine")
         )
     return out
+
+
+# ------------------------------------------------------------------ #
+# cluster representative selection / normalized exact dedup
+# ------------------------------------------------------------------ #
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    keep_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Quality-aware near-duplicate collapse: given the document frame
+    and a near-dup pair frame (``i``/``j``), keep ONE document per
+    connected component — the one with the highest ``quality_col``
+    (ties broken on the smallest id).  This is the policy real
+    curation pipelines want: "drop near-dups, but keep the longest /
+    highest-quality copy", not "keep the smallest id".
+
+    Output: ``keep_cols`` (default: all of ``df``'s columns) plus
+    ``component`` (the cluster's canonical min-id label; singletons
+    are their own component).
+
+    Scale shape: components from :func:`dedup_components` (bounded
+    rounds), one left join to label docs, then ONE partial+final
+    ``max_by`` aggregation per component — no per-component window, so
+    a pathological 100k-member clone cluster combines map-side instead
+    of funnelling 100k rows through a single window partition.
+    ``max_by``'s ordering key is (quality, -id): unique because ids
+    are, so the result is deterministic.
+    """
+    out_cols = list(keep_cols) if keep_cols is not None else df.columns
+    comps = dedup_components(pairs)
+    labeled = (
+        df.join(comps, df[id_col] == comps["doc"], "left")
+        .select(
+            *[df[c] for c in out_cols],
+            F.coalesce(comps["component"], df[id_col]).alias("component"),
+        )
+    )
+    order_key = F.struct(
+        F.col(quality_col).alias("q"),
+        (-F.col(id_col)).alias("negid"),
+    )
+    picked = labeled.groupBy("component").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in out_cols]), order_key
+        ).alias("__best")
+    )
+    return picked.select("component", "__best.*").select(
+        *out_cols, "component"
+    )
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Gopher-style text normalization for fuzzy-exact dedup: lower,
+    strip every non-alphanumeric to a space, collapse whitespace,
+    trim.  Two documents differing only in case / punctuation /
+    spacing hash identically."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Normalized-text exact dedup — the cheap first pass every
+    large-corpus pipeline runs before MinHash: group on the normalized
+    string (case/punctuation/whitespace-insensitive), keep the
+    smallest id, report multiplicity.  One hash aggregation with
+    map-side combine; at 100 TB the groupBy key would be
+    ``xxhash64(norm)`` pairs rather than the string itself (same
+    pattern as the substring-dedup window hash) so the shuffle ships
+    8-byte keys, but the oracle-checked form groups the exact text.
+    """
+    norm = normalized_text_col(F.col(text_col))
+    return (
+        df.groupBy(norm.alias("norm_text"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("multiplicity"),
+        )
+        .select(id_col, "norm_text", "multiplicity")
+    )

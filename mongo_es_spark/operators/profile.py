@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "table_quantiles"]
+__all__ = ["table_profile", "table_quantiles", "key_skew_profile"]
 
 
 def table_quantiles(
@@ -94,4 +94,67 @@ def table_profile(
         "(column, n_nulls, n_distinct, min_value, max_value)",
     ).select(
         "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics — the pre-flight check
+    before shuffling 100 TB on a key.  One row out:
+
+    * ``n_rows`` / ``n_keys`` / ``avg_key_rows``: the baseline a
+      uniform shuffle would see per key;
+    * ``max_key_rows`` / ``p99_key_rows``: the hot-key tail (exact
+      interpolated percentile over the per-key counts — the counts
+      frame is |keys|-sized, already reduced);
+    * ``skew_ratio`` = max/avg and ``topk_share`` = the heaviest
+      ``top_k`` keys' fraction of all rows — the two numbers that
+      decide between a plain shuffle, AQE skew-join, and explicit
+      salting;
+    * ``recommended_salts``: ``clamp(ceil(skew_ratio / 4), 1, 64)`` —
+      the salt fan-out that brings the hottest key within ~4x of the
+      average partition load (the ``salted_join`` n_salts input).
+
+    Two aggregations over the per-key count frame (summary + top-k
+    share) — the groupBy combines map-side, so the shuffled state is
+    one row per distinct key, and everything after is |keys|-sized.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    summary = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.percentile(F.col("cnt"), F.lit(0.99)), 6).alias(
+            "p99_key_rows"
+        ),
+    )
+    topk = (
+        counts.orderBy(
+            F.col("cnt").desc(), *[F.col(c) for c in key_cols]
+        )
+        .limit(top_k)
+        .agg(F.sum("cnt").alias("__top_rows"))
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    skew = F.col("max_key_rows").cast("double") / avg
+    return (
+        summary.crossJoin(topk)
+        .select(
+            "n_rows",
+            "n_keys",
+            F.round(avg, 6).alias("avg_key_rows"),
+            "max_key_rows",
+            "p99_key_rows",
+            F.round(skew, 6).alias("skew_ratio"),
+            F.round(
+                F.col("__top_rows").cast("double") / F.col("n_rows"), 6
+            ).alias("topk_share"),
+            F.least(
+                F.lit(64),
+                F.greatest(F.lit(1), F.ceil(skew / 4).cast("int")),
+            )
+            .cast("int")
+            .alias("recommended_salts"),
+        )
     )

@@ -1861,3 +1861,96 @@ def frequent_tokens(
     if top is None:
         return out
     return out.orderBy(F.col("count_min").desc(), F.col("token")).limit(top)
+
+
+# ------------------------------------------------------------------ #
+# cross-document boilerplate removal
+# ------------------------------------------------------------------ #
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 4,
+    min_df: int = 2,
+    scope_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Template/boilerplate removal (the CCNet/RefinedWeb cleanup
+    step): segment every document into NON-overlapping
+    ``chunk_words``-word chunks, count each distinct chunk's document
+    frequency (optionally within a ``scope_cols`` grouping such as the
+    source domain — boilerplate is usually site-local), and strip
+    chunks that occur in ``min_df`` or more distinct documents.
+    Output per document: ``clean_text`` (surviving chunks re-joined in
+    order), ``n_chunks``, ``n_removed``.
+
+    Scale shape: the chunk text never rides a shuffle — the document
+    frequency groupBy and the membership join are keyed on a two-salt
+    ``xxhash64`` pair (an effectively-128-bit content key, the same
+    pattern as the substring-dedup window hash), so shuffle rows are
+    fixed-width.  Three exchanges total: DF count, membership join,
+    per-document reassembly.  A hyper-hot template chunk (same cookie
+    banner across 10M pages) is a single row on the build side of the
+    membership join; probe-side hot keys are AQE-skew-join territory
+    and the DF aggregation combines map-side first.  Ordered
+    reassembly is ``collect_list`` of (chunk_id, text) structs +
+    ``array_sort`` — per-document state, bounded by document length.
+    """
+    if chunk_words <= 0 or min_df < 1:
+        raise ValueError("chunk_words must be positive, min_df >= 1")
+    scope = list(scope_cols) if scope_cols else []
+    toks = tokens_col(F.col(text_col))
+    n = token_count_col(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil(n.cast("double") / chunk_words).cast("int"), F.lit(1)
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * chunk_words + 1, chunk_words)
+                ).alias("chunk_text"),
+            ),
+        )
+    )
+    chunks = df.select(
+        F.col(id_col).alias("__doc"), *scope, chunk.alias("__c")
+    ).select(
+        "__doc",
+        *scope,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.xxhash64("__c.chunk_text").alias("__h1"),
+        F.xxhash64(F.lit(1), "__c.chunk_text").alias("__h2"),
+    )
+    boiler = (
+        chunks.groupBy(*scope, "__h1", "__h2")
+        .agg(F.countDistinct("__doc").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select(*scope, "__h1", "__h2", F.lit(True).alias("__boiler"))
+    )
+    joined = chunks.join(boiler, [*scope, "__h1", "__h2"], "left")
+    kept_struct = F.when(
+        F.col("__boiler").isNull(),
+        F.struct(F.col("chunk_id"), F.col("chunk_text")),
+    )
+    return (
+        joined.groupBy(F.col("__doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("__boiler").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_chunks", "n_removed", "clean_text")
+    )

@@ -570,6 +570,11 @@ _DRIVER_PRIORITY = [
     "text_corpus_rollup",
     "corpus_diff",
     "cdc_full_replace",
+    # round-5 additions (no driver row yet)
+    "dedup_keep_best",
+    "dedup_normalized",
+    "text_boilerplate",
+    "table_skew_profile",
 ]
 
 
@@ -4142,3 +4147,160 @@ def multimodal_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__h")
     )
     return frame_overlap_pairs(reps, k_shared=2)
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION
+        SELECT j AS a, i AS b FROM pairs
+    ),
+    walk AS (
+        SELECT a AS doc, a AS comp FROM edges
+        UNION
+        SELECT e.a AS doc, w.comp FROM edges e JOIN walk w ON e.b = w.doc
+    ),
+    comp AS (SELECT doc, min(comp) AS component FROM walk GROUP BY doc),
+    labeled AS (
+        SELECT d.doc_id, d.lang, d.n_chars,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    )
+    SELECT doc_id, lang, n_chars, component
+    FROM labeled
+    QUALIFY row_number() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, doc_id
+    ) = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: keep the LONGEST document of
+    each Jaccard-0.8 cluster (ties -> smallest id), not the smallest
+    id — the representative-selection policy production curation
+    actually uses.  One max_by aggregation per component (map-side
+    combine, no per-cluster window)."""
+    from .operators.dedup import jaccard_pairs, keep_best_per_cluster
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return keep_best_per_cluster(
+        docs.select("doc_id", "lang", "n_chars"),
+        pairs,
+        "doc_id",
+        "n_chars",
+    )
+
+
+@register(
+    "dedup_normalized",
+    """
+    SELECT min(doc_id) AS doc_id,
+           trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text,
+           count(*) AS multiplicity
+    FROM documents
+    GROUP BY norm_text
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style fuzzy-exact dedup: group on case/punctuation/
+    whitespace-normalized text, keep the smallest id.  The cheap
+    first pass before MinHash; one hash aggregation."""
+    from .operators.dedup import normalized_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalized_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "text_boilerplate",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest([struct_pack(
+                   i := i,
+                   t := array_to_string(w[i*4+1:i*4+4], ' '))
+                   for i in range(0, greatest(ceil(len(w)/4.0)::INT, 1))
+               ]) AS c
+        FROM w
+    ),
+    flat AS (SELECT doc_id, c.i AS chunk_id, c.t AS chunk_text FROM ch),
+    df AS (
+        SELECT chunk_text, count(DISTINCT doc_id) AS df
+        FROM flat GROUP BY 1
+    ),
+    j AS (
+        SELECT f.doc_id, f.chunk_id, f.chunk_text,
+               (d.df >= 2) AS boiler
+        FROM flat f JOIN df d USING (chunk_text)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           (count(*) FILTER (boiler))::BIGINT AS n_removed,
+           coalesce(
+               string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                   FILTER (NOT boiler),
+               '') AS clean_text
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet/RefinedWeb cleanup):
+    strip non-overlapping 4-word chunks whose document frequency is
+    >= 2, reassemble survivors in order.  DF-count and membership join
+    are keyed on a two-salt xxhash64 pair so chunk text never rides a
+    shuffle."""
+    from .operators.text import boilerplate_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_removal(
+        docs, "doc_id", "text", chunk_words=4, min_df=2
+    )
+
+
+@register(
+    "table_skew_profile",
+    """
+    WITH counts AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+               max(cnt)::BIGINT AS max_key_rows,
+               round(quantile_cont(cnt, 0.99), 6) AS p99_key_rows
+        FROM counts
+    ),
+    t AS (
+        SELECT sum(cnt)::BIGINT AS top_rows FROM (
+            SELECT cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10
+        )
+    )
+    SELECT n_rows, n_keys,
+           round(n_rows::DOUBLE / n_keys, 6) AS avg_key_rows,
+           max_key_rows, p99_key_rows,
+           round(max_key_rows::DOUBLE / (n_rows::DOUBLE / n_keys), 6)
+               AS skew_ratio,
+           round(top_rows::DOUBLE / n_rows, 6) AS topk_share,
+           least(64, greatest(1, ceil(
+               (max_key_rows::DOUBLE / (n_rows::DOUBLE / n_keys)) / 4
+           )::INT))::INT AS recommended_salts
+    FROM s, t
+    """,
+)
+def table_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics on events.user_id — max/p99/top-10
+    key load vs the uniform baseline, plus the salt fan-out
+    recommendation salted_join would take.  Two aggregations over the
+    |keys|-sized count frame."""
+    from .operators.profile import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id"], top_k=10)

@@ -1893,3 +1893,112 @@ def test_ivf_append_assigns_to_existing_cells(spark, tmp_path):
 
     # replay: nothing new to add
     assert append_to_ivf_index(newdf, "vec_id", "embedding", path) == 0
+
+
+def test_keep_best_per_cluster_policy(spark):
+    from mongo_es_spark.operators.dedup import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"),   # cluster {1,2,3}: 2 is longest -> kept
+            (2, 99, "b"),
+            (3, 50, "c"),
+            (4, 7, "d"),    # singleton -> kept, own component
+            (5, 20, "e"),   # cluster {5,6}: tie on quality ->
+            (6, 20, "f"),   # smallest id (5) kept
+        ],
+        "doc_id long, n_chars long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "i long, j long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in keep_best_per_cluster(
+            df, pairs, "doc_id", "n_chars"
+        ).collect()
+    }
+    assert got == {2: 1, 4: 4, 5: 5}
+
+
+def test_normalized_dedup_case_punct_space(spark):
+    from mongo_es_spark.operators.dedup import normalized_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO   world."),
+            (4, "different doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["norm_text"]: (r["doc_id"], r["multiplicity"])
+        for r in normalized_dedup(df, "doc_id", "text").collect()
+    }
+    assert rows == {"hello world": (1, 3), "different doc": (4, 1)}
+
+
+def test_boilerplate_removal_semantics(spark):
+    from mongo_es_spark.operators.text import boilerplate_removal
+
+    # chunk_words=2: "c1 c2" is the shared template chunk (df=3);
+    # everything else is unique per doc
+    df = spark.createDataFrame(
+        [
+            (1, "c1 c2 u1 u2"),
+            (2, "c1 c2 v1 v2"),
+            (3, "w1 w2 c1 c2"),
+            (4, "x1 x2 x3"),       # odd tail chunk "x3"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["clean_text"])
+        for r in boilerplate_removal(
+            df, "doc_id", "text", chunk_words=2, min_df=2
+        ).collect()
+    }
+    assert got[1] == (2, 1, "u1 u2")
+    assert got[2] == (2, 1, "v1 v2")
+    assert got[3] == (2, 1, "w1 w2")
+    assert got[4] == (2, 0, "x1 x2 x3")
+
+
+def test_boilerplate_scoped_by_source(spark):
+    from mongo_es_spark.operators.text import boilerplate_removal
+
+    # same chunk across two sources: df is counted per source, so
+    # neither side reaches min_df=2 and nothing is removed
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "c1 c2"),
+            (2, "s2", "c1 c2"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_removed"]
+        for r in boilerplate_removal(
+            df, "doc_id", "text", chunk_words=2, min_df=2,
+            scope_cols=["source"],
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0}
+
+
+def test_key_skew_profile_numbers(spark):
+    from mongo_es_spark.operators.profile import key_skew_profile
+
+    # key a: 8 rows, b: 1, c: 1  -> n=10, keys=3, avg=10/3,
+    # skew = 8/(10/3) = 2.4 -> recommended_salts = ceil(2.4/4)=1
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] + [("c",)], "k string"
+    )
+    r = key_skew_profile(df, ["k"], top_k=2).collect()[0]
+    assert r["n_rows"] == 10 and r["n_keys"] == 3
+    assert r["max_key_rows"] == 8
+    assert abs(r["skew_ratio"] - 2.4) < 1e-9
+    assert abs(r["topk_share"] - 0.9) < 1e-9
+    assert r["recommended_salts"] == 1

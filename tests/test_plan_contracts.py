@@ -334,10 +334,13 @@ def test_quality_classify_single_scan_one_exchange(spark):
 
     from mongo_es_spark.operators.text import quality_classifier
 
-    # a FRESH read rather than the registry path: the shared
-    # load_table frame may be cached by another test, and a cached
-    # relation legitimately materializes all columns below the cache
-    # point — the contract is about the operator's own plan
+    # a FRESH read is not enough: the cache manager substitutes ANY
+    # semantically-equal plan fragment, so a full-table frame cached
+    # by another test (test_extensions' documents fixture) replaces
+    # this scan with its all-column InMemoryRelation and the pruning
+    # contract can't be observed.  Drop cached relations first — the
+    # contract is about the operator's own plan.
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(quality_classifier(docs, "doc_id", "text"))
     assert "BatchEvalPython" not in plan
@@ -413,3 +416,43 @@ def test_idf_keywords_windowgrouplimit(spark):
     plan = plan_of(e.queries()["text_idf_keywords"](spark, SF))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_shuffles_hashes_not_chunk_text(spark):
+    """The DF-count groupBy and the membership join must key on the
+    two-salt hash pair — chunk text never appears as a shuffle
+    partitioning key — and the pair graph stays equi-join (no
+    cartesian)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_boilerplate"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"hashpartitioning\(chunk_text", plan)
+    assert re.search(r"hashpartitioning\(__h1", plan)
+
+
+def test_keep_best_aggregates_without_window(spark):
+    """Representative selection is a partial+final max_by aggregation
+    per component — no per-cluster Window operator, so a pathological
+    clone cluster combines map-side instead of serializing through a
+    single window partition."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dedup_keep_best"](spark, SF))
+    # the representative pick itself must not be a window; the only
+    # acceptable Window operators are none at all in this plan
+    assert "Window" not in plan
+    assert "max_by" in plan
+
+
+def test_skew_profile_prunes_to_key_column(spark):
+    """The per-key count pass must read ONLY the key column."""
+    import __spark_entry__ as e
+
+    spark.catalog.clearCache()
+    plan = plan_of(e.queries()["table_skew_profile"](spark, SF))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "props" not in m.group(1)
+        assert "event_type" not in m.group(1)
+        assert "value" not in m.group(1)
