@@ -1885,17 +1885,23 @@ def boilerplate_removal(
     Output per document: ``clean_text`` (surviving chunks re-joined in
     order), ``n_chunks``, ``n_removed``.
 
-    Scale shape: the chunk text never rides a shuffle — the document
-    frequency groupBy and the membership join are keyed on a two-salt
-    ``xxhash64`` pair (an effectively-128-bit content key, the same
-    pattern as the substring-dedup window hash), so shuffle rows are
-    fixed-width.  Three exchanges total: DF count, membership join,
-    per-document reassembly.  A hyper-hot template chunk (same cookie
-    banner across 10M pages) is a single row on the build side of the
-    membership join; probe-side hot keys are AQE-skew-join territory
-    and the DF aggregation combines map-side first.  Ordered
-    reassembly is ``collect_list`` of (chunk_id, text) structs +
-    ``array_sort`` — per-document state, bounded by document length.
+    Scale shape: three exchanges (DF count, membership join,
+    per-document reassembly), all KEYED on a two-salt ``xxhash64``
+    pair or the doc id — never on chunk text, so key distribution is
+    uniform regardless of content.  Catalyst prunes ``chunk_text`` out
+    of the DF-count branch entirely (only hashes + doc ride that
+    shuffle); the membership join and reassembly carry the chunk text
+    once each, which for word-chunks is the same order as the hash
+    pair itself.  (A hash-only variant that re-derives chunk text
+    doc-side was probed and rejected: hashing inside ``transform``
+    lambdas and ``array_contains`` reassembly run interpreted, 3x
+    slower at 10x — the classifier lesson again.)  A hyper-hot
+    template chunk (same cookie banner across 10M pages) is a single
+    row on the build side of the membership join; probe-side hot keys
+    are AQE-skew-join territory and the DF aggregation combines
+    map-side first.  Ordered reassembly is ``collect_list`` of
+    (chunk_id, text) structs + ``array_sort`` — per-document state,
+    bounded by document length.
     """
     if chunk_words <= 0 or min_df < 1:
         raise ValueError("chunk_words must be positive, min_df >= 1")
