@@ -1960,3 +1960,111 @@ def boilerplate_removal(
         )
         .select(id_col, "n_chunks", "n_removed", "clean_text")
     )
+
+
+def quality_rank_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_cols: Sequence[str],
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Per-group quantile thresholding of the quality score: keep the
+    documents at or above their group's ``quantile`` score (e.g. the
+    top half of every language) — the normalization that stops a
+    corpus-wide cutoff from wiping out whole languages whose score
+    distribution sits lower.
+
+    Scale shape: the naive formulation is ``percent_rank() OVER
+    (PARTITION BY lang)`` — a full sort of the corpus shuffled into
+    ONE partition per language (a handful of languages ⇒ a handful of
+    straggler tasks).  Instead the per-group threshold is computed as
+    a model-sized aggregate (|groups| rows), broadcast-joined back,
+    and the filter is a projection: no window, no per-group sort, the
+    corpus is never range-partitioned by a low-cardinality key.
+
+    Threshold comparison uses the UNROUNDED group quantile: scores are
+    floor-6dp multiples, so an interpolated threshold either equals an
+    exact score (no interpolation happened) or sits strictly between
+    two adjacent multiples — either way the comparison is ulp-robust
+    across engines.  The reported ``group_threshold`` is rounded 6dp.
+    """
+    feats = quality_features(df, id_col, text_col)
+    scored = df.select(F.col(id_col), *group_cols).join(
+        feats.select(id_col, "quality_score"), id_col
+    )
+    thresholds = scored.groupBy(*group_cols).agg(
+        F.percentile(F.col("quality_score"), F.lit(quantile)).alias(
+            "__thr"
+        )
+    )
+    return (
+        scored.join(F.broadcast(thresholds), list(group_cols))
+        .filter(F.col("quality_score") >= F.col("__thr"))
+        .select(
+            id_col,
+            *group_cols,
+            "quality_score",
+            F.round(F.col("__thr"), 6).alias("group_threshold"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's
+    distinct word n-grams that appear NOWHERE else in the corpus
+    (document frequency 1).  Low novelty flags boilerplate-heavy or
+    near-duplicate content that pair-level dedup misses; high novelty
+    is the memorization-risk signal for one-off strings.
+
+    Clone-collapsed inverted-index shape: identical texts reduce to
+    one representative with a multiplicity via ONE hash aggregation
+    (no window sort — the agg combines map-side), shingles are
+    evaluated per DISTINCT text only, shingle document frequency is
+    the multiplicity-weighted sum, and per-rep scores expand back to
+    members through a text-keyed membership join that reuses the
+    aggregation's partitioning on the build side.  Posting volume scales with
+    distinct content, not raw corpus size — the quantity a crawl
+    keeps small — and any clone group of size >= 2 gets novelty 0
+    without its shingles ever being re-evaluated.  Linear in
+    postings (no pair join, unlike Jaccard); a hot shingle's probe
+    rows are AQE-skew territory.  Documents shorter than ``n`` tokens
+    have no n-grams and are absent from the output (same convention
+    as the Jaccard family).
+    """
+    from .dedup import shingles_col
+
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+    )
+    groups = base.groupBy("__text").agg(
+        F.min("doc").alias("rep"), F.count("*").alias("__mult")
+    )
+    sh = groups.select(
+        "rep",
+        "__mult",
+        F.explode(
+            F.array_distinct(shingles_col(F.col("__text"), n))
+        ).alias("__s"),
+    )
+    dfc = sh.groupBy("__s").agg(F.sum("__mult").alias("__df"))
+    per_rep = (
+        sh.join(dfc, "__s")
+        .groupBy("rep")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+    membership = base.join(
+        groups.select("__text", "rep"), "__text"
+    ).select("doc", "rep")
+    return membership.join(per_rep, "rep").select(
+        F.col("doc").alias(id_col), "n_grams", "novelty"
+    )

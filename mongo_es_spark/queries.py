@@ -575,6 +575,8 @@ _DRIVER_PRIORITY = [
     "dedup_normalized",
     "text_boilerplate",
     "table_skew_profile",
+    "text_quality_rank",
+    "text_ngram_novelty",
 ]
 
 
@@ -4304,3 +4306,82 @@ def table_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return key_skew_profile(ev, ["user_id"], top_k=10)
+
+
+@register(
+    "text_quality_rank",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(text), '\\s+') AS w,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::DOUBLE AS n
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               floor((least(n / 200.0, 1.0) * 0.3
+                     + (len(list_distinct(w))::DOUBLE / nullif(n, 0)) * 0.3
+                     + (1.0 - len(list_filter(w, x -> x IN
+                           ('the','a','of','to','in','and','is','on')
+                       ))::DOUBLE / nullif(n, 0)) * 0.2
+                     + least((length(array_to_string(w, ''))::DOUBLE
+                              / nullif(n, 0)) / 8.0, 1.0) * 0.2)
+                     * 1000000) / 1000000 AS quality_score
+        FROM t
+    ),
+    thr AS (
+        SELECT lang, quantile_cont(quality_score, 0.5) AS thr
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_score,
+           round(t.thr, 6) AS group_threshold
+    FROM scored s JOIN thr t USING (lang)
+    WHERE s.quality_score >= t.thr
+    """,
+)
+def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality thresholding: keep each language's top
+    half by quality score.  The threshold is a |languages|-row
+    broadcast aggregate, NOT a percent_rank window — the corpus is
+    never range-partitioned by the low-cardinality language key."""
+    from .operators.text import quality_rank_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_rank_filter(
+        docs, "doc_id", "text", ["lang"], quantile=0.5
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(w[i:i+2], ' ')
+             for i in range(1, len(w) - 1)])) AS s
+        FROM w
+    ),
+    dfc AS (SELECT s, count(*) AS dfc FROM sh GROUP BY s)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_grams,
+           round(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM sh JOIN dfc USING (s)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's distinct 3-gram shingles with
+    corpus document-frequency 1 — the linear inverted-index
+    aggregation (no pair join), flagging boilerplate-heavy docs (low)
+    and memorization-risk one-offs (high)."""
+    from .operators.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3)

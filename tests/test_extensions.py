@@ -2002,3 +2002,44 @@ def test_key_skew_profile_numbers(spark):
     assert abs(r["skew_ratio"] - 2.4) < 1e-9
     assert abs(r["topk_share"] - 0.9) < 1e-9
     assert r["recommended_salts"] == 1
+
+
+def test_quality_rank_keeps_top_half_per_group(spark):
+    from mongo_es_spark.operators.text import quality_rank_filter
+
+    # lang A: clearly ordered scores; lang B: one doc (median == its
+    # own score -> kept)
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c d e f g h i j k l"),
+            (2, "A", "a a a a a a a a"),
+            (3, "B", "unique words here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    kept = quality_rank_filter(
+        df, "doc_id", "text", ["lang"], quantile=0.5
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 3 in ids            # singleton group always survives
+    assert 1 in ids and 2 not in ids   # distinct-ratio favors doc 1
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    from mongo_es_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z q r s"),      # shares prefix 3-grams with 2
+            (2, "x y z q a b"),
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novelty"])
+        for r in ngram_novelty(df, "doc_id", "text", n=3).collect()
+    }
+    # doc1/doc2: 4 grams each, share "x y z" and "y z q" -> 2 unique
+    assert got[1] == (4, 0.5) and got[2] == (4, 0.5)
+    assert got[3] == (4, 1.0)

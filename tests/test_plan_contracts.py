@@ -456,3 +456,26 @@ def test_skew_profile_prunes_to_key_column(spark):
         assert "props" not in m.group(1)
         assert "event_type" not in m.group(1)
         assert "value" not in m.group(1)
+
+
+def test_quality_rank_no_window_broadcast_threshold(spark):
+    """Group thresholding must be a broadcast of the |groups|-row
+    aggregate, never a percent_rank window over the corpus."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_quality_rank"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_novelty_no_pair_join(spark):
+    """Novelty is the LINEAR inverted-index shape: one shingle DF
+    aggregation + one equi-join back — no self-join pair explosion,
+    no cartesian."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_ngram_novelty"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # one Generate (the single shingle explode evaluation)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2
