@@ -1906,6 +1906,27 @@ def boilerplate_removal(
     if chunk_words <= 0 or min_df < 1:
         raise ValueError("chunk_words must be positive, min_df >= 1")
     scope = list(scope_cols) if scope_cols else []
+    chunks = _bp_chunks(df, id_col, text_col, chunk_words, scope)
+    boiler = (
+        chunks.groupBy(*scope, "__h1", "__h2")
+        .agg(F.countDistinct("__doc").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select(*scope, "__h1", "__h2")
+    )
+    return _bp_clean(chunks, boiler, id_col, scope)
+
+
+def _bp_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int,
+    scope: Sequence[str],
+) -> DataFrame:
+    """Exploded chunk frame: ``(__doc, *scope, chunk_id, chunk_text,
+    __h1, __h2)`` — non-overlapping ``chunk_words``-word segments with
+    the two-salt content hash computed in the (codegen'd) post-explode
+    projection."""
     toks = tokens_col(F.col(text_col))
     n = token_count_col(F.col(text_col))
     n_chunks = F.greatest(
@@ -1922,7 +1943,7 @@ def boilerplate_removal(
             ),
         )
     )
-    chunks = df.select(
+    return df.select(
         F.col(id_col).alias("__doc"), *scope, chunk.alias("__c")
     ).select(
         "__doc",
@@ -1932,13 +1953,21 @@ def boilerplate_removal(
         F.xxhash64("__c.chunk_text").alias("__h1"),
         F.xxhash64(F.lit(1), "__c.chunk_text").alias("__h2"),
     )
-    boiler = (
-        chunks.groupBy(*scope, "__h1", "__h2")
-        .agg(F.countDistinct("__doc").alias("__df"))
-        .filter(F.col("__df") >= min_df)
-        .select(*scope, "__h1", "__h2", F.lit(True).alias("__boiler"))
+
+
+def _bp_clean(
+    chunks: DataFrame,
+    boiler: DataFrame,
+    id_col: str,
+    scope: Sequence[str],
+) -> DataFrame:
+    """Membership join + ordered reassembly shared by the batch and
+    incremental boilerplate paths.  ``boiler`` holds the
+    over-threshold chunk keys ``(*scope, __h1, __h2)``."""
+    marked = boiler.select(
+        *scope, "__h1", "__h2", F.lit(True).alias("__boiler")
     )
-    joined = chunks.join(boiler, [*scope, "__h1", "__h2"], "left")
+    joined = chunks.join(marked, [*scope, "__h1", "__h2"], "left")
     kept_struct = F.when(
         F.col("__boiler").isNull(),
         F.struct(F.col("chunk_id"), F.col("chunk_text")),
@@ -1960,6 +1989,158 @@ def boilerplate_removal(
         )
         .select(id_col, "n_chunks", "n_removed", "clean_text")
     )
+
+
+def _bp_params_path(store_path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(store_path)
+    return store_path.rstrip("/") + "/_bp_params"
+
+
+def _bp_check_params(
+    spark, store_path: str, chunk_words: int, scope: Sequence[str]
+):
+    """Sidecar guard: a chunk-width or scope mismatch silently makes
+    every stored hash unmatchable (different segmentation ⇒ disjoint
+    chunk sets), so refuse loudly.  Returns the sidecar frame or
+    None when the store is new."""
+    from ..storeio import read_parquet_if_exists
+
+    params = read_parquet_if_exists(spark, _bp_params_path(store_path))
+    if params is not None:
+        row = params.head()
+        stored_w, stored_scope = int(row["chunk_words"]), row["scope"]
+        if stored_w != chunk_words or stored_scope != ",".join(scope):
+            raise ValueError(
+                f"boilerplate store at {store_path} was written with "
+                f"chunk_words={stored_w} scope=[{stored_scope}], "
+                f"called with chunk_words={chunk_words} "
+                f"scope=[{','.join(scope)}]"
+            )
+    return params
+
+
+def incremental_boilerplate(
+    spark,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    chunk_words: int = 4,
+    min_df: int = 2,
+    scope_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Running boilerplate removal: clean a NEW batch of documents
+    against the chunk document frequencies accumulated over every
+    batch ever seen (persisted DF store) plus the batch itself, then
+    append the batch's per-chunk doc counts to the store — work ∝ the
+    new batch + a store-sized aggregation, the same incremental
+    contract as the MinHash/SimHash/substring stores.
+
+    After feeding a partition of the corpus through (each document
+    exactly once), :func:`boilerplate_clean_over_store` on the full
+    corpus reproduces :func:`boilerplate_removal` exactly — the store
+    holds the complete DF counts.  Cleaning is RUNNING by design: an
+    early batch cannot know that a later batch will push a chunk over
+    threshold (re-clean via the over-store path when retroactive
+    removal matters).
+
+    Replay-safe: each append is tagged with an order-independent
+    digest of the batch's ids; re-feeding a batch whose tag is
+    already stored appends nothing and returns the same output.
+    ``chunk_words``/``scope_cols`` are pinned in a ``_bp_params``
+    sidecar and validated on every call.
+    """
+    if chunk_words <= 0 or min_df < 1:
+        raise ValueError("chunk_words must be positive, min_df >= 1")
+    scope = list(scope_cols) if scope_cols else []
+    from ..storeio import read_parquet_if_exists
+
+    params = _bp_check_params(spark, store_path, chunk_words, scope)
+    store = read_parquet_if_exists(spark, store_path)
+
+    # order-independent batch digest (XOR of id hashes — XOR rather
+    # than sum: ANSI mode makes an overflowing sum throw): the replay
+    # guard — one tiny aggregate over the batch ids
+    tag = int(
+        batch_df.agg(
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)
+            ).alias("t")
+        ).head()["t"]
+    )
+    replay = store is not None and (
+        store.filter(F.col("__batch") == tag).limit(1).count() > 0
+    )
+
+    chunks = _bp_chunks(batch_df, id_col, text_col, chunk_words, scope)
+    batch_counts = chunks.groupBy(*scope, "__h1", "__h2").agg(
+        F.countDistinct("__doc").alias("__df")
+    )
+    if store is not None:
+        prior = store
+        if replay:
+            # exclude this batch's own prior append: counting it AND
+            # the live batch would double it
+            prior = prior.filter(F.col("__batch") != tag)
+        cumulative = (
+            prior.select(*scope, "__h1", "__h2", "__df")
+            .unionByName(batch_counts)
+            .groupBy(*scope, "__h1", "__h2")
+            .agg(F.sum("__df").alias("__df"))
+        )
+    else:
+        cumulative = batch_counts
+    boiler = cumulative.filter(F.col("__df") >= min_df).select(
+        *scope, "__h1", "__h2"
+    )
+    out = _bp_clean(chunks, boiler, id_col, scope).localCheckpoint(
+        eager=True
+    )
+    if not replay:
+        batch_counts.withColumn("__batch", F.lit(tag)).write.mode(
+            "append"
+        ).parquet(store_path)
+        if params is None:
+            spark.range(1).select(
+                F.lit(int(chunk_words)).cast("int").alias("chunk_words"),
+                F.lit(",".join(scope)).alias("scope"),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                _bp_params_path(store_path)
+            )
+    return out
+
+
+def boilerplate_clean_over_store(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    chunk_words: int = 4,
+    min_df: int = 2,
+    scope_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Clean ANY document frame against the persisted cumulative
+    chunk-DF counts only (the apply/audit path — no store mutation,
+    no batch-local counting).  With the store fed the full corpus,
+    this equals :func:`boilerplate_removal` on that corpus."""
+    scope = list(scope_cols) if scope_cols else []
+    from ..storeio import read_parquet_if_exists
+
+    _bp_check_params(spark, store_path, chunk_words, scope)
+    store = read_parquet_if_exists(spark, store_path)
+    if store is None:
+        raise FileNotFoundError(
+            f"no boilerplate store at {store_path}"
+        )
+    boiler = (
+        store.groupBy(*scope, "__h1", "__h2")
+        .agg(F.sum("__df").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select(*scope, "__h1", "__h2")
+    )
+    chunks = _bp_chunks(df, id_col, text_col, chunk_words, scope)
+    return _bp_clean(chunks, boiler, id_col, scope)
 
 
 def quality_rank_filter(

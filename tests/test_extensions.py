@@ -2043,3 +2043,70 @@ def test_ngram_novelty_shared_vs_unique(spark):
     # doc1/doc2: 4 grams each, share "x y z" and "y z q" -> 2 unique
     assert got[1] == (4, 0.5) and got[2] == (4, 0.5)
     assert got[3] == (4, 1.0)
+
+
+def test_incremental_boilerplate_matches_full_corpus(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        boilerplate_clean_over_store,
+        boilerplate_removal,
+        incremental_boilerplate,
+    )
+
+    rows = [
+        (1, "c1 c2 u1 u2"),
+        (2, "c1 c2 v1 v2"),
+        (3, "w1 w2 c1 c2"),
+        (4, "x1 x2 x3"),
+    ]
+    schema = "doc_id long, text string"
+    full = spark.createDataFrame(rows, schema)
+    store = str(tmp_path / "bp_store")
+
+    b1 = spark.createDataFrame(rows[:2], schema)
+    b2 = spark.createDataFrame(rows[2:], schema)
+    out1 = incremental_boilerplate(
+        spark, b1, "doc_id", "text", store, chunk_words=2, min_df=2
+    )
+    # running semantics: within batch 1 alone "c1 c2" already has
+    # df=2 -> removed from both docs
+    got1 = {r["doc_id"]: r["n_removed"] for r in out1.collect()}
+    assert got1 == {1: 1, 2: 1}
+    out2 = incremental_boilerplate(
+        spark, b2, "doc_id", "text", store, chunk_words=2, min_df=2
+    )
+    # doc 3's "c1 c2" hits the STORE (df 2 prior + 1) -> removed
+    got2 = {r["doc_id"]: r["n_removed"] for r in out2.collect()}
+    assert got2 == {3: 1, 4: 0}
+
+    # the store now holds full-corpus DF counts: over-store cleaning
+    # of the whole corpus == the batch operator on the whole corpus
+    ref = {
+        tuple(r)
+        for r in boilerplate_removal(
+            full, "doc_id", "text", chunk_words=2, min_df=2
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in boilerplate_clean_over_store(
+            spark, full, "doc_id", "text", store,
+            chunk_words=2, min_df=2,
+        ).collect()
+    }
+    assert got == ref
+
+    # replay: re-feeding batch 2 appends nothing and returns the same
+    n_store = spark.read.parquet(store).count()
+    out2b = incremental_boilerplate(
+        spark, b2, "doc_id", "text", store, chunk_words=2, min_df=2
+    )
+    assert {r["doc_id"]: r["n_removed"] for r in out2b.collect()} == got2
+    assert spark.read.parquet(store).count() == n_store
+
+    # chunk-width mismatch fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_words"):
+        incremental_boilerplate(
+            spark, b2, "doc_id", "text", store, chunk_words=3, min_df=2
+        )
