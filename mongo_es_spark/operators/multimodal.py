@@ -248,3 +248,101 @@ def frame_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= k_shared)
     )
+
+
+CDC_CHUNK_SCHEMA = (
+    "doc_id long, chunk_idx int, offset int, length int, digest string"
+)
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    window: int = 4,
+    mask_bits: int = 5,
+    min_len: int = 16,
+    max_len: int = 64,
+) -> DataFrame:
+    """FastCDC-style content-defined chunking over binary payloads —
+    the storage-level dedup primitive: chunk boundaries derive from
+    CONTENT (a rolling ``window``-byte value hitting a mask), so
+    inserting bytes near the front of a blob shifts only the chunks
+    that actually changed, and identical regions across different
+    blobs hash to identical chunk digests.  Fixed-size chunking loses
+    all sharing after a one-byte insertion; this keeps it.
+
+    Boundary rule (deterministic, seedless): a boundary falls after
+    position ``i`` when the big-endian ``window``-byte integer ending
+    at ``i`` has its low ``mask_bits`` bits zero (expected chunk
+    ~2^mask_bits bytes), subject to greedy ``min_len``/``max_len``
+    enforcement from the previous boundary.  Empty payloads produce
+    no chunks.
+
+    Python is the right tool here and is Arrow-batched: the candidate
+    scan is vectorized numpy (sliding windows -> one mask compare);
+    only the short min/max greedy walk over CANDIDATES (~bytes /
+    2^mask_bits of them) is a loop.  No JVM expression computes
+    per-byte rolling state; this is the documented ``mapInPandas``
+    escape hatch, same as the codec contracts.
+
+    Output: one row per chunk ``(doc_id, chunk_idx, offset, length,
+    digest)`` with ``digest = md5(chunk bytes)``.
+    """
+    if window < 1 or min_len < window or max_len < min_len:
+        raise ValueError("need window >= 1 <= min_len <= max_len")
+    mask = (1 << mask_bits) - 1
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            docs, idxs, offs, lens, digs = [], [], [], [], []
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    continue
+                if n >= window:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    win = sliding_window_view(arr, window).astype(
+                        np.uint32
+                    )
+                    vals = win[:, 0]
+                    for k in range(1, window):
+                        vals = vals * np.uint32(256) + win[:, k]
+                    # boundary AFTER the window's last byte
+                    cand = np.nonzero((vals & mask) == 0)[0] + window
+                else:
+                    cand = np.empty(0, dtype=np.int64)
+                start, ci, idx = 0, 0, 0
+                while start < n:
+                    lo, hi = start + min_len, start + max_len
+                    while ci < len(cand) and cand[ci] < lo:
+                        ci += 1
+                    if ci < len(cand) and cand[ci] <= hi and cand[ci] < n:
+                        end = int(cand[ci])
+                        ci += 1
+                    else:
+                        end = min(hi, n)
+                    docs.append(doc)
+                    idxs.append(idx)
+                    offs.append(start)
+                    lens.append(end - start)
+                    digs.append(hashlib.md5(b[start:end]).hexdigest())
+                    idx += 1
+                    start = end
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(docs, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int32"),
+                    "length": pd.Series(lens, dtype="int32"),
+                    "digest": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        chunker, CDC_CHUNK_SCHEMA
+    )

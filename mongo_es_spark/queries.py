@@ -577,6 +577,7 @@ _DRIVER_PRIORITY = [
     "table_skew_profile",
     "text_quality_rank",
     "text_ngram_novelty",
+    "multimodal_cdc_chunks",
 ]
 
 
@@ -4385,3 +4386,85 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "multimodal_cdc_chunks",
+    """
+    SELECT count(*)::BIGINT AS n_payloads,
+           count(DISTINCT text)::BIGINT AS n_distinct_payloads,
+           sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+           true AS bytes_match,
+           true AS bounds_ok,
+           true AS clones_consistent
+    FROM documents
+    """,
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC-style) over binary payloads
+    under a verified-summary oracle: the chunk set is hash-rule-
+    dependent (not SQL-expressible), so the cross-engine check pins
+    what IS engine-independent — payload counts and total bytes — and
+    reduces the structural guarantees to booleans the oracle pins
+    ``true``:
+
+    * ``bytes_match``: every payload's chunks sum exactly to its byte
+      length (exact cover, no gap/overlap);
+    * ``bounds_ok``: every chunk length within (0, max_len];
+    * ``clones_consistent``: identical payloads produce identical
+      ordered chunk-digest sequences (the determinism that makes
+      chunk-level dedup correct).
+
+    Shift-resilience (the CDC selling point vs fixed-size chunking)
+    is pinned in the unit test with controlled prefix-insertion data.
+    """
+    from .operators.multimodal import attach_payload, content_defined_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_payload(docs, "doc_id", "text")
+    chunks = content_defined_chunks(
+        payloads, window=4, mask_bits=5, min_len=16, max_len=64
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("length").alias("__cbytes"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "digest"))
+                    ),
+                    lambda s: s["digest"],
+                ),
+                "",
+            )
+        ).alias("__fp"),
+    )
+    pl = payloads.select(
+        "doc_id",
+        F.length("payload").alias("__nb"),
+        F.md5("payload").alias("__pdig"),
+    )
+    joined = pl.join(per_doc, "doc_id", "left")
+    summary = joined.agg(
+        F.count("*").alias("n_payloads"),
+        F.countDistinct("__pdig").alias("n_distinct_payloads"),
+        F.sum("__nb").cast("long").alias("total_bytes"),
+        F.bool_and(
+            F.coalesce(F.col("__cbytes"), F.lit(0)) == F.col("__nb")
+        ).alias("bytes_match"),
+    )
+    bounds = chunks.agg(
+        F.coalesce(
+            F.bool_and(F.col("length").between(1, 64)), F.lit(True)
+        ).alias("bounds_ok")
+    )
+    clones = (
+        joined.groupBy("__pdig")
+        .agg(F.countDistinct("__fp").alias("__nfp"))
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("__nfp") == 1), F.lit(True)
+            ).alias("clones_consistent")
+        )
+    )
+    return summary.crossJoin(bounds).crossJoin(clones)

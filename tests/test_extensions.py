@@ -2110,3 +2110,44 @@ def test_incremental_boilerplate_matches_full_corpus(spark, tmp_path):
         incremental_boilerplate(
             spark, b2, "doc_id", "text", store, chunk_words=3, min_df=2
         )
+
+
+def test_cdc_chunks_cover_and_shift_resilience(spark):
+    import hashlib
+
+    from mongo_es_spark.operators.multimodal import content_defined_chunks
+
+    base = bytes(
+        hashlib.md5(bytes([i % 256, i // 256])).digest()[0]
+        for i in range(400)
+    ) * 2  # 800 pseudo-random-but-deterministic bytes
+    shifted = b"PREFIX!!" + base
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(shifted)), (3, bytearray(base))],
+        "doc_id long, payload binary",
+    )
+    rows = content_defined_chunks(
+        df, window=4, mask_bits=5, min_len=16, max_len=64
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r["chunk_idx"])
+        # exact cover: contiguous, lengths sum to payload size
+        pos = 0
+        for r in ch:
+            assert r["offset"] == pos and 1 <= r["length"] <= 64
+            pos += r["length"]
+        assert pos == (808 if doc == 2 else 800)
+        # all but the last chunk respect min_len
+        assert all(r["length"] >= 16 for r in ch[:-1])
+    # identical payloads -> identical chunk sequences
+    assert [r["digest"] for r in by_doc[1]] == [
+        r["digest"] for r in by_doc[3]
+    ]
+    # shift resilience: after an 8-byte prefix insertion most chunk
+    # digests are still shared (fixed-size chunking would share none)
+    d1 = {r["digest"] for r in by_doc[1]}
+    d2 = {r["digest"] for r in by_doc[2]}
+    assert len(d1 & d2) >= len(d1) * 0.6
