@@ -282,7 +282,10 @@ def content_defined_chunks(
     only the short min/max greedy walk over CANDIDATES (~bytes /
     2^mask_bits of them) is a loop.  No JVM expression computes
     per-byte rolling state; this is the documented ``mapInPandas``
-    escape hatch, same as the codec contracts.
+    escape hatch, same as the codec contracts.  Identical payloads
+    are chunked ONCE (md5 clone-collapse) and the chunk rows expand
+    back to members through digest-keyed equi-joins, so the Python
+    stage scales with distinct bytes.
 
     Output: one row per chunk ``(doc_id, chunk_idx, offset, length,
     digest)`` with ``digest = md5(chunk bytes)``.
@@ -343,6 +346,25 @@ def content_defined_chunks(
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(
-        chunker, CDC_CHUNK_SCHEMA
+    # clone-collapse: chunk each DISTINCT payload once (Python work
+    # scales with distinct bytes, not raw corpus size), then expand
+    # chunk rows back to every owning doc through md5-keyed joins —
+    # output identical to chunking every row
+    with_dig = df.select(
+        "doc_id", "payload", F.md5("payload").alias("__pd")
+    )
+    reps = with_dig.groupBy("__pd").agg(
+        F.min("doc_id").alias("__rep"),
+        F.min_by("payload", "doc_id").alias("payload"),
+    )
+    rep_chunks = reps.select(
+        F.col("__rep").alias("doc_id"), "payload"
+    ).mapInPandas(chunker, CDC_CHUNK_SCHEMA)
+    return (
+        with_dig.select("doc_id", "__pd")
+        .join(reps.select("__pd", "__rep"), "__pd")
+        .join(
+            rep_chunks.withColumnRenamed("doc_id", "__rep"), "__rep"
+        )
+        .select("doc_id", "chunk_idx", "offset", "length", "digest")
     )

@@ -1885,35 +1885,47 @@ def boilerplate_removal(
     Output per document: ``clean_text`` (surviving chunks re-joined in
     order), ``n_chunks``, ``n_removed``.
 
-    Scale shape: three exchanges (DF count, membership join,
-    per-document reassembly), all KEYED on a two-salt ``xxhash64``
-    pair or the doc id — never on chunk text, so key distribution is
-    uniform regardless of content.  Catalyst prunes ``chunk_text`` out
-    of the DF-count branch entirely (only hashes + doc ride that
-    shuffle); the membership join and reassembly carry the chunk text
-    once each, which for word-chunks is the same order as the hash
-    pair itself.  (A hash-only variant that re-derives chunk text
-    doc-side was probed and rejected: hashing inside ``transform``
-    lambdas and ``array_contains`` reassembly run interpreted, 3x
-    slower at 10x — the classifier lesson again.)  A hyper-hot
-    template chunk (same cookie banner across 10M pages) is a single
-    row on the build side of the membership join; probe-side hot keys
-    are AQE-skew-join territory and the DF aggregation combines
-    map-side first.  Ordered reassembly is ``collect_list`` of
-    (chunk_id, text) structs + ``array_sort`` — per-document state,
-    bounded by document length.
+    Scale shape — CLONE-COLLAPSED like the pair-dedup family:
+    identical texts (within a scope) reduce to one representative
+    with a multiplicity via a single hash aggregation, chunking /
+    DF-counting / cleaning run per DISTINCT text only, and the
+    per-text result expands back to documents through a text-keyed
+    join.  Chunk work scales with distinct content, not raw corpus
+    size (100x clone replica: 171 s naive -> seconds collapsed).
+    Every shuffle is keyed on the two-salt ``xxhash64`` chunk pair or
+    on text/doc keys — never on raw chunk text as a KEY, so key
+    distribution stays uniform.  (A hash-only variant that re-derived
+    chunk text doc-side was probed and rejected: hashing inside
+    ``transform`` lambdas and ``array_contains`` reassembly run
+    interpreted, 3x slower — the classifier lesson again.)  Chunk DF
+    counts each document once even when a chunk repeats inside a
+    text (per-text chunk dedup before the multiplicity sum), matching
+    the naive countDistinct semantics exactly.  Ordered reassembly is
+    ``collect_list`` of (chunk_id, text) structs + ``array_sort`` —
+    per-text state, bounded by document length.
     """
     if chunk_words <= 0 or min_df < 1:
         raise ValueError("chunk_words must be positive, min_df >= 1")
     scope = list(scope_cols) if scope_cols else []
-    chunks = _bp_chunks(df, id_col, text_col, chunk_words, scope)
+    groups = df.groupBy(
+        *scope, F.col(text_col).alias("__text")
+    ).agg(F.count("*").alias("__mult"))
+    chunks = _bp_chunks(
+        groups, "__text", "__text", chunk_words, [*scope, "__mult"]
+    )
     boiler = (
-        chunks.groupBy(*scope, "__h1", "__h2")
-        .agg(F.countDistinct("__doc").alias("__df"))
+        chunks.dropDuplicates(["__doc", *scope, "__h1", "__h2"])
+        .groupBy(*scope, "__h1", "__h2")
+        .agg(F.sum("__mult").alias("__df"))
         .filter(F.col("__df") >= min_df)
         .select(*scope, "__h1", "__h2")
     )
-    return _bp_clean(chunks, boiler, id_col, scope)
+    per_text = _bp_clean(chunks.drop("__mult"), boiler, "__text", scope)
+    return (
+        df.select(F.col(id_col), *scope, F.col(text_col).alias("__text"))
+        .join(per_text, ["__text", *scope] if scope else ["__text"])
+        .select(id_col, "n_chunks", "n_removed", "clean_text")
+    )
 
 
 def _bp_chunks(
@@ -1973,7 +1985,7 @@ def _bp_clean(
         F.struct(F.col("chunk_id"), F.col("chunk_text")),
     )
     return (
-        joined.groupBy(F.col("__doc").alias(id_col))
+        joined.groupBy(F.col("__doc").alias(id_col), *scope)
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum(
@@ -1987,7 +1999,7 @@ def _bp_clean(
                 " ",
             ).alias("clean_text"),
         )
-        .select(id_col, "n_chunks", "n_removed", "clean_text")
+        .select(id_col, *scope, "n_chunks", "n_removed", "clean_text")
     )
 
 
@@ -2093,8 +2105,10 @@ def incremental_boilerplate(
     boiler = cumulative.filter(F.col("__df") >= min_df).select(
         *scope, "__h1", "__h2"
     )
-    out = _bp_clean(chunks, boiler, id_col, scope).localCheckpoint(
-        eager=True
+    out = (
+        _bp_clean(chunks, boiler, id_col, scope)
+        .select(id_col, "n_chunks", "n_removed", "clean_text")
+        .localCheckpoint(eager=True)
     )
     if not replay:
         batch_counts.withColumn("__batch", F.lit(tag)).write.mode(
@@ -2140,7 +2154,9 @@ def boilerplate_clean_over_store(
         .select(*scope, "__h1", "__h2")
     )
     chunks = _bp_chunks(df, id_col, text_col, chunk_words, scope)
-    return _bp_clean(chunks, boiler, id_col, scope)
+    return _bp_clean(chunks, boiler, id_col, scope).select(
+        id_col, "n_chunks", "n_removed", "clean_text"
+    )
 
 
 def quality_rank_filter(

@@ -4185,15 +4185,17 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     id — the representative-selection policy production curation
     actually uses.  One max_by aggregation per component (map-side
     combine, no per-cluster window)."""
-    from .operators.dedup import jaccard_pairs, keep_best_per_cluster
+    from .operators.dedup import keep_best_near_dup
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
-    return keep_best_per_cluster(
-        docs.select("doc_id", "lang", "n_chars"),
-        pairs,
+    return keep_best_near_dup(
+        docs,
         "doc_id",
+        "text",
         "n_chars",
+        n=3,
+        threshold=0.8,
+        keep_cols=["doc_id", "lang", "n_chars"],
     )
 
 

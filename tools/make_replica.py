@@ -59,7 +59,10 @@ def main() -> int:
             rep = df.select("*", k)
             out = rep.select(
                 *[
-                    (F.col(c) + F.col("__k") * F.lit(STRIDE)).alias(c)
+                    (
+                        F.col(c)
+                        + F.col("__k").cast("long") * F.lit(STRIDE)
+                    ).alias(c)
                     if c in ids
                     else F.col(c)
                     for c in df.columns
