@@ -4221,9 +4221,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup(docs, "doc_id", "text")
 
 
-@register(
-    "text_boilerplate",
-    """
+_BOILERPLATE_ORACLE = """
     WITH w AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         FROM documents
@@ -4255,7 +4253,12 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FILTER (NOT boiler),
                '') AS clean_text
     FROM j GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "text_boilerplate",
+    _BOILERPLATE_ORACLE,
 )
 def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal (CCNet/RefinedWeb cleanup):
@@ -4470,3 +4473,63 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.crossJoin(bounds).crossJoin(clones)
+
+
+@register("streaming_boilerplate", _BOILERPLATE_ORACLE)
+def streaming_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate chunk-DF store maintained through Structured
+    Streaming under the batch query's hard oracle: documents replay
+    as a file feed (3 files, one per trigger), each micro-batch
+    appends its chunk doc-counts through the digest-guarded
+    incremental store, and cleaning the full corpus against the final
+    store must equal the one-shot batch operator exactly — DF sums
+    commute, so the drain order cannot matter and the oracle pins
+    that it didn't."""
+    import shutil
+    import tempfile
+
+    from .operators.text import boilerplate_clean_over_store
+    from .streaming.boilerplate import run_streaming_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="bp_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        # three disjoint slices -> three files -> three triggers
+        for i in range(3):
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(feed)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).parquet(feed)
+        store = os.path.join(base, "store")
+        q = run_streaming_boilerplate(
+            spark,
+            stream,
+            "doc_id",
+            "text",
+            store,
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            chunk_words=4,
+            min_df=2,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming boilerplate drain exceeded 300 s"
+            )
+        out = boilerplate_clean_over_store(
+            spark, docs, "doc_id", "text", store,
+            chunk_words=4, min_df=2,
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, n_chunks long, n_removed long, clean_text string",
+    )

@@ -257,3 +257,73 @@ def test_streaming_curation_scrub_passthrough(spark, tmp_path):
     assert set(got) == {1, 3}
     assert all("@" not in t for t in got.values())
     assert "[REDACTED]" in got[1]
+
+
+def test_streaming_boilerplate_store_matches_batch(spark, tmp_path):
+    import os
+    import time
+
+    from mongo_es_spark.operators.text import (
+        boilerplate_clean_over_store,
+        boilerplate_removal,
+    )
+    from mongo_es_spark.streaming.boilerplate import (
+        run_streaming_boilerplate,
+    )
+
+    rows = [
+        (1, "c1 c2 u1 u2"),
+        (2, "c1 c2 v1 v2"),
+        (3, "w1 w2 c1 c2"),
+        (4, "x1 x2 x3"),
+    ]
+    schema = "doc_id long, text string"
+    full = spark.createDataFrame(rows, schema)
+    feed = str(tmp_path / "feed")
+    # two feed files with pinned increasing mtimes (file-source
+    # batching is mtime-ordered)
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    time.sleep(0.01)
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    now = time.time()
+    for i, f in enumerate(sorted(os.listdir(feed))):
+        os.utime(os.path.join(feed, f), (now + i, now + i))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    store = str(tmp_path / "store")
+    q = run_streaming_boilerplate(
+        spark,
+        stream,
+        "doc_id",
+        "text",
+        store,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        chunk_words=2,
+        min_df=2,
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in boilerplate_clean_over_store(
+            spark, full, "doc_id", "text", store,
+            chunk_words=2, min_df=2,
+        ).collect()
+    }
+    ref = {
+        tuple(r)
+        for r in boilerplate_removal(
+            full, "doc_id", "text", chunk_words=2, min_df=2
+        ).collect()
+    }
+    assert got == ref
+    # per-batch running outputs cover every doc exactly once
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
