@@ -1907,8 +1907,11 @@ def boilerplate_removal(
     if chunk_words <= 0 or min_df < 1:
         raise ValueError("chunk_words must be positive, min_df >= 1")
     scope = list(scope_cols) if scope_cols else []
+    # NULL text folds into the empty-string group (a null key would
+    # silently drop out of the text-keyed join-back)
     groups = df.groupBy(
-        *scope, F.col(text_col).alias("__text")
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
     ).agg(F.count("*").alias("__mult"))
     chunks = _bp_chunks(
         groups, "__text", "__text", chunk_words, [*scope, "__mult"]
@@ -1922,7 +1925,11 @@ def boilerplate_removal(
     )
     per_text = _bp_clean(chunks.drop("__mult"), boiler, "__text", scope)
     return (
-        df.select(F.col(id_col), *scope, F.col(text_col).alias("__text"))
+        df.select(
+            F.col(id_col),
+            *scope,
+            F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+        )
         .join(per_text, ["__text", *scope] if scope else ["__text"])
         .select(id_col, "n_chunks", "n_removed", "clean_text")
     )
@@ -1939,8 +1946,9 @@ def _bp_chunks(
     __h1, __h2)`` — non-overlapping ``chunk_words``-word segments with
     the two-salt content hash computed in the (codegen'd) post-explode
     projection."""
-    toks = tokens_col(F.col(text_col))
-    n = token_count_col(F.col(text_col))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(text)
+    n = token_count_col(text)
     n_chunks = F.greatest(
         F.ceil(n.cast("double") / chunk_words).cast("int"), F.lit(1)
     )

@@ -2151,3 +2151,22 @@ def test_cdc_chunks_cover_and_shift_resilience(spark):
     d1 = {r["digest"] for r in by_doc[1]}
     d2 = {r["digest"] for r in by_doc[2]}
     assert len(d1 & d2) >= len(d1) * 0.6
+
+
+def test_boilerplate_null_text_survives(spark):
+    from mongo_es_spark.operators.text import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["clean_text"])
+        for r in boilerplate_removal(
+            df, "doc_id", "text", chunk_words=2, min_df=2
+        ).collect()
+    }
+    # null text folds to the empty group: both null docs present,
+    # their single empty chunk removed as a df=2 template
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (1, "") and got[3] == (1, "")
