@@ -47,8 +47,15 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token length.  The score is a fixed deterministic blend — the
     point is the plumbing (an all-JVM scoring pass suitable for
     corpus-scale filtering), not the specific weights.
+
+    Clone-collapsed: the score depends only on the text, so the
+    (HOF-heavy) feature expressions evaluate once per DISTINCT text
+    and expand back through a null-safe text-keyed join — per-doc
+    output identical, scoring work ∝ distinct content (the crawl-
+    corpus shape; 100x clone replica: scoring-dependent queries drop
+    from tens of seconds to the distinct-set cost).
     """
-    text = F.col(text_col)
+    text = F.col("__qt")
     toks = tokens_col(text)
     n = token_count_col(text).cast("double")
     n_safe = F.when(n > 0, n)  # null when 0 -> null ratios, no div/0
@@ -65,15 +72,38 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + (1.0 - stop_ratio) * 0.2
         + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.2
     )
-    return df.select(
+    feats = (
+        df.select(F.col(text_col).alias("__qt"))
+        .distinct()
+        .select(
+            # null-safe join key: (is-null flag, coalesced text) —
+            # two plain equi-join columns instead of eqNullSafe
+            F.isnull("__qt").alias("__k0"),
+            F.coalesce(F.col("__qt"), F.lit("")).alias("__k1"),
+            n.cast("long").alias("n_tokens"),
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(mean_len, 6).alias("mean_token_len"),
+            # floor, not round: composite scores of dyadic terms land
+            # on exact .5 decimal boundaries where engines' round()
+            # disagree
+            (F.floor(score * 1_000_000) / 1_000_000).alias(
+                "quality_score"
+            ),
+        )
+    )
+    lhs = df.select(
         F.col(id_col),
-        n.cast("long").alias("n_tokens"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        # floor, not round: composite scores of dyadic terms land on
-        # exact .5 decimal boundaries where engines' round() disagree
-        (F.floor(score * 1_000_000) / 1_000_000).alias("quality_score"),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    )
+    return lhs.join(feats, ["__k0", "__k1"]).select(
+        id_col,
+        "n_tokens",
+        "distinct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality_score",
     )
 
 
