@@ -152,11 +152,19 @@ def language_id(
     language over each document's distinct-trigram array — instead of
     re-shuffling every document-trigram pair through a join + window.
     """
-    tris = df.select(
-        F.col(label_col).alias("lang"),
-        F.explode(char_trigrams_col(F.col(text_col))).alias("tri"),
+    # clone-collapse both halves: trigram extraction (the pandas
+    # kernel) runs once per DISTINCT (lang, text) with a multiplicity
+    # — sum(mult) == the per-doc count exactly, since each doc
+    # contributes its distinct-trigram set once
+    lt = df.groupBy(
+        F.col(label_col).alias("lang"), F.col(text_col).alias("__t")
+    ).agg(F.count("*").alias("__m"))
+    tris = lt.select(
+        "lang",
+        "__m",
+        F.explode(char_trigrams_col(F.col("__t"))).alias("tri"),
     )
-    counts = tris.groupBy("lang", "tri").agg(F.count("*").alias("cnt"))
+    counts = tris.groupBy("lang", "tri").agg(F.sum("__m").alias("cnt"))
     w = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), F.col("tri").asc()
     )
@@ -194,10 +202,26 @@ def language_id(
         return pd.DataFrame({"overlap": out_ov, "lang": out_lang})
 
     best = F.pandas_udf(score, "struct<overlap:int,lang:string>")(
-        F.col(text_col)
+        F.col("__t")
+    )
+    # scoring is text-only: run the substring kernel once per distinct
+    # text, expand through a null-safe text-keyed join
+    scored = (
+        df.select(F.col(text_col).alias("__t"))
+        .distinct()
+        .select(
+            F.isnull("__t").alias("__k0"),
+            F.coalesce(F.col("__t"), F.lit("")).alias("__k1"),
+            best.alias("best"),
+        )
+    )
+    lhs = df.select(
+        F.col(id_col),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
     )
     return (
-        df.select(F.col(id_col), best.alias("best"))
+        lhs.join(scored, ["__k0", "__k1"])
         # docs sharing no trigram with any profile score no candidate
         # row in the join formulation — preserve that contract
         .filter(F.col("best.overlap") >= 1)
@@ -307,21 +331,41 @@ def unigram_cross_entropy(
     driver-side vocab, no per-row Python.  Empty docs keep
     ``xent = 0`` by convention.
     """
-    toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t")
+    # clone-collapsed: LM counts weight distinct texts by their clone
+    # multiplicity (sum(mult) == the per-doc token count exactly) and
+    # per-text scores expand through a null-safe text-keyed join
+    groups = df.groupBy(F.col(text_col).alias("__t")).agg(
+        F.count("*").alias("__m")
     )
-    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    nonempty = groups.filter(
+        F.length(F.trim(F.coalesce(F.col("__t"), F.lit("")))) > 0
+    )
+    toks = nonempty.select(
+        "__t", "__m", F.explode(tokens_col(F.col("__t"))).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.sum("__m").alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("n"))
-    per_doc = (
+    per_text = (
         toks.join(vocab, "t")
         .join(F.broadcast(total))
-        .groupBy(id_col)
+        .groupBy("__t")
         .agg(
             F.count("*").alias("n_tokens"),
             _floor6(F.avg(-F.log(F.col("c") / F.col("n")))).alias("xent"),
         )
+        .select(
+            F.isnull("__t").alias("__k0"),
+            F.coalesce(F.col("__t"), F.lit("")).alias("__k1"),
+            "n_tokens",
+            "xent",
+        )
     )
-    return df.select(id_col).join(per_doc, id_col, "left").select(
+    lhs = df.select(
+        F.col(id_col),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    )
+    return lhs.join(per_text, ["__k0", "__k1"], "left").select(
         id_col,
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("xent", F.lit(0.0)).alias("xent"),
@@ -348,42 +392,66 @@ def bigram_cross_entropy(
     usual combined count aggregations and key-joins — the same plan
     family as the unigram signal, one extra join for the bigram table.
     """
-    toks = tokens_col(F.col(text_col))
+    # clone-collapsed like the unigram signal: bigram/unigram LM
+    # counts weight distinct texts by multiplicity; scoring runs per
+    # distinct text and expands through a null-safe text join
+    groups = df.groupBy(F.col(text_col).alias("__t")).agg(
+        F.count("*").alias("__m")
+    )
+    nonempty = groups.filter(
+        F.length(F.trim(F.coalesce(F.col("__t"), F.lit("")))) > 0
+    )
+    toks = tokens_col(F.col("__t"))
     nt = F.size(toks)
-    pairs = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col),
+    pairs = nonempty.select(
+        "__t",
+        "__m",
         F.explode(
             F.arrays_zip(
                 F.slice(toks, 1, nt - 1).alias("p"),
                 F.slice(toks, 2, nt - 1).alias("c"),
             )
         ).alias("bg"),
-    ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.c").alias("c"))
+    ).select(
+        "__t", "__m", F.col("bg.p").alias("p"), F.col("bg.c").alias("c")
+    )
 
     uni = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        nonempty.select(
+            "__m", F.explode(tokens_col(F.col("__t"))).alias("t")
+        )
         .groupBy("t")
-        .agg(F.count("*").alias("c1"))
+        .agg(F.sum("__m").alias("c1"))
     )
     total = uni.agg(F.sum("c1").cast("double").alias("n"))
-    bi = pairs.groupBy("p", "c").agg(F.count("*").alias("c2"))
+    bi = pairs.groupBy("p", "c").agg(F.sum("__m").alias("c2"))
 
     prob = F.lit(lam) * (F.col("c2") / F.col("c1p")) + F.lit(1.0 - lam) * (
         F.col("c1c") / F.col("n")
     )
-    per_doc = (
+    per_text = (
         pairs.join(bi, ["p", "c"])
         .join(uni.select(F.col("t").alias("p"), F.col("c1").alias("c1p")), "p")
         .join(uni.select(F.col("t").alias("c"), F.col("c1").alias("c1c")), "c")
         .join(F.broadcast(total))
-        .groupBy(id_col)
+        .groupBy("__t")
         .agg(
             F.count("*").alias("n_bigrams"),
             _floor6(F.avg(-F.log(prob))).alias("xent2"),
         )
+        .select(
+            F.isnull("__t").alias("__k0"),
+            F.coalesce(F.col("__t"), F.lit("")).alias("__k1"),
+            "n_bigrams",
+            "xent2",
+        )
     )
-    return df.select(id_col).join(per_doc, id_col, "left").select(
+    lhs = df.select(
+        F.col(id_col),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    )
+    return lhs.join(per_text, ["__k0", "__k1"], "left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("xent2", F.lit(0.0)).alias("xent2"),
