@@ -1562,12 +1562,31 @@ def substring_dedup(
     first occurrence are marked too (self-repetition is duplication).
 
     Output: ``(id, n_tokens, dup_tokens, keep_frac, clean_text)``.
-    Work is linear in corpus tokens x window size; no quadratic stage.
+    Work is linear in DISTINCT-content tokens x window size (exact
+    clone groups collapse to their representative before the window
+    shuffle — see the in-body proof); no quadratic stage.
     """
     if window_tokens <= 1:
         raise ValueError("window_tokens must be > 1")
     w = window_tokens
-    base = _substring_base(df, id_col, text_col)
+    # Clone-collapse (exact): a window's global-first instance is
+    # always in a clone-group REPRESENTATIVE — members share the rep's
+    # windows at the same positions with a larger doc id, so the
+    # lexicographic (doc, pos) minimum can never land on a member.
+    # Window competition therefore runs over reps only; a non-rep
+    # member loses EVERY instance (its rep's copy precedes it), which
+    # fully covers it when n_tokens >= w and leaves it untouched (no
+    # windows) otherwise.  Window instances scale with distinct
+    # content, not raw corpus size.
+    groups = df.groupBy(
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    ).agg(F.min(id_col).alias("__rep"))
+    rep_rows = groups.select(
+        F.col("__rep").alias(id_col),
+        F.when(~F.col("__k0"), F.col("__k1")).alias(text_col),
+    )
+    base = _substring_base(rep_rows, id_col, text_col)
     inst = _substring_instances(base, w)
     first = Window.partitionBy("h1", "h2")
     losers = (
@@ -1581,7 +1600,35 @@ def substring_dedup(
         )
         .select("__id", "pos")
     )
-    return _substring_cover_output(base, losers, id_col, w)
+    rep_out = _substring_cover_output(base, losers, id_col, w)
+    members = (
+        df.select(
+            F.col(id_col),
+            F.isnull(F.col(text_col)).alias("__k0"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+        )
+        .join(groups, ["__k0", "__k1"])
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(id_col, "__rep")
+    )
+    covered = F.col("n_tokens") >= w
+    member_out = members.join(
+        rep_out.withColumnRenamed(id_col, "__r"),
+        members["__rep"] == F.col("__r"),
+    ).select(
+        members[id_col],
+        "n_tokens",
+        F.when(covered, F.col("n_tokens"))
+        .otherwise(F.col("dup_tokens"))
+        .alias("dup_tokens"),
+        F.when(covered, F.lit(0.0))
+        .otherwise(F.col("keep_frac"))
+        .alias("keep_frac"),
+        F.when(covered, F.lit(""))
+        .otherwise(F.col("clean_text"))
+        .alias("clean_text"),
+    )
+    return rep_out.unionByName(member_out)
 
 
 def span_dedup(
