@@ -40,7 +40,9 @@ def bpe_token_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str, collapse: bool = True
+) -> DataFrame:
     """Per-document quality signals + a composite score.
 
     Signals: token count, distinct-token ratio, stopword ratio, mean
@@ -48,12 +50,16 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     point is the plumbing (an all-JVM scoring pass suitable for
     corpus-scale filtering), not the specific weights.
 
-    Clone-collapsed: the score depends only on the text, so the
-    (HOF-heavy) feature expressions evaluate once per DISTINCT text
-    and expand back through a null-safe text-keyed join — per-doc
-    output identical, scoring work ∝ distinct content (the crawl-
-    corpus shape; 100x clone replica: scoring-dependent queries drop
-    from tens of seconds to the distinct-set cost).
+    Clone-collapsed by default: the score depends only on the text,
+    so the (HOF-heavy) feature expressions evaluate once per DISTINCT
+    text and expand back through a null-safe text-keyed join —
+    per-doc output identical, scoring work ∝ distinct content (the
+    crawl-corpus shape; 100x clone replica: scoring-dependent queries
+    drop from tens of seconds to the distinct-set cost).  Pass
+    ``collapse=False`` on SMALL frames (streaming micro-batches):
+    there the extra aggregation + join are pure overhead — the
+    incremental curation loop measured ~40% slower with the collapse
+    on its per-trigger batches.
     """
     text = F.col("__qt")
     toks = tokens_col(text)
@@ -72,6 +78,19 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + (1.0 - stop_ratio) * 0.2
         + F.least(mean_len / F.lit(8.0), F.lit(1.0)) * 0.2
     )
+    if not collapse:
+        return df.select(
+            F.col(id_col), F.col(text_col).alias("__qt")
+        ).select(
+            id_col,
+            n.cast("long").alias("n_tokens"),
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(mean_len, 6).alias("mean_token_len"),
+            (F.floor(score * 1_000_000) / 1_000_000).alias(
+                "quality_score"
+            ),
+        )
     feats = (
         df.select(F.col(text_col).alias("__qt"))
         .distinct()
@@ -2069,14 +2088,22 @@ def boilerplate_removal(
         .select(*scope, "__h1", "__h2")
     )
     per_text = _bp_clean(chunks.drop("__mult"), boiler, "__text", scope)
-    return (
-        df.select(
-            F.col(id_col),
-            *scope,
-            F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
-        )
-        .join(per_text, ["__text", *scope] if scope else ["__text"])
-        .select(id_col, "n_chunks", "n_removed", "clean_text")
+    lhs = df.select(
+        F.col(id_col),
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    )
+    # null-safe equality on the scope columns too: a null source must
+    # rejoin its group, not silently drop out (scope types vary, so
+    # eqNullSafe rather than the isnull/coalesce key trick)
+    cond = lhs["__text"] == per_text["__text"]
+    for c in scope:
+        cond = cond & lhs[c].eqNullSafe(per_text[c])
+    return lhs.join(per_text, cond).select(
+        lhs[id_col],
+        per_text["n_chunks"],
+        per_text["n_removed"],
+        per_text["clean_text"],
     )
 
 
@@ -2129,10 +2156,21 @@ def _bp_clean(
     """Membership join + ordered reassembly shared by the batch and
     incremental boilerplate paths.  ``boiler`` holds the
     over-threshold chunk keys ``(*scope, __h1, __h2)``."""
+    # explicit join condition: hash columns are never null, but scope
+    # columns can be — eqNullSafe keeps a null source in its group
+    # instead of silently never matching the boiler side
     marked = boiler.select(
-        *scope, "__h1", "__h2", F.lit(True).alias("__boiler")
+        *[F.col(c).alias(f"__b_{c}") for c in scope],
+        F.col("__h1").alias("__b_h1"),
+        F.col("__h2").alias("__b_h2"),
+        F.lit(True).alias("__boiler"),
     )
-    joined = chunks.join(marked, [*scope, "__h1", "__h2"], "left")
+    cond = (F.col("__h1") == F.col("__b_h1")) & (
+        F.col("__h2") == F.col("__b_h2")
+    )
+    for c in scope:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    joined = chunks.join(marked, cond, "left")
     kept_struct = F.when(
         F.col("__boiler").isNull(),
         F.struct(F.col("chunk_id"), F.col("chunk_text")),

@@ -115,7 +115,9 @@ def curate_batch(
     # 1. stateless quality gate.  Persisted: the frame feeds both the
     # n_quality counter and the exact-dedup lineage — without the cache
     # the scan + feature pipeline runs twice per micro-batch.
-    feats = quality_features(batch_df, id_col, text_col)
+    feats = quality_features(
+        batch_df, id_col, text_col, collapse=False
+    )
     passed = batch_df.join(
         feats.filter(F.col("quality_score") >= quality_threshold).select(
             id_col

@@ -2170,3 +2170,27 @@ def test_boilerplate_null_text_survives(spark):
     # their single empty chunk removed as a df=2 template
     assert set(got) == {1, 2, 3}
     assert got[2] == (1, "") and got[3] == (1, "")
+
+
+def test_boilerplate_null_scope_survives(spark):
+    from mongo_es_spark.operators.text import boilerplate_removal
+
+    # two docs with a NULL source: scoped DF counting must treat the
+    # null scope as one group (template removed at df=2), and the
+    # join-back must not drop null-scope docs
+    df = spark.createDataFrame(
+        [
+            (1, None, "c1 c2"),
+            (2, None, "c1 c2 u1 u2"),
+            (3, "s1", "c1 c2"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_removed"]
+        for r in boilerplate_removal(
+            df, "doc_id", "text", chunk_words=2, min_df=2,
+            scope_cols=["source"],
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 0}
