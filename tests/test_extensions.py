@@ -2194,3 +2194,61 @@ def test_boilerplate_null_scope_survives(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 0}
+
+
+def test_incremental_payload_dedup_accounting(spark, tmp_path):
+    import hashlib
+
+    from mongo_es_spark.operators.multimodal import (
+        incremental_payload_dedup,
+    )
+
+    blob = bytes(
+        hashlib.md5(bytes([i % 256, i // 256])).digest()[0]
+        for i in range(400)
+    )
+    other = bytes(
+        hashlib.md5(bytes([i % 256, i // 256, 7])).digest()[0]
+        for i in range(400)
+    )
+    store = str(tmp_path / "cdc_store")
+    schema = "doc_id long, payload binary"
+
+    b1 = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob))], schema
+    )
+    out1 = {
+        r["doc_id"]: r
+        for r in incremental_payload_dedup(spark, b1, store).collect()
+    }
+    # doc 1 is all-novel, doc 2 (exact clone) is all-dup
+    assert out1[1]["dup_chunks"] == 0 and out1[1]["dup_bytes"] == 0
+    assert out1[2]["dup_chunks"] == out1[2]["n_chunks"]
+    assert out1[2]["dup_bytes"] == out1[2]["n_bytes"] == 400
+
+    # batch 2: same content again dedups fully against the STORE; a
+    # fresh blob is novel
+    b2 = spark.createDataFrame(
+        [(3, bytearray(blob)), (4, bytearray(other))], schema
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in incremental_payload_dedup(spark, b2, store).collect()
+    }
+    assert out2[3]["dup_bytes"] == 400
+    assert out2[4]["dup_chunks"] == 0
+
+    # replay of batch 2 appends nothing and reproduces the accounting
+    n_store = spark.read.parquet(store).count()
+    out2b = {
+        r["doc_id"]: r
+        for r in incremental_payload_dedup(spark, b2, store).collect()
+    }
+    assert spark.read.parquet(store).count() == n_store
+    assert out2b[3]["dup_bytes"] == 400 and out2b[4]["dup_chunks"] == 0
+
+    # parameter mismatch fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="params"):
+        incremental_payload_dedup(spark, b2, store, mask_bits=6)
