@@ -660,14 +660,23 @@ def contamination(
     second consumer invites the optimizer to duplicate the gram
     computation per exploded row.
     """
+    # clone-collapsed: the overlap verdict depends only on the text,
+    # so the gram kernel + explode + broadcast probe run once per
+    # DISTINCT text (the shuffled gram frame is distinct-content-
+    # sized) and results expand through a null-safe text-keyed join
     n_grams_expr = F.greatest(
-        token_count_col(F.col(text_col)) - (n - 1), F.lit(0)
+        token_count_col(F.col("__k1")) - (n - 1), F.lit(0)
     )
-    doc_grams = df.select(
-        F.col(id_col),
+    distinct_t = df.select(
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    ).distinct()
+    text_grams = distinct_t.select(
+        "__k0",
+        "__k1",
         n_grams_expr.alias("__n_grams"),
         F.explode_outer(
-            word_ngrams_col(F.col(text_col), n)
+            word_ngrams_col(F.col("__k1"), n)
         ).alias("__gram"),
     )
     bench = (
@@ -679,9 +688,9 @@ def contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    return (
-        doc_grams.join(F.broadcast(bench), "__gram", "left")
-        .groupBy(id_col)
+    per_text = (
+        text_grams.join(F.broadcast(bench), "__gram", "left")
+        .groupBy("__k0", "__k1")
         .agg(
             F.max("__n_grams").alias("n_grams"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
@@ -689,6 +698,14 @@ def contamination(
             ),
         )
         .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+    lhs = df.select(
+        F.col(id_col),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    )
+    return lhs.join(per_text, ["__k0", "__k1"]).select(
+        id_col, "n_grams", "n_contaminated", "contaminated"
     )
 
 
