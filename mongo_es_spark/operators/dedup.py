@@ -1623,9 +1623,26 @@ def keep_best_near_dup(
     rep_comp = dedup_components(rep_pairs).withColumnRenamed(
         "doc", "rep"
     )
-    doc_comp = members.join(rep_comp, "rep", "left").select(
-        "doc",
-        F.coalesce(F.col("component"), F.col("rep")).alias("component"),
+    # groups too short to shingle (empty/null/< n tokens) participate
+    # in no pair AND must not collapse as exact clones either — the
+    # Jaccard semantics (and drop_near_duplicates) keep every such doc
+    # as its own singleton, so unshingled members take their OWN doc
+    # id as component instead of inheriting the group rep's
+    shingled = docs.select(
+        F.col("doc").alias("rep"), F.lit(True).alias("__sh")
+    )
+    doc_comp = (
+        members.join(rep_comp, "rep", "left")
+        .join(shingled, "rep", "left")
+        .select(
+            "doc",
+            F.when(
+                F.col("__sh").isNotNull(),
+                F.coalesce(F.col("component"), F.col("rep")),
+            )
+            .otherwise(F.col("doc"))
+            .alias("component"),
+        )
     )
     labeled = df.join(doc_comp, df[id_col] == doc_comp["doc"]).select(
         *[df[c] for c in out_cols], "component"
@@ -1646,12 +1663,16 @@ def keep_best_near_dup(
 
 def normalized_text_col(text: Column) -> Column:
     """Gopher-style text normalization for fuzzy-exact dedup: lower,
-    strip every non-alphanumeric to a space, collapse whitespace,
+    strip every non-letter/digit to a space, collapse whitespace,
     trim.  Two documents differing only in case / punctuation /
-    spacing hash identically."""
+    spacing hash identically.  Unicode classes (``\\p{L}\\p{N}``), not
+    ``[a-z0-9]`` — an ASCII class normalizes every CJK/Cyrillic/Arabic
+    document to the empty string and merges the whole non-Latin
+    population into one group.  Java regex and DuckDB's RE2 agree on
+    these classes, so the oracle mirrors the expression exactly."""
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "),
+            F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", " "),
             r"\s+",
             " ",
         )
@@ -1669,10 +1690,19 @@ def normalized_dedup(
     ``xxhash64(norm)`` pairs rather than the string itself (same
     pattern as the substring-dedup window hash) so the shuffle ships
     8-byte keys, but the oracle-checked form groups the exact text.
+
+    Documents whose normalization destroys everything (empty or null
+    ``norm``: symbol-only / whitespace-only / null texts) are kept as
+    singletons — "all their content was punctuation" is not evidence
+    of duplication, and merging that population keeps exactly one doc
+    of the whole class.
     """
     norm = normalized_text_col(F.col(text_col))
+    empty_guard = F.when(
+        norm.isNull() | (norm == ""), F.col(id_col)
+    ).otherwise(F.lit(0))
     return (
-        df.groupBy(norm.alias("norm_text"))
+        df.groupBy(norm.alias("norm_text"), empty_guard.alias("__g"))
         .agg(
             F.min(id_col).alias(id_col),
             F.count("*").alias("multiplicity"),

@@ -399,7 +399,8 @@ def incremental_payload_dedup(
     batch replayed in any split reproduces identical accounting.
     Chunking parameters are pinned in a ``_cdc_params`` sidecar
     (a mismatch re-segments everything and silently zeroes dedup);
-    an XOR id-digest makes replays append nothing.
+    an XOR (doc_id, payload) digest makes replays append nothing
+    while re-submissions with changed bytes count as new batches.
 
     Output per payload: ``(doc_id, n_chunks, dup_chunks, n_bytes,
     dup_bytes)`` — ``dup_bytes / n_bytes`` is the storage saving the
@@ -419,10 +420,22 @@ def incremental_payload_dedup(
             )
     store = read_parquet_if_exists(spark, store_path)
 
+    # content folded into the digest alongside the id: a batch
+    # re-submitted with the same doc_ids but different payload bytes
+    # is a NEW batch, not a replay
     tag = int(
         batch_df.agg(
             F.coalesce(
-                F.bit_xor(F.xxhash64(F.col("doc_id"))), F.lit(0)
+                F.bit_xor(
+                    F.xxhash64(
+                        F.col("doc_id"),
+                        F.coalesce(
+                            F.col("payload"),
+                            F.lit(b""),
+                        ),
+                    )
+                ),
+                F.lit(0),
             ).alias("t")
         ).head()["t"]
     )

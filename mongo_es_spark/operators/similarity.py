@@ -163,7 +163,9 @@ def quantize_embeddings(
     for ~1e-2 absolute element error, the standard first compression
     step for a corpus-scale embedding store.  Pure column expressions;
     zero-vector scale floors at 1e-30 so codes stay 0 instead of
-    dividing by zero.
+    dividing by zero; a NULL input vector yields NULL scale AND NULL
+    codes (null-in/null-out), so missing embeddings stay
+    distinguishable from zero-dimension ones.
 
     Output: ``id, scale, codes array<tinyint>`` (values bounded to
     [-127, 127] by the scale); reconstruct with :func:`dequantize_col`
@@ -176,14 +178,15 @@ def quantize_embeddings(
     # zero shuffle either way.  Rounding is half-away-from-zero to
     # match F.round/DuckDB round exactly (np.round banker's-rounds).
     def _quant(vs: pd.Series) -> pd.DataFrame:
+        # null-in/null-out: a missing embedding stays NULL (scale and
+        # codes both), distinguishable from a zero-dimension vector —
+        # the expression form's contract, preserved by the kernel
         arrs = [
-            np.asarray(a, dtype=np.float64)
-            if a is not None
-            else np.empty(0)
+            np.asarray(a, dtype=np.float64) if a is not None else None
             for a in vs
         ]
-        dims = {a.shape[0] for a in arrs}
-        if len(dims) == 1 and 0 not in dims:
+        dims = {a.shape[0] for a in arrs if a is not None}
+        if all(a is not None for a in arrs) and len(dims) == 1 and 0 not in dims:
             mat = np.vstack(arrs)
             scale = (
                 np.maximum(np.abs(mat).max(axis=1), 1e-30) / 127.0
@@ -193,9 +196,13 @@ def quantize_embeddings(
                 q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)
             ).astype(np.int8)
             code_lists = list(codes)
-        else:  # ragged / empty fallback, same arithmetic per row
+        else:  # ragged / empty / null fallback, same arithmetic per row
             scale_l, code_lists = [], []
             for a in arrs:
+                if a is None:
+                    scale_l.append(None)
+                    code_lists.append(None)
+                    continue
                 s = (
                     max(np.abs(a).max(initial=0.0), 1e-30) / 127.0
                 )
@@ -206,7 +213,7 @@ def quantize_embeddings(
                     ).astype(np.int8)
                 )
                 scale_l.append(s)
-            scale = np.asarray(scale_l)
+            scale = scale_l
         return pd.DataFrame({"scale": scale, "codes": code_lists})
 
     quant = pandas_udf(_quant, "struct<scale:double,codes:array<tinyint>>")

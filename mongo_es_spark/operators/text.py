@@ -2265,8 +2265,10 @@ def incremental_boilerplate(
     removal matters).
 
     Replay-safe: each append is tagged with an order-independent
-    digest of the batch's ids; re-feeding a batch whose tag is
-    already stored appends nothing and returns the same output.
+    digest of the batch's (id, text) rows; re-feeding a batch whose
+    tag is already stored appends nothing and returns the same
+    output, while the same ids with different content count as a new
+    batch.
     ``chunk_words``/``scope_cols`` are pinned in a ``_bp_params``
     sidecar and validated on every call.
     """
@@ -2278,13 +2280,21 @@ def incremental_boilerplate(
     params = _bp_check_params(spark, store_path, chunk_words, scope)
     store = read_parquet_if_exists(spark, store_path)
 
-    # order-independent batch digest (XOR of id hashes — XOR rather
-    # than sum: ANSI mode makes an overflowing sum throw): the replay
-    # guard — one tiny aggregate over the batch ids
+    # order-independent batch digest (XOR of per-row hashes — XOR
+    # rather than sum: ANSI mode makes an overflowing sum throw): the
+    # replay guard — one tiny aggregate over the batch.  Content is
+    # folded in alongside the id, so a batch re-submitted with the
+    # same ids but DIFFERENT text is a new batch, not a replay.
     tag = int(
         batch_df.agg(
             F.coalesce(
-                F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)
+                F.bit_xor(
+                    F.xxhash64(
+                        F.col(id_col),
+                        F.coalesce(F.col(text_col), F.lit("")),
+                    )
+                ),
+                F.lit(0),
             ).alias("t")
         ).head()["t"]
     )

@@ -4202,13 +4202,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_normalized",
     """
-    SELECT min(doc_id) AS doc_id,
-           trim(regexp_replace(regexp_replace(
-               lower(text), '[^a-z0-9\\s]', ' ', 'g'),
-               '\\s+', ' ', 'g')) AS norm_text,
-           count(*) AS multiplicity
-    FROM documents
-    GROUP BY norm_text
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, norm_text, count(*) AS multiplicity
+    FROM n
+    GROUP BY norm_text,
+             CASE WHEN norm_text = '' OR norm_text IS NULL
+                  THEN doc_id ELSE 0 END
     """,
 )
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:

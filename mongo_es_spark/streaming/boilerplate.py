@@ -18,8 +18,25 @@ exactly — pinned by the registry query's cross-engine oracle through
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.text import incremental_boilerplate
+
+
+def write_batch_output(
+    out: DataFrame, batch_id: int, out_path: str
+) -> None:
+    """Idempotent per-batch output write: the batch's rows land in
+    their own ``__batch_id`` partition under dynamic partition
+    overwrite, so replaying the same batch id rewrites that partition
+    instead of appending duplicates."""
+    (
+        out.withColumn("__batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(out_path)
+    )
 
 
 def run_streaming_boilerplate(
@@ -38,7 +55,13 @@ def run_streaming_boilerplate(
     documents land under ``out_path`` (running semantics — an early
     batch cannot see a later batch's templates; re-clean via
     ``boilerplate_clean_over_store`` when retroactive removal
-    matters)."""
+    matters).
+
+    The output write is replay-guarded to match the store append:
+    each batch lands in its own ``__batch_id`` partition under
+    DYNAMIC partition overwrite, so a foreachBatch replay after
+    checkpoint recovery rewrites its own partition idempotently
+    instead of appending duplicate cleaned rows."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = incremental_boilerplate(
@@ -50,7 +73,7 @@ def run_streaming_boilerplate(
             chunk_words=chunk_words,
             min_df=min_df,
         )
-        out.write.mode("append").parquet(out_path)
+        write_batch_output(out, batch_id, out_path)
 
     return (
         stream_df.writeStream.foreachBatch(handle)

@@ -2252,3 +2252,153 @@ def test_incremental_payload_dedup_accounting(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="params"):
         incremental_payload_dedup(spark, b2, store, mask_bits=6)
+
+
+def test_keep_best_near_dup_short_groups_stay_singletons(spark):
+    # ADVICE r4: clone groups too short to shingle (empty / < n
+    # tokens / null) must NOT collapse to one survivor — the Jaccard
+    # semantics (and drop_near_duplicates) keep each as a singleton
+    from mongo_es_spark.operators.dedup import (
+        drop_near_duplicates,
+        keep_best_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and"
+    df = spark.createDataFrame(
+        [
+            (1, base + " alpha", 10),
+            (2, base + " beta", 99),      # near-dup cluster {1,2}: 2 wins
+            (3, "", 5),                   # empty clones: all kept
+            (4, "", 7),
+            (5, "tiny", 3),               # < n tokens clones: all kept
+            (6, "tiny", 4),
+            (7, None, 1),                 # null texts: kept
+            (8, None, 2),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    kept = keep_best_near_dup(
+        df, "doc_id", "text", "n_chars", n=3, threshold=0.5,
+        keep_cols=["doc_id", "n_chars"],
+    )
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [2, 3, 4, 5, 6, 7, 8]
+    # and it mirrors drop_near_duplicates' survivor set cardinality
+    assert drop_near_duplicates(
+        df, "doc_id", "text", n=3, threshold=0.5
+    ).count() == 7
+
+
+def test_normalized_dedup_unicode_and_empty_guard(spark):
+    # ADVICE r4: Unicode letters survive normalization; texts whose
+    # normalization is empty (symbol-only / null) stay singletons
+    from mongo_es_spark.operators.dedup import normalized_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "你好世界"),    # CJK
+            (2, "你好世界!!"),  # CJK + trailing punct: same group
+            (3, "Привет"),  # Cyrillic
+            (4, "!!! ???"),                     # symbol-only -> empty norm
+            (5, "@@@"),                         # symbol-only -> empty norm
+            (6, None),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = normalized_dedup(df, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # CJK pair merged (punct stripped), Cyrillic its own group
+    assert by_id[1]["multiplicity"] == 2 and 2 not in by_id
+    assert by_id[3]["multiplicity"] == 1
+    # empty-norm and null docs each kept as singletons
+    for d in (4, 5, 6, 7):
+        assert by_id[d]["multiplicity"] == 1
+    assert len(rows) == 6
+
+
+def test_quantize_null_vector_stays_null(spark):
+    # ADVICE r4: null-in/null-out — a missing embedding must not
+    # become codes=[] with a meaningless scale
+    from mongo_es_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, None),
+            (3, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(df, "vec_id", "embedding").collect()
+    }
+    assert got[2]["scale"] is None and got[2]["codes"] is None
+    assert got[1]["codes"] is not None and len(got[1]["codes"]) == 3
+    assert got[3]["codes"] == [0, 0, 0]
+    # all-null batch exercises the vstack-bypass path too
+    df2 = spark.createDataFrame(
+        [(9, None)], "vec_id long, embedding array<double>"
+    )
+    r9 = quantize_embeddings(df2, "vec_id", "embedding").head()
+    assert r9["scale"] is None and r9["codes"] is None
+
+
+def test_incremental_boilerplate_content_change_is_new_batch(
+    spark, tmp_path
+):
+    # ADVICE r4: same ids + different text must NOT classify as a
+    # replay — the digest folds content, so the store grows
+    from mongo_es_spark.operators.text import incremental_boilerplate
+
+    store = str(tmp_path / "bp_store")
+    b1 = spark.createDataFrame(
+        [(1, "tpl a b c unique one"), (2, "tpl a b c unique two")],
+        "doc_id long, text string",
+    )
+    incremental_boilerplate(
+        spark, b1, "doc_id", "text", store, chunk_words=2, min_df=2
+    ).collect()
+    n1 = spark.read.parquet(store).count()
+    # true replay: appends nothing
+    incremental_boilerplate(
+        spark, b1, "doc_id", "text", store, chunk_words=2, min_df=2
+    ).collect()
+    assert spark.read.parquet(store).count() == n1
+    # same ids, edited content: a NEW batch, store must grow
+    b1_edited = spark.createDataFrame(
+        [(1, "edited x y z alpha"), (2, "edited x y z beta")],
+        "doc_id long, text string",
+    )
+    incremental_boilerplate(
+        spark, b1_edited, "doc_id", "text", store,
+        chunk_words=2, min_df=2,
+    ).collect()
+    assert spark.read.parquet(store).count() > n1
+
+
+def test_streaming_boilerplate_output_replay_idempotent(
+    spark, tmp_path
+):
+    # ADVICE r4: a foreachBatch replay must not duplicate the cleaned
+    # rows under out_path — same batch id overwrites its own partition
+    from mongo_es_spark.streaming.boilerplate import write_batch_output
+
+    out_path = str(tmp_path / "bp_out")
+    batch = spark.createDataFrame(
+        [(1, 4, 1, "clean one"), (2, 4, 0, "clean two")],
+        "doc_id long, n_chunks long, n_removed long, clean_text string",
+    )
+    write_batch_output(batch, 0, out_path)
+    write_batch_output(batch, 0, out_path)  # replay of batch 0
+    assert spark.read.parquet(out_path).count() == 2
+    # a different batch id appends alongside, untouched
+    b2 = spark.createDataFrame(
+        [(3, 2, 0, "clean three")],
+        "doc_id long, n_chunks long, n_removed long, clean_text string",
+    )
+    write_batch_output(b2, 1, out_path)
+    df = spark.read.parquet(out_path)
+    assert df.count() == 3
+    assert df.select("__batch_id").distinct().count() == 2
