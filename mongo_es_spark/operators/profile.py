@@ -22,7 +22,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "table_quantiles", "key_skew_profile"]
+__all__ = [
+    "table_profile",
+    "table_profile_certified",
+    "table_quantiles",
+    "table_quantiles_approx",
+    "table_quantiles_certified",
+    "key_skew_profile",
+]
 
 
 def table_quantiles(
@@ -59,10 +66,82 @@ def table_quantiles(
     )
 
 
+def table_quantiles_approx(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB form of :func:`table_quantiles`:
+    ``approx_percentile`` (KLL-sketch-style mergeable state, rank
+    error <= n/``accuracy``) instead of exact ``percentile`` — no
+    per-partition value buffering, same output shape.  Returns actual
+    data values, not interpolations."""
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.percentile_approx(
+                F.col(c),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(accuracy),
+            ).alias(f"{c}__q")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', round(cast({c}__q[0] as double), 6), "
+        f"round(cast({c}__q[1] as double), 6), "
+        f"round(cast({c}__q[2] as double), 6)"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column, p50, p90, p99)"
+    )
+
+
+def table_quantiles_certified(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    rel_err: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-vs-exact certification of the approx quantile path
+    (the ``corpus_sketch_stats`` pattern): one row per column with
+    the EXACT percentiles (cross-engine reproducible) plus a boolean
+    asserting every approx estimate lands within ``rel_err`` of its
+    exact counterpart.  At 100 TB the approx plan IS the product;
+    this bounded-scale run certifies the sketch ``accuracy`` before
+    it is trusted on the full corpus."""
+    exact = table_quantiles(df, cols, probs)
+    approx = table_quantiles_approx(df, cols, probs, accuracy)
+    a = approx.select(
+        "column",
+        F.col("p50").alias("__a50"),
+        F.col("p90").alias("__a90"),
+        F.col("p99").alias("__a99"),
+    )
+    err = F.lit(float(rel_err))
+
+    def ok(ex: str, ap: str):
+        return F.abs(F.col(ap) - F.col(ex)) <= err * F.greatest(
+            F.abs(F.col(ex)), F.lit(1.0)
+        )
+
+    return exact.join(a, "column").select(
+        "column",
+        "p50",
+        "p90",
+        "p99",
+        (ok("p50", "__a50") & ok("p90", "__a90") & ok("p99", "__a99"))
+        .alias("approx_ok"),
+    )
+
+
 def table_profile(
     df: DataFrame,
     cols: Sequence[str] | None = None,
     exact_distinct: bool = True,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Per-column profile of ``df`` in one aggregation pass.
 
@@ -81,7 +160,9 @@ def table_profile(
         if exact_distinct:
             aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
         else:
-            aggs.append(F.approx_count_distinct(col).alias(f"{c}__nd"))
+            aggs.append(
+                F.approx_count_distinct(col, rsd=rsd).alias(f"{c}__nd")
+            )
         aggs.append(F.min(col).cast("string").alias(f"{c}__mn"))
         aggs.append(F.max(col).cast("string").alias(f"{c}__mx"))
     wide = df.agg(*aggs)
@@ -94,6 +175,52 @@ def table_profile(
         "(column, n_nulls, n_distinct, min_value, max_value)",
     ).select(
         "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+def table_profile_certified(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    rel_err: float = 0.05,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch-vs-exact certification of the approx profile path: run
+    the 100 TB plan (:func:`table_profile` with
+    ``exact_distinct=False`` — HLL++, NO Expand multiplication of the
+    scan) and an exact distinct pass, and emit the exact statistics
+    (cross-engine reproducible) plus ``hll_ok`` asserting each HLL
+    estimate lands within ``rel_err`` of the exact count.  The
+    certification pass is what a bounded-scale run does before
+    trusting the sketch configuration on the full corpus — at 100 TB
+    only the approx plan runs."""
+    names = list(cols) if cols is not None else list(df.columns)
+    ap = table_profile(df, names, exact_distinct=False, rsd=rsd)
+    ex_aggs = [
+        F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in names
+    ]
+    stack_args = ", ".join(f"'{c}', {c}__nd" for c in names)
+    ex = df.agg(*ex_aggs).selectExpr(
+        f"stack({len(names)}, {stack_args}) as (column, __nd_exact)"
+    )
+    err = F.lit(float(rel_err))
+    return (
+        ap.withColumnRenamed("n_distinct", "__nd_approx")
+        .join(ex, "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.col("__nd_exact").alias("n_distinct"),
+            "min_value",
+            "max_value",
+            (
+                F.abs(F.col("__nd_approx") - F.col("__nd_exact"))
+                <= err
+                * F.greatest(F.col("__nd_exact"), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("hll_ok"),
+        )
     )
 
 

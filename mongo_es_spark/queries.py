@@ -1440,6 +1440,89 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_profile_approx",
+    """
+    WITH t AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)
+    SELECT p.* FROM t, LATERAL (
+        SELECT 'l_orderkey' AS "column", n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT AS n_nulls,
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS n_distinct,
+               (SELECT CAST(min(l_orderkey) AS VARCHAR) FROM lineitem) AS min_value,
+               (SELECT CAST(max(l_orderkey) AS VARCHAR) FROM lineitem) AS max_value,
+               true AS hll_ok
+        UNION ALL
+        SELECT 'l_suppkey', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)::BIGINT,
+               (SELECT count(DISTINCT l_suppkey) FROM lineitem)::BIGINT,
+               (SELECT CAST(min(l_suppkey) AS VARCHAR) FROM lineitem),
+               (SELECT CAST(max(l_suppkey) AS VARCHAR) FROM lineitem),
+               true
+        UNION ALL
+        SELECT 'l_returnflag', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL)::BIGINT,
+               (SELECT count(DISTINCT l_returnflag) FROM lineitem)::BIGINT,
+               (SELECT min(l_returnflag) FROM lineitem),
+               (SELECT max(l_returnflag) FROM lineitem),
+               true
+        UNION ALL
+        SELECT 'l_linestatus', n_rows,
+               (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL)::BIGINT,
+               (SELECT count(DISTINCT l_linestatus) FROM lineitem)::BIGINT,
+               (SELECT min(l_linestatus) FROM lineitem),
+               (SELECT max(l_linestatus) FROM lineitem),
+               true
+    ) p
+    """,
+)
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile path under a tolerance oracle
+    (operators/profile.py:table_profile_certified): the approx plan —
+    HLL++ ``approx_count_distinct``, ONE aggregation pass with NO
+    Expand multiplication of the scan (plan-contract pinned) — runs
+    alongside an exact certification pass; the oracle pins the exact
+    statistics cross-engine and ``hll_ok`` certifies each HLL
+    estimate within 5% of the exact distinct count."""
+    from .operators.profile import table_profile_certified
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_profile_certified(
+        li, ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    )
+
+
+@register(
+    "table_quantiles_approx",
+    """
+    WITH q AS (
+        SELECT quantile_cont(l_quantity, [0.5, 0.9, 0.99]) AS ql,
+               quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS qe
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS "column", round(ql[1], 6) AS p50,
+           round(ql[2], 6) AS p90, round(ql[3], 6) AS p99,
+           true AS approx_ok FROM q
+    UNION ALL
+    SELECT 'l_extendedprice', round(qe[1], 6), round(qe[2], 6),
+           round(qe[3], 6), true FROM q
+    """,
+)
+def table_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path under a tolerance oracle
+    (operators/profile.py:table_quantiles_certified):
+    ``approx_percentile`` (KLL-style mergeable sketch, no per-
+    partition value buffering) runs alongside the exact
+    ``percentile`` pass; the oracle pins the exact percentiles
+    cross-engine and ``approx_ok`` certifies every sketch estimate
+    within 5% of its exact counterpart."""
+    from .operators.profile import table_quantiles_certified
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_quantiles_certified(
+        li, ["l_quantity", "l_extendedprice"]
+    )
+
+
+@register(
     "salted_skew_join",
     """
     WITH stats AS (

@@ -483,3 +483,41 @@ def test_ngram_novelty_no_pair_join(spark):
     assert "BatchEvalPython" not in plan
     # one Generate (the single shingle explode evaluation)
     assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2
+
+
+def test_table_profile_approx_no_expand(spark):
+    """The 100 TB profile plan (exact_distinct=False) must compute
+    every HLL++ statistic from ONE scan with NO Expand node — the
+    Expand multiplication (one replica of every row per distinct
+    aggregate) is exactly what the approx path exists to avoid."""
+    from mongo_es_spark.operators.profile import table_profile
+
+    li = load_table(spark, SF, "lineitem")
+    plan = plan_of(
+        table_profile(
+            li,
+            ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"],
+            exact_distinct=False,
+        )
+    )
+    assert "Expand" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # and the exact form genuinely differs: multi-distinct => Expand
+    exact_plan = plan_of(
+        table_profile(li, ["l_orderkey", "l_suppkey"])
+    )
+    assert "Expand" in exact_plan
+
+
+def test_table_quantiles_approx_single_pass_no_buffer_sort(spark):
+    """The approx quantile plan must stay one scan + one aggregate —
+    approx_percentile's KLL-style state merges map-side; no Sort or
+    Expand node anywhere."""
+    from mongo_es_spark.operators.profile import table_quantiles_approx
+
+    li = load_table(spark, SF, "lineitem")
+    plan = plan_of(
+        table_quantiles_approx(li, ["l_quantity", "l_extendedprice"])
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" not in plan and "Sort" not in plan
