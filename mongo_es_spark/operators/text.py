@@ -1522,7 +1522,24 @@ def incremental_substring_dedup(
         store_frame.select("h1", "h2") if store_exists else None
     )
 
-    base = _substring_base(batch_df, id_col, text_col)
+    # Clone-collapse (exact, the batch operator's proof carries over):
+    # a window's batch-first instance always lands in a clone-group
+    # REPRESENTATIVE (members share the rep's windows at the same
+    # positions with a larger id), so window competition AND the
+    # store probe/append run over reps only — a member's every
+    # instance loses to its rep's copy regardless of store state, and
+    # members never contribute first-seen windows the rep didn't.
+    # Ingest batches can be clone-heavy (re-crawls, mirrored feeds);
+    # instance volume scales with distinct content either way.
+    groups = batch_df.groupBy(
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    ).agg(F.min(id_col).alias("__rep"))
+    rep_rows = groups.select(
+        F.col("__rep").alias(id_col),
+        F.when(~F.col("__k0"), F.col("__k1")).alias(text_col),
+    )
+    base = _substring_base(rep_rows, id_col, text_col)
     inst = _substring_instances(base, w)
     first = Window.partitionBy("h1", "h2")
     ranked = inst.withColumn(
@@ -1552,10 +1569,42 @@ def incremental_substring_dedup(
     else:
         losers = batch_losers
         fresh = winners.select("h1", "h2")
-    out = _substring_cover_output(base, losers, id_col, w)
-    # force the output (it reads the store listing pinned above)
+    rep_out = _substring_cover_output(base, losers, id_col, w)
+    # force the rep output (it reads the store listing pinned above)
     # before appending, then persist the batch's first-seen windows
-    out = out.localCheckpoint(eager=True)
+    rep_out = rep_out.localCheckpoint(eager=True)
+    # member expansion: every member window instance loses to its
+    # rep's within-batch copy, so a member is fully covered when it
+    # has windows at all (n_tokens >= w) and copies its rep's
+    # untouched output otherwise
+    members = (
+        batch_df.select(
+            F.col(id_col),
+            F.isnull(F.col(text_col)).alias("__k0"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+        )
+        .join(groups, ["__k0", "__k1"])
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(id_col, "__rep")
+    )
+    covered = F.col("n_tokens") >= w
+    member_out = members.join(
+        rep_out.withColumnRenamed(id_col, "__r"),
+        members["__rep"] == F.col("__r"),
+    ).select(
+        members[id_col],
+        "n_tokens",
+        F.when(covered, F.col("n_tokens"))
+        .otherwise(F.col("dup_tokens"))
+        .alias("dup_tokens"),
+        F.when(covered, F.lit(0.0))
+        .otherwise(F.col("keep_frac"))
+        .alias("keep_frac"),
+        F.when(covered, F.lit(""))
+        .otherwise(F.col("clean_text"))
+        .alias("clean_text"),
+    )
+    out = rep_out.unionByName(member_out)
     fresh.write.mode("append").parquet(store_path)
     if params_frame is None:
         # first batch, or a prior run crashed between its data append
@@ -2302,9 +2351,22 @@ def incremental_boilerplate(
         store.filter(F.col("__batch") == tag).limit(1).count() > 0
     )
 
-    chunks = _bp_chunks(batch_df, id_col, text_col, chunk_words, scope)
-    batch_counts = chunks.groupBy(*scope, "__h1", "__h2").agg(
-        F.countDistinct("__doc").alias("__df")
+    # clone-collapsed like the batch operator: ingest batches can be
+    # clone-heavy too (re-crawls, mirrored feeds), so chunking /
+    # DF-counting / cleaning run per DISTINCT text and expand back
+    # through the text-keyed join — per-text chunk dedup + a
+    # multiplicity sum reproduces the per-doc countDistinct exactly
+    groups = batch_df.groupBy(
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    ).agg(F.count("*").alias("__mult"))
+    chunks = _bp_chunks(
+        groups, "__text", "__text", chunk_words, [*scope, "__mult"]
+    )
+    batch_counts = (
+        chunks.dropDuplicates(["__doc", *scope, "__h1", "__h2"])
+        .groupBy(*scope, "__h1", "__h2")
+        .agg(F.sum("__mult").alias("__df"))
     )
     if store is not None:
         prior = store
@@ -2323,9 +2385,23 @@ def incremental_boilerplate(
     boiler = cumulative.filter(F.col("__df") >= min_df).select(
         *scope, "__h1", "__h2"
     )
+    per_text = _bp_clean(chunks.drop("__mult"), boiler, "__text", scope)
+    lhs = batch_df.select(
+        F.col(id_col),
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    )
+    cond = lhs["__text"] == per_text["__text"]
+    for c in scope:
+        cond = cond & lhs[c].eqNullSafe(per_text[c])
     out = (
-        _bp_clean(chunks, boiler, id_col, scope)
-        .select(id_col, "n_chunks", "n_removed", "clean_text")
+        lhs.join(per_text, cond)
+        .select(
+            lhs[id_col],
+            per_text["n_chunks"],
+            per_text["n_removed"],
+            per_text["clean_text"],
+        )
         .localCheckpoint(eager=True)
     )
     if not replay:
@@ -2355,7 +2431,12 @@ def boilerplate_clean_over_store(
     """Clean ANY document frame against the persisted cumulative
     chunk-DF counts only (the apply/audit path — no store mutation,
     no batch-local counting).  With the store fed the full corpus,
-    this equals :func:`boilerplate_removal` on that corpus."""
+    this equals :func:`boilerplate_removal` on that corpus.
+
+    Clone-collapsed like the batch operator: chunking and the
+    membership join run once per DISTINCT text and the per-text
+    result expands back through a text-keyed join, so re-cleaning a
+    clone-heavy corpus costs distinct content, not raw size."""
     scope = list(scope_cols) if scope_cols else []
     from ..storeio import read_parquet_if_exists
 
@@ -2371,9 +2452,25 @@ def boilerplate_clean_over_store(
         .filter(F.col("__df") >= min_df)
         .select(*scope, "__h1", "__h2")
     )
-    chunks = _bp_chunks(df, id_col, text_col, chunk_words, scope)
-    return _bp_clean(chunks, boiler, id_col, scope).select(
-        id_col, "n_chunks", "n_removed", "clean_text"
+    groups = df.select(
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    ).distinct()
+    chunks = _bp_chunks(groups, "__text", "__text", chunk_words, scope)
+    per_text = _bp_clean(chunks, boiler, "__text", scope)
+    lhs = df.select(
+        F.col(id_col),
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    )
+    cond = lhs["__text"] == per_text["__text"]
+    for c in scope:
+        cond = cond & lhs[c].eqNullSafe(per_text[c])
+    return lhs.join(per_text, cond).select(
+        lhs[id_col],
+        per_text["n_chunks"],
+        per_text["n_removed"],
+        per_text["clean_text"],
     )
 
 

@@ -82,6 +82,7 @@ def curate_batch(
     quality_threshold: float = 0.52,
     jaccard_threshold: float = 0.8,
     scrub_blocklist: tuple[str, ...] | None = None,
+    collapse: bool | None = None,
 ) -> dict:
     """Run one micro-batch through [scrub ->] quality -> exact-dedup
     -> near-dedup and append survivors to ``state_dir/curated``.
@@ -115,8 +116,17 @@ def curate_batch(
     # 1. stateless quality gate.  Persisted: the frame feeds both the
     # n_quality counter and the exact-dedup lineage — without the cache
     # the scan + feature pipeline runs twice per micro-batch.
+    # Clone-collapse is ADAPTIVE (collapse=None): tiny per-trigger
+    # batches measured ~40% slower with it (pure overhead), while a
+    # clone-heavy ingest batch (re-crawl, mirrored feed) pays feature
+    # evaluation per clone without it — n_in is already counted, so
+    # size decides.  Note the LATER stages are clone-immune by
+    # construction: exact dedup (stage 2) removes every within-batch
+    # clone before the signature store ever sees the batch.
+    if collapse is None:
+        collapse = n_in >= 20_000
     feats = quality_features(
-        batch_df, id_col, text_col, collapse=False
+        batch_df, id_col, text_col, collapse=collapse
     )
     passed = batch_df.join(
         feats.filter(F.col("quality_score") >= quality_threshold).select(
