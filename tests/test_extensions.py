@@ -182,8 +182,13 @@ def test_multimodal_plumbing_roundtrip(docs):
         "n_bytes", F.length("text").alias("chars")
     ).first()
     assert row["n_bytes"] >= row["chars"]  # utf-8 >= char count
-    with pytest.raises(NotImplementedError):
-        decode_image(with_payload)
+    from mongo_es_spark.operators.multimodal import _have_pil
+
+    if not _have_pil():
+        # the environmental contract: without pillow the decoder
+        # raises with the schema a real implementation must satisfy
+        with pytest.raises(NotImplementedError):
+            decode_image(with_payload)
 
 
 def test_ivf_results_are_true_neighbors(emb):
@@ -2402,3 +2407,66 @@ def test_streaming_boilerplate_output_replay_idempotent(
     df = spark.read.parquet(out_path)
     assert df.count() == 3
     assert df.select("__batch_id").distinct().count() == 2
+
+
+def test_decode_image_pil_path(spark):
+    # auto-activated decoder: green wherever pillow exists, skipped
+    # where it doesn't (the stub contract test covers that case)
+    from mongo_es_spark.operators.multimodal import _have_pil
+
+    if not _have_pil():
+        pytest.skip("pillow not installed")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from mongo_es_spark.operators.multimodal import decode_image
+
+    buf = BytesIO()
+    Image.new("RGB", (8, 6), (255, 0, 0)).save(buf, format="PNG")
+    good = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(good), "image/png"),
+         (2, bytearray(b"not an image"), "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = decode_image(df, target_size=(4, 4)).collect()
+    # corrupt payload dropped, good one decoded
+    assert [r["doc_id"] for r in rows] == [1]
+    r = rows[0]
+    assert (r["width"], r["height"]) == (8, 6)
+    assert len(r["pixels"]) == 4 * 4 * 3
+    assert abs(r["pixels"][0] - 1.0) < 1e-6  # red channel
+    assert abs(r["pixels"][1]) < 1e-6
+
+
+def test_decode_audio_ffmpeg_path(spark):
+    from mongo_es_spark.operators.multimodal import _have_ffmpeg
+
+    if not _have_ffmpeg():
+        pytest.skip("ffmpeg not on PATH")
+    import io
+    import struct
+    import wave
+
+    from mongo_es_spark.operators.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(struct.pack("<h", 1000) for _ in range(800))
+        )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio/wav"),
+         (2, bytearray(b"junk"), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = decode_audio(df, sample_rate=8000).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["sample_rate"] == 8000
+    # 0.1 s at 8 kHz -> ~800 samples of amplitude 1000/32768
+    assert abs(len(rows[0]["pcm"]) - 800) <= 8
+    assert abs(rows[0]["pcm"][10] - 1000 / 32768) < 1e-3
