@@ -17,6 +17,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _spark_jvm_count() -> int:
+    """Count live Spark JVMs on this machine via /proc (this session
+    contributes exactly one).  Concurrent Spark sessions inflate the
+    shuffle-heavy timings 2-10x (the BENCH_r04 lesson), so the run
+    self-labels: ``exclusive`` is true only when no OTHER Spark JVM
+    was seen at any sample point."""
+    import glob
+
+    n = 0
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(p, "rb") as fh:
+                cmd = fh.read()
+        except OSError:
+            continue
+        if b"org.apache.spark" in cmd:
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry
@@ -35,6 +55,8 @@ def main() -> int:
     spark.range(0, 10_000, 1, 32).select(ident("id")).write.mode(
         "overwrite"
     ).format("noop").save()
+
+    max_jvms = _spark_jvm_count()
 
     # min of N repeats: single-run numbers on a shared VM carry several
     # seconds of scheduler/GC noise; the minimum is the real cost
@@ -62,6 +84,7 @@ def main() -> int:
             timings[name] = -1.0
 
     total = round(sum(timings.values()), 3)
+    max_jvms = max(max_jvms, _spark_jvm_count())
 
     # pipeline-shaped throughput (BASELINE.md targets: >=10k docs/s
     # scan, >=5k events/s compact+load) measured on the largest tables
@@ -124,6 +147,7 @@ def main() -> int:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = sf_dir
+    max_jvms = max(max_jvms, _spark_jvm_count())
     result = {
         "metric": "all_queries_total",
         "value": round(total, 1),
@@ -131,6 +155,11 @@ def main() -> int:
         "queries": timings,
         "throughput": throughput,
         "sf": sf,
+        # self-labeling contention flag (NOTES.md bench protocol:
+        # never time two Spark sessions at once) — false means the
+        # totals are contention-skewed and bench_result.json from an
+        # exclusive run is the record to trust
+        "exclusive": max_jvms <= 1,
     }
     # Full record to a file for the judge / local diffing.
     out_path = os.path.join(
