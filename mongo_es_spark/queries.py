@@ -1134,18 +1134,20 @@ _ANN_CHECK_ORACLE = """
 @register("similarity_ann_lsh", _ANN_CHECK_ORACLE)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hyperplane-LSH ANN with multi-probe (Lv et al. VLDB'07):
-    # Hamming-1 neighbor buckets probe near-miss sign flips, the
-    # dominant false-negative mode.  recall@10 measured 1.0 at sf0.01
-    # and 0.9 at sf0.1 (vs 0.7 / 0.1 single-probe) while candidate
-    # volume stays bucket-shaped — the recall dial that holds the
-    # floor as the corpus grows, unlike widening bands (which
-    # degenerates toward a full scan).  Asserted >= 0.5.
+    # Hamming-<=2 neighbor buckets probe near-miss sign flips, the
+    # dominant false-negative mode.  r5 sweep over 5 query ids:
+    # multiprobe=2 measures recall@10 = 1.0 min at BOTH sf0.01 and
+    # sf0.1 (multiprobe=1 dipped to 0.9; single-probe to 0.1) while
+    # candidate volume stays bucket-shaped — the recall dial that
+    # holds the floor as the corpus grows, unlike widening bands
+    # (which degenerates toward a full scan).  Asserted >= 0.8
+    # (hyperplanes are seeded — the measurement is deterministic).
     emb = load_table(spark, sf_dir, "embeddings")
     ann = ann_lsh_topk(
         emb, "vec_id", "embedding", query_id=0, dims=64, k=10,
-        multiprobe=1,
+        multiprobe=2,
     )
-    return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.5)
+    return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.8)
 
 
 @register(
@@ -1234,12 +1236,17 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_ivf", _ANN_CHECK_ORACLE)
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF ANN, verified: recall@10 measured 0.6 at sf0.01; asserted
-    # >= 0.4 (the k-means sample order gives IVF slightly more run-to-
-    # run slack than the seeded-hyperplane paths)
+    # IVF ANN, verified: r5 sweep raised n_probe 4 -> 8 (of 16
+    # cells) — recall@10 at query 0 measures 0.8 at both sf0.01 and
+    # sf0.1 (probe=4 measured 0.3-0.6).  Asserted >= 0.7: at these
+    # scales the k-means train sample is the WHOLE table (<= the
+    # 100k cap), so the measurement is deterministic — the old
+    # sample-order slack only exists beyond 100k vectors.
     emb = load_table(spark, sf_dir, "embeddings")
-    ann = ann_ivf_topk(emb, "vec_id", "embedding", query_id=0, k=10)
-    return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.4)
+    ann = ann_ivf_topk(
+        emb, "vec_id", "embedding", query_id=0, k=10, n_probe=8
+    )
+    return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.7)
 
 
 @register(
@@ -3851,19 +3858,20 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_ann_ivf_pq", _ANN_CHECK_ORACLE)
 def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF + product quantization: ADC candidate ranking over m-byte
-    # codes, exact re-rank of the top k*refine. recall@10 measured
-    # 0.8 at sf0.01 / 0.6 at sf0.1 with ksub=64, probe=8, refine=8;
-    # asserted >= 0.4 like the plain-IVF path.  Finer sub-codebooks +
-    # deeper probe/refine hold the floor as the corpus grows (the
-    # nprobe/refine auto-tune every PQ deployment runs).
+    # codes, exact re-rank of the top k*refine.  r5 sweep: m=16
+    # sub-codebooks (vs 8) lift recall@10 from min 0.6 to min 0.8
+    # across 5 query ids at sf0.1 at the same probe/refine — finer
+    # sub-quantizers beat deeper probing here (probe=12/refine=16
+    # with m=8 only reached 0.7).  Asserted >= 0.7; deterministic at
+    # these scales (train sample == whole table under the 100k cap).
     from .operators.similarity import ann_ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     ann = ann_ivf_pq_topk(
         emb, "vec_id", "embedding", query_id=0, k=10,
-        n_probe=8, refine=8, ksub=64,
+        n_probe=8, refine=8, ksub=64, m=16,
     )
-    return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.4)
+    return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.7)
 
 
 # --------------------------------------------------------------------
