@@ -520,64 +520,35 @@ def bulk_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of the
-# queries() dict.  Rounds 1-3 verified the 50 earliest-registered
-# queries; these 27 (file positions 51-77) never had a driver row, so
-# they are surfaced first.  Registration order is unchanged — only the
+# queries() dict.  Every r1-r4 priority name now has a green driver
+# row (CORRECTNESS_r01-r04), so the r5 window surfaces: the single
+# never-driver-checked query (streaming_boilerplate, registered 51st
+# in r4), the round-5 registrations, and the queries whose semantics
+# or parameters CHANGED this round (Unicode normalization, keep-best
+# short-group fix, raised ANN floors, collapsed incremental paths) so
+# the formal record reflects the new code.  The remaining ~35 window
+# slots fall back to the earliest-registered queries — harmless
+# re-verification.  Registration order is unchanged; only the
 # exported iteration order rotates.
 _DRIVER_PRIORITY = [
-    "text_rare_bigrams",
-    "similarity_knn_graph",
-    "text_domain_mix",
-    "text_chunk",
-    "pipeline_curate",
-    "events_sessionize",
-    "multimodal_dedup",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "events_asof_join",
-    "events_window_join",
-    "cdc_scd2",
-    "cdc_snapshot_at",
-    "text_span_dedup",
-    "text_source_cap",
-    "curate_incremental",
-    "multimodal_near_dup",
-    "similarity_ann_ivf_pq",
-    "text_scrub",
-    "text_importance_sample",
-    "dedup_semantic",
-    "corpus_sketch_stats",
-    "embedding_knn_classify",
-    "events_funnel",
-    "events_retention",
-    "multimodal_frame_overlap",
-    # round-4 additions (no driver row yet) — keep inside the first-50
-    # window so they get CORRECTNESS rows in their first round
-    "dedup_containment",
-    "text_substring_dedup",
-    "text_bpe_train",
-    "text_quality_classify",
-    "embedding_whiten",
-    "text_split_cluster_safe",
-    "events_trailing_features",
-    "events_transitions",
-    "text_bpe_encode",
-    "table_quantiles",
-    "dedup_cluster_stats",
-    "text_idf_keywords",
-    "streaming_transitions",
-    "text_corpus_rollup",
-    "corpus_diff",
-    "cdc_full_replace",
-    # round-5 additions (no driver row yet)
-    "dedup_keep_best",
+    # never driver-checked (the one formal gap in r1-r4)
+    "streaming_boilerplate",
+    # round-5 registrations
+    "table_profile_approx",
+    "table_quantiles_approx",
+    "streaming_ivf",
+    # round-5 semantic/parameter changes
     "dedup_normalized",
+    "dedup_keep_best",
+    "dedup_drop_near_duplicates",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_pq",
+    "embedding_quantize",
     "text_boilerplate",
-    "table_skew_profile",
-    "text_quality_rank",
-    "text_ngram_novelty",
-    "multimodal_cdc_chunks",
+    "text_substring_dedup",
+    "curate_incremental",
+    "pipeline_curate",
 ]
 
 
@@ -4241,6 +4212,101 @@ def multimodal_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__h")
     )
     return frame_overlap_pairs(reps, k_shared=2)
+
+
+@register(
+    "streaming_ivf",
+    """
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_indexed,
+           true AS unique_ok,
+           10::BIGINT AS n_results,
+           true AS scores_exact,
+           true AS recall_ok,
+           true AS replay_ok
+    """,
+)
+def streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index maintained through Structured Streaming
+    (streaming/ivf.py) — completes the every-store-has-a-streaming-
+    edition symmetry: embeddings replay as a 3-file feed, the first
+    trigger TRAINS (materializes centroids + cell partitions), later
+    triggers APPEND through the idempotent id anti-join.  The oracle
+    pins: every vector indexed exactly once (count == table, ids
+    unique), a post-drain re-append of the training slice appends 0
+    (replay_ok), and an index search returns exact cosine scores with
+    recall@10 >= 0.6 vs the full-corpus exact top-10 — measured 0.8
+    at sf0.01 / 0.7 at sf0.1 with centroids trained on the FIRST
+    batch only (the honest streaming cost: one third of the data
+    picks the cells)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        ann_ivf_search,
+        append_to_ivf_index,
+    )
+    from .streaming.ivf import run_streaming_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = tempfile.mkdtemp(prefix="ivf_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        for i in range(3):
+            emb.filter(
+                F.pmod(F.col("vec_id"), F.lit(3)) == i
+            ).coalesce(1).write.mode("append").parquet(feed)
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(feed).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        index = os.path.join(base, "index")
+        q = run_streaming_ivf(
+            spark, stream, "vec_id", "embedding", index,
+            os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming IVF drain exceeded 300 s")
+        # replay probe: re-feeding the training slice appends nothing
+        n_replay = append_to_ivf_index(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0),
+            "vec_id",
+            "embedding",
+            index,
+        )
+        idx = spark.read.parquet(f"{index}/vectors")
+        n_indexed = idx.count()
+        n_unique = idx.select("vec_id").distinct().count()
+        qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        ann = ann_ivf_search(
+            spark, index, qv, "vec_id", k=11, n_probe=8
+        )
+        ann10 = (
+            ann.filter(F.col("vec_id") != 0)
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(10)
+        )
+        checks = _ann_topk_check(
+            emb, ann10, query_id=0, k=10, min_recall=0.6
+        ).head()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _verdict_frame(
+        spark,
+        [
+            ("n_indexed", n_indexed, "bigint"),
+            ("unique_ok", n_unique == n_indexed, "boolean"),
+            ("n_results", checks["n_results"], "bigint"),
+            ("scores_exact", bool(checks["scores_exact"]), "boolean"),
+            ("recall_ok", bool(checks["recall_ok"]), "boolean"),
+            ("replay_ok", n_replay == 0, "boolean"),
+        ],
+    )
 
 
 @register(

@@ -2470,3 +2470,57 @@ def test_decode_audio_ffmpeg_path(spark):
     # 0.1 s at 8 kHz -> ~800 samples of amplitude 1000/32768
     assert abs(len(rows[0]["pcm"]) - 800) <= 8
     assert abs(rows[0]["pcm"][10] - 1000 / 32768) < 1e-3
+
+
+def test_streaming_ivf_maintenance(spark, tmp_path):
+    # streaming edition of the IVF store (streaming/ivf.py): first
+    # trigger trains, later triggers append idempotently; the final
+    # index holds every vector exactly once
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.operators.similarity import append_to_ivf_index
+    from mongo_es_spark.sources.tables import load_table
+    from mongo_es_spark.streaming.ivf import run_streaming_ivf
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    n = emb.count()
+    feed = str(tmp_path / "feed")
+    for i in range(3):
+        emb.filter(F.pmod("vec_id", F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    files = sorted(
+        f for f in os.listdir(feed) if f.endswith(".parquet")
+    )
+    t = time.time()
+    for k, f in enumerate(files):
+        os.utime(os.path.join(feed, f), (t + k, t + k))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    index = str(tmp_path / "index")
+    q = run_streaming_ivf(
+        spark, stream, "vec_id", "embedding", index,
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+    idx = spark.read.parquet(f"{index}/vectors")
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
+    # replayed slice appends nothing
+    assert (
+        append_to_ivf_index(
+            emb.filter(F.pmod("vec_id", F.lit(3)) == 1),
+            "vec_id",
+            "embedding",
+            index,
+        )
+        == 0
+    )
