@@ -472,6 +472,97 @@ def ann_ivf_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ann_ivf_batch_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    train_sample: int = 100_000,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch ANN retrieval: top-``k`` for MANY queries in ONE plan —
+    the RAG / eval-harness / hard-negative-mining shape
+    (:func:`ann_ivf_topk` is the single-query form; a driver loop
+    over it would run one job per query).
+
+    Scale shape: the coarse quantizer is driver-side model state
+    (sample-bounded train, the faiss pattern); corpus cell assignment
+    is one Arrow matmul per batch against broadcast centroids; each
+    query EXPLODES to its ``n_probe`` nearest cells and candidates
+    come from an **equi-join on cell** — a query meets only its
+    probed ~n_probe/n_cells fraction of the corpus, co-partitioned by
+    cell, never a cartesian (plan-contract pinned).  Per-query top-k
+    is a rank filter over a window keyed by query id, which Spark
+    executes as WindowGroupLimit — per-partition rank pruning BEFORE
+    the final exchange, so the shuffle after scoring carries at most
+    ~k rows per (query, input partition), not every candidate.
+
+    (q, doc) candidate pairs are unique by construction: a corpus
+    vector lives in exactly one cell and a query's probe list is
+    distinct cells.  ``exclude_self`` drops q_id == doc id pairs for
+    the corpus-queries-itself case.  Output:
+    ``(q_id, id, score, rank)``, deterministic (cosine rounded 6dp,
+    ties by ascending doc id).
+    """
+    from pyspark.sql.window import Window
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sample = vecs.select("v").limit(train_sample).toPandas()
+    X = np.asarray(sample["v"].tolist(), dtype=np.float64)
+    C = _kmeans_fit(X, n_cells, seed)
+
+    def assign_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    def probe_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+        )
+        S = M @ C.T
+        order = np.argsort(-S, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    assign = pandas_udf(assign_kernel, "int")
+    probe = pandas_udf(probe_kernel, "array<int>")
+    celled = vecs.withColumn("cell", assign(F.col("v")))
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+    )
+    probed = q.withColumn("cell", F.explode(probe(F.col("qv"))))
+    cand = probed.join(celled, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col(id_col))
+    scored = cand.select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def knn_graph(
     df: DataFrame,
     id_col: str,

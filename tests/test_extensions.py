@@ -2524,3 +2524,25 @@ def test_streaming_ivf_maintenance(spark, tmp_path):
         )
         == 0
     )
+
+
+def test_ann_batch_matches_single_query_form(spark, emb):
+    # batch retrieval for one query must reproduce the single-query
+    # operator exactly (same quantizer seed, same probes)
+    from mongo_es_spark.operators.similarity import (
+        ann_ivf_batch_topk,
+        ann_ivf_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") == 3)
+    batch = ann_ivf_batch_topk(
+        emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k=5, n_probe=4, exclude_self=True,
+    ).orderBy("rank")
+    single = ann_ivf_topk(
+        emb, "vec_id", "embedding", query_id=3, k=5, n_probe=4
+    )
+    got = [(r["vec_id"], r["score"]) for r in batch.collect()]
+    want = [(r["vec_id"], r["score"]) for r in single.collect()]
+    assert got == want
+    assert [r["q_id"] for r in batch.collect()] == [3] * 5

@@ -521,3 +521,17 @@ def test_table_quantiles_approx_single_pass_no_buffer_sort(spark):
     )
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" not in plan and "Sort" not in plan
+
+
+def test_ann_batch_is_cell_equijoin_with_group_limit(spark):
+    """Batch ANN candidates must come from the cell EQUI-join (never
+    a cartesian of queries x corpus) and the per-query top-k must
+    run as WindowGroupLimit (rank pruning before the final
+    exchange)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["similarity_ann_batch"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    # the probe explode joins on cell
+    assert "cell" in plan
