@@ -495,20 +495,23 @@ def ann_ivf_batch_topk(
     (sample-bounded train, the faiss pattern); corpus cell assignment
     is one Arrow matmul per batch against broadcast centroids; each
     query EXPLODES to its ``n_probe`` nearest cells and candidates
-    come from an **equi-join on cell** — a query meets only its
-    probed ~n_probe/n_cells fraction of the corpus, co-partitioned by
-    cell, never a cartesian (plan-contract pinned).  Per-query top-k
-    is a rank filter over a window keyed by query id, which Spark
-    executes as WindowGroupLimit — per-partition rank pruning BEFORE
-    the final exchange, so the shuffle after scoring carries at most
-    ~k rows per (query, input partition), not every candidate.
+    meet **co-grouped by cell** — a query sees only its probed
+    ~n_probe/n_cells fraction of the corpus, never a cartesian
+    (plan-contract pinned).  Scoring is one BLAS gram matrix per
+    cell (|Q_c| x |V_c|), NOT a per-pair cosine expression — the
+    array-HOF form measured 327 s for 20 queries x 2M vectors (HOF
+    lambdas evaluate interpreted per element, the quantize lesson);
+    the kernel with a per-cell local top-k emits at most k rows per
+    (query, probed cell), so the final shuffle carries q x n_probe
+    x k rows, not every candidate.  Per-query global top-k is a
+    rank filter over a window keyed by query id (WindowGroupLimit).
 
-    (q, doc) candidate pairs are unique by construction: a corpus
-    vector lives in exactly one cell and a query's probe list is
-    distinct cells.  ``exclude_self`` drops q_id == doc id pairs for
-    the corpus-queries-itself case.  Output:
-    ``(q_id, id, score, rank)``, deterministic (cosine rounded 6dp,
-    ties by ascending doc id).
+    Determinism mirrors :func:`knn_graph`: the gram rounds to 6dp
+    BEFORE the local prune, local and global ordering are both
+    (cosine desc, doc id asc).  ``exclude_self`` masks q_id == doc
+    pairs for the corpus-queries-itself case.  At real scale grow
+    ``n_cells`` ~ sqrt(corpus) (IVF practice) so per-cell groups stay
+    bounded.  Output: ``(q_id, id, score, rank)``.
     """
     from pyspark.sql.window import Window
 
@@ -547,19 +550,110 @@ def ann_ivf_batch_topk(
         F.col(q_vec_col).cast("array<double>").alias("qv"),
     )
     probed = q.withColumn("cell", F.explode(probe(F.col("qv"))))
-    cand = probed.join(celled, "cell")
-    if exclude_self:
-        cand = cand.filter(F.col("q_id") != F.col(id_col))
-    scored = cand.select(
-        "q_id",
-        F.col(id_col),
-        F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias("score"),
+
+    # co-group queries and corpus vectors by cell (the knn_graph
+    # block pattern): one row per cell holding both sides' items
+    qk = probed.select(
+        "cell",
+        F.lit("q").alias("side"),
+        F.struct(
+            F.col("q_id").alias("doc"), F.col("qv").alias("v")
+        ).alias("item"),
+    )
+    vk = celled.select(
+        "cell",
+        F.lit("v").alias("side"),
+        F.struct(F.col(id_col).alias("doc"), F.col("v")).alias("item"),
+    )
+    cells = (
+        qk.unionByName(vk)
+        .repartition(n_cells, "cell")
+        .groupBy("cell")
+        .agg(
+            F.collect_list(
+                F.when(F.col("side") == "q", F.col("item"))
+            ).alias("items_q"),
+            F.collect_list(
+                F.when(F.col("side") == "v", F.col("item"))
+            ).alias("items_v"),
+        )
+    )
+
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                if not len(row["items_q"]) or not len(row["items_v"]):
+                    continue
+                q_ids = np.asarray(
+                    [it["doc"] for it in row["items_q"]],
+                    dtype=np.int64,
+                )
+                Q = np.asarray(
+                    [
+                        np.asarray(it["v"], dtype=np.float64)
+                        for it in row["items_q"]
+                    ]
+                )
+                v_ids = np.asarray(
+                    [it["doc"] for it in row["items_v"]],
+                    dtype=np.int64,
+                )
+                V = np.asarray(
+                    [
+                        np.asarray(it["v"], dtype=np.float64)
+                        for it in row["items_v"]
+                    ]
+                )
+                qn = np.linalg.norm(Q, axis=1)
+                vn = np.linalg.norm(V, axis=1)
+                qn[qn == 0.0] = np.inf
+                vn[vn == 0.0] = np.inf
+                Qn = Q / qn[:, None]
+                Vn = V / vn[:, None]
+                # block the gram over query rows: the full |Q_c| x
+                # |V_c| buffer is quadratic in the BATCH (20k queries
+                # x 31k vectors = 2.5 GB/cell crashed the workers);
+                # 512-row blocks bound it at ~512 x |V_c| doubles
+                # with identical output
+                B = 512
+                for s0 in range(0, Qn.shape[0], B):
+                    S = np.round(Qn[s0:s0 + B] @ Vn.T, 6)
+                    qb_ids = q_ids[s0:s0 + B]
+                    if excl:
+                        S[qb_ids[:, None] == v_ids[None, :]] = -np.inf
+                    kc = min(kk, S.shape[1])
+                    order = np.lexsort(
+                        (np.broadcast_to(v_ids, S.shape), -S), axis=1
+                    )[:, :kc]
+                    rows = np.repeat(np.arange(S.shape[0]), kc)
+                    cols = order.ravel()
+                    out_q = np.repeat(qb_ids, kc)
+                    out_v = v_ids[cols]
+                    out_s = S[rows, cols]
+                    ok = np.isfinite(out_s)
+                    yield pd.DataFrame(
+                        {
+                            "q_id": out_q[ok],
+                            "__doc": out_v[ok],
+                            "score": out_s[ok],
+                        }
+                    )
+
+    local = cells.mapInPandas(
+        gen, "q_id long, __doc long, score double"
     )
     w = Window.partitionBy("q_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+        F.col("score").desc(), F.col("__doc").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", F.col("__doc").alias(id_col), "score", "rank"
+        )
     )
 
 

@@ -4228,9 +4228,10 @@ def multimodal_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN retrieval — top-10 for 20 queries in ONE plan
     (operators/similarity.py:ann_ivf_batch_topk), the RAG /
-    eval-harness shape.  Candidates come from an equi-join on the
-    k-means cell (each query explodes to its 8 probed cells), never
-    a cartesian; per-query top-k runs as WindowGroupLimit.  The
+    eval-harness shape.  Candidates meet co-grouped by k-means cell
+    (each query explodes to its 8 probed cells), scored as one BLAS
+    gram block per cell with a local top-k — never a cartesian, never
+    a per-pair HOF; per-query global top-k runs as WindowGroupLimit.  The
     verified-summary oracle pins: 20 queries x 10 results, every
     returned score equals the independently recomputed exact cosine,
     mean recall@10 >= 0.75 and per-query min >= 0.4 vs the exact

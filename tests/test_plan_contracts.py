@@ -524,10 +524,10 @@ def test_table_quantiles_approx_single_pass_no_buffer_sort(spark):
 
 
 def test_ann_batch_is_cell_equijoin_with_group_limit(spark):
-    """Batch ANN candidates must come from the cell EQUI-join (never
-    a cartesian of queries x corpus) and the per-query top-k must
-    run as WindowGroupLimit (rank pruning before the final
-    exchange)."""
+    """Batch ANN candidates must meet co-grouped by cell (never a
+    cartesian of queries x corpus; one hash exchange on cell) and
+    the per-query global top-k must run as WindowGroupLimit (rank
+    pruning before the final exchange)."""
     import __spark_entry__ as e
 
     plan = plan_of(e.queries()["similarity_ann_batch"](spark, SF))
