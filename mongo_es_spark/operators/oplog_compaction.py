@@ -120,19 +120,48 @@ def compact_oplog_docs(df: DataFrame, task: Task) -> DataFrame:
     ).sortWithinPartitions("ns", "id", "ts")
 
     def _fold_frame(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
         out: list[tuple] = []
-        # contiguous groups (input sorted by ns, id).  dropna=False: a
-        # malformed feed row with a null id must surface in the output
-        # (as a null-id survivor), not silently vanish — pandas
-        # groupby drops NaN keys by default.
-        for (ns, doc_id), grp in pdf.groupby(
-            ["ns", "id"], sort=False, dropna=False
-        ):
+        # contiguous groups (input sorted by ns, id), located by a
+        # VECTORIZED run-length split over the key arrays: pandas
+        # groupby ITERATION costs ~55 µs per group in object-dtype
+        # sub-frame construction, which dominates the realistic CDC
+        # shape (millions of 1-2 event groups — measured 27.5 s per
+        # 500k single-event groups vs 1.8 s for the JSON work
+        # itself).  Null keys are handled null-safely and surface in
+        # the output (a malformed feed row must not vanish).
+        ns_a = pdf["ns"].to_numpy(dtype=object)
+        id_a = pdf["id"].to_numpy(dtype=object)
+        ts_a = pdf["ts"].to_numpy()
+        op_a = pdf["op"].to_numpy(dtype=object)
+        doc_a = pdf["doc"].to_numpy(dtype=object)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(out, columns=_OUT_COLS)
+
+        def _neq(a, b):
+            # null-safe inequality on object arrays: two nulls are
+            # EQUAL (one group), null vs value is a boundary
+            na_a = pd.isna(a)
+            na_b = pd.isna(b)
+            return ((a != b) & ~(na_a & na_b)) | (na_a ^ na_b)
+
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = _neq(ns_a[1:], ns_a[:-1]) | _neq(
+                id_a[1:], id_a[:-1]
+            )
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            ns = ns_a[s]
+            doc_id = id_a[s]
             out.extend(
                 _fold_one_group(
                     None if pd.isna(ns) else ns,
                     None if pd.isna(doc_id) else doc_id,
-                    zip(grp["ts"], grp["op"], grp["doc"]),
+                    zip(ts_a[s:e], op_a[s:e], doc_a[s:e]),
                     task,
                 )
             )
