@@ -2580,3 +2580,92 @@ def ngram_novelty(
     return membership.join(per_rep, "rep").select(
         F.col("doc").alias(id_col), "n_grams", "novelty"
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 4,
+) -> DataFrame:
+    """Corpus-level segment dedup, first-occurrence-wins (the CCNet /
+    Dolma "line dedup" pass, with non-overlapping ``chunk_words``-token
+    segments standing in for lines on corpora without newline
+    structure): every distinct segment keeps exactly ONE occurrence
+    corpus-wide — the earliest by ``(doc_id, chunk_id)`` — and every
+    later occurrence (across documents or repeated inside one) is
+    stripped.  Complementary to :func:`boilerplate_removal`, which
+    drops ALL copies of over-threshold chunks: line dedup preserves
+    one copy of shared content, so corpus token mass shrinks without
+    losing any distinct segment.  Output per document: ``clean_text``
+    (surviving segments re-joined in order), ``n_chunks``, ``n_kept``.
+
+    Scale shape — clone-collapsed: identical texts (null folds into
+    the empty string) reduce to one representative via a single hash
+    aggregation and only representatives are chunked.  The collapse is
+    EXACT, not approximate: a non-representative clone shares every
+    ``(segment, chunk_id)`` with its representative at a strictly
+    smaller doc id, so it can never hold a first occurrence — its
+    result is always ``clean_text = ''``, ``n_kept = 0`` with the
+    representative's ``n_chunks``.  Winner election is one map-side-
+    combining ``min(struct(doc, chunk_id))`` aggregation keyed on the
+    two-salt 128-bit chunk hash (shared with the boilerplate family —
+    segments shuffle as 16-byte keys, never as raw text), followed by
+    an equi-join on the same key, which AQE serves from the
+    aggregation's partitioning.  No window over the full occurrence
+    frame and no pair join: work is linear in distinct-text segments.
+    Ordered reassembly is the bounded per-text ``collect_list`` +
+    ``array_sort`` used by ``_bp_clean``.
+    """
+    if chunk_words <= 0:
+        raise ValueError("chunk_words must be positive")
+    groups = df.groupBy(
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text")
+    ).agg(F.min(id_col).alias("rep"))
+    chunks = _bp_chunks(groups, "rep", "__text", chunk_words, [])
+    win = chunks.groupBy("__h1", "__h2").agg(
+        F.min(
+            F.struct(
+                F.col("__doc").alias("doc"), F.col("chunk_id").alias("cid")
+            )
+        ).alias("__w")
+    )
+    marked = chunks.join(win, ["__h1", "__h2"]).withColumn(
+        "__keep",
+        (F.col("__doc") == F.col("__w.doc"))
+        & (F.col("chunk_id") == F.col("__w.cid")),
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("chunk_id"), F.col("chunk_text"))
+    )
+    per_rep = marked.groupBy(F.col("__doc").alias("rep")).agg(
+        F.count("*").alias("__n_chunks"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    lhs = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    )
+    is_rep = F.col(id_col) == F.col("rep")
+    return (
+        lhs.join(groups, "__text")
+        .join(per_rep, "rep")
+        .select(
+            F.col(id_col),
+            F.when(is_rep, F.col("__clean"))
+            .otherwise(F.lit(""))
+            .alias("clean_text"),
+            F.col("__n_chunks").cast("long").alias("n_chunks"),
+            F.when(is_rep, F.col("__n_kept"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

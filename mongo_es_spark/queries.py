@@ -534,6 +534,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked (the one formal gap in r1-r4)
     "streaming_boilerplate",
     # round-5 registrations
+    "text_line_dedup",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -4538,6 +4539,53 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_removal(
         docs, "doc_id", "text", chunk_words=4, min_df=2
     )
+
+
+@register(
+    "text_line_dedup",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest([struct_pack(
+                   i := i,
+                   t := array_to_string(w[i*4+1:i*4+4], ' '))
+                   for i in range(0, greatest(ceil(len(w)/4.0)::INT, 1))
+               ]) AS c
+        FROM w
+    ),
+    flat AS (SELECT doc_id, c.i AS chunk_id, c.t AS chunk_text FROM ch),
+    marked AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               row_number() OVER (
+                   PARTITION BY chunk_text ORDER BY doc_id, chunk_id
+               ) AS rn
+        FROM flat
+    )
+    SELECT doc_id,
+           coalesce(
+               string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                   FILTER (rn = 1),
+               '') AS clean_text,
+           count(*)::BIGINT AS n_chunks,
+           (count(*) FILTER (rn = 1))::BIGINT AS n_kept
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level first-occurrence-wins segment dedup (CCNet/Dolma
+    line dedup with 4-token segments standing in for lines): every
+    distinct segment survives exactly once corpus-wide, at its
+    earliest (doc_id, chunk_id).  Keep-one complement to
+    text_boilerplate's drop-all; clone-collapsed, winner election is
+    one min-struct hash aggregation on the 128-bit chunk key."""
+    from .operators.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(docs, "doc_id", "text", chunk_words=4)
 
 
 @register(

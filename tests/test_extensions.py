@@ -2546,3 +2546,55 @@ def test_ann_batch_matches_single_query_form(spark, emb):
     want = [(r["vec_id"], r["score"]) for r in single.collect()]
     assert got == want
     assert [r["q_id"] for r in batch.collect()] == [3] * 5
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from mongo_es_spark.operators.text import line_dedup
+
+    # chunk_words=2: "c1 c2" appears in docs 1, 2 and twice inside
+    # doc 3 — exactly one occurrence (doc 1, chunk 0) survives.
+    df = spark.createDataFrame(
+        [
+            (1, "c1 c2 u1 u2"),
+            (2, "c1 c2 v1 v2"),
+            (3, "c1 c2 c1 c2"),      # intra-doc repeat, both lose
+            (4, "x1 x2 x3"),         # odd tail chunk "x3"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_kept"])
+        for r in line_dedup(df, "doc_id", "text", chunk_words=2).collect()
+    }
+    assert got[1] == ("c1 c2 u1 u2", 2, 2)
+    assert got[2] == ("v1 v2", 2, 1)
+    assert got[3] == ("", 2, 0)
+    assert got[4] == ("x1 x2 x3", 2, 2)
+
+
+def test_line_dedup_clone_collapse_and_empty(spark):
+    from mongo_es_spark.operators.text import line_dedup
+
+    # clone group {10, 11, 12}: only the representative (min id)
+    # keeps anything; null and empty texts fold into the '' group,
+    # whose single '' chunk survives once at the smallest doc id.
+    df = spark.createDataFrame(
+        [
+            (10, "a b c d"),
+            (11, "a b c d"),
+            (12, "a b c d"),
+            (20, None),
+            (21, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_kept"])
+        for r in line_dedup(df, "doc_id", "text", chunk_words=2).collect()
+    }
+    assert got[10] == ("a b c d", 2, 2)
+    assert got[11] == ("", 2, 0)
+    assert got[12] == ("", 2, 0)
+    # the '' group: rep 20 keeps the single empty chunk, 21 loses it
+    assert got[20] == ("", 1, 1)
+    assert got[21] == ("", 1, 0)
