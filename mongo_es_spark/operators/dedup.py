@@ -834,6 +834,98 @@ def minhash_lsh_pairs(
     return out
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 12,
+    jaccard_floor: float = 0.7,
+    max_ratio: float = 0.2,
+    num_hashes: int = 48,
+    bands: int = 24,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: candidates from
+    the char-``n``-gram exact-verified LSH path (the
+    ``dedup_char_jaccard`` machinery and recall argument), then scored
+    and filtered by Levenshtein distance — ``ratio = dist /
+    max(len_i, len_j) <= max_ratio``.  Sequence-aware precision on
+    top of bag-of-ngrams recall: two documents built from the same
+    ngram multiset in a different ORDER pass the Jaccard gate but fail
+    the edit gate, which is the false-positive mode that matters for
+    template-permuted spam.  Declared semantics: pairs with exact
+    char-ngram Jaccard >= ``jaccard_floor`` AND edit ratio <=
+    ``max_ratio``.
+
+    Scale shape: candidate volume is bounded by the banded bucket
+    join (ids only); verification is one JVM ``levenshtein`` per REP
+    pair — clone groups verify once and expand through id joins, and
+    within-group clone pairs are emitted as dist 0 without touching
+    the DP at all.  ``max_dist`` switches the kernel to Spark's
+    thresholded Levenshtein (banded DP, O(max_dist * len) per pair
+    instead of O(len^2)) — the 100 TB form when an absolute distance
+    cap is acceptable; pairs beyond the cap return -1 and are
+    dropped before the ratio filter.
+    """
+    tm = _text_groups(df, id_col, text_col)
+    reps = _group_reps(tm)
+    docs = _rep_docs(reps, n, "char")
+    rep_pairs = _minhash_rep_pairs(docs, jaccard_floor, num_hashes, bands)
+    ti = reps.select(F.col("rep").alias("i"), F.col("__text").alias("__ti"))
+    tj = reps.select(F.col("rep").alias("j"), F.col("__text").alias("__tj"))
+    scored = rep_pairs.join(ti, "i").join(tj, "j")
+    if max_dist is not None:
+        scored = scored.withColumn(
+            "__d", F.levenshtein("__ti", "__tj", max_dist)
+        ).filter(F.col("__d") >= 0)
+    else:
+        scored = scored.withColumn("__d", F.levenshtein("__ti", "__tj"))
+    scored = (
+        scored.withColumn(
+            "ratio",
+            F.round(
+                F.col("__d")
+                / F.greatest(F.length("__ti"), F.length("__tj")),
+                6,
+            ),
+        )
+        .filter(F.col("ratio") <= max_ratio)
+        .select(
+            "i", "j", F.col("__d").cast("long").alias("dist"), "ratio"
+        )
+    )
+    # two-column expansion (same shape as _expand_rep_pairs, which
+    # carries a single score column)
+    members = tm.select("rep", "doc")
+    mi = members.select(F.col("rep").alias("i"), F.col("doc").alias("a"))
+    mj = members.select(F.col("rep").alias("j"), F.col("doc").alias("b"))
+    out = (
+        scored.join(mi, "i")
+        .join(mj, "j")
+        .select(
+            F.least("a", "b").alias("i"),
+            F.greatest("a", "b").alias("j"),
+            "dist",
+            "ratio",
+        )
+    )
+    shingled = docs.select(F.col("doc").alias("rep"))
+    members_sh = members.join(shingled, "rep", "left_semi")
+    a = members_sh.select("rep", F.col("doc").alias("a"))
+    b_ = members_sh.select("rep", F.col("doc").alias("b"))
+    within = (
+        a.join(b_, "rep")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("i"),
+            F.col("b").alias("j"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(0.0).alias("ratio"),
+        )
+    )
+    return out.unionByName(within)
+
+
 # ------------------------------------------------------------------ #
 # SimHash
 # ------------------------------------------------------------------ #

@@ -535,6 +535,7 @@ _DRIVER_PRIORITY = [
     "streaming_boilerplate",
     # round-5 registrations
     "text_line_dedup",
+    "dedup_edit_distance",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -813,6 +814,61 @@ def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=12,
         threshold=0.7,
         mode="char",
+        num_hashes=48,
+        bands=24,
+    )
+
+
+@register(
+    "dedup_edit_distance",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [text[i:i+11] for i in range(1, length(text) - 10)]
+               )) AS s
+        FROM documents WHERE length(text) >= 12
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT i, j FROM shared
+        JOIN counts ca ON i = ca.doc_id
+        JOIN counts cb ON j = cb.doc_id
+        WHERE round(shared::DOUBLE / (ca.n + cb.n - shared), 6) >= 0.7
+    )
+    SELECT c.i, c.j,
+           levenshtein(a.text, b.text)::BIGINT AS dist,
+           round(levenshtein(a.text, b.text)::DOUBLE
+                 / greatest(length(a.text), length(b.text)), 6) AS ratio
+    FROM cand c
+    JOIN documents a ON c.i = a.doc_id
+    JOIN documents b ON c.j = b.doc_id
+    WHERE round(levenshtein(a.text, b.text)::DOUBLE
+                / greatest(length(a.text), length(b.text)), 6) <= 0.2
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified fuzzy dedup pairs: char-12-gram Jaccard
+    >= 0.7 candidates (the dedup_char_jaccard LSH path and its b=24
+    recall argument) re-verified by Levenshtein ratio <= 0.2 — the
+    sequence-aware gate that rejects ngram-multiset coincidences.
+    One JVM levenshtein per rep pair; clone pairs emit dist 0 without
+    running the DP."""
+    from .operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=12,
+        jaccard_floor=0.7,
+        max_ratio=0.2,
         num_hashes=48,
         bands=24,
     )

@@ -2598,3 +2598,59 @@ def test_line_dedup_clone_collapse_and_empty(spark):
     # the '' group: rep 20 keeps the single empty chunk, 21 loses it
     assert got[20] == ("", 1, 1)
     assert got[21] == ("", 1, 0)
+
+
+def test_edit_distance_pairs_rejects_permuted_ngrams(spark):
+    from mongo_es_spark.operators.dedup import edit_distance_pairs
+
+    # 1 vs 2: one substitution — passes both gates.  1 vs 3: same
+    # 4-gram blocks in REVERSED order — Jaccard-similar but
+    # sequence-distant, so the edit gate must reject it.
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc dddd"),
+            (2, "aaaa bbbb cccc dddx"),
+            (3, "dddd cccc bbbb aaaa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["i"], r["j"]): (r["dist"], r["ratio"])
+        for r in edit_distance_pairs(
+            df, "doc_id", "text", n=3, jaccard_floor=0.3, max_ratio=0.1
+        ).collect()
+    }
+    assert rows == {(1, 2): (1, round(1 / 19, 6))}
+
+
+def test_edit_distance_pairs_banded_cap_and_clones(spark):
+    from mongo_es_spark.operators.dedup import edit_distance_pairs
+
+    # max_dist=2 banded DP: the dist-4 pair (1,4) is dropped even
+    # though max_ratio=1.0 would admit it; clone pair (2,20) short-
+    # circuits to dist 0 without the DP.
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc dddd"),
+            (2, "aaaa bbbb cccc dddx"),
+            (20, "aaaa bbbb cccc dddx"),
+            (4, "aaaa bbbb cccc wxyz"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["i"], r["j"]): r["dist"]
+        for r in edit_distance_pairs(
+            df,
+            "doc_id",
+            "text",
+            n=3,
+            jaccard_floor=0.3,
+            max_ratio=1.0,
+            max_dist=2,
+        ).collect()
+    }
+    assert rows[(2, 20)] == 0
+    assert rows[(1, 2)] == 1
+    # every pair against doc 4 ("wxyz" tail, dist 4) is beyond the cap
+    assert (1, 4) not in rows and (2, 4) not in rows
