@@ -1233,3 +1233,65 @@ def incremental_embedding_pairs(
     )
     new_vecs.write.mode("append").parquet(vec_path)
     return out
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    seed: int = 7,
+    iters: int = 10,
+    train_sample: int = 100_000,
+):
+    """Standalone spherical k-means over an embedding column — the
+    clustering the IVF / SemDeDup paths use internally, exposed as a
+    first-class operator for cluster-balanced sampling, topic
+    bucketing, and diversity analysis.  Returns ``(assigned,
+    centroids)``: ``assigned = (id, cluster, sim)`` with ``sim`` the
+    cosine between the L2-normalized vector and its (unit-norm)
+    centroid, and ``centroids`` the ``(k', d)`` numpy array (``k' <=
+    k`` when the sample has fewer distinct rows than ``k``).
+
+    Scale shape: training state is a driver-bounded
+    ``limit(train_sample)`` sample (the legitimate model-state
+    pattern shared with IVF/PQ); assignment is a single scan through
+    one Arrow-batched argmax kernel against broadcast centroids — no
+    shuffle at all, the output keeps the input's partitioning.  At
+    100 TB only the sample crosses to the driver; per-batch kernel
+    state is ``batch x k`` doubles.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    sample = base.select("__v").limit(train_sample).toPandas()
+    X = np.asarray(sample["__v"].tolist(), dtype=np.float64)
+    C = _kmeans_fit(X, k, seed, iters=iters)
+
+    def assign_kernel(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series(dtype="int32"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ C.T
+        a = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": a.astype(np.int32),
+                "sim": S[np.arange(len(a)), a],
+            }
+        )
+
+    assign = pandas_udf(assign_kernel, "cluster int, sim double")
+    assigned = base.withColumn("__a", assign(F.col("__v"))).select(
+        F.col(id_col),
+        F.col("__a.cluster").alias("cluster"),
+        F.round(F.col("__a.sim"), 6).alias("sim"),
+    )
+    return assigned, C

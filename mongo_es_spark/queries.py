@@ -536,6 +536,7 @@ _DRIVER_PRIORITY = [
     # round-5 registrations
     "text_line_dedup",
     "dedup_edit_distance",
+    "embedding_kmeans",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -1276,6 +1277,64 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", query_id=0, k=10, n_probe=8
     )
     return _ann_topk_check(emb, ann, query_id=0, k=10, min_recall=0.7)
+
+
+@register(
+    "embedding_kmeans",
+    """
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_points,
+           true AS clusters_in_range,
+           true AS assignment_optimal,
+           true AS assigned_sim_ok
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone spherical k-means (the IVF/SemDeDup quantizer as a
+    first-class clustering operator), certified Spark-side: the
+    Arrow-kernel assignment is re-scored with an INDEPENDENT JVM
+    cosine against the broadcast centroids — every point's kernel sim
+    must match its assigned centroid's JVM cosine (1e-5, kernel sims
+    round to 6dp) and be within 1e-5 of the JVM max over ALL
+    centroids (argmax optimality, tolerant of summation-order float
+    noise between numpy and JVM fold).  Oracle pins the exact point
+    count plus the three certification booleans."""
+    from .operators.dedup import cosine_col
+    from .operators.similarity import kmeans_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, C = kmeans_clusters(emb, "vec_id", "embedding", k=16, seed=7)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sims = F.array(
+        *[
+            cosine_col(
+                F.col("v"), F.array(*[F.lit(float(x)) for x in c])
+            )
+            for c in C
+        ]
+    )
+    joined = assigned.join(base, "vec_id").select(
+        "cluster",
+        "sim",
+        sims.alias("__sims"),
+    )
+    return joined.agg(
+        F.count("*").alias("n_points"),
+        F.bool_and(
+            (F.col("cluster") >= 0) & (F.col("cluster") < F.lit(len(C)))
+        ).alias("clusters_in_range"),
+        F.bool_and(
+            F.col("sim") + F.lit(1e-5) >= F.array_max("__sims")
+        ).alias("assignment_optimal"),
+        F.bool_and(
+            F.abs(
+                F.col("sim")
+                - F.element_at("__sims", F.col("cluster") + 1)
+            )
+            <= F.lit(1e-5)
+        ).alias("assigned_sim_ok"),
+    )
 
 
 @register(

@@ -2654,3 +2654,23 @@ def test_edit_distance_pairs_banded_cap_and_clones(spark):
     assert rows[(1, 2)] == 1
     # every pair against doc 4 ("wxyz" tail, dist 4) is beyond the cap
     assert (1, 4) not in rows and (2, 4) not in rows
+
+
+def test_kmeans_clusters_separates_blobs(spark):
+    from mongo_es_spark.operators.similarity import kmeans_clusters
+
+    # two orthogonal blobs with tiny jitter: k=2 must put each blob in
+    # one cluster, and every sim is the cosine to a unit centroid
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0, 0.1 * i, 0.0, 0.0]))
+    for i in range(8, 16):
+        rows.append((i, [0.0, 0.0, 10.0, 0.1 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, C = kmeans_clusters(df, "vec_id", "embedding", k=2, seed=7)
+    got = {r["vec_id"]: (r["cluster"], r["sim"]) for r in assigned.collect()}
+    blob_a = {got[i][0] for i in range(8)}
+    blob_b = {got[i][0] for i in range(8, 16)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    assert all(s > 0.99 for _, s in got.values())
+    assert C.shape[0] == 2
