@@ -327,3 +327,53 @@ def test_streaming_boilerplate_store_matches_batch(spark, tmp_path):
     # per-batch running outputs cover every doc exactly once
     out = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_curate_batch_clone_heavy_collapse_parity(spark, tmp_path):
+    """NOTES r5: a clone-heavy ingest trigger (re-crawl / mirrored
+    feed) through the collapsed quality path must curate EXACTLY the
+    set the uncollapsed path keeps — collapse is an optimization, not
+    a semantics knob.  Two batches so the store-backed stages (exact
+    hash store, signature store) run under both modes too."""
+    from mongo_es_spark.streaming.curate import curate_batch
+
+    # batch 0: 12 distinct quality-passing texts x 25 clones each,
+    # plus a near-dup family and a junk doc; batch 1 re-sends clones
+    # of batch-0 content (store hits) plus fresh docs.
+    b0 = []
+    did = 0
+    for s in range(12):
+        for _ in range(25):
+            b0.append((did, _doc(s + 1), "en"))
+            did += 1
+    b0.append((did, _doc(1, mutate=1), "de")); did += 1   # near-dup
+    b0.append((did, "the the the the", "en")); did += 1   # junk
+    b1 = [(did + k, _doc(2), "en") for k in range(10)]    # store clones
+    b1 += [(did + 10, _doc(99), "fr"), (did + 11, _doc(98), "fr")]
+
+    results = {}
+    for mode in (True, False):
+        state = str(tmp_path / f"state_{mode}")
+        counters = []
+        for rows in (b0, b1):
+            df = spark.createDataFrame(rows, SCHEMA)
+            counters.append(
+                curate_batch(spark, df, state, collapse=mode)
+            )
+        kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(state, "curated")
+            ).collect()
+        }
+        results[mode] = (kept, counters)
+
+    kept_t, counters_t = results[True]
+    kept_f, counters_f = results[False]
+    assert kept_t == kept_f
+    assert counters_t == counters_f
+    # the scenario really was clone-heavy and store-exercising:
+    # 12 reps kept from b0 (min id of each clone group), the near-dup
+    # and junk dropped, b1's clones all suppressed by the hash store
+    assert counters_t[0]["kept"] == 12
+    assert counters_t[1]["kept"] == 2
