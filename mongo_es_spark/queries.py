@@ -1298,7 +1298,6 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (argmax optimality, tolerant of summation-order float
     noise between numpy and JVM fold).  Oracle pins the exact point
     count plus the three certification booleans."""
-    from .operators.dedup import cosine_col
     from .operators.similarity import kmeans_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1306,14 +1305,25 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sims = F.array(
-        *[
-            cosine_col(
-                F.col("v"), F.array(*[F.lit(float(x)) for x in c])
-            )
-            for c in C
-        ]
-    )
+    # UNROLLED dot products (d*k codegen'd multiply-adds), not the
+    # aggregate/zip_with HOF form: HOF lambdas evaluate interpreted
+    # per element (the quantize lesson) — measured 27 s -> 16 s for
+    # the full 200k-vector certification at the 100x replica.
+    # Certification stays a full-corpus pass; the operator itself is
+    # the linear part (6 s at 200k).
+    d = C.shape[1]
+
+    def _unrolled_dot(ws):
+        acc = F.element_at("v", 1) * F.lit(float(ws[0]))
+        for i in range(1, d):
+            acc = acc + F.element_at("v", i + 1) * F.lit(float(ws[i]))
+        return acc
+
+    sq = F.element_at("v", 1) * F.element_at("v", 1)
+    for i in range(1, d):
+        sq = sq + F.element_at("v", i + 1) * F.element_at("v", i + 1)
+    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
+    sims = F.array(*[_unrolled_dot(c) / norm for c in C])
     joined = assigned.join(base, "vec_id").select(
         "cluster",
         "sim",
