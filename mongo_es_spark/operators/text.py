@@ -2669,3 +2669,149 @@ def line_dedup(
             .alias("n_kept"),
         )
     )
+
+
+def _ld_params_path(store_path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(store_path)
+    return store_path.rstrip("/") + "/_ld_params"
+
+
+def incremental_line_dedup(
+    spark,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    chunk_words: int = 4,
+) -> DataFrame:
+    """Running first-occurrence-wins segment dedup: clean a NEW batch
+    against every segment kept in any earlier batch (persisted
+    segment-hash store), elect first occurrences within the batch for
+    store-fresh segments, and append the batch's newly-kept segment
+    hashes — work ∝ the new batch plus one store anti-join.
+
+    First-arrival-wins is inherently causal, so the incremental
+    contract is EXACT, not running-approximate (unlike the
+    boilerplate store, where an early batch cannot see later
+    templates): feeding a corpus partition through in id order —
+    each document once, batches ordered by ascending doc id —
+    reproduces :func:`line_dedup` on the whole corpus, because the
+    global ``min(doc_id, chunk_id)`` winner of every segment sits in
+    the first batch that contains the segment.  Out-of-order feeds
+    keep the same first-ARRIVAL semantics as the curation stores.
+
+    Replay-safe: the store append is guarded by an order-independent
+    content-folded batch digest; a re-delivered batch returns the
+    identical output (its own prior append is excluded from the
+    store view) and appends nothing.  ``chunk_words`` is pinned in a
+    ``_ld_params`` sidecar, since a width mismatch would make every
+    stored hash silently unmatchable.  Clone-collapsed like the
+    batch operator: only distinct texts are chunked, and a
+    non-representative clone can never hold a first occurrence.
+    """
+    if chunk_words <= 0:
+        raise ValueError("chunk_words must be positive")
+    from ..storeio import read_parquet_if_exists
+
+    params = read_parquet_if_exists(spark, _ld_params_path(store_path))
+    if params is not None:
+        stored_w = int(params.head()["chunk_words"])
+        if stored_w != chunk_words:
+            raise ValueError(
+                f"line-dedup store at {store_path} was written with "
+                f"chunk_words={stored_w}, called with {chunk_words}"
+            )
+    store = read_parquet_if_exists(spark, store_path)
+    tag = int(
+        batch_df.agg(
+            F.coalesce(
+                F.bit_xor(
+                    F.xxhash64(
+                        F.col(id_col),
+                        F.coalesce(F.col(text_col), F.lit("")),
+                    )
+                ),
+                F.lit(0),
+            ).alias("t")
+        ).head()["t"]
+    )
+    replay = store is not None and (
+        store.filter(F.col("__batch") == tag).limit(1).count() > 0
+    )
+
+    groups = batch_df.groupBy(
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text")
+    ).agg(F.min(id_col).alias("rep"))
+    chunks = _bp_chunks(groups, "rep", "__text", chunk_words, [])
+    win = chunks.groupBy("__h1", "__h2").agg(
+        F.min(
+            F.struct(
+                F.col("__doc").alias("doc"), F.col("chunk_id").alias("cid")
+            )
+        ).alias("__w")
+    )
+    if store is not None:
+        prior = store
+        if replay:
+            # exclude this batch's own prior append: its segments
+            # must stay fresh so the replayed output is identical
+            prior = prior.filter(F.col("__batch") != tag)
+        win = win.join(
+            prior.select("__h1", "__h2"), ["__h1", "__h2"], "left_anti"
+        )
+    # materialize fresh winners ONCE: they feed both the output and
+    # the store append, and the append must not carry lineage that
+    # re-lists the very directory it is writing into
+    win = win.localCheckpoint(eager=True)
+    marked = chunks.join(win, ["__h1", "__h2"], "left").withColumn(
+        "__keep",
+        F.col("__w").isNotNull()
+        & (F.col("__doc") == F.col("__w.doc"))
+        & (F.col("chunk_id") == F.col("__w.cid")),
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("chunk_id"), F.col("chunk_text"))
+    )
+    per_rep = marked.groupBy(F.col("__doc").alias("rep")).agg(
+        F.count("*").alias("__n_chunks"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    lhs = batch_df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    )
+    is_rep = F.col(id_col) == F.col("rep")
+    out = (
+        lhs.join(groups, "__text")
+        .join(per_rep, "rep")
+        .select(
+            F.col(id_col),
+            F.when(is_rep, F.col("__clean"))
+            .otherwise(F.lit(""))
+            .alias("clean_text"),
+            F.col("__n_chunks").cast("long").alias("n_chunks"),
+            F.when(is_rep, F.col("__n_kept"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if not replay:
+        win.select("__h1", "__h2").withColumn(
+            "__batch", F.lit(tag)
+        ).write.mode("append").parquet(store_path)
+        if params is None:
+            spark.range(1).select(
+                F.lit(int(chunk_words)).cast("int").alias("chunk_words")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                _ld_params_path(store_path)
+            )
+    return out

@@ -537,6 +537,7 @@ _DRIVER_PRIORITY = [
     "text_line_dedup",
     "dedup_edit_distance",
     "embedding_kmeans",
+    "streaming_line_dedup",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -4666,9 +4667,7 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_line_dedup",
-    """
+_LINE_DEDUP_ORACLE = """
     WITH w AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         FROM documents
@@ -4698,8 +4697,10 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_chunks,
            (count(*) FILTER (rn = 1))::BIGINT AS n_kept
     FROM marked GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("text_line_dedup", _LINE_DEDUP_ORACLE)
 def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level first-occurrence-wins segment dedup (CCNet/Dolma
     line dedup with 4-token segments standing in for lines): every
@@ -4912,6 +4913,68 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.crossJoin(bounds).crossJoin(clones)
+
+
+@register("streaming_line_dedup", _LINE_DEDUP_ORACLE)
+def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-occurrence-wins segment store maintained through
+    Structured Streaming under the batch query's hard oracle:
+    documents replay as an id-ORDERED file feed (3 ascending doc_id
+    ranges, one per trigger — first-arrival-wins equals batch
+    min-id-wins exactly when ids arrive in order), each micro-batch
+    appends its newly-kept segment hashes through the digest-guarded
+    incremental store, and the concatenated per-batch outputs must
+    equal the one-shot batch operator row for row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .streaming.line_dedup import run_streaming_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t1, t2 = docs.approxQuantile("doc_id", [0.33, 0.66], 0.001)
+    base = tempfile.mkdtemp(prefix="ld_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        slices = [
+            docs.filter(F.col("doc_id") <= t1),
+            docs.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
+            docs.filter(F.col("doc_id") > t2),
+        ]
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(feed)
+            # strictly increasing mtimes pin trigger order = id order
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_streaming_line_dedup(
+            spark,
+            stream,
+            "doc_id",
+            "text",
+            os.path.join(base, "store"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            chunk_words=4,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming line-dedup drain exceeded 300 s")
+        rows = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("doc_id", "clean_text", "n_chunks", "n_kept")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, clean_text string, n_chunks long, n_kept long"
+    )
 
 
 @register("streaming_boilerplate", _BOILERPLATE_ORACLE)

@@ -2674,3 +2674,52 @@ def test_kmeans_clusters_separates_blobs(spark):
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
     assert all(s > 0.99 for _, s in got.values())
     assert C.shape[0] == 2
+
+
+def test_incremental_line_dedup_store_and_replay(spark, tmp_path):
+    import pytest
+    from mongo_es_spark.operators.text import incremental_line_dedup
+
+    store = str(tmp_path / "ld_store")
+    b0 = spark.createDataFrame(
+        [(1, "c1 c2 u1 u2"), (2, "c1 c2 v1 v2")],
+        "doc_id long, text string",
+    )
+    got0 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in incremental_line_dedup(
+            spark, b0, "doc_id", "text", store, chunk_words=2
+        ).collect()
+    }
+    assert got0[1] == ("c1 c2 u1 u2", 2)
+    assert got0[2] == ("v1 v2", 1)
+
+    # batch 1: "v1 v2" and "c1 c2" are store hits, "w1 w2" is fresh
+    b1 = spark.createDataFrame(
+        [(5, "v1 v2 w1 w2"), (6, "c1 c2")], "doc_id long, text string"
+    )
+    got1 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in incremental_line_dedup(
+            spark, b1, "doc_id", "text", store, chunk_words=2
+        ).collect()
+    }
+    assert got1[5] == ("w1 w2", 1)
+    assert got1[6] == ("", 0)
+
+    # replaying batch 1 returns identical rows and appends nothing
+    n_store = spark.read.parquet(store).count()
+    replay = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in incremental_line_dedup(
+            spark, b1, "doc_id", "text", store, chunk_words=2
+        ).collect()
+    }
+    assert replay == got1
+    assert spark.read.parquet(store).count() == n_store
+
+    # chunk-width mismatch refuses loudly
+    with pytest.raises(ValueError, match="chunk_words"):
+        incremental_line_dedup(
+            spark, b1, "doc_id", "text", store, chunk_words=3
+        )
