@@ -1,0 +1,104 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+file-level min/max pruning.
+
+At 100 TB the dominant cost of a selective query is the scan, and
+parquet min/max pruning only prunes on columns the LAYOUT is sorted
+by: a 1-D sort on ``x`` makes every file's ``y`` range the full
+domain, so ``WHERE y = ...`` reads everything.  Interleaving the bits
+of bucketized column ranks (the Morton curve) bounds BOTH dimensions
+per contiguous z-range — a file holding one of ``4^k`` z-blocks spans
+``1/2^k`` of each dimension's domain, so range predicates on either
+column (or both) prune to a small file subset.
+
+Everything here is pure JVM expression work: bucket ranks are exact
+integer arithmetic against one broadcast min/max row (no driver
+collect — the bounds ride a 1-row crossJoin), the bit interleave is
+``bits`` shift/and/or terms inside whole-stage codegen, and the
+layout write is ``repartitionByRange`` on ``z`` (one range exchange)
+with a within-partition sort.  No UDF, no shuffle beyond the one the
+layout itself requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_frame", "write_zorder_layout", "zorder_block_stats"]
+
+
+def _scaled(col: str, lo: str, hi: str, bits: int) -> Column:
+    """Exact integer bucket rank in ``[0, 2^bits)``: integer multiply
+    then integer DIV — reproducible bit-for-bit in any engine (no
+    float rounding on the boundary)."""
+    m = (1 << bits) - 1
+    return F.expr(
+        f"CAST((({col} - {lo}) * {m}) DIV greatest({hi} - {lo}, 1) "
+        "AS BIGINT)"
+    )
+
+
+def zorder_frame(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 8
+) -> DataFrame:
+    """Append the Morton code ``z`` of ``(x_col, y_col)`` (both
+    integral) to every row.  ``bits`` bits per dimension — ``z`` in
+    ``[0, 4^bits)``."""
+    bounds = df.agg(
+        F.min(x_col).alias("__xlo"),
+        F.max(x_col).alias("__xhi"),
+        F.min(y_col).alias("__ylo"),
+        F.max(y_col).alias("__yhi"),
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    sx = _scaled(x_col, "__xlo", "__xhi", bits)
+    sy = _scaled(y_col, "__ylo", "__yhi", bits)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(sy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return j.withColumn("z", z).drop("__xlo", "__xhi", "__ylo", "__yhi")
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    n_files: int = 32,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` z-clustered: range-partition on the Morton code
+    (one exchange), sort within partitions, one file per partition —
+    every output file covers a contiguous z-range, hence a bounded
+    rectangle of ``(x, y)`` space for the scanner's min/max pruning."""
+    (
+        zorder_frame(df, x_col, y_col, bits)
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_block_stats(
+    zdf: DataFrame, x_col: str, y_col: str, block_shift: int
+) -> DataFrame:
+    """Per-z-block min/max spans of both dimensions — the pruning
+    bound a file covering that block would advertise.  ``block_shift``
+    groups ``4^?`` codes: block = ``z >> block_shift``."""
+    return (
+        zdf.groupBy(
+            F.shiftright("z", block_shift).alias("block")
+        )
+        .agg(
+            (F.max(x_col) - F.min(x_col)).alias("x_span"),
+            (F.max(y_col) - F.min(y_col)).alias("y_span"),
+            F.count("*").alias("n_rows"),
+        )
+    )

@@ -538,6 +538,7 @@ _DRIVER_PRIORITY = [
     "dedup_edit_distance",
     "embedding_kmeans",
     "streaming_line_dedup",
+    "layout_zorder",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -4712,6 +4713,57 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return line_dedup(docs, "doc_id", "text", chunk_words=4)
+
+
+@register(
+    "layout_zorder",
+    """
+    WITH b AS (
+        SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+               min(epoch_ms(ts)::BIGINT) AS ylo,
+               max(epoch_ms(ts)::BIGINT) AS yhi
+        FROM events
+    ),
+    s AS (
+        SELECT event_id,
+               ((user_id - xlo) * 255) // greatest(xhi - xlo, 1) AS sx,
+               ((epoch_ms(ts)::BIGINT - ylo) * 255)
+                   // greatest(yhi - ylo, 1) AS sy
+        FROM events, b
+    )
+    SELECT event_id,
+           (
+             (((sx >> 0) & 1) << 0)  | (((sy >> 0) & 1) << 1)  |
+             (((sx >> 1) & 1) << 2)  | (((sy >> 1) & 1) << 3)  |
+             (((sx >> 2) & 1) << 4)  | (((sy >> 2) & 1) << 5)  |
+             (((sx >> 3) & 1) << 6)  | (((sy >> 3) & 1) << 7)  |
+             (((sx >> 4) & 1) << 8)  | (((sy >> 4) & 1) << 9)  |
+             (((sx >> 5) & 1) << 10) | (((sy >> 5) & 1) << 11) |
+             (((sx >> 6) & 1) << 12) | (((sy >> 6) & 1) << 13) |
+             (((sx >> 7) & 1) << 14) | (((sy >> 7) & 1) << 15)
+           )::BIGINT AS z
+    FROM s
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes over (user_id, event-time): the
+    multi-dimensional clustering key that makes file min/max pruning
+    work on BOTH filter columns at once — the data-layout lever for
+    selective scans at 100 TB.  Exact-integer bucket ranks (DIV, no
+    float rounding) against one broadcast bounds row, bit interleave
+    inside whole-stage codegen; the hard oracle pins the code
+    bit-for-bit cross-engine."""
+    from .operators.layout import zorder_frame
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # integer div: ts is epoch-ns and exceeds double's exact range
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+    return zorder_frame(ev, "user_id", "ts_ms", bits=8).select(
+        "event_id", "z"
+    )
 
 
 @register(

@@ -2723,3 +2723,42 @@ def test_incremental_line_dedup_store_and_replay(spark, tmp_path):
         incremental_line_dedup(
             spark, b1, "doc_id", "text", store, chunk_words=3
         )
+
+
+def test_zorder_blocks_bound_both_dimensions(spark, tmp_path):
+    from mongo_es_spark.operators.layout import (
+        zorder_frame,
+        write_zorder_layout,
+        zorder_block_stats,
+    )
+
+    # complete 64x64 grid with 6-bit codes: each of the 64 z-blocks
+    # (z >> 6) is exactly an 8x8 rectangle -> span 7 in BOTH dims,
+    # where a 1-D sort on x would leave the y span at the full 63.
+    rows = [(x * 64 + y, x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "rid long, x long, y long")
+    z = zorder_frame(df, "x", "y", bits=6)
+    stats = zorder_block_stats(z, "x", "y", block_shift=6).collect()
+    assert len(stats) == 64
+    assert all(r["x_span"] == 7 and r["y_span"] == 7 for r in stats)
+    assert all(r["n_rows"] == 64 for r in stats)
+
+    # the layout write clusters files by contiguous z-ranges
+    out = str(tmp_path / "zlayout")
+    write_zorder_layout(df, "x", "y", out, n_files=16, bits=6)
+    back = spark.read.parquet(out)
+    assert back.count() == 64 * 64
+    # every file covers a bounded rectangle: max in-file span of each
+    # dim is far below the 63 a 1-D-sorted layout leaves on y
+    import glob as _glob
+
+    spans = []
+    for f in _glob.glob(out + "/part-*.parquet"):
+        one = spark.read.parquet(f).agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        ).head()
+        spans.append((one["xs"], one["ys"]))
+    assert len(spans) == 16
+    assert max(s[0] for s in spans) <= 31
+    assert max(s[1] for s in spans) <= 31
