@@ -2,9 +2,11 @@
 file-level min/max pruning.
 
 At 100 TB the dominant cost of a selective query is the scan, and
-parquet min/max pruning only prunes on columns the LAYOUT is sorted
-by: a 1-D sort on ``x`` makes every file's ``y`` range the full
-domain, so ``WHERE y = ...`` reads everything.  Interleaving the bits
+min/max pruning (parquet row-group statistics under pushed filters;
+file-level skipping where the table format keeps per-file stats)
+only prunes on columns the LAYOUT is sorted by: a 1-D sort on ``x``
+makes every row group's ``y`` range the full domain, so ``WHERE y =
+...`` reads everything.  Interleaving the bits
 of bucketized column ranks (the Morton curve) bounds BOTH dimensions
 per contiguous z-range — a file holding one of ``4^k`` z-blocks spans
 ``1/2^k`` of each dimension's domain, so range predicates on either
