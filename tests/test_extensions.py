@@ -2762,3 +2762,88 @@ def test_zorder_blocks_bound_both_dimensions(spark, tmp_path):
     assert len(spans) == 16
     assert max(s[0] for s in spans) <= 31
     assert max(s[1] for s in spans) <= 31
+
+
+def test_line_dedup_matches_python_model(spark):
+    """Randomized (fixed-seed) corpus vs a direct Python model of the
+    declared semantics — clones, intra-doc repeats, empties, nulls,
+    odd tails all mixed."""
+    import math
+    import random
+    import re as _re
+
+    from mongo_es_spark.operators.text import line_dedup
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    rows, texts = [], []
+    for d in range(80):
+        r = rng.random()
+        if r < 0.08:
+            t = None
+        elif r < 0.16:
+            t = ""
+        elif r < 0.4 and texts:
+            t = rng.choice(texts)          # clone
+        else:
+            t = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+            texts.append(t)
+        rows.append((d, t))
+
+    w = 2
+    occ = []
+    for d, t in rows:
+        s = (t or "").strip()
+        toks = _re.split(r"\s+", s) if s else []
+        nch = max(math.ceil(len(toks) / w), 1)
+        for i in range(nch):
+            occ.append((d, i, " ".join(toks[i * w:(i + 1) * w])))
+    first = {}
+    for d, i, seg in sorted(occ):
+        first.setdefault(seg, (d, i))
+    want = {}
+    for d, _t in rows:
+        mine = sorted((i, seg) for (dd, i, seg) in occ if dd == d)
+        kept = [(i, seg) for i, seg in mine if first[seg] == (d, i)]
+        want[d] = (" ".join(seg for _, seg in kept), len(mine), len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_kept"])
+        for r in line_dedup(df, "doc_id", "text", chunk_words=w).collect()
+    }
+    assert got == want
+
+
+def test_zorder_matches_python_model(spark):
+    import random
+
+    from mongo_es_spark.operators.layout import zorder_frame
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(-500, 500), rng.randint(-10**12, 10**12))
+        for i in range(300)
+    ]
+    bits = 8
+    xs = [x for _, x, _ in rows]
+    ys = [y for _, _, y in rows]
+    xlo, xhi, ylo, yhi = min(xs), max(xs), min(ys), max(ys)
+    m = (1 << bits) - 1
+
+    def z_of(x, y):
+        sx = ((x - xlo) * m) // max(xhi - xlo, 1)
+        sy = ((y - ylo) * m) // max(yhi - ylo, 1)
+        z = 0
+        for i in range(bits):
+            z |= ((sx >> i) & 1) << (2 * i)
+            z |= ((sy >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = {rid: z_of(x, y) for rid, x, y in rows}
+    df = spark.createDataFrame(rows, "rid long, x long, y long")
+    got = {
+        r["rid"]: r["z"]
+        for r in zorder_frame(df, "x", "y", bits=bits).collect()
+    }
+    assert got == want
