@@ -2587,6 +2587,7 @@ def line_dedup(
     id_col: str,
     text_col: str,
     chunk_words: int = 4,
+    scope_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Corpus-level segment dedup, first-occurrence-wins (the CCNet /
     Dolma "line dedup" pass, with non-overlapping ``chunk_words``-token
@@ -2616,21 +2617,40 @@ def line_dedup(
     frame and no pair join: work is linear in distinct-text segments.
     Ordered reassembly is the bounded per-text ``collect_list`` +
     ``array_sort`` used by ``_bp_clean``.
+
+    ``scope_cols`` (e.g. the source domain) localizes the dedup:
+    first-occurrence-wins runs independently per scope group, the
+    boilerplate-family convention for site-local content — a segment
+    shared across two sources then survives once PER source.
     """
     if chunk_words <= 0:
         raise ValueError("chunk_words must be positive")
+    scope = list(scope_cols) if scope_cols else []
     groups = df.groupBy(
-        F.coalesce(F.col(text_col), F.lit("")).alias("__text")
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
     ).agg(F.min(id_col).alias("rep"))
-    chunks = _bp_chunks(groups, "rep", "__text", chunk_words, [])
-    win = chunks.groupBy("__h1", "__h2").agg(
+    chunks = _bp_chunks(groups, "rep", "__text", chunk_words, scope)
+    # null-safe scope grouping: groupBy treats nulls as one group ✓
+    win = chunks.groupBy(*scope, "__h1", "__h2").agg(
         F.min(
             F.struct(
                 F.col("__doc").alias("doc"), F.col("chunk_id").alias("cid")
             )
         ).alias("__w")
     )
-    marked = chunks.join(win, ["__h1", "__h2"]).withColumn(
+    wcond = (F.col("__h1") == F.col("__wh1")) & (
+        F.col("__h2") == F.col("__wh2")
+    )
+    wsel = win.select(
+        *[F.col(c).alias(f"__ws_{c}") for c in scope],
+        F.col("__h1").alias("__wh1"),
+        F.col("__h2").alias("__wh2"),
+        "__w",
+    )
+    for c in scope:
+        wcond = wcond & F.col(c).eqNullSafe(F.col(f"__ws_{c}"))
+    marked = chunks.join(wsel, wcond).withColumn(
         "__keep",
         (F.col("__doc") == F.col("__w.doc"))
         & (F.col("chunk_id") == F.col("__w.cid")),
@@ -2651,11 +2671,18 @@ def line_dedup(
     )
     lhs = df.select(
         F.col(id_col),
+        *scope,
         F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
     )
+    gsel = groups.select(
+        *[F.col(c).alias(f"__gs_{c}") for c in scope], "__text", "rep"
+    )
+    gcond = lhs["__text"] == gsel["__text"]
+    for c in scope:
+        gcond = gcond & lhs[c].eqNullSafe(gsel[f"__gs_{c}"])
     is_rep = F.col(id_col) == F.col("rep")
     return (
-        lhs.join(groups, "__text")
+        lhs.join(gsel, gcond)
         .join(per_rep, "rep")
         .select(
             F.col(id_col),

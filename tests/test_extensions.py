@@ -2847,3 +2847,29 @@ def test_zorder_matches_python_model(spark):
         for r in zorder_frame(df, "x", "y", bits=bits).collect()
     }
     assert got == want
+
+
+def test_line_dedup_scoped_by_source(spark):
+    from mongo_es_spark.operators.text import line_dedup
+
+    # "c1 c2" is shared across sources: scoped dedup keeps it once
+    # PER source; a null scope forms its own group.
+    df = spark.createDataFrame(
+        [
+            (1, "c1 c2 u1 u2", "a"),
+            (2, "c1 c2 v1 v2", "a"),
+            (3, "c1 c2 w1 w2", "b"),
+            (4, "c1 c2", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in line_dedup(
+            df, "doc_id", "text", chunk_words=2, scope_cols=["source"]
+        ).collect()
+    }
+    assert got[1] == ("c1 c2 u1 u2", 2)
+    assert got[2] == ("v1 v2", 1)
+    assert got[3] == ("c1 c2 w1 w2", 2)   # source b keeps its own copy
+    assert got[4] == ("c1 c2", 1)         # null scope keeps its own copy
