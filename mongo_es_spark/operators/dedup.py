@@ -844,6 +844,7 @@ def edit_distance_pairs(
     num_hashes: int = 48,
     bands: int = 24,
     max_dist: int | None = None,
+    clone_weighted: bool = False,
 ) -> DataFrame:
     """Edit-distance-verified near-duplicate pairs: candidates from
     the char-``n``-gram exact-verified LSH path (the
@@ -866,6 +867,15 @@ def edit_distance_pairs(
     instead of O(len^2)) — the 100 TB form when an absolute distance
     cap is acceptable; pairs beyond the cap return -1 and are
     dropped before the ratio filter.
+
+    ``clone_weighted=True`` is the bounded-output clone contract
+    (:func:`_weighted_rep_pairs` semantics): one row per REP pair
+    carrying ``n_pairs`` multiplicity instead of the k_i*k_j
+    brute-force expansion, plus one ``(rep, rep)`` dist-0 row per
+    multi-member shingled clone group.  The 10000x replica measured
+    the expansion at ~2e11 output rows (1136 s) — quadratic in clone
+    multiplicity BY DEFINITION — while the bounded contract stays
+    proportional to distinct content.
     """
     tm = _text_groups(df, id_col, text_col)
     reps = _group_reps(tm)
@@ -894,9 +904,39 @@ def edit_distance_pairs(
             "i", "j", F.col("__d").cast("long").alias("dist"), "ratio"
         )
     )
+    members = tm.select("rep", "doc")
+    shingled = docs.select(F.col("doc").alias("rep"))
+    if clone_weighted:
+        counts = members.groupBy("rep").agg(F.count("*").alias("k"))
+        ki = counts.select(F.col("rep").alias("i"), F.col("k").alias("ki"))
+        kj = counts.select(F.col("rep").alias("j"), F.col("k").alias("kj"))
+        cross = (
+            scored.join(ki, "i")
+            .join(kj, "j")
+            .select(
+                "i",
+                "j",
+                "dist",
+                "ratio",
+                (F.col("ki") * F.col("kj")).cast("long").alias("n_pairs"),
+            )
+        )
+        within_w = (
+            counts.join(shingled, "rep", "left_semi")
+            .filter(F.col("k") > 1)
+            .select(
+                F.col("rep").alias("i"),
+                F.col("rep").alias("j"),
+                F.lit(0).cast("long").alias("dist"),
+                F.lit(0.0).alias("ratio"),
+                (F.col("k") * (F.col("k") - 1) / 2)
+                .cast("long")
+                .alias("n_pairs"),
+            )
+        )
+        return cross.unionByName(within_w)
     # two-column expansion (same shape as _expand_rep_pairs, which
     # carries a single score column)
-    members = tm.select("rep", "doc")
     mi = members.select(F.col("rep").alias("i"), F.col("doc").alias("a"))
     mj = members.select(F.col("rep").alias("j"), F.col("doc").alias("b"))
     out = (
@@ -909,7 +949,6 @@ def edit_distance_pairs(
             "ratio",
         )
     )
-    shingled = docs.select(F.col("doc").alias("rep"))
     members_sh = members.join(shingled, "rep", "left_semi")
     a = members_sh.select("rep", F.col("doc").alias("a"))
     b_ = members_sh.select("rep", F.col("doc").alias("b"))

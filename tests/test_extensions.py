@@ -2873,3 +2873,35 @@ def test_line_dedup_scoped_by_source(spark):
     assert got[2] == ("v1 v2", 1)
     assert got[3] == ("c1 c2 w1 w2", 2)   # source b keeps its own copy
     assert got[4] == ("c1 c2", 1)         # null scope keeps its own copy
+
+
+def test_edit_distance_pairs_clone_weighted_contract(spark):
+    from mongo_es_spark.operators.dedup import edit_distance_pairs
+    from pyspark.sql import functions as _F
+
+    # 3 clones of A, 2 clones of B (a near-dup of A): bounded output
+    # is ONE cross rep row with n_pairs=6 plus (rep,rep) rows for the
+    # within-group exact pairs; sum(n_pairs) equals the expanded count.
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc dddd"), (2, "aaaa bbbb cccc dddd"),
+            (3, "aaaa bbbb cccc dddd"),
+            (10, "aaaa bbbb cccc dddx"), (11, "aaaa bbbb cccc dddx"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, jaccard_floor=0.3, max_ratio=0.2)
+    w = {
+        (r["i"], r["j"]): (r["dist"], r["n_pairs"])
+        for r in edit_distance_pairs(
+            df, "doc_id", "text", clone_weighted=True, **kw
+        ).collect()
+    }
+    assert w == {(1, 10): (1, 6), (1, 1): (0, 3), (10, 10): (0, 1)}
+    expanded = edit_distance_pairs(df, "doc_id", "text", **kw)
+    assert expanded.count() == sum(n for _, n in w.values())
+    # multiplicity algebra: expanded rows with dist 0 == within mass
+    assert (
+        expanded.filter(_F.col("dist") == 0).count()
+        == w[(1, 1)][1] + w[(10, 10)][1]
+    )
