@@ -1295,3 +1295,101 @@ def kmeans_clusters(
         F.round(F.col("__a.sim"), 6).alias("sim"),
     )
     return assigned, C
+
+
+def keep_best_semantic(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scores: DataFrame,
+    score_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 7,
+) -> DataFrame:
+    """Quality-aware SemDeDup: group embedding near-duplicates into
+    connected components (k-means cells -> within-cell exact-cosine
+    pairs -> min-label components, the :func:`semantic_dedup_frames`
+    shape) and keep the member with the HIGHEST ``score_col``
+    (ties -> smallest id) instead of the smallest id — SemDeDup's
+    keep-arbitrary policy upgraded to keep-best, the same upgrade
+    :func:`~mongo_es_spark.operators.dedup.keep_best_near_dup` gives
+    the Jaccard family.  ``scores`` carries ``(id_col, score_col)``.
+
+    Returns one row per input doc: ``(id, component, score, kept)``.
+
+    Scale shape: exact-clone collapse on the vector value first, the
+    quadratic stage bounded per cell over DISTINCT vectors, one
+    ``max_by`` aggregation per component (no per-component window),
+    and membership expansion through id joins — identical cost
+    structure to the min-id SemDeDup path plus one broadcast-sized
+    score join per member.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import cosine_pairs_col, dedup_components
+
+    vm = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "rep",
+        F.min("doc").over(
+            Window.partitionBy(F.xxhash64(F.col("v")), F.col("v"))
+        ),
+    )
+    reps = vm.filter(F.col("doc") == F.col("rep")).select(
+        F.col("rep").alias("doc"), "v"
+    )
+    assigned, _C = kmeans_clusters(
+        reps, "doc", "v", k=n_clusters, seed=seed
+    )
+    clustered = reps.join(
+        assigned.select("doc", "cluster"), "doc"
+    )
+    a = clustered.select(
+        "cluster", F.col("doc").alias("i"), F.col("v").alias("va")
+    )
+    b = clustered.select(
+        "cluster", F.col("doc").alias("j"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.hint("merge")
+        .join(b.hint("merge"), "cluster")
+        .filter(F.col("i") < F.col("j"))
+        .withColumn("cosine", cosine_pairs_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("i", "j")
+    )
+    comp = dedup_components(pairs)  # (doc=rep, component) for paired reps
+    rep_comp = reps.select(F.col("doc").alias("rep")).join(
+        comp.select(F.col("doc").alias("rep"), "component"),
+        "rep",
+        "left",
+    ).select(
+        "rep", F.coalesce("component", F.col("rep")).alias("component")
+    )
+    members = (
+        vm.select("rep", "doc")
+        .join(rep_comp, "rep")
+        .join(
+            scores.select(
+                F.col(id_col).alias("doc"), F.col(score_col).alias("__s")
+            ),
+            "doc",
+        )
+    )
+    best = members.groupBy("component").agg(
+        F.max_by("doc", F.struct(F.col("__s"), -F.col("doc"))).alias(
+            "__best"
+        )
+    )
+    return (
+        members.join(best, "component")
+        .select(
+            F.col("doc").alias(id_col),
+            "component",
+            F.col("__s").alias(score_col),
+            (F.col("doc") == F.col("__best")).alias("kept"),
+        )
+    )

@@ -539,6 +539,7 @@ _DRIVER_PRIORITY = [
     "embedding_kmeans",
     "streaming_line_dedup",
     "layout_zorder",
+    "dedup_semantic_keep_best",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -4144,6 +4145,107 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_docs", "n_global_near_docs",
             "no_kept_near_pair", "dropped_subset_ok",
+        )
+    )
+
+
+@register(
+    "dedup_semantic_keep_best",
+    """
+    WITH near AS (
+        SELECT DISTINCT doc FROM (
+            SELECT a.vec_id AS doc
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE round(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        )
+    )
+    SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_docs,
+           (SELECT count(*) FROM near)::BIGINT AS n_global_near_docs,
+           true AS one_kept_per_component,
+           true AS kept_is_best,
+           true AS dropped_subset_ok
+    """,
+)
+def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware SemDeDup (keep the best-scoring member of every
+    embedding near-dup component — score = the document's n_chars),
+    reduced to oracle-pinnable assertions:
+
+    * ``n_docs`` / ``n_global_near_docs``: computed independently in
+      both engines, exactly as in ``dedup_semantic``;
+    * ``one_kept_per_component``: every component keeps exactly one
+      member;
+    * ``kept_is_best``: the kept member's score equals its
+      component's max score AND its id is the smallest among the tied
+      maxima — re-derived from the output frame, not from the
+      operator's own max_by;
+    * ``dropped_subset_ok``: every dropped doc has a global exact
+      neighbor at the threshold (clustering limits recall, never
+      precision).
+    """
+    from .operators.dedup import embedding_dup_pairs
+    from .operators.similarity import keep_best_semantic
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    out = keep_best_semantic(
+        emb, "vec_id", "embedding", docs, "n_chars",
+        n_clusters=8, threshold=0.45,
+    )
+    comp_stats = out.groupBy("component").agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("__n_kept"),
+        F.max("n_chars").alias("__smax"),
+        F.min(F.when(F.col("kept"), F.col("n_chars"))).alias(
+            "__kept_score"
+        ),
+        F.min(F.when(F.col("kept"), F.col("vec_id"))).alias("__kept_id"),
+    )
+    tied_min = out.join(
+        comp_stats.select("component", "__smax"), "component"
+    ).filter(F.col("n_chars") == F.col("__smax")).groupBy("component").agg(
+        F.min("vec_id").alias("__tie_min")
+    )
+    checks = comp_stats.join(tied_min, "component").agg(
+        F.coalesce(
+            F.bool_and(F.col("__n_kept") == 1), F.lit(True)
+        ).alias("one_kept_per_component"),
+        F.coalesce(
+            F.bool_and(
+                (F.col("__kept_score") == F.col("__smax"))
+                & (F.col("__kept_id") == F.col("__tie_min"))
+            ),
+            F.lit(True),
+        ).alias("kept_is_best"),
+    )
+    exact = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    near_docs = (
+        exact.select(F.col("i").alias("vec_id"))
+        .union(exact.select(F.col("j").alias("vec_id")))
+        .distinct()
+    )
+    n_near = near_docs.agg(F.count("*").alias("n_global_near_docs"))
+    dropped_ok = (
+        out.filter(~F.col("kept"))
+        .join(near_docs.withColumn("__near", F.lit(True)), "vec_id", "left")
+        .agg(
+            F.coalesce(F.bool_and(F.col("__near").isNotNull()), F.lit(True))
+            .alias("dropped_subset_ok")
+        )
+    )
+    n_docs = emb.agg(F.count("*").alias("n_docs"))
+    return (
+        n_docs.crossJoin(n_near)
+        .crossJoin(checks)
+        .crossJoin(dropped_ok)
+        .select(
+            "n_docs",
+            "n_global_near_docs",
+            "one_kept_per_component",
+            "kept_is_best",
+            "dropped_subset_ok",
         )
     )
 

@@ -2905,3 +2905,58 @@ def test_edit_distance_pairs_clone_weighted_contract(spark):
         expanded.filter(_F.col("dist") == 0).count()
         == w[(1, 1)][1] + w[(10, 10)][1]
     )
+
+
+def test_keep_best_semantic_prefers_high_score(spark):
+    from mongo_es_spark.operators.similarity import keep_best_semantic
+
+    # component {1, 2, 3}: near-identical vectors; doc 2 has the best
+    # score. doc 9 is orthogonal (singleton, always kept). docs 4/5
+    # are exact clones of 1's vector with lower scores.
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.01]),
+            (2, [1.0, 0.0, 0.02]),
+            (3, [1.0, 0.0, 0.03]),
+            (4, [1.0, 0.0, 0.01]),
+            (5, [1.0, 0.0, 0.01]),
+            (9, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 10), (5, 10), (9, 1)],
+        "vec_id long, q long",
+    )
+    out = {
+        r["vec_id"]: (r["component"], r["kept"])
+        for r in keep_best_semantic(
+            emb, "vec_id", "embedding", scores, "q",
+            n_clusters=2, threshold=0.9,
+        ).collect()
+    }
+    comp = out[1][0]
+    assert all(out[d][0] == comp for d in (2, 3, 4, 5))
+    assert out[2][1] is True                       # best score wins
+    assert all(out[d][1] is False for d in (1, 3, 4, 5))
+    assert out[9][1] is True                       # singleton kept
+
+
+def test_keep_best_semantic_tie_breaks_to_min_id(spark):
+    from mongo_es_spark.operators.similarity import keep_best_semantic
+
+    emb = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [1.0, 0.001]), (5, [1.0, 0.002])],
+        "vec_id long, embedding array<double>",
+    )
+    scores = spark.createDataFrame(
+        [(7, 10), (3, 10), (5, 10)], "vec_id long, q long"
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in keep_best_semantic(
+            emb, "vec_id", "embedding", scores, "q",
+            n_clusters=1, threshold=0.9,
+        ).collect()
+    }
+    assert out == {3: True, 5: False, 7: False}
