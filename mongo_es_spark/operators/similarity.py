@@ -1369,6 +1369,11 @@ def keep_best_semantic(
     ).select(
         "rep", F.coalesce("component", F.col("rep")).alias("component")
     )
+    # LEFT score join: a doc with no score row must stay in its
+    # component (an inner join would silently drop it from both the
+    # output and the competition); missing scores lose to any scored
+    # member via the -inf competition key, and an all-unscored
+    # component still elects exactly one winner (min id)
     members = (
         vm.select("rep", "doc")
         .join(rep_comp, "rep")
@@ -1377,12 +1382,14 @@ def keep_best_semantic(
                 F.col(id_col).alias("doc"), F.col(score_col).alias("__s")
             ),
             "doc",
+            "left",
         )
     )
+    cmp_key = F.coalesce(
+        F.col("__s").cast("double"), F.lit(float("-inf"))
+    )
     best = members.groupBy("component").agg(
-        F.max_by("doc", F.struct(F.col("__s"), -F.col("doc"))).alias(
-            "__best"
-        )
+        F.max_by("doc", F.struct(cmp_key, -F.col("doc"))).alias("__best")
     )
     return (
         members.join(best, "component")

@@ -2960,3 +2960,30 @@ def test_keep_best_semantic_tie_breaks_to_min_id(spark):
         ).collect()
     }
     assert out == {3: True, 5: False, 7: False}
+
+
+def test_keep_best_semantic_unscored_docs_survive(spark):
+    from mongo_es_spark.operators.similarity import keep_best_semantic
+
+    # doc 2 has no score row: it must remain in the component and
+    # lose to the scored member; an all-unscored component (8, 9)
+    # still elects exactly one winner (min id).
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [1.0, 0.001]),
+            (8, [0.0, 1.0]), (9, [0.001, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    scores = spark.createDataFrame([(1, 5)], "vec_id long, q long")
+    out = {
+        r["vec_id"]: (r["kept"], r["q"])
+        for r in keep_best_semantic(
+            emb, "vec_id", "embedding", scores, "q",
+            n_clusters=1, threshold=0.9,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 8, 9}
+    assert out[1] == (True, 5)
+    assert out[2] == (False, None)
+    assert out[8][0] is True and out[9][0] is False
