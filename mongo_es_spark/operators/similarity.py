@@ -1400,3 +1400,89 @@ def keep_best_semantic(
             (F.col("doc") == F.col("__best")).alias("kept"),
         )
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 32,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-first traversal, the
+    2-approximation of Gonzalez 1985): select ``k`` input points such
+    that every point lies within the cover radius of some center —
+    the diversity-maximizing subset used for coreset selection,
+    active-learning seeds, and eval-set construction.  Distances are
+    cosine distance ``1 - cos`` on L2-normalized vectors, consistent
+    with the spherical k-means family.  Deterministic: the first
+    center is the smallest id, ties break to the smaller id.
+
+    Returns one row per center: ``(id, round, radius_after)`` where
+    ``radius_after`` is the cover radius once that center is added —
+    nonincreasing by construction.
+
+    Scale shape: the classic greedy is inherently ``k`` passes — each
+    round one Arrow-batched distance kernel against the SINGLE new
+    center (a broadcast d-vector, not driver-sized state) updates a
+    running min-distance column, then one max-reduction picks the
+    farthest point.  Work is ``O(k * n * d)`` with ``k`` scans; the
+    running state is one double per row, flattened every
+    ``checkpoint_every`` rounds so lineage stays bounded.  For
+    k >> 100 at 100 TB the standard move is pre-reduction to cell
+    representatives via :func:`kmeans_clusters` and running k-center
+    over reps — composition, not a different operator.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    state = base.withColumn(
+        "__mind", F.lit(float("inf"))
+    ).localCheckpoint(eager=True)
+    n = state.count()
+    k = min(k, n)
+
+    def dist_kernel_for(center):
+        c = np.asarray(center, dtype=np.float64)
+        c = c / max(np.linalg.norm(c), 1e-12)
+
+        def kernel(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            M = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+            M = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series(1.0 - M @ c)
+
+        return pandas_udf(kernel, "double")
+
+    out_rows = []
+    for r in range(k):
+        if r == 0:
+            row = state.orderBy(F.col("doc").asc()).limit(1).head()
+        else:
+            row = (
+                state.orderBy(
+                    F.col("__mind").desc(), F.col("doc").asc()
+                )
+                .limit(1)
+                .head()
+            )
+        dist = dist_kernel_for(row["v"])
+        state = state.withColumn(
+            "__mind", F.least(F.col("__mind"), dist(F.col("v")))
+        )
+        if (r + 1) % checkpoint_every == 0 or r == k - 1:
+            state = state.localCheckpoint(eager=True)
+        radius = state.agg(F.max("__mind").alias("m")).head()["m"]
+        out_rows.append((int(row["doc"]), r, float(radius)))
+
+    spark = df.sparkSession
+    centers = spark.createDataFrame(
+        out_rows, f"{id_col} long, round int, radius_after double"
+    )
+    return centers

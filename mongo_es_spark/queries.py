@@ -540,6 +540,7 @@ _DRIVER_PRIORITY = [
     "streaming_line_dedup",
     "layout_zorder",
     "dedup_semantic_keep_best",
+    "similarity_kcenter",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -4246,6 +4247,85 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "one_kept_per_component",
             "kept_is_best",
             "dropped_subset_ok",
+        )
+    )
+
+
+@register(
+    "similarity_kcenter",
+    """
+    SELECT least(16, (SELECT count(*) FROM embeddings))::BIGINT
+               AS n_centers,
+           true AS centers_are_input_points,
+           true AS radius_nonincreasing,
+           true AS final_radius_ok
+    """,
+)
+def similarity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-first, Gonzalez 2-approx) as
+    a verified summary: the iterative selection's reported cover
+    radius is RE-DERIVED independently (broadcast the 16 chosen
+    centers, exact min-distance per point, global max) and must match
+    the last round's radius; radii must be nonincreasing and every
+    center an input point."""
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import cosine_col
+    from .operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = kcenter_coreset(emb, "vec_id", "embedding", k=16)
+    w = Window.orderBy("round")
+    mono = centers.select(
+        (
+            F.col("radius_after")
+            <= F.coalesce(
+                F.lag("radius_after").over(w), F.lit(float("inf"))
+            ) + F.lit(1e-12)
+        ).alias("__ok")
+    ).agg(F.bool_and("__ok").alias("radius_nonincreasing"))
+    member = centers.join(emb, "vec_id", "left_semi").agg(
+        F.count("*").alias("__n_in")
+    )
+    n_centers = centers.agg(F.count("*").alias("n_centers"))
+    cvecs = emb.join(centers.select("vec_id"), "vec_id", "left_semi").select(
+        F.col("embedding").cast("array<double>").alias("cv")
+    )
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mind = (
+        pts.crossJoin(F.broadcast(cvecs))
+        .select(
+            "vec_id",
+            (F.lit(1.0) - cosine_col(F.col("v"), F.col("cv"))).alias(
+                "__d"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("__d").alias("__mind"))
+        .agg(F.max("__mind").alias("__recomputed"))
+    )
+    last = (
+        centers.orderBy(F.col("round").desc())
+        .limit(1)
+        .select(F.col("radius_after").alias("__reported"))
+    )
+    return (
+        n_centers.crossJoin(member)
+        .crossJoin(mono)
+        .crossJoin(mind)
+        .crossJoin(last)
+        .select(
+            F.col("n_centers").cast("long").alias("n_centers"),
+            (F.col("__n_in") == F.col("n_centers")).alias(
+                "centers_are_input_points"
+            ),
+            "radius_nonincreasing",
+            (
+                F.abs(F.col("__recomputed") - F.col("__reported"))
+                <= F.lit(1e-6)
+            ).alias("final_radius_ok"),
         )
     )
 

@@ -2987,3 +2987,37 @@ def test_keep_best_semantic_unscored_docs_survive(spark):
     assert out[1] == (True, 5)
     assert out[2] == (False, None)
     assert out[8][0] is True and out[9][0] is False
+
+
+def test_kcenter_coreset_farthest_first(spark):
+    from mongo_es_spark.operators.similarity import kcenter_coreset
+
+    # three tight direction clusters: k=3 must pick one point from
+    # each cluster, and the cover radius collapses to ~0 after the
+    # third pick.
+    rows = []
+    for base, direc in [(0, (1.0, 0.0, 0.0)), (10, (0.0, 1.0, 0.0)),
+                        (20, (0.0, 0.0, 1.0))]:
+        for i in range(4):
+            v = [direc[0] + 0.001 * i, direc[1], direc[2]]
+            rows.append((base + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = kcenter_coreset(df, "vec_id", "embedding", k=3).collect()
+    ids = sorted(r["vec_id"] for r in centers)
+    assert len(ids) == 3
+    assert {i // 10 for i in ids} == {0, 1, 2}   # one per cluster
+    assert centers[0]["vec_id"] == 0             # deterministic start
+    radii = [r["radius_after"] for r in sorted(centers, key=lambda r: r["round"])]
+    assert radii[0] >= radii[1] >= radii[2]
+    assert radii[2] < 1e-5
+
+
+def test_kcenter_k_capped_at_n(spark):
+    from mongo_es_spark.operators.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centers = kcenter_coreset(df, "vec_id", "embedding", k=10).collect()
+    assert sorted(r["vec_id"] for r in centers) == [1, 2]
