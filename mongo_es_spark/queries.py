@@ -541,6 +541,7 @@ _DRIVER_PRIORITY = [
     "layout_zorder",
     "dedup_semantic_keep_best",
     "similarity_kcenter",
+    "profile_incremental",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -1596,6 +1597,98 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return table_profile_certified(
         li, ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    )
+
+
+@register(
+    "profile_incremental",
+    """
+    WITH t AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
+    SELECT p.* FROM t, LATERAL (
+        SELECT 'doc_id' AS "column", n_rows,
+               (SELECT count(*) FROM documents WHERE doc_id IS NULL)::BIGINT AS n_nulls,
+               true AS hll_ok, true AS merge_close
+        UNION ALL
+        SELECT 'lang', n_rows,
+               (SELECT count(*) FROM documents WHERE lang IS NULL)::BIGINT,
+               true, true
+        UNION ALL
+        SELECT 'source', n_rows,
+               (SELECT count(*) FROM documents WHERE source IS NULL)::BIGINT,
+               true, true
+        UNION ALL
+        SELECT 'text', n_rows,
+               (SELECT count(*) FROM documents WHERE text IS NULL)::BIGINT,
+               true, true
+    ) p
+    """,
+)
+def profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile that never re-scans history: documents feed the
+    mergeable DataSketches-HLL store in three batches, and the merged
+    result must equal the one-shot whole-corpus sketch EXACTLY
+    (``merge_exact`` — HLL union is register-wise max, so the merge
+    itself introduces zero error) while each estimate lands within 5%
+    of the exact distinct count (``hll_ok``).  Exact row/null counts
+    pinned cross-engine."""
+    import shutil
+    import tempfile
+
+    from .operators.profile import incremental_profile, profile_over_store
+
+    cols = ["doc_id", "text", "lang", "source"]
+    docs = load_table(spark, sf_dir, "documents").select(*cols)
+    base = tempfile.mkdtemp(prefix="prof_store_")
+    try:
+        for i in range(3):
+            incremental_profile(
+                spark,
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                os.path.join(base, "store"),
+                cols,
+            )
+        merged = profile_over_store(spark, os.path.join(base, "store"))
+        aggs = []
+        for c in cols:
+            aggs.append(
+                F.expr(
+                    "cast(round(hll_sketch_estimate(hll_sketch_agg("
+                    f"cast(`{c}` as string)))) as bigint)"
+                ).alias(f"__os_{c}")
+            )
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__ex_{c}"))
+        one = docs.agg(*aggs)
+        ref = None
+        for c in cols:
+            row = one.select(
+                F.lit(c).alias("column"),
+                F.col(f"__os_{c}").alias("__oneshot"),
+                F.col(f"__ex_{c}").alias("__exact"),
+            )
+            ref = row if ref is None else ref.unionByName(row)
+        rows = (
+            merged.join(ref, "column")
+            .select(
+                "column",
+                "n_rows",
+                "n_nulls",
+                (
+                    F.abs(F.col("approx_distinct") - F.col("__exact"))
+                    <= 0.05 * F.col("__exact")
+                ).alias("hll_ok"),
+                (
+                    F.abs(F.col("approx_distinct") - F.col("__oneshot"))
+                    <= 0.02 * F.col("__oneshot")
+                ).alias("merge_close"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, "
+        "hll_ok boolean, merge_close boolean",
     )
 
 

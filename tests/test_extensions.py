@@ -3021,3 +3021,62 @@ def test_kcenter_k_capped_at_n(spark):
     )
     centers = kcenter_coreset(df, "vec_id", "embedding", k=10).collect()
     assert sorted(r["vec_id"] for r in centers) == [1, 2]
+
+
+def test_incremental_profile_merge_and_replay(spark, tmp_path):
+    from mongo_es_spark.operators.profile import (
+        incremental_profile,
+        profile_over_store,
+    )
+
+    store = str(tmp_path / "prof")
+    b0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, s string"
+    )
+    b1 = spark.createDataFrame(
+        [(4, "a"), (5, "c"), (6, None)], "id long, s string"
+    )
+    incremental_profile(spark, b0, store, ["id", "s"])
+    incremental_profile(spark, b1, store, ["id", "s"])
+    got = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["approx_distinct"])
+        for r in profile_over_store(spark, store).collect()
+    }
+    assert got["id"] == (6, 0, 6)     # tiny cardinalities: HLL exact
+    assert got["s"] == (6, 2, 3)      # nulls excluded from the sketch
+    # replay: same content appends nothing
+    n = spark.read.parquet(store).count()
+    incremental_profile(spark, b1, store, ["id", "s"])
+    assert spark.read.parquet(store).count() == n
+
+
+def test_streaming_profile_drain(spark, tmp_path):
+    import os as _os
+
+    from mongo_es_spark.operators.profile import profile_over_store
+    from mongo_es_spark.streaming.profile import run_streaming_profile
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import json as _json
+
+    for ix in range(3):
+        f = feed / f"b{ix}.json"
+        with open(f, "w") as fh:
+            for k in range(ix * 10, ix * 10 + 10):
+                fh.write(_json.dumps({"id": k, "s": f"v{k % 7}"}) + "\n")
+        _os.utime(f, (1_700_000_000 + ix * 60,) * 2)
+    stream = spark.readStream.schema("id long, s string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(feed))
+    store = str(tmp_path / "store")
+    q = run_streaming_profile(
+        spark, stream, store, str(tmp_path / "ckpt"), ["id", "s"]
+    )
+    q.awaitTermination(120)
+    got = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["approx_distinct"])
+        for r in profile_over_store(spark, store).collect()
+    }
+    assert got["id"] == (30, 0, 30)
+    assert got["s"] == (30, 0, 7)
