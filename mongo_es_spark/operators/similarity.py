@@ -1425,13 +1425,19 @@ def kcenter_coreset(
     Scale shape: the classic greedy is inherently ``k`` passes — each
     round one Arrow-batched distance kernel against the SINGLE new
     center (a broadcast d-vector, not driver-sized state) updates a
-    running min-distance column, then one max-reduction picks the
-    farthest point.  Work is ``O(k * n * d)`` with ``k`` scans; the
-    running state is one double per row, flattened every
-    ``checkpoint_every`` rounds so lineage stays bounded.  For
-    k >> 100 at 100 TB the standard move is pre-reduction to cell
-    representatives via :func:`kmeans_clusters` and running k-center
-    over reps — composition, not a different operator.
+    running min-distance column, eagerly materialized so every round
+    evaluates exactly ONE kernel pass over cached state (a stacked-
+    lineage version re-ran up to ``checkpoint_every`` kernels per
+    action — measured 683 s vs ~2 passes/round at 2M vectors).  The
+    next round's farthest-point row doubles as the previous round's
+    cover radius, so each round is one materialization plus one
+    TakeOrdered — no separate radius aggregation.  Work is
+    ``O(k * n * d)`` with ``k`` scans; running state is one double
+    per row.  For k >> 100 at 100 TB the standard move is
+    pre-reduction to cell representatives via :func:`kmeans_clusters`
+    and running k-center over reps — composition, not a different
+    operator.  ``checkpoint_every`` is retained for API
+    compatibility; materialization is now per round.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -1461,6 +1467,7 @@ def kcenter_coreset(
         return pandas_udf(kernel, "double")
 
     out_rows = []
+    prev_id = None
     for r in range(k):
         if r == 0:
             row = state.orderBy(F.col("doc").asc()).limit(1).head()
@@ -1472,14 +1479,16 @@ def kcenter_coreset(
                 .limit(1)
                 .head()
             )
+            # the farthest point's distance IS the cover radius after
+            # the previous round's center was added
+            out_rows.append((prev_id, r - 1, float(row["__mind"])))
+        prev_id = int(row["doc"])
         dist = dist_kernel_for(row["v"])
         state = state.withColumn(
             "__mind", F.least(F.col("__mind"), dist(F.col("v")))
-        )
-        if (r + 1) % checkpoint_every == 0 or r == k - 1:
-            state = state.localCheckpoint(eager=True)
-        radius = state.agg(F.max("__mind").alias("m")).head()["m"]
-        out_rows.append((int(row["doc"]), r, float(radius)))
+        ).localCheckpoint(eager=True)
+    radius = state.agg(F.max("__mind").alias("m")).head()["m"]
+    out_rows.append((prev_id, k - 1, float(radius)))
 
     spark = df.sparkSession
     centers = spark.createDataFrame(

@@ -4363,7 +4363,6 @@ def similarity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     center an input point."""
     from pyspark.sql.window import Window
 
-    from .operators.dedup import cosine_col
     from .operators.similarity import kcenter_coreset
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4381,23 +4380,42 @@ def similarity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("__n_in")
     )
     n_centers = centers.agg(F.count("*").alias("n_centers"))
-    cvecs = emb.join(centers.select("vec_id"), "vec_id", "left_semi").select(
-        F.col("embedding").cast("array<double>").alias("cv")
+    # unrolled JVM re-derivation (the kmeans-certification lesson:
+    # HOF cosines evaluate interpreted per element); center vectors
+    # become literal arrays, min-over-centers and max-over-points in
+    # one codegen'd pass with no join at all
+    import numpy as _np
+
+    cvec_rows = (
+        emb.join(centers.select("vec_id"), "vec_id", "left_semi")
+        .select(F.col("embedding").cast("array<double>").alias("cv"))
+        .collect()
     )
+    cmat = [
+        _np.asarray(r["cv"], dtype=float)
+        / max(float(_np.linalg.norm(r["cv"])), 1e-12)
+        for r in cvec_rows
+    ]
+    d = len(cmat[0])
     pts = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    mind = (
-        pts.crossJoin(F.broadcast(cvecs))
-        .select(
-            "vec_id",
-            (F.lit(1.0) - cosine_col(F.col("v"), F.col("cv"))).alias(
-                "__d"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("__d").alias("__mind"))
-        .agg(F.max("__mind").alias("__recomputed"))
+    sq = F.element_at("v", 1) * F.element_at("v", 1)
+    for i in range(1, d):
+        sq = sq + F.element_at("v", i + 1) * F.element_at("v", i + 1)
+    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
+
+    def _dot(ws):
+        acc = F.element_at("v", 1) * F.lit(float(ws[0]))
+        for i in range(1, d):
+            acc = acc + F.element_at("v", i + 1) * F.lit(float(ws[i]))
+        return acc
+
+    mind_expr = F.least(
+        *[F.lit(1.0) - _dot(c) / norm for c in cmat]
+    )
+    mind = pts.select(mind_expr.alias("__mind")).agg(
+        F.max("__mind").alias("__recomputed")
     )
     last = (
         centers.orderBy(F.col("round").desc())
