@@ -535,3 +535,50 @@ def test_ann_batch_is_cell_equijoin_with_group_limit(spark):
     assert "WindowGroupLimit" in plan
     # the probe explode joins on cell
     assert "cell" in plan
+
+
+def test_layout_zorder_no_shuffle_broadcast_bounds(spark):
+    # the DATA path is one scan + project; the only Exchange is the
+    # SinglePartition gather of the 4-long bounds row, which then
+    # rides a BroadcastExchange back — never a shuffle of the events
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["layout_zorder"](spark, SF))
+    assert n_exchanges(plan) == 1
+    assert "SinglePartition" in plan
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(event_id" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_no_window_hash_keyed(spark):
+    # winner election must be a hash aggregation on the 128-bit chunk
+    # key — never a Window over the occurrence frame, and chunk TEXT
+    # must not ride a shuffle as a key
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_line_dedup"](spark, SF))
+    assert "Window" not in plan or "WindowGroupLimit" in plan
+    assert "hashpartitioning(__h1" in plan
+    assert "hashpartitioning(chunk_text" not in plan
+
+
+def test_edit_distance_no_levenshtein_before_candidates(spark):
+    # the DP must run on rep pairs AFTER the banded candidate join —
+    # a plan that evaluates levenshtein inside a cartesian/broadcast
+    # of the corpus would be the quadratic mistake
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dedup_edit_distance"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    from mongo_es_spark.operators.similarity import kmeans_clusters
+
+    emb = load_table(spark, SF, "embeddings")
+    assigned, _C = kmeans_clusters(emb, "vec_id", "embedding", k=4)
+    plan = plan_of(assigned)
+    assert n_exchanges(plan) == 0
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
