@@ -542,6 +542,7 @@ _DRIVER_PRIORITY = [
     "dedup_semantic_keep_best",
     "similarity_kcenter",
     "profile_incremental",
+    "streaming_funnel",
     "similarity_ann_batch",
     "table_profile_approx",
     "table_quantiles_approx",
@@ -4554,6 +4555,74 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
     )
     return funnel(ev, "user_id", "ts_ms", ("signup", "click", "purchase"))
+
+
+_FUNNEL_ORACLE = REGISTRY["events_funnel"][1]
+
+
+@register("streaming_funnel", _FUNNEL_ORACLE)
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel maintained through Structured Streaming
+    under the batch query's hard oracle: events replay as a
+    ts-ORDERED file feed (3 ascending time slices, one per trigger —
+    greedy-incremental equals batch greedy-earliest when each user's
+    events arrive in ts order), per-user funnel state advances in
+    applyInPandasWithState, and the latest-wins snapshot must equal
+    the one-shot batch operator row for row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .streaming.funnel import funnel_snapshot, run_streaming_funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_type",
+    )
+    t1, t2 = ev.approxQuantile("ts_ms", [0.33, 0.66], 0.001)
+    base = tempfile.mkdtemp(prefix="funnel_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        slices = [
+            ev.filter(F.col("ts_ms") <= t1),
+            ev.filter((F.col("ts_ms") > t1) & (F.col("ts_ms") <= t2)),
+            ev.filter(F.col("ts_ms") > t2),
+        ]
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(feed)
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts_ms long, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_streaming_funnel(
+            spark,
+            stream,
+            ("signup", "click", "purchase"),
+            os.path.join(base, "sink"),
+            os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming funnel drain exceeded 300 s")
+        rows = funnel_snapshot(
+            spark, os.path.join(base, "sink"), 3
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, step1_ms long, step2_ms long, step3_ms long, "
+        "converted boolean",
+    )
 
 
 @register(

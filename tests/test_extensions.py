@@ -3080,3 +3080,58 @@ def test_streaming_profile_drain(spark, tmp_path):
     }
     assert got["id"] == (30, 0, 30)
     assert got["s"] == (30, 0, 7)
+
+
+def test_streaming_funnel_cross_batch_and_late(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from mongo_es_spark.streaming.funnel import (
+        funnel_snapshot,
+        run_streaming_funnel,
+    )
+
+    feed = tmp_path / "ffeed"
+    feed.mkdir()
+    # user 1 converts across batches; user 2's purchase precedes its
+    # click (never converts); user 3's batch-2 signup is LATE (behind
+    # its own high-water mark) and must be dropped, not spliced
+    b0 = [
+        (1, 100, 1000, "signup"), (2, 101, 1000, "signup"),
+        (2, 102, 1500, "purchase"), (3, 103, 5000, "signup"),
+    ]
+    b1 = [
+        (1, 200, 2000, "click"), (2, 201, 2500, "click"),
+        (3, 202, 1000, "signup"),          # late for user 3
+        (1, 203, 3000, "purchase"),
+    ]
+    for ix, rows in enumerate([b0, b1]):
+        f = feed / f"b{ix}.json"
+        with open(f, "w") as fh:
+            for u, e, t, ty in rows:
+                fh.write(_json.dumps(
+                    {"user_id": u, "event_id": e, "ts_ms": t,
+                     "event_type": ty}) + "\n")
+        _os.utime(f, (1_700_000_000 + ix * 60,) * 2)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts_ms long, event_type string"
+    ).option("maxFilesPerTrigger", 1).json(str(feed))
+    sink = str(tmp_path / "fsink")
+    q = run_streaming_funnel(
+        spark, stream, ("signup", "click", "purchase"),
+        sink, str(tmp_path / "fckpt"),
+    )
+    q.awaitTermination(120)
+    snap = {
+        r["user_id"]: (r["step1_ms"], r["step2_ms"], r["step3_ms"],
+                       r["converted"])
+        for r in funnel_snapshot(spark, sink, 3).collect()
+    }
+    assert snap[1] == (1000, 2000, 3000, True)
+    assert snap[2] == (1000, 2500, None, False)   # purchase-before-click
+    assert snap[3] == (5000, None, None, False)
+    # the late signup was dropped and surfaced in the counter
+    log = spark.read.parquet(sink)
+    assert log.filter(
+        (F.col("user_id") == 3) & (F.col("late") == 1)
+    ).count() == 1
