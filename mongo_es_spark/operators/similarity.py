@@ -1495,3 +1495,37 @@ def kcenter_coreset(
         out_rows, f"{id_col} long, round int, radius_after double"
     )
     return centers
+
+
+def kcenter_over_reps(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    n_cells: int = 256,
+    seed: int = 7,
+):
+    """The large-``k`` / large-``n`` k-center path the
+    :func:`kcenter_coreset` docstring promises: pre-reduce the corpus
+    to one representative input point per k-means cell (the min-id
+    member — a REAL row, so every chosen center is an input point),
+    then run the exact greedy over the ``<= n_cells`` reps.  The
+    triangle inequality bounds the loss: the full-corpus cover radius
+    of the chosen centers is at most the rep-level radius plus the
+    max point-to-representative distance, both measurable in one
+    pass — the registered query certifies exactly that bound.
+
+    Returns ``(centers, assigned)``: the greedy's
+    ``(id, round, radius_after)`` frame (radii over REPS), plus the
+    cell assignment frame ``(id, cluster, sim)`` so callers can
+    derive the point->rep map without re-clustering.
+    """
+    assigned, _C = kmeans_clusters(
+        df, id_col, vec_col, k=n_cells, seed=seed
+    )
+    rep_ids = assigned.groupBy("cluster").agg(
+        F.min(id_col).alias(id_col)
+    )
+    reps = df.join(rep_ids, id_col, "left_semi")
+    centers = kcenter_coreset(reps, id_col, vec_col, k=k)
+    return centers, assigned

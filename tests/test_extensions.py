@@ -3135,3 +3135,24 @@ def test_streaming_funnel_cross_batch_and_late(spark, tmp_path):
     assert log.filter(
         (F.col("user_id") == 3) & (F.col("late") == 1)
     ).count() == 1
+
+
+def test_kcenter_over_reps_composition(spark):
+    from mongo_es_spark.operators.similarity import kcenter_over_reps
+
+    # three tight clusters, 30 points: reps reduce to <= n_cells
+    # input points, greedy still lands one center per cluster
+    rows = []
+    for base, direc in [(0, (1.0, 0.0, 0.0)), (100, (0.0, 1.0, 0.0)),
+                        (200, (0.0, 0.0, 1.0))]:
+        for i in range(10):
+            rows.append((base + i, [direc[0] + 0.001 * i, direc[1],
+                                    direc[2]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers, assigned = kcenter_over_reps(
+        df, "vec_id", "embedding", k=3, n_cells=8
+    )
+    ids = sorted(r["vec_id"] for r in centers.collect())
+    assert len(ids) == 3
+    assert {i // 100 for i in ids} == {0, 1, 2}
+    assert assigned.count() == 30
