@@ -45,12 +45,42 @@ def zorder_frame(
 ) -> DataFrame:
     """Append the Morton code ``z`` of ``(x_col, y_col)`` (both
     integral) to every row.  ``bits`` bits per dimension — ``z`` in
-    ``[0, 4^bits)``."""
+    ``[0, 4^bits)``.
+
+    Domain-width guard: the exact bucket rank multiplies the span by
+    ``2^bits - 1`` in 64-bit integer arithmetic, so a span wider than
+    ``(2^63 - 1) / (2^bits - 1)`` (~3.6e16 at the default 8 bits —
+    e.g. epoch-NANOSECOND timestamps spanning > ~14 months) would
+    silently wrap under non-ANSI Spark and emit garbage codes.  The
+    guard raises at evaluation time instead (a ``raise_error``
+    branch inside the one-row bounds frame — no extra pass);
+    pre-scale such columns (ns -> ms is the registered query's move)
+    before z-ordering."""
+    m = (1 << bits) - 1
+    cap = ((1 << 63) - 1) // m
+
+    def _guarded(lo, hi, name):
+        # evaluated inside the 1-row bounds frame: no extra pass
+        return F.when(
+            F.col(hi) - F.col(lo) > F.lit(cap),
+            F.raise_error(
+                F.lit(
+                    f"zorder_frame: span of {name} exceeds the exact "
+                    f"{m}x bucket multiply — pre-scale the column"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(lo))
+
     bounds = df.agg(
         F.min(x_col).alias("__xlo"),
         F.max(x_col).alias("__xhi"),
         F.min(y_col).alias("__ylo"),
         F.max(y_col).alias("__yhi"),
+    ).select(
+        _guarded("__xlo", "__xhi", x_col).alias("__xlo"),
+        "__xhi",
+        _guarded("__ylo", "__yhi", y_col).alias("__ylo"),
+        "__yhi",
     )
     j = df.crossJoin(F.broadcast(bounds))
     sx = _scaled(x_col, "__xlo", "__xhi", bits)

@@ -290,13 +290,27 @@ def key_skew_profile(
 
 
 def _prof_store_digest(batch_df: DataFrame, columns: Sequence[str]):
+    """Order-independent, MULTIPLICITY-SENSITIVE batch digest.  A
+    plain XOR of per-row hashes cancels any row with even
+    multiplicity (two copies of the same row digest to 0 — and
+    profile batches have no id column to break ties), so distinct
+    batches could collide and be skipped as replays.  Folding each
+    distinct row hash WITH its count first makes duplicate rows
+    contribute, at the cost of one batch-sized aggregation —
+    which the profile pass performs anyway."""
     return int(
-        batch_df.agg(
+        batch_df.select(
+            F.xxhash64(*[F.col(c) for c in columns]).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.count("*").alias("__k"))
+        .agg(
             F.coalesce(
-                F.bit_xor(F.xxhash64(*[F.col(c) for c in columns])),
+                F.bit_xor(F.xxhash64(F.col("__h"), F.col("__k"))),
                 F.lit(0),
             ).alias("t")
-        ).head()["t"]
+        )
+        .head()["t"]
     )
 
 

@@ -1266,6 +1266,8 @@ def kmeans_clusters(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     sample = base.select("__v").limit(train_sample).toPandas()
+    if len(sample) == 0:
+        raise ValueError("kmeans_clusters: empty input (nothing to train on)")
     X = np.asarray(sample["__v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, k, seed, iters=iters)
 
@@ -1449,6 +1451,11 @@ def kcenter_coreset(
         "__mind", F.lit(float("inf"))
     ).localCheckpoint(eager=True)
     n = state.count()
+    if n == 0:
+        # empty in, empty out — not a None-radius crash
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, round int, radius_after double"
+        )
     k = min(k, n)
 
     def dist_kernel_for(center):
@@ -1510,10 +1517,12 @@ def kcenter_over_reps(
     to one representative input point per k-means cell (the min-id
     member — a REAL row, so every chosen center is an input point),
     then run the exact greedy over the ``<= n_cells`` reps.  The
-    triangle inequality bounds the loss: the full-corpus cover radius
-    of the chosen centers is at most the rep-level radius plus the
-    max point-to-representative distance, both measurable in one
-    pass — the registered query certifies exactly that bound.
+    triangle inequality (in the CHORD metric ``sqrt(2(1-cos))`` —
+    ``1-cos`` itself is not a metric) bounds the loss: the
+    full-corpus cover radius r_full of the chosen centers satisfies
+    ``sqrt(r_full) <= sqrt(r_rep) + sqrt(max_p2r)``, both terms
+    measurable in one pass — the registered query certifies exactly
+    that bound.
 
     Returns ``(centers, assigned)``: the greedy's
     ``(id, round, radius_after)`` frame (radii over REPS), plus the

@@ -2405,9 +2405,8 @@ def incremental_boilerplate(
         .localCheckpoint(eager=True)
     )
     if not replay:
-        batch_counts.withColumn("__batch", F.lit(tag)).write.mode(
-            "append"
-        ).parquet(store_path)
+        # sidecar FIRST (see incremental_line_dedup: a crash between
+        # the two writes must not leave a populated, unguarded store)
         if params is None:
             spark.range(1).select(
                 F.lit(int(chunk_words)).cast("int").alias("chunk_words"),
@@ -2415,6 +2414,9 @@ def incremental_boilerplate(
             ).coalesce(1).write.mode("overwrite").parquet(
                 _bp_params_path(store_path)
             )
+        batch_counts.withColumn("__batch", F.lit(tag)).write.mode(
+            "append"
+        ).parquet(store_path)
     return out
 
 
@@ -2832,13 +2834,18 @@ def incremental_line_dedup(
         .localCheckpoint(eager=True)
     )
     if not replay:
-        win.select("__h1", "__h2").withColumn(
-            "__batch", F.lit(tag)
-        ).write.mode("append").parquet(store_path)
+        # sidecar FIRST: a crash after the store append but before the
+        # params write would leave a populated store permanently
+        # unguarded against the width mismatch the sidecar exists to
+        # prevent (sidecar-then-crash is harmless — the store is
+        # still empty)
         if params is None:
             spark.range(1).select(
                 F.lit(int(chunk_words)).cast("int").alias("chunk_words")
             ).coalesce(1).write.mode("overwrite").parquet(
                 _ld_params_path(store_path)
             )
+        win.select("__h1", "__h2").withColumn(
+            "__batch", F.lit(tag)
+        ).write.mode("append").parquet(store_path)
     return out

@@ -580,6 +580,33 @@ def _verdict_frame(spark: SparkSession, cols) -> DataFrame:
     )
 
 
+def _unrolled_cosines(vec_col: str, centers) -> list:
+    """Cosine of ``vec_col`` (array<double>) against each center row,
+    as UNROLLED whole-stage-codegen expressions (d*k multiply-adds
+    sharing one norm).  aggregate/zip_with HOF lambdas evaluate
+    interpreted per element — measured ~2x slower on the 200k-vector
+    k-means certification (the quantize lesson) — so every
+    certification pass shares this one builder.  Centers re-normalize
+    driver-side; the row norm floors at 1e-12."""
+    import numpy as _np
+
+    C = [_np.asarray(c, dtype=float) for c in centers]
+    C = [c / max(float(_np.linalg.norm(c)), 1e-12) for c in C]
+    d = len(C[0])
+    v = F.col(vec_col)
+    sq = F.element_at(v, 1) * F.element_at(v, 1)
+    for i in range(1, d):
+        sq = sq + F.element_at(v, i + 1) * F.element_at(v, i + 1)
+    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
+    outs = []
+    for c in C:
+        acc = F.element_at(v, 1) * F.lit(float(c[0]))
+        for i in range(1, d):
+            acc = acc + F.element_at(v, i + 1) * F.lit(float(c[i]))
+        outs.append(acc / norm)
+    return outs
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: REGISTRY[name][0] for name in _export_order()}
 
@@ -1312,25 +1339,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # UNROLLED dot products (d*k codegen'd multiply-adds), not the
-    # aggregate/zip_with HOF form: HOF lambdas evaluate interpreted
-    # per element (the quantize lesson) — measured 27 s -> 16 s for
-    # the full 200k-vector certification at the 100x replica.
-    # Certification stays a full-corpus pass; the operator itself is
-    # the linear part (6 s at 200k).
-    d = C.shape[1]
-
-    def _unrolled_dot(ws):
-        acc = F.element_at("v", 1) * F.lit(float(ws[0]))
-        for i in range(1, d):
-            acc = acc + F.element_at("v", i + 1) * F.lit(float(ws[i]))
-        return acc
-
-    sq = F.element_at("v", 1) * F.element_at("v", 1)
-    for i in range(1, d):
-        sq = sq + F.element_at("v", i + 1) * F.element_at("v", i + 1)
-    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
-    sims = F.array(*[_unrolled_dot(c) / norm for c in C])
+    # unrolled codegen dots via the shared certification builder —
+    # measured 27 s -> 16 s for the full 200k-vector check at the
+    # 100x replica; the operator itself is the linear part (6 s).
+    sims = F.array(*_unrolled_cosines("v", list(C)))
     joined = assigned.join(base, "vec_id").select(
         "cluster",
         "sim",
@@ -4382,39 +4394,22 @@ def similarity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("__n_in")
     )
     n_centers = centers.agg(F.count("*").alias("n_centers"))
-    # unrolled JVM re-derivation (the kmeans-certification lesson:
-    # HOF cosines evaluate interpreted per element); center vectors
-    # become literal arrays, min-over-centers and max-over-points in
-    # one codegen'd pass with no join at all
-    import numpy as _np
-
+    # unrolled codegen re-derivation via the shared builder: center
+    # vectors become literal arrays, min-over-centers and
+    # max-over-points in one pass with no join at all
     cvec_rows = (
         emb.join(centers.select("vec_id"), "vec_id", "left_semi")
         .select(F.col("embedding").cast("array<double>").alias("cv"))
         .collect()
     )
-    cmat = [
-        _np.asarray(r["cv"], dtype=float)
-        / max(float(_np.linalg.norm(r["cv"])), 1e-12)
-        for r in cvec_rows
-    ]
-    d = len(cmat[0])
     pts = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sq = F.element_at("v", 1) * F.element_at("v", 1)
-    for i in range(1, d):
-        sq = sq + F.element_at("v", i + 1) * F.element_at("v", i + 1)
-    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
-
-    def _dot(ws):
-        acc = F.element_at("v", 1) * F.lit(float(ws[0]))
-        for i in range(1, d):
-            acc = acc + F.element_at("v", i + 1) * F.lit(float(ws[i]))
-        return acc
-
     mind_expr = F.least(
-        *[F.lit(1.0) - _dot(c) / norm for c in cmat]
+        *[
+            F.lit(1.0) - c
+            for c in _unrolled_cosines("v", [r["cv"] for r in cvec_rows])
+        ]
     )
     mind = pts.select(mind_expr.alias("__mind")).agg(
         F.max("__mind").alias("__recomputed")
@@ -4460,13 +4455,13 @@ def similarity_kcenter_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     certify (1) every chosen center is an input point, (2) the
     FULL-corpus cover radius (re-derived with unrolled codegen dots
     against the chosen centers) is >= the rep-level radius the greedy
-    reported, and (3) the triangle-inequality loss bound holds:
-    full_radius <= rep_radius + max point-to-representative
-    distance."""
+    reported, and (3) the triangle-inequality loss bound holds in the
+    CHORD metric — cosine distance d = 1-cos is not itself a metric
+    (1-cos(a+b) > (1-cos a)+(1-cos b)), but chord = sqrt(2d) is, so
+    the sound bound is sqrt(full) <= sqrt(rep) + sqrt(p2r), i.e.
+    full_radius <= (sqrt(rep_radius) + sqrt(max_p2r))^2."""
     from .operators.dedup import cosine_pairs_col
     from .operators.similarity import kcenter_over_reps
-
-    import numpy as _np
 
     emb = load_table(spark, sf_dir, "embeddings")
     centers, assigned = kcenter_over_reps(
@@ -4486,30 +4481,18 @@ def similarity_kcenter_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").cast("array<double>").alias("cv"))
         .collect()
     )
-    cmat = [
-        _np.asarray(r["cv"], dtype=float)
-        / max(float(_np.linalg.norm(r["cv"])), 1e-12)
-        for r in cvec_rows
-    ]
-    d = len(cmat[0])
     pts = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sq = F.element_at("v", 1) * F.element_at("v", 1)
-    for i in range(1, d):
-        sq = sq + F.element_at("v", i + 1) * F.element_at("v", i + 1)
-    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
-
-    def _dot(ws):
-        acc = F.element_at("v", 1) * F.lit(float(ws[0]))
-        for i in range(1, d):
-            acc = acc + F.element_at("v", i + 1) * F.lit(float(ws[i]))
-        return acc
-
     full = pts.select(
-        F.least(*[F.lit(1.0) - _dot(c) / norm for c in cmat]).alias(
-            "__mind"
-        )
+        F.least(
+            *[
+                F.lit(1.0) - c
+                for c in _unrolled_cosines(
+                    "v", [r["cv"] for r in cvec_rows]
+                )
+            ]
+        ).alias("__mind")
     ).agg(F.max("__mind").alias("__full_r"))
     # max point -> its cell representative distance (Arrow pairwise)
     rep_ids = assigned.groupBy("cluster").agg(
@@ -4548,7 +4531,11 @@ def similarity_kcenter_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (
                 F.col("__full_r")
-                <= F.col("__rep_r") + F.col("__max_p2r") + F.lit(1e-9)
+                <= (
+                    F.sqrt(F.greatest(F.col("__rep_r"), F.lit(0.0)))
+                    + F.sqrt(F.greatest(F.col("__max_p2r"), F.lit(0.0)))
+                ) ** 2
+                + F.lit(1e-9)
             ).alias("triangle_bound_holds"),
         )
     )

@@ -3073,7 +3073,7 @@ def test_streaming_profile_drain(spark, tmp_path):
     q = run_streaming_profile(
         spark, stream, store, str(tmp_path / "ckpt"), ["id", "s"]
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {
         r["column"]: (r["n_rows"], r["n_nulls"], r["approx_distinct"])
         for r in profile_over_store(spark, store).collect()
@@ -3121,7 +3121,7 @@ def test_streaming_funnel_cross_batch_and_late(spark, tmp_path):
         spark, stream, ("signup", "click", "purchase"),
         sink, str(tmp_path / "fckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     snap = {
         r["user_id"]: (r["step1_ms"], r["step2_ms"], r["step3_ms"],
                        r["converted"])
@@ -3156,3 +3156,55 @@ def test_kcenter_over_reps_composition(spark):
     assert len(ids) == 3
     assert {i // 100 for i in ids} == {0, 1, 2}
     assert assigned.count() == 30
+
+
+def test_profile_digest_sensitive_to_even_multiplicity(spark, tmp_path):
+    # regression: two different batches whose rows all have even
+    # multiplicity must NOT collide (a plain XOR digests both to 0)
+    from mongo_es_spark.operators.profile import (
+        incremental_profile,
+        profile_over_store,
+    )
+
+    store = str(tmp_path / "prof")
+    a = spark.createDataFrame([("a",), ("a",)], "s string")
+    b = spark.createDataFrame([("b",), ("b",)], "s string")
+    incremental_profile(spark, a, store, ["s"])
+    incremental_profile(spark, b, store, ["s"])
+    got = {
+        r["column"]: (r["n_rows"], r["approx_distinct"])
+        for r in profile_over_store(spark, store).collect()
+    }
+    assert got["s"] == (4, 2)
+    # true replay of an even-multiplicity batch is still a no-op
+    n = spark.read.parquet(store).count()
+    incremental_profile(spark, a, store, ["s"])
+    assert spark.read.parquet(store).count() == n
+
+
+def test_zorder_refuses_overflowing_domain(spark):
+    import pytest
+
+    from mongo_es_spark.operators.layout import zorder_frame
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, (1 << 62))], "rid long, x long, y long"
+    )
+    with pytest.raises(Exception, match="pre-scale"):
+        zorder_frame(df, "x", "y", bits=8).collect()
+
+
+def test_kcenter_and_kmeans_empty_input(spark):
+    import pytest
+
+    from mongo_es_spark.operators.similarity import (
+        kcenter_coreset,
+        kmeans_clusters,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert kcenter_coreset(empty, "vec_id", "embedding", k=4).count() == 0
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_clusters(empty, "vec_id", "embedding", k=4)
