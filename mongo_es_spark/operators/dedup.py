@@ -1388,15 +1388,62 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _mask_stack(vs) -> tuple[np.ndarray, np.ndarray]:
+    """Null-tolerant Arrow-batch assembly: the dense (m, d) float64
+    matrix of the NON-NULL vectors in ``vs`` plus their integer
+    positions.  A single NULL embedding must not turn the whole batch
+    into a ragged object array and abort the job (the null-in/null-out
+    contract ``quantize_embeddings`` pins); callers scatter per-row
+    results back through the index with :func:`_scatter`."""
+    idx = np.asarray(
+        [i for i, v in enumerate(vs) if v is not None], dtype=np.int64
+    )
+    if len(idx) == 0:
+        return np.empty((0, 0), dtype=np.float64), idx
+    vals = list(vs)
+    M = np.asarray(
+        [np.asarray(vals[i], dtype=np.float64) for i in idx]
+    )
+    return M, idx
+
+
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """L2-normalize matrix rows (zero rows floor at 1e-12)."""
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _scatter(n: int, idx: np.ndarray, values) -> pd.Series:
+    """Scatter kernel outputs for the non-null rows back to their batch
+    positions, None elsewhere.  Fast path: a batch with no nulls keeps
+    its numpy dtype (the common case pays nothing for the mask)."""
+    if len(idx) == n:
+        return pd.Series(list(values)) if getattr(
+            values, "ndim", 1
+        ) > 1 else pd.Series(values)
+    out = np.full(n, None, dtype=object)
+    for j, i in enumerate(idx):
+        out[i] = values[j]
+    return pd.Series(out, dtype=object)
+
+
 def _cosine_pairs_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
     if len(va) == 0:
         return pd.Series(np.empty(0, dtype=np.float64))
-    A = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
-    B = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+    A, ia = _mask_stack(va)
+    B, ib = _mask_stack(vb)
+    # a pair is scored only where BOTH sides are non-null; either side
+    # NULL -> NULL cosine (null-in/null-out, not a batch abort)
+    both = np.intersect1d(ia, ib)
+    if len(both) < len(va):
+        pos_a = {int(i): j for j, i in enumerate(ia)}
+        pos_b = {int(i): j for j, i in enumerate(ib)}
+        A = A[[pos_a[int(i)] for i in both]] if len(both) else A[:0]
+        B = B[[pos_b[int(i)] for i in both]] if len(both) else B[:0]
     na, nb = np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
     denom = na * nb
     denom[denom == 0.0] = np.nan
-    return pd.Series(np.einsum("ij,ij->i", A, B) / denom)
+    cos = np.einsum("ij,ij->i", A, B) / denom
+    return _scatter(len(va), both, cos)
 
 
 def cosine_pairs_col(a: Column, b: Column) -> Column:
@@ -1411,7 +1458,12 @@ def _block_pair_cosine(threshold: float):
     interpreted dot products."""
 
     def _unpack(items) -> tuple[np.ndarray, np.ndarray]:
+        # a null vector matches nothing — drop it here rather than let
+        # one NULL ragged-array the block and abort the job
+        items = [it for it in items if it["v"] is not None]
         ids = np.asarray([it["doc"] for it in items], dtype=np.int64)
+        if not items:
+            return ids, np.empty((0, 0), dtype=np.float64)
         X = np.asarray([np.asarray(it["v"], dtype=np.float64) for it in items])
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0.0] = np.inf  # zero vectors match nothing
@@ -1426,6 +1478,8 @@ def _block_pair_cosine(threshold: float):
                     ids_b, Xb = ids_a, Xa
                 else:
                     ids_b, Xb = _unpack(row["items_b"])
+                if len(ids_a) == 0 or len(ids_b) == 0:
+                    continue  # all-null block: no pairs
                 gram = np.round(Xa @ Xb.T, 6)
                 mask = gram >= threshold
                 if same:
@@ -1570,9 +1624,11 @@ def hyperplane_signature(
         W = rng.standard_normal((bits, dims))
         if len(vs) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        X, idx = _mask_stack(vs)  # NULL vec -> NULL signature
+        if len(idx) == 0:
+            return pd.Series([None] * len(vs), dtype=object)
         sig = ((X @ W.T > 0).astype(np.int64) << np.arange(bits)).sum(axis=1)
-        return pd.Series(sig)
+        return _scatter(len(vs), idx, sig)
 
     return pandas_udf(kernel, "long")(vec)
 

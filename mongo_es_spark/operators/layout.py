@@ -60,9 +60,14 @@ def zorder_frame(
     cap = ((1 << 63) - 1) // m
 
     def _guarded(lo, hi, name):
-        # evaluated inside the 1-row bounds frame: no extra pass
+        # evaluated inside the 1-row bounds frame: no extra pass.
+        # hi >= lo always (max/min of one column), so a NEGATIVE
+        # 64-bit difference can only be wrap — the true span is in
+        # [2^63, 2^64), far past the cap — raise on that too.  Both
+        # branches are exact integer compares (no float rounding).
+        span = F.col(hi) - F.col(lo)
         return F.when(
-            F.col(hi) - F.col(lo) > F.lit(cap),
+            (span > F.lit(cap)) | (span < F.lit(0)),
             F.raise_error(
                 F.lit(
                     f"zorder_frame: span of {name} exceeds the exact "

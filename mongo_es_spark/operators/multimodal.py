@@ -163,6 +163,12 @@ def _have_ffmpeg() -> bool:
     return _sh.which("ffmpeg") is not None
 
 
+def _have_ffprobe() -> bool:
+    import shutil as _sh
+
+    return _sh.which("ffprobe") is not None
+
+
 def decode_image(df: DataFrame, target_size: tuple[int, int] = (224, 224)):
     """Decode + resize images to fixed-size float tensors.
 
@@ -285,13 +291,15 @@ def decode_video_frames(df: DataFrame, fps: float = 1.0):
     — frames as row-major RGB floats in [0, 1] at the source
     resolution.
 
-    Auto-activates when ``ffmpeg`` is on PATH (rawvideo pipe, frame
-    size parsed from the probe pass); otherwise the documented
-    ``NotImplementedError`` contract stands.  Undecodable payloads
+    Auto-activates when BOTH ``ffmpeg`` and ``ffprobe`` are on PATH
+    (the kernel shells out to ffprobe for the frame size before the
+    rawvideo pipe — a host with ffmpeg-but-not-ffprobe must get the
+    documented ``NotImplementedError`` contract, not a
+    FileNotFoundError inside executor tasks).  Undecodable payloads
     are dropped (see :func:`decode_image`).
     """
-    if not _have_ffmpeg():
-        _stub("decode_video_frames", "ffmpeg")
+    if not (_have_ffmpeg() and _have_ffprobe()):
+        _stub("decode_video_frames", "ffmpeg + ffprobe")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json

@@ -34,6 +34,24 @@ __all__ = [
 ]
 
 
+def _plabels(probs: Sequence[float]) -> list[str]:
+    """Output column labels derived from the probabilities themselves
+    (p50, p90, p99, p99_9, ...) so the ``probs`` parameter actually
+    governs the output — previously the stack hardcoded indices
+    [0..2] labeled p50/p90/p99, which broke on fewer probs and
+    silently mislabeled on different ones."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    labels = []
+    for p in probs:
+        if not (0.0 <= float(p) <= 1.0):
+            raise ValueError(f"prob out of range: {p}")
+        labels.append("p" + f"{float(p) * 100:.10g}".replace(".", "_"))
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate probs: {list(probs)}")
+    return labels
+
+
 def table_quantiles(
     df: DataFrame,
     cols: Sequence[str],
@@ -51,6 +69,7 @@ def table_quantiles(
     call shape.  Output: one row per column, ``(column, p50, p90,
     p99)`` rounded to 6 dp.
     """
+    labels = _plabels(probs)
     aggs = []
     for c in cols:
         aggs.append(
@@ -59,12 +78,13 @@ def table_quantiles(
         )
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', round({c}__q[0], 6), round({c}__q[1], 6), "
-        f"round({c}__q[2], 6)"
+        f"'{c}', "
+        + ", ".join(f"round({c}__q[{i}], 6)" for i in range(len(probs)))
         for c in cols
     )
     return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as (column, p50, p90, p99)"
+        f"stack({len(cols)}, {stack_args}) as "
+        f"(column, {', '.join(labels)})"
     )
 
 
@@ -79,6 +99,7 @@ def table_quantiles_approx(
     error <= n/``accuracy``) instead of exact ``percentile`` — no
     per-partition value buffering, same output shape.  Returns actual
     data values, not interpolations."""
+    labels = _plabels(probs)
     aggs = []
     for c in cols:
         aggs.append(
@@ -90,13 +111,16 @@ def table_quantiles_approx(
         )
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', round(cast({c}__q[0] as double), 6), "
-        f"round(cast({c}__q[1] as double), 6), "
-        f"round(cast({c}__q[2] as double), 6)"
+        f"'{c}', "
+        + ", ".join(
+            f"round(cast({c}__q[{i}] as double), 6)"
+            for i in range(len(probs))
+        )
         for c in cols
     )
     return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as (column, p50, p90, p99)"
+        f"stack({len(cols)}, {stack_args}) as "
+        f"(column, {', '.join(labels)})"
     )
 
 
@@ -114,13 +138,12 @@ def table_quantiles_certified(
     exact counterpart.  At 100 TB the approx plan IS the product;
     this bounded-scale run certifies the sketch ``accuracy`` before
     it is trusted on the full corpus."""
+    labels = _plabels(probs)
     exact = table_quantiles(df, cols, probs)
     approx = table_quantiles_approx(df, cols, probs, accuracy)
     a = approx.select(
         "column",
-        F.col("p50").alias("__a50"),
-        F.col("p90").alias("__a90"),
-        F.col("p99").alias("__a99"),
+        *[F.col(lb).alias(f"__a_{lb}") for lb in labels],
     )
     err = F.lit(float(rel_err))
 
@@ -129,13 +152,14 @@ def table_quantiles_certified(
             F.abs(F.col(ex)), F.lit(1.0)
         )
 
+    all_ok = None
+    for lb in labels:
+        term = ok(lb, f"__a_{lb}")
+        all_ok = term if all_ok is None else (all_ok & term)
     return exact.join(a, "column").select(
         "column",
-        "p50",
-        "p90",
-        "p99",
-        (ok("p50", "__a50") & ok("p90", "__a90") & ok("p99", "__a99"))
-        .alias("approx_ok"),
+        *labels,
+        all_ok.alias("approx_ok"),
     )
 
 

@@ -25,7 +25,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .dedup import cosine_col, hyperplane_signature
+from .dedup import (
+    _mask_stack,
+    _scatter,
+    _unit_rows,
+    cosine_col,
+    hyperplane_signature,
+)
+
+
+def _nearest_cell_kernel(C: np.ndarray):
+    """Arrow kernel factory: nearest-centroid (max-cosine) assignment
+    against the broadcast centroid matrix ``C``.  Null-in/null-out: a
+    NULL embedding yields a NULL cell — masked before the vstack, so
+    one missing vector cannot ragged-array the batch and abort the
+    job (the contract :func:`quantize_embeddings` pins)."""
+
+    def assign_kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        M, idx = _mask_stack(vs)
+        if len(idx) == 0:
+            return pd.Series([None] * len(vs), dtype=object)
+        cells = np.argmax(_unit_rows(M) @ C.T, axis=1).astype(np.int32)
+        return _scatter(len(vs), idx, cells)
+
+    return assign_kernel
 
 
 def _query_vec(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
@@ -298,18 +323,13 @@ def materialize_ivf_index(
     # Arrow path: toPandas ships the sample as columnar batches —
     # a 100k x 64 collect() serializes row-by-row through py4j and
     # measured ~10x slower
-    sample = vecs.select("v").limit(train_sample).toPandas()
+    sample = (  # nulls masked: one missing vector must not ragged-array training
+        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+    )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
 
-    def assign_kernel(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
-
-    assign = pandas_udf(assign_kernel, "int")
+    assign = pandas_udf(_nearest_cell_kernel(C), "int")
     (
         vecs.withColumn("cell", assign(F.col("v")))
         .write.mode("overwrite")
@@ -353,16 +373,7 @@ def append_to_ivf_index(
     existing = spark.read.parquet(f"{path}/vectors").select(id_col)
     fresh = vecs.join(existing, id_col, "left_anti")
 
-    def assign_kernel(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
-        )
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
-
-    assign = pandas_udf(assign_kernel, "int")
+    assign = pandas_udf(_nearest_cell_kernel(C), "int")
     staged = fresh.withColumn("cell", assign(F.col("v"))).localCheckpoint(
         eager=True
     )
@@ -438,18 +449,13 @@ def ann_ivf_topk(
     # Arrow path: toPandas ships the sample as columnar batches —
     # a 100k x 64 collect() serializes row-by-row through py4j and
     # measured ~10x slower
-    sample = vecs.select("v").limit(train_sample).toPandas()
+    sample = (  # nulls masked: one missing vector must not ragged-array training
+        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+    )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
 
-    def assign_kernel(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
-
-    assign = pandas_udf(assign_kernel, "int")
+    assign = pandas_udf(_nearest_cell_kernel(C), "int")
     celled = vecs.withColumn("cell", assign(F.col("v")))
 
     qrow = vecs.filter(F.col(id_col) == query_id).select("v").first()
@@ -518,31 +524,26 @@ def ann_ivf_batch_topk(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    sample = vecs.select("v").limit(train_sample).toPandas()
+    sample = (  # nulls masked: one missing vector must not ragged-array training
+        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+    )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
 
-    def assign_kernel(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
-        )
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
-
     def probe_kernel(vs: pd.Series) -> pd.Series:
+        # null-in/null-out: a NULL query vector gets a NULL probe list
+        # (explode then emits no rows for it) instead of aborting the
+        # batch on a ragged object array
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
-        )
-        S = M @ C.T
+        M, idx = _mask_stack(vs)
+        if len(idx) == 0:
+            return pd.Series([None] * len(vs), dtype=object)
+        S = _unit_rows(M) @ C.T
         order = np.argsort(-S, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+        return _scatter(len(vs), idx, order)
 
-    assign = pandas_udf(assign_kernel, "int")
+    assign = pandas_udf(_nearest_cell_kernel(C), "int")
     probe = pandas_udf(probe_kernel, "array<int>")
     celled = vecs.withColumn("cell", assign(F.col("v")))
     q = queries.select(
@@ -871,7 +872,9 @@ def ann_ivf_pq_topk(
     # Arrow path: toPandas ships the sample as columnar batches —
     # a 100k x 64 collect() serializes row-by-row through py4j and
     # measured ~10x slower
-    sample = vecs.select("v").limit(train_sample).toPandas()
+    sample = (  # nulls masked: one missing vector must not ragged-array training
+        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+    )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
     books = _pq_fit(X, m, ksub, seed)
@@ -881,8 +884,12 @@ def ann_ivf_pq_topk(
     def encode_kernel(vs: pd.Series) -> pd.DataFrame:
         if len(vs) == 0:
             return pd.DataFrame({"cell": [], "codes": []})
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        M, idx = _mask_stack(vs)  # NULL vec -> NULL cell AND codes
+        if len(idx) == 0:
+            return pd.DataFrame(
+                {"cell": [None] * len(vs), "codes": [None] * len(vs)}
+            )
+        M = _unit_rows(M)
         cell = np.argmax(M @ C.T, axis=1).astype(np.int32)
         codes = np.zeros((len(M), m), dtype=np.int32)
         for s in range(m):
@@ -893,7 +900,12 @@ def ann_ivf_pq_topk(
             )
             codes[:, s] = np.argmin(d2, axis=1)
         return pd.DataFrame(
-            {"cell": cell, "codes": [row.tolist() for row in codes]}
+            {
+                "cell": _scatter(len(vs), idx, cell),
+                "codes": _scatter(
+                    len(vs), idx, [row.tolist() for row in codes]
+                ),
+            }
         )
 
     encode = pandas_udf(
@@ -1005,18 +1017,13 @@ def semantic_dedup_frames(
     reps = vm.filter(F.col("doc") == F.col("rep")).select(
         F.col("rep").alias("doc"), "v"
     )
-    sample = reps.select("v").limit(train_sample).toPandas()
+    sample = (
+        reps.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+    )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_clusters, seed)
 
-    def assign_kernel(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
-
-    assign = pandas_udf(assign_kernel, "int")
+    assign = pandas_udf(_nearest_cell_kernel(C), "int")
     clustered = reps.withColumn("cluster", assign(F.col("v")))
 
     a = clustered.select(
@@ -1182,7 +1189,9 @@ def incremental_embedding_pairs(
         for r in cent_rows:
             C[r["cell"]] = r["centroid"]
     else:
-        sample = vecs.select("v").limit(train_sample).toPandas()
+        sample = (  # nulls masked: one missing vector must not ragged-array training
+        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+    )
         X = np.asarray(sample["v"].tolist(), dtype=np.float64)
         C = _kmeans_fit(X, n_clusters, seed)
         spark.createDataFrame(
@@ -1190,14 +1199,7 @@ def incremental_embedding_pairs(
             "cell int, centroid array<double>",
         ).write.parquet(cent_path)
 
-    def assign_kernel(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
-
-    assign = pandas_udf(assign_kernel, "int")
+    assign = pandas_udf(_nearest_cell_kernel(C), "int")
     old = read_parquet_if_exists(spark, vec_path)
     have_store = old is not None
 
@@ -1265,7 +1267,9 @@ def kmeans_clusters(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    sample = base.select("__v").limit(train_sample).toPandas()
+    sample = (
+        base.filter(F.col("__v").isNotNull()).select("__v").limit(train_sample).toPandas()
+    )
     if len(sample) == 0:
         raise ValueError("kmeans_clusters: empty input (nothing to train on)")
     X = np.asarray(sample["__v"].tolist(), dtype=np.float64)
@@ -1279,14 +1283,17 @@ def kmeans_clusters(
                     "sim": pd.Series(dtype="float64"),
                 }
             )
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        S = M @ C.T
+        M, idx = _mask_stack(vs)  # NULL vec -> NULL cluster AND sim
+        if len(idx) == 0:
+            return pd.DataFrame(
+                {"cluster": [None] * len(vs), "sim": [None] * len(vs)}
+            )
+        S = _unit_rows(M) @ C.T
         a = np.argmax(S, axis=1)
         return pd.DataFrame(
             {
-                "cluster": a.astype(np.int32),
-                "sim": S[np.arange(len(a)), a],
+                "cluster": _scatter(len(vs), idx, a.astype(np.int32)),
+                "sim": _scatter(len(vs), idx, S[np.arange(len(a)), a]),
             }
         )
 
@@ -1446,7 +1453,10 @@ def kcenter_coreset(
     base = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+        # a NULL embedding has no distance to anything: drop it here
+        # (documented), rather than crash the Arrow kernel mid-round
+        # or let an inf-__mind null row win the farthest-point argmax
+    ).filter(F.col("v").isNotNull())
     state = base.withColumn(
         "__mind", F.lit(float("inf"))
     ).localCheckpoint(eager=True)
