@@ -1395,16 +1395,21 @@ def _mask_stack(vs) -> tuple[np.ndarray, np.ndarray]:
     into a ragged object array and abort the job (the null-in/null-out
     contract ``quantize_embeddings`` pins); callers scatter per-row
     results back through the index with :func:`_scatter`."""
-    idx = np.asarray(
-        [i for i, v in enumerate(vs) if v is not None], dtype=np.int64
+    vals = vs.to_numpy() if isinstance(vs, pd.Series) else np.asarray(
+        vs, dtype=object
     )
+    null = pd.isna(vals)  # C-level elementwise scan, no Python loop
+    if not null.any():
+        # fast path: the common all-non-null batch pays one bulk copy
+        # (tolist is a C conversion), no interpreted per-element work
+        idx = np.arange(len(vals), dtype=np.int64)
+        if len(vals) == 0:
+            return np.empty((0, 0), dtype=np.float64), idx
+        return np.asarray(vals.tolist(), dtype=np.float64), idx
+    idx = np.flatnonzero(~null).astype(np.int64)
     if len(idx) == 0:
         return np.empty((0, 0), dtype=np.float64), idx
-    vals = list(vs)
-    M = np.asarray(
-        [np.asarray(vals[i], dtype=np.float64) for i in idx]
-    )
-    return M, idx
+    return np.asarray(vals[idx].tolist(), dtype=np.float64), idx
 
 
 def _unit_rows(M: np.ndarray) -> np.ndarray:
@@ -1434,6 +1439,11 @@ def _cosine_pairs_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
     # a pair is scored only where BOTH sides are non-null; either side
     # NULL -> NULL cosine (null-in/null-out, not a batch abort)
     both = np.intersect1d(ia, ib)
+    if len(both) == 0:
+        # one side entirely NULL: its matrix is (0, 0) while the other
+        # subset is (0, d), and einsum would raise on the dim mismatch
+        # — the exact null-induced batch abort this kernel must prevent
+        return pd.Series([None] * len(va), dtype=object)
     if len(both) < len(va):
         pos_a = {int(i): j for j, i in enumerate(ia)}
         pos_b = {int(i): j for j, i in enumerate(ib)}

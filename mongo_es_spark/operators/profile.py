@@ -17,6 +17,7 @@ No reference counterpart (SURVEY §7 step 9).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -46,9 +47,18 @@ def _plabels(probs: Sequence[float]) -> list[str]:
     for p in probs:
         if not (0.0 <= float(p) <= 1.0):
             raise ValueError(f"prob out of range: {p}")
-        labels.append("p" + f"{float(p) * 100:.10g}".replace(".", "_"))
+        # fixed-point, never scientific: 1e-7 must not format as
+        # "1e-05" whose '-' breaks the stack(...) AS (...) alias parse
+        txt = f"{float(p) * 100:.10f}".rstrip("0").rstrip(".")
+        labels.append("p" + (txt or "0").replace(".", "_"))
+    for lbl in labels:
+        if not re.fullmatch(r"p[0-9_]+", lbl):
+            raise ValueError(f"prob yields non-identifier label: {lbl}")
     if len(set(labels)) != len(labels):
-        raise ValueError(f"duplicate probs: {list(probs)}")
+        raise ValueError(
+            f"duplicate probs (or probs below label precision): "
+            f"{list(probs)}"
+        )
     return labels
 
 

@@ -1431,6 +1431,10 @@ def kcenter_coreset(
     ``radius_after`` is the cover radius once that center is added —
     nonincreasing by construction.
 
+    Rows whose embedding is NULL are dropped before selection — a
+    NULL vector has no distance to anything, so it can neither be a
+    center nor count toward the cover radius.
+
     Scale shape: the classic greedy is inherently ``k`` passes — each
     round one Arrow-batched distance kernel against the SINGLE new
     center (a broadcast d-vector, not driver-sized state) updates a

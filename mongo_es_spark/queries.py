@@ -531,35 +531,90 @@ def bulk_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-verification.  Registration order is unchanged; only the
 # exported iteration order rotates.
 _DRIVER_PRIORITY = [
-    # never driver-checked (the one formal gap in r1-r4)
-    "streaming_boilerplate",
-    # round-5 registrations
-    "text_line_dedup",
-    "dedup_edit_distance",
-    "embedding_kmeans",
-    "streaming_line_dedup",
-    "layout_zorder",
-    "dedup_semantic_keep_best",
-    "similarity_kcenter",
-    "profile_incremental",
-    "streaming_funnel",
-    "similarity_kcenter_reps",
-    "similarity_ann_batch",
-    "table_profile_approx",
-    "table_quantiles_approx",
-    "streaming_ivf",
-    # round-5 semantic/parameter changes
-    "dedup_normalized",
-    "dedup_keep_best",
-    "dedup_drop_near_duplicates",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_pq",
-    "embedding_quantize",
-    "text_boilerplate",
-    "text_substring_dedup",
-    "curate_incremental",
-    "pipeline_curate",
+    # --- round-7 rotation ------------------------------------------------
+    # The r5 and r6 driver windows were byte-identical, leaving 65 of the
+    # 115 registry queries with no driver row in either round.  This list
+    # now leads with exactly those 65 never-checked names, ordered so the
+    # queries over files touched by the post-r5 review-fix commit 31d1305
+    # (similarity/profile/text) fall inside the driver's 50-slot window;
+    # the overflow tail (multimodal/events/cdc, untouched since r3-r4 and
+    # pytest-covered) rotates into the r8 window.  New round-7
+    # registrations are inserted at the very top so their first driver
+    # check happens the round they land.
+    # round-7 registrations (new code this round)
+    "streaming_substring_dedup",
+    "dedup_components_incremental",
+    # similarity/embedding family (31d1305 touched similarity.py)
+    "similarity_knn_graph",
+    "embedding_knn_classify",
+    "dedup_semantic",
+    "embedding_whiten",
+    # profile/table family (31d1305 touched profile.py)
+    "table_profile",
+    "table_quantiles",
+    "table_skew_profile",
+    "corpus_sketch_stats",
+    "dedup_cluster_stats",
+    # text family (31d1305 touched text.py)
+    "text_token_count",
+    "text_token_count_bpe",
+    "text_quality",
+    "text_lang_id",
+    "text_bm25_search",
+    "text_sample_stratified",
+    "text_frequent_tokens",
+    "text_corpus_overlap",
+    "text_corpus_shuffle",
+    "text_unigram_xent",
+    "text_bigram_xent",
+    "text_fertility",
+    "text_train_split",
+    "text_split_cluster_safe",
+    "text_corpus_stats",
+    "text_pack_sequences",
+    "text_vocabulary",
+    "text_fingerprint",
+    "text_repetition",
+    "text_contamination",
+    "text_rare_bigrams",
+    "text_domain_mix",
+    "text_chunk",
+    "text_corpus_rollup",
+    "text_idf_keywords",
+    "text_quality_classify",
+    "text_bpe_encode",
+    "text_bpe_train",
+    "text_span_dedup",
+    "text_source_cap",
+    "text_scrub",
+    "text_importance_sample",
+    "text_quality_rank",
+    "text_ngram_novelty",
+    # plan-contract / streaming queries never driver-checked
+    "salted_skew_join",
+    "bucketed_colocated_join",
+    "streaming_heavy_hitters",
+    "corpus_diff",
+    # events/cdc fill to the 50-slot window edge
+    "events_sessionize",
+    "events_funnel",
+    "events_retention",
+    "cdc_full_replace",
+    # --- overflow tail: rotates into the r8 window -----------------------
+    "events_trailing_features",
+    "events_transitions",
+    "events_asof_join",
+    "events_window_join",
+    "streaming_transitions",
+    "cdc_scd2",
+    "cdc_snapshot_at",
+    "multimodal_dedup",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "multimodal_near_dup",
+    "multimodal_frame_overlap",
+    "multimodal_cdc_chunks",
 ]
 
 

@@ -3208,3 +3208,259 @@ def test_kcenter_and_kmeans_empty_input(spark):
     assert kcenter_coreset(empty, "vec_id", "embedding", k=4).count() == 0
     with pytest.raises(ValueError, match="empty input"):
         kmeans_clusters(empty, "vec_id", "embedding", k=4)
+
+
+# ---------------------------------------------------------------------------
+# Null-tolerance contract pins for the masked embedding kernels
+# (_mask_stack / _scatter and every kernel built on them).  Contract:
+# a batch containing NULL vectors must (a) not abort the job, (b) yield
+# NULL outputs for exactly the NULL rows (or drop them from candidate
+# sets), and (c) leave every non-null row's result bit-identical to the
+# same operator run on the null-filtered frame — the training sample is
+# null-filtered in both runs, so model state matches exactly.
+# ---------------------------------------------------------------------------
+
+
+def _null_vecs(df, ids, vec_col="embedding"):
+    """Null out ``vec_col`` for the listed ids (when-without-otherwise
+    keeps the array type and yields NULL)."""
+    return df.withColumn(
+        vec_col,
+        F.when(~F.col("vec_id").isin(list(ids)), F.col(vec_col)),
+    )
+
+
+def test_mask_stack_fast_path_and_nulls():
+    import numpy as np
+    import pandas as pd
+
+    from mongo_es_spark.operators.dedup import _mask_stack, _scatter
+
+    # all-non-null fast path: float64 dense matrix, identity index
+    s = pd.Series([np.array([1.0, 2.0]), np.array([3.0, 4.0])])
+    M, idx = _mask_stack(s)
+    assert M.dtype == np.float64 and M.shape == (2, 2)
+    assert list(idx) == [0, 1]
+    # holes: only non-null rows stacked, index points at them
+    s2 = pd.Series([None, np.array([3.0, 4.0]), None], dtype=object)
+    M2, idx2 = _mask_stack(s2)
+    assert M2.shape == (1, 2) and list(idx2) == [1]
+    out = _scatter(3, idx2, np.array([7.0]))
+    assert out[0] is None and out[1] == 7.0 and out[2] is None
+    # all-null and empty batches both give the (0, 0) sentinel
+    M3, idx3 = _mask_stack(pd.Series([None, None], dtype=object))
+    assert M3.shape == (0, 0) and len(idx3) == 0
+    M4, idx4 = _mask_stack(pd.Series([], dtype=object))
+    assert M4.shape == (0, 0) and len(idx4) == 0
+
+
+def test_cosine_pairs_null_in_null_out(spark, emb):
+    from mongo_es_spark.operators.dedup import cosine_pairs_col
+
+    base = emb.limit(40).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            F.col("a.vec_id") + 1 == F.col("b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+    clean = {
+        r["i"]: r["c"]
+        for r in pairs.select(
+            "i",
+            F.round(cosine_pairs_col(F.col("va"), F.col("vb")), 6).alias("c"),
+        ).collect()
+    }
+    holed = pairs.withColumn(
+        "va", F.when(~F.col("i").isin([3, 7]), F.col("va"))
+    ).withColumn("vb", F.when(~F.col("i").isin([7, 11]), F.col("vb")))
+    got = {
+        r["i"]: r["c"]
+        for r in holed.select(
+            "i",
+            F.round(cosine_pairs_col(F.col("va"), F.col("vb")), 6).alias("c"),
+        ).collect()
+    }
+    assert set(got) == set(clean)
+    for i, c in got.items():
+        if i in (3, 7, 11):  # either side NULL -> NULL cosine
+            assert c is None
+        else:  # untouched rows bit-identical
+            assert c == clean[i]
+
+
+def test_cosine_pairs_one_side_all_null_batch(spark):
+    """One side entirely NULL in a single Arrow batch: the masked
+    matrices are (0, 0) vs (0, d) — must short-circuit to all-NULL,
+    not abort in einsum (ADVICE r6 medium)."""
+    from mongo_es_spark.operators.dedup import cosine_pairs_col
+
+    rows = [(i, None, [1.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "i int, va array<double>, vb array<double>"
+    ).repartition(1)
+    out = df.select(cosine_pairs_col(F.col("va"), F.col("vb")).alias("c"))
+    assert [r["c"] for r in out.collect()] == [None] * 8
+    # and mirrored / both-null
+    rows2 = [(i, [1.0, 0.0], None) for i in range(4)] + [
+        (9, None, None)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "i int, va array<double>, vb array<double>"
+    ).repartition(1)
+    out2 = df2.select(cosine_pairs_col(F.col("va"), F.col("vb")).alias("c"))
+    assert [r["c"] for r in out2.collect()] == [None] * 5
+
+
+def test_hyperplane_signature_null_rows(spark, emb):
+    from mongo_es_spark.operators.dedup import hyperplane_signature
+
+    base = emb.limit(50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = len(base.first()["v"])
+    clean = {
+        r["vec_id"]: r["s"]
+        for r in base.select(
+            "vec_id", hyperplane_signature(F.col("v"), dims).alias("s")
+        ).collect()
+    }
+    holed = base.withColumn(
+        "v", F.when(~F.col("vec_id").isin([1, 5]), F.col("v"))
+    )
+    got = {
+        r["vec_id"]: r["s"]
+        for r in holed.select(
+            "vec_id", hyperplane_signature(F.col("v"), dims).alias("s")
+        ).collect()
+    }
+    assert got[1] is None and got[5] is None
+    for i, s in got.items():
+        if i not in (1, 5):
+            assert s == clean[i]
+    # all-null single batch -> all-NULL signatures, no abort
+    allnull = spark.createDataFrame(
+        [(i, None) for i in range(6)], "vec_id int, v array<double>"
+    ).repartition(1)
+    out = allnull.select(
+        hyperplane_signature(F.col("v"), dims).alias("s")
+    ).collect()
+    assert all(r["s"] is None for r in out)
+
+
+def test_kmeans_null_rows_null_out(spark, emb):
+    from mongo_es_spark.operators.similarity import kmeans_clusters
+
+    holed = _null_vecs(emb.limit(80), [2, 9, 33])
+    got, _ = kmeans_clusters(holed, "vec_id", "embedding", k=4, seed=3)
+    gotm = {r["vec_id"]: (r["cluster"], r["sim"]) for r in got.collect()}
+    ref, _ = kmeans_clusters(
+        holed.filter(F.col("embedding").isNotNull()),
+        "vec_id",
+        "embedding",
+        k=4,
+        seed=3,
+    )
+    refm = {r["vec_id"]: (r["cluster"], r["sim"]) for r in ref.collect()}
+    assert gotm[2] == (None, None)
+    assert gotm[9] == (None, None)
+    assert gotm[33] == (None, None)
+    for i, cs in refm.items():
+        assert gotm[i] == cs  # non-null rows bit-identical
+
+
+def test_ann_ivf_null_corpus_rows_excluded(spark, emb):
+    from mongo_es_spark.operators.similarity import ann_ivf_topk
+
+    base = emb.limit(120)
+    holed = _null_vecs(base, [5, 40, 77])
+    got = ann_ivf_topk(
+        holed, "vec_id", "embedding", query_id=0, k=8, n_cells=4, n_probe=2
+    ).collect()
+    ref = ann_ivf_topk(
+        holed.filter(F.col("embedding").isNotNull()),
+        "vec_id",
+        "embedding",
+        query_id=0,
+        k=8,
+        n_cells=4,
+        n_probe=2,
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in ref
+    ]
+    assert not {5, 40, 77} & {r["vec_id"] for r in got}
+
+
+def test_ann_ivf_pq_null_corpus_rows_excluded(spark, emb):
+    from mongo_es_spark.operators.similarity import ann_ivf_pq_topk
+
+    base = emb.limit(120)
+    holed = _null_vecs(base, [5, 40, 77])
+    kw = dict(k=6, n_cells=4, n_probe=2, m=4, ksub=8, refine=3)
+    got = ann_ivf_pq_topk(
+        holed, "vec_id", "embedding", query_id=0, **kw
+    ).collect()
+    ref = ann_ivf_pq_topk(
+        holed.filter(F.col("embedding").isNotNull()),
+        "vec_id",
+        "embedding",
+        query_id=0,
+        **kw,
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in ref
+    ]
+    assert not {5, 40, 77} & {r["vec_id"] for r in got}
+
+
+def test_ann_ivf_batch_null_queries_and_corpus(spark, emb):
+    from mongo_es_spark.operators.similarity import ann_ivf_batch_topk
+
+    corpus = _null_vecs(emb.limit(120), [11, 63])
+    queries = _null_vecs(emb.limit(6), [3], vec_col="embedding").select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    )
+    kw = dict(k=5, n_cells=4, n_probe=2)
+    got = ann_ivf_batch_topk(
+        corpus, "vec_id", "embedding", queries, "qid", "qv", **kw
+    ).collect()
+    ref = ann_ivf_batch_topk(
+        corpus.filter(F.col("embedding").isNotNull()),
+        "vec_id",
+        "embedding",
+        queries.filter(F.col("qv").isNotNull()),
+        "qid",
+        "qv",
+        **kw,
+    ).collect()
+    key = lambda rows: sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["score"]) for r in rows
+    )
+    assert key(got) == key(ref)
+    # the null-vector query emits no rows; null corpus rows never appear
+    assert 3 not in {r["q_id"] for r in got}
+    assert not {11, 63} & {r["vec_id"] for r in got}
+
+
+def test_plabels_fixed_point_labels():
+    import pytest as _pt
+
+    from mongo_es_spark.operators.profile import _plabels
+
+    assert _plabels([0.5, 0.9, 0.99]) == ["p50", "p90", "p99"]
+    assert _plabels([0.999]) == ["p99_9"]
+    # tiny prob must format fixed-point, never 'p1e-05' (broken alias)
+    assert _plabels([1e-7]) == ["p0_00001"]
+    assert _plabels([0.0, 1.0]) == ["p0", "p100"]
+    with _pt.raises(ValueError, match="duplicate|precision"):
+        _plabels([1e-13, 0.0])  # below label precision collides with p0
