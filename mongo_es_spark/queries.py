@@ -3780,9 +3780,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=8)
 
 
-@register(
-    "text_substring_dedup",
-    r"""
+_SUBSTRING_ORACLE = r"""
     WITH w AS (
         SELECT doc_id,
                string_split_regex(trim(text), '\s+') AS toks,
@@ -3825,8 +3823,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 IF NOT coalesce(list_contains(cagg.cov, j), false)], ' '),
                '') AS clean_text
     FROM w LEFT JOIN cagg ON w.doc_id = cagg.doc_id
-    """,
-)
+    """
+
+
+@register("text_substring_dedup", _SUBSTRING_ORACLE)
 def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window exact substring dedup (Lee et al. 2021's
     ExactSubstr, re-expressed as a window-text shuffle instead of a
@@ -5542,6 +5542,75 @@ def streaming_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "doc_id long, clean_text string, n_chunks long, n_kept long"
+    )
+
+
+@register("streaming_substring_dedup", _SUBSTRING_ORACLE)
+def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr window-hash store maintained through
+    Structured Streaming under the batch query's hard oracle:
+    documents replay as an id-ORDERED file feed (3 ascending doc_id
+    ranges, one per trigger — a window's first ``(doc, pos)``
+    instance sits in the first batch that contains the window, so
+    first-arrival-wins equals batch min-(doc,pos)-wins exactly), each
+    micro-batch appends its first-seen window hashes through the
+    digest-guarded incremental store, and the concatenated per-batch
+    outputs must equal the one-shot batch operator row for row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .streaming.substring_dedup import run_streaming_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t1, t2 = docs.approxQuantile("doc_id", [0.33, 0.66], 0.001)
+    base = tempfile.mkdtemp(prefix="sub_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        slices = [
+            docs.filter(F.col("doc_id") <= t1),
+            docs.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
+            docs.filter(F.col("doc_id") > t2),
+        ]
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(feed)
+            # strictly increasing mtimes pin trigger order = id order
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_streaming_substring_dedup(
+            spark,
+            stream,
+            "doc_id",
+            "text",
+            os.path.join(base, "store"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            window_tokens=8,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming substring-dedup drain exceeded 300 s"
+            )
+        rows = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select(
+                "doc_id", "n_tokens", "dup_tokens", "keep_frac", "clean_text"
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, n_tokens int, dup_tokens long, keep_frac double, "
+        "clean_text string",
     )
 
 

@@ -1843,13 +1843,20 @@ def test_incremental_substring_dedup_matches_full_run(spark, tmp_path):
     assert got == full
 
     n_store = spark.read.parquet(store).count()
-    # replay batch 2: already-stored windows must not re-append
+    # replay batch 2: the digest guard must exclude the batch's own
+    # prior append from the store view, so the replayed OUTPUT is
+    # value-identical (not "everything I appended is now a dup") and
+    # the store append is skipped entirely
     replay = incremental_substring_dedup(
         spark,
         spark.createDataFrame(rows[2:5], "doc_id long, text string"),
         "doc_id", "text", store, window_tokens=W,
     )
-    assert replay.count() == 3
+    replayed = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["clean_text"])
+        for r in replay.collect()
+    }
+    assert replayed == {d: got[d] for d in (3, 4, 5)}
     assert spark.read.parquet(store).count() == n_store
 
     with _pytest.raises(ValueError, match="window_tokens"):
@@ -1858,6 +1865,39 @@ def test_incremental_substring_dedup_matches_full_run(spark, tmp_path):
             spark.createDataFrame(rows[:1], "doc_id long, text string"),
             "doc_id", "text", store, window_tokens=5,
         )
+
+
+def test_substring_store_legacy_schema_rejected(spark, tmp_path):
+    """A store without the __batch replay tag (pre-r7 layout) fails
+    loudly instead of silently mixing parquet schemas on append."""
+    import pytest as _pytest
+
+    from mongo_es_spark.operators.text import incremental_substring_dedup
+
+    store = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, 2)], "h1 long, h2 long"
+    ).write.parquet(store)
+    with _pytest.raises(ValueError, match="replay tags"):
+        incremental_substring_dedup(
+            spark,
+            spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"),
+            "doc_id", "text", store, window_tokens=4,
+        )
+
+
+def test_streaming_substring_dedup_equals_batch(spark):
+    """The Structured-Streaming drain over an id-ordered feed equals
+    the one-shot batch operator row for row (registry query pins the
+    same at sf0.01 under the cross-engine oracle)."""
+    from mongo_es_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    batch = REGISTRY["text_substring_dedup"][0](spark, sf)
+    stream = REGISTRY["streaming_substring_dedup"][0](spark, sf)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, stream.select(*batch.columns).collect()))
+    assert b == s and len(b) == 500
 
 
 def test_ivf_append_assigns_to_existing_cells(spark, tmp_path):
