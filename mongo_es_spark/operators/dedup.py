@@ -1370,6 +1370,194 @@ def _components_star(
 
 
 # ------------------------------------------------------------------ #
+# incremental connected components (persisted label + merge stores)
+# ------------------------------------------------------------------ #
+
+def _cc_docs_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/docs"
+
+
+def _cc_merges_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/merges"
+
+
+def _cc_current_mapping(
+    spark, merges_store: Optional[DataFrame], max_iters: int
+) -> Optional[DataFrame]:
+    """Closure of the label-merge graph: each historical label ->
+    its CURRENT component label (the min reachable through every
+    merge ever recorded).  The merge graph has one node per
+    merge-affected LABEL — orders of magnitude smaller than the doc
+    store — so this propagation is a metadata-sized computation, not
+    a corpus-sized one."""
+    if merges_store is None:
+        return None
+    return _components_propagation(
+        merges_store, "src", "dst", max_iters
+    ).withColumnRenamed("doc", "__lbl")
+
+
+def incremental_components(
+    spark,
+    pairs_batch: DataFrame,
+    store_path: str,
+    i_col: str = "i",
+    j_col: str = "j",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Incremental connected components: fold a NEW batch of
+    near-duplicate pairs into a persisted clustering so cluster ids
+    stay maintainable per batch — a growing corpus never re-runs
+    global components over all pairs ever seen
+    (:func:`dedup_components` is the batch form).
+
+    State is two append-only parquet stores under ``store_path``:
+
+    * ``docs/ (doc, label)`` — each doc's component label AT FIRST
+      SIGHT (labels are doc ids, min-id convention);
+    * ``merges/ (src, dst)`` — one edge per component merge event,
+      recorded when a batch bridges existing components.
+
+    A doc's CURRENT component is its stored label pushed through the
+    closure of the merge graph — resolved at read time by
+    :func:`components_over_store`, so merging two million-doc
+    clusters appends ONE merge edge instead of relabeling a million
+    rows.  Per-batch work: one lookup join of the batch's endpoints
+    against the doc store, a components run over the PROJECTED batch
+    edges (nodes = current labels + new docs, ∝ batch size), and a
+    propagation over the metadata-sized merge graph.  No step scans
+    stored pairs; stored docs are only joined, never re-clustered.
+
+    Naturally idempotent — no digest tag needed: a replayed batch's
+    docs anti-join away from the doc store, and its edges project
+    onto single components (``la == lb``) so no merge re-appends.
+    Partial-failure safe for the same reason: whichever append
+    survived a crash, the retry recomputes against the updated store
+    and appends only what is still missing.
+
+    Feeding a pair set through in any batch order then reading the
+    store reproduces ``dedup_components`` over the union of all
+    pairs EXACTLY (component = min reachable doc id; min composes
+    across merges).
+
+    Returns the batch's endpoints with their current labels:
+    ``(doc, component)``.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    docs_path = _cc_docs_path(store_path)
+    merges_path = _cc_merges_path(store_path)
+    docs_store = read_parquet_if_exists(spark, docs_path)
+    merges_store = read_parquet_if_exists(spark, merges_path)
+    mapping = _cc_current_mapping(spark, merges_store, max_iters)
+
+    edges = (
+        pairs_batch.select(
+            F.col(i_col).alias("ei"), F.col(j_col).alias("ej")
+        )
+        .filter(F.col("ei") != F.col("ej"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("ei").alias("doc"))
+        .union(edges.select(F.col("ej").alias("doc")))
+        .distinct()
+    )
+    # current label per endpoint: stored label (or self for a new
+    # doc) pushed through the merge closure
+    if docs_store is not None:
+        nodes = nodes.join(docs_store, "doc", "left")
+    else:
+        nodes = nodes.withColumn("label", F.lit(None).cast("long"))
+    nodes = nodes.withColumn("__new", F.col("label").isNull()).withColumn(
+        "__l0", F.coalesce(F.col("label"), F.col("doc"))
+    )
+    if mapping is not None:
+        nodes = nodes.join(
+            mapping, nodes["__l0"] == mapping["__lbl"], "left"
+        ).select(
+            "doc",
+            "__new",
+            F.coalesce(F.col("component"), F.col("__l0")).alias("cur"),
+        )
+    else:
+        nodes = nodes.select("doc", "__new", F.col("__l0").alias("cur"))
+    # one materialization: feeds edge projection, both appends, and
+    # the returned view
+    nodes = nodes.localCheckpoint(eager=True)
+
+    proj = (
+        edges.join(
+            nodes.select(F.col("doc").alias("ei"), F.col("cur").alias("la")),
+            "ei",
+        )
+        .join(
+            nodes.select(F.col("doc").alias("ej"), F.col("cur").alias("lb")),
+            "ej",
+        )
+        .select("la", "lb")
+        .filter(F.col("la") != F.col("lb"))
+    )
+    comp = dedup_components(
+        proj, "la", "lb", max_iters=max_iters
+    ).withColumnRenamed("doc", "__node")
+    comp = comp.localCheckpoint(eager=True)
+
+    resolved = nodes.join(
+        comp, nodes["cur"] == comp["__node"], "left"
+    ).select(
+        "doc",
+        "__new",
+        "cur",
+        F.coalesce(F.col("component"), F.col("cur")).alias("final"),
+    )
+    resolved = resolved.localCheckpoint(eager=True)
+
+    # merge edges: every EXISTING current label whose mini-component
+    # is smaller than itself records one (src, dst) merge
+    new_merges = (
+        resolved.filter(~F.col("__new"))
+        .filter(F.col("final") != F.col("cur"))
+        .select(F.col("cur").alias("src"), F.col("final").alias("dst"))
+        .distinct()
+    )
+    new_docs = resolved.filter(F.col("__new")).select(
+        "doc", F.col("final").alias("label")
+    )
+    new_merges.write.mode("append").parquet(merges_path)
+    new_docs.write.mode("append").parquet(docs_path)
+    return resolved.select("doc", F.col("final").alias("component"))
+
+
+def components_over_store(
+    spark, store_path: str, max_iters: int = 20
+) -> DataFrame:
+    """Current ``(doc, component)`` view over the incremental store:
+    stored first-sight labels pushed through the merge-graph closure.
+    One lookup join over the doc store plus a metadata-sized
+    propagation — never a re-clustering of stored pairs."""
+    from ..storeio import read_parquet_if_exists
+
+    docs_store = read_parquet_if_exists(spark, _cc_docs_path(store_path))
+    if docs_store is None:
+        return spark.createDataFrame([], "doc long, component long")
+    merges_store = read_parquet_if_exists(
+        spark, _cc_merges_path(store_path)
+    )
+    mapping = _cc_current_mapping(spark, merges_store, max_iters)
+    if mapping is None:
+        return docs_store.select(
+            "doc", F.col("label").alias("component")
+        )
+    return docs_store.join(
+        mapping, docs_store["label"] == mapping["__lbl"], "left"
+    ).select(
+        "doc",
+        F.coalesce(F.col("component"), F.col("label")).alias("component"),
+    )
+
+
+# ------------------------------------------------------------------ #
 # embedding cosine near-dup
 # ------------------------------------------------------------------ #
 

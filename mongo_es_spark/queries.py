@@ -1020,9 +1020,7 @@ def dedup_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    f"""
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
     edges AS (
         SELECT i AS a, j AS b FROM pairs
@@ -1035,8 +1033,10 @@ def dedup_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.a AS doc, w.comp FROM edges e JOIN walk w ON e.b = w.doc
     )
     SELECT doc, min(comp) AS component FROM walk GROUP BY doc
-    """,
-)
+    """
+
+
+@register("dedup_clusters", _COMPONENTS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs -> connected components -> canonical (minimum) doc id per
     # near-duplicate cluster: the step that turns pair detection into
@@ -1044,6 +1044,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     return dedup_components(pairs)
+
+
+@register("dedup_components_incremental", _COMPONENTS_ORACLE)
+def dedup_components_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted-clustering edition of ``dedup_clusters`` under
+    the SAME cross-engine oracle: the corpus's near-dup pairs arrive
+    in three hash-split batches (mixed order, so later batches bridge
+    components created by earlier ones), each batch folds into the
+    append-only label + merge stores via
+    :func:`incremental_components`, and the final
+    :func:`components_over_store` view must equal the one-shot batch
+    clustering row for row.  The middle batch is re-delivered once to
+    pin the replay no-op on the formal record."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import (
+        components_over_store,
+        incremental_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).localCheckpoint(eager=True)
+    base = tempfile.mkdtemp(prefix="cc_store_")
+    try:
+        store = os.path.join(base, "cc")
+        split = F.pmod(F.xxhash64("i", "j"), F.lit(3))
+        for b in range(3):
+            incremental_components(
+                spark, pairs.filter(split == b), store
+            ).count()
+            if b == 1:  # replay: must change neither store nor labels
+                incremental_components(
+                    spark, pairs.filter(split == b), store
+                ).count()
+        rows = components_over_store(spark, store).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, component long")
 
 
 @register(

@@ -3504,3 +3504,93 @@ def test_plabels_fixed_point_labels():
     assert _plabels([0.0, 1.0]) == ["p0", "p100"]
     with _pt.raises(ValueError, match="duplicate|precision"):
         _plabels([1e-13, 0.0])  # below label precision collides with p0
+
+
+def test_incremental_components_matches_batch(spark, tmp_path):
+    """Random pair graph fed through the label+merge stores in three
+    arbitrary batches == one-shot dedup_components; a replayed batch
+    changes neither store nor the resolved view."""
+    import random
+
+    from mongo_es_spark.operators.dedup import (
+        components_over_store,
+        dedup_components,
+        incremental_components,
+    )
+
+    rng = random.Random(11)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(200), 2)))
+            for _ in range(260)
+        }
+    )
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    want = {
+        (r["doc"], r["component"])
+        for r in dedup_components(pairs).collect()
+    }
+
+    store = str(tmp_path / "cc")
+    batches = [edges[0::3], edges[1::3], edges[2::3]]
+    for b in batches:
+        incremental_components(
+            spark, spark.createDataFrame(b, "i long, j long"), store
+        ).count()
+    got = {
+        (r["doc"], r["component"])
+        for r in components_over_store(spark, store).collect()
+    }
+    assert got == want
+
+    # replay the middle batch: stores and view must be unchanged
+    n_docs = spark.read.parquet(store + "/docs").count()
+    n_merges = spark.read.parquet(store + "/merges").count()
+    out = incremental_components(
+        spark, spark.createDataFrame(batches[1], "i long, j long"), store
+    )
+    # replayed endpoints resolve to their (final) components
+    view = {
+        (r["doc"], r["component"])
+        for r in components_over_store(spark, store).collect()
+    }
+    assert view == want
+    assert spark.read.parquet(store + "/docs").count() == n_docs
+    assert spark.read.parquet(store + "/merges").count() == n_merges
+    got_docs = {r["doc"] for r in out.collect()}
+    assert got_docs == {d for e in batches[1] for d in e}
+
+
+def test_incremental_components_late_small_id_bridge(spark, tmp_path):
+    """A later batch introduces a SMALLER doc id that bridges two
+    existing components: both components' docs must relabel to the
+    new min through the merge closure (no store rewrite)."""
+    from mongo_es_spark.operators.dedup import (
+        components_over_store,
+        incremental_components,
+    )
+
+    store = str(tmp_path / "cc2")
+    incremental_components(
+        spark, spark.createDataFrame([(10, 11)], "i long, j long"), store
+    ).count()
+    incremental_components(
+        spark, spark.createDataFrame([(20, 21)], "i long, j long"), store
+    ).count()
+    # doc 5 bridges both clusters; 5 < every existing label
+    incremental_components(
+        spark,
+        spark.createDataFrame([(5, 11), (5, 21)], "i long, j long"),
+        store,
+    ).count()
+    got = {
+        (r["doc"], r["component"])
+        for r in components_over_store(spark, store).collect()
+    }
+    assert got == {(5, 5), (10, 5), (11, 5), (20, 5), (21, 5)}
+    # exactly two merge events were recorded (10 -> 5, 20 -> 5 family)
+    merges = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(store + "/merges").collect()
+    }
+    assert merges == {(10, 5), (20, 5)}
