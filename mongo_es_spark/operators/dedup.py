@@ -220,10 +220,29 @@ def _group_reps(tm: DataFrame) -> DataFrame:
     return tm.filter(F.col("doc") == F.col("rep")).select("__text", "rep")
 
 
+def _score_lists(score_cols, within_scores=None):
+    """Normalize the helpers' score arguments: one name or a list of
+    names, with (optionally) a matching Column or list of Columns for
+    the within-group exact-duplicate value of each score."""
+    cols = [score_cols] if isinstance(score_cols, str) else list(score_cols)
+    if within_scores is None:
+        return cols, None
+    vals = (
+        [within_scores]
+        if isinstance(within_scores, Column)
+        else list(within_scores)
+    )
+    if len(vals) != len(cols):
+        raise ValueError(
+            f"{len(cols)} score columns but {len(vals)} within-group scores"
+        )
+    return cols, vals
+
+
 def _expand_rep_pairs(
-    rep_pairs: DataFrame, members: DataFrame, score_col: str
+    rep_pairs: DataFrame, members: DataFrame, score_cols
 ) -> DataFrame:
-    """(rep_i, rep_j, score) -> every member pair, i < j.
+    """(rep_i, rep_j, scores...) -> every member pair, i < j.
 
     ``members`` is the ``(rep, doc)`` membership frame; expansion is
     two equi-joins on rep ids, so a k-clone group streams k rows per
@@ -231,7 +250,12 @@ def _expand_rep_pairs(
     Output size is O(k_i * k_j) per rep pair BY CONTRACT (these are
     the brute-force pairs); callers that can't afford that use
     ``clone_weighted=True`` on the pair operators instead.
+
+    ``score_cols`` is one column name or a list — most pair operators
+    carry a single score (jaccard/cosine/hamming), edit distance
+    carries ``(dist, ratio)``.
     """
+    cols, _ = _score_lists(score_cols)
     mi = members.select(F.col("rep").alias("i"), F.col("doc").alias("a"))
     mj = members.select(F.col("rep").alias("j"), F.col("doc").alias("b"))
     return (
@@ -240,24 +264,29 @@ def _expand_rep_pairs(
         .select(
             F.least("a", "b").alias("i"),
             F.greatest("a", "b").alias("j"),
-            score_col,
+            *cols,
         )
     )
 
 
 def _within_group_pairs(
-    members: DataFrame, score: Column, score_col: str
+    members: DataFrame, scores, score_cols
 ) -> DataFrame:
-    """All (i < j) pairs inside each clone group, scored as exact dups.
-    Self-join of the membership frame on rep — singleton groups emit
-    nothing (their only a==b row fails the filter)."""
+    """All (i < j) pairs inside each clone group, scored as exact dups
+    (``scores``: the exact-dup value for each column in
+    ``score_cols``).  Self-join of the membership frame on rep —
+    singleton groups emit nothing (their only a==b row fails the
+    filter)."""
+    cols, vals = _score_lists(score_cols, scores)
     a = members.select("rep", F.col("doc").alias("a"))
     b = members.select("rep", F.col("doc").alias("b"))
     return (
         a.join(b, "rep")
         .filter(F.col("a") < F.col("b"))
         .select(
-            F.col("a").alias("i"), F.col("b").alias("j"), score.alias(score_col)
+            F.col("a").alias("i"),
+            F.col("b").alias("j"),
+            *[v.alias(c) for v, c in zip(vals, cols)],
         )
     )
 
@@ -265,9 +294,9 @@ def _within_group_pairs(
 def _weighted_rep_pairs(
     rep_pairs: DataFrame,
     members: DataFrame,
-    score_col: str,
+    score_cols,
     within_reps: DataFrame,
-    within_score: Column,
+    within_scores,
 ) -> DataFrame:
     """The bounded-output clone contract: instead of expanding a rep
     pair into k_i*k_j member rows, emit one row per rep pair carrying
@@ -276,7 +305,11 @@ def _weighted_rep_pairs(
     exact-duplicate pairs.  sum(n_pairs) == count of expanded rows, so
     downstream statistics (dup rate, mass removed) are exact while a
     10^6-clone group costs one row instead of ~10^12.
+
+    ``score_cols``/``within_scores`` take one name/Column or parallel
+    lists (see :func:`_expand_rep_pairs`).
     """
+    cols, vals = _score_lists(score_cols, within_scores)
     counts = members.groupBy("rep").agg(F.count("*").alias("k"))
     ki = counts.select(F.col("rep").alias("i"), F.col("k").alias("ki"))
     kj = counts.select(F.col("rep").alias("j"), F.col("k").alias("kj"))
@@ -286,7 +319,7 @@ def _weighted_rep_pairs(
         .select(
             "i",
             "j",
-            score_col,
+            *cols,
             (F.col("ki") * F.col("kj")).cast("long").alias("n_pairs"),
         )
     )
@@ -296,7 +329,7 @@ def _weighted_rep_pairs(
         .select(
             F.col("rep").alias("i"),
             F.col("rep").alias("j"),
-            within_score.alias(score_col),
+            *[v.alias(c) for v, c in zip(vals, cols)],
             (F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("n_pairs"),
         )
     )
@@ -906,61 +939,15 @@ def edit_distance_pairs(
     )
     members = tm.select("rep", "doc")
     shingled = docs.select(F.col("doc").alias("rep"))
+    exact_dup = [F.lit(0).cast("long"), F.lit(0.0)]  # (dist, ratio)
     if clone_weighted:
-        counts = members.groupBy("rep").agg(F.count("*").alias("k"))
-        ki = counts.select(F.col("rep").alias("i"), F.col("k").alias("ki"))
-        kj = counts.select(F.col("rep").alias("j"), F.col("k").alias("kj"))
-        cross = (
-            scored.join(ki, "i")
-            .join(kj, "j")
-            .select(
-                "i",
-                "j",
-                "dist",
-                "ratio",
-                (F.col("ki") * F.col("kj")).cast("long").alias("n_pairs"),
-            )
+        return _weighted_rep_pairs(
+            scored, members, ["dist", "ratio"], shingled, exact_dup
         )
-        within_w = (
-            counts.join(shingled, "rep", "left_semi")
-            .filter(F.col("k") > 1)
-            .select(
-                F.col("rep").alias("i"),
-                F.col("rep").alias("j"),
-                F.lit(0).cast("long").alias("dist"),
-                F.lit(0.0).alias("ratio"),
-                (F.col("k") * (F.col("k") - 1) / 2)
-                .cast("long")
-                .alias("n_pairs"),
-            )
-        )
-        return cross.unionByName(within_w)
-    # two-column expansion (same shape as _expand_rep_pairs, which
-    # carries a single score column)
-    mi = members.select(F.col("rep").alias("i"), F.col("doc").alias("a"))
-    mj = members.select(F.col("rep").alias("j"), F.col("doc").alias("b"))
-    out = (
-        scored.join(mi, "i")
-        .join(mj, "j")
-        .select(
-            F.least("a", "b").alias("i"),
-            F.greatest("a", "b").alias("j"),
-            "dist",
-            "ratio",
-        )
-    )
+    out = _expand_rep_pairs(scored, members, ["dist", "ratio"])
     members_sh = members.join(shingled, "rep", "left_semi")
-    a = members_sh.select("rep", F.col("doc").alias("a"))
-    b_ = members_sh.select("rep", F.col("doc").alias("b"))
-    within = (
-        a.join(b_, "rep")
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            F.col("a").alias("i"),
-            F.col("b").alias("j"),
-            F.lit(0).cast("long").alias("dist"),
-            F.lit(0.0).alias("ratio"),
-        )
+    within = _within_group_pairs(
+        members_sh, exact_dup, ["dist", "ratio"]
     )
     return out.unionByName(within)
 

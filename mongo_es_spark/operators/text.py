@@ -2628,6 +2628,69 @@ def ngram_novelty(
     )
 
 
+def _ld_per_rep(marked: DataFrame) -> DataFrame:
+    """Per-representative assembly from ``__keep``-marked chunks:
+    ``(rep, __n_chunks, __n_kept, __clean)`` with surviving segments
+    re-joined in chunk order — the shared tail of :func:`line_dedup`
+    and :func:`incremental_line_dedup`."""
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("chunk_id"), F.col("chunk_text"))
+    )
+    return marked.groupBy(F.col("__doc").alias("rep")).agg(
+        F.count("*").alias("__n_chunks"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+
+
+def _ld_fanout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    groups: DataFrame,
+    per_rep: DataFrame,
+    scope: Sequence[str],
+) -> DataFrame:
+    """Copy each representative's line-dedup result to its clones:
+    reps keep their cleaned text, non-rep clones (whose every segment
+    lost to the rep's copy) get ``('', 0)`` with the rep's
+    ``n_chunks`` — the shared member fan-out of :func:`line_dedup`
+    and :func:`incremental_line_dedup`."""
+    lhs = df.select(
+        F.col(id_col),
+        *scope,
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    )
+    gsel = groups.select(
+        *[F.col(c).alias(f"__gs_{c}") for c in scope], "__text", "rep"
+    )
+    gcond = lhs["__text"] == gsel["__text"]
+    for c in scope:
+        gcond = gcond & lhs[c].eqNullSafe(gsel[f"__gs_{c}"])
+    is_rep = F.col(id_col) == F.col("rep")
+    return (
+        lhs.join(gsel, gcond)
+        .join(per_rep, "rep")
+        .select(
+            F.col(id_col),
+            F.when(is_rep, F.col("__clean"))
+            .otherwise(F.lit(""))
+            .alias("clean_text"),
+            F.col("__n_chunks").cast("long").alias("n_chunks"),
+            F.when(is_rep, F.col("__n_kept"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,
@@ -2701,46 +2764,8 @@ def line_dedup(
         (F.col("__doc") == F.col("__w.doc"))
         & (F.col("chunk_id") == F.col("__w.cid")),
     )
-    kept_struct = F.when(
-        F.col("__keep"), F.struct(F.col("chunk_id"), F.col("chunk_text"))
-    )
-    per_rep = marked.groupBy(F.col("__doc").alias("rep")).agg(
-        F.count("*").alias("__n_chunks"),
-        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("__n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["chunk_text"],
-            ),
-            " ",
-        ).alias("__clean"),
-    )
-    lhs = df.select(
-        F.col(id_col),
-        *scope,
-        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
-    )
-    gsel = groups.select(
-        *[F.col(c).alias(f"__gs_{c}") for c in scope], "__text", "rep"
-    )
-    gcond = lhs["__text"] == gsel["__text"]
-    for c in scope:
-        gcond = gcond & lhs[c].eqNullSafe(gsel[f"__gs_{c}"])
-    is_rep = F.col(id_col) == F.col("rep")
-    return (
-        lhs.join(gsel, gcond)
-        .join(per_rep, "rep")
-        .select(
-            F.col(id_col),
-            F.when(is_rep, F.col("__clean"))
-            .otherwise(F.lit(""))
-            .alias("clean_text"),
-            F.col("__n_chunks").cast("long").alias("n_chunks"),
-            F.when(is_rep, F.col("__n_kept"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("n_kept"),
-        )
+    return _ld_fanout(
+        df, id_col, text_col, groups, _ld_per_rep(marked), scope
     )
 
 
@@ -2842,41 +2867,9 @@ def incremental_line_dedup(
         & (F.col("__doc") == F.col("__w.doc"))
         & (F.col("chunk_id") == F.col("__w.cid")),
     )
-    kept_struct = F.when(
-        F.col("__keep"), F.struct(F.col("chunk_id"), F.col("chunk_text"))
-    )
-    per_rep = marked.groupBy(F.col("__doc").alias("rep")).agg(
-        F.count("*").alias("__n_chunks"),
-        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("__n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["chunk_text"],
-            ),
-            " ",
-        ).alias("__clean"),
-    )
-    lhs = batch_df.select(
-        F.col(id_col),
-        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
-    )
-    is_rep = F.col(id_col) == F.col("rep")
-    out = (
-        lhs.join(groups, "__text")
-        .join(per_rep, "rep")
-        .select(
-            F.col(id_col),
-            F.when(is_rep, F.col("__clean"))
-            .otherwise(F.lit(""))
-            .alias("clean_text"),
-            F.col("__n_chunks").cast("long").alias("n_chunks"),
-            F.when(is_rep, F.col("__n_kept"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("n_kept"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    out = _ld_fanout(
+        batch_df, id_col, text_col, groups, _ld_per_rep(marked), []
+    ).localCheckpoint(eager=True)
     if not replay:
         # sidecar FIRST: a crash after the store append but before the
         # params write would leave a populated store permanently
