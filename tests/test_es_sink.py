@@ -343,3 +343,88 @@ def test_scan_then_tail_es_mode_matches_oracle(spark, tmp_path, stub_es):
     got = {k: _strip_nulls(v) for k, v in stub_es.state.items()}
     assert got == want
     assert stub_es.mget_calls >= 1  # lookups really hit the live index
+
+
+def test_parent_routed_delete_replay_is_noop(spark, stub_es):
+    """At-least-once redelivery of a DELETE batch through the
+    parent-routed sink (the full process_batch pipeline: compact ->
+    terms-search state lookup -> dispatch -> bulk apply).  First
+    delivery fetches the child's ``_parent`` from the live index for
+    routing and deletes it; the REPLAY's lookup finds nothing, so
+    dispatch drops the delete (reference src/processor.ts:209-213 —
+    delete with parent routing but no sink doc), the bulk body is
+    empty, and sink state is byte-identical — replay is a no-op."""
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.config import Task
+    from mongo_es_spark.core import make_ts
+    from mongo_es_spark.operators.oplog_compaction import compact_oplog_docs
+    from mongo_es_spark.plans.cdc_schema import sink_data_schema
+    from mongo_es_spark.streaming.tail import dispatch_ir_frame
+
+    task = Task(
+        {
+            "extract": {"db": "jike", "collection": "comments"},
+            "transform": {"mapping": {"text": "text"}, "parent": "postId"},
+            "load": {"index": "comment", "type": "doc"},
+        }
+    )
+    hints = {"text": "string"}
+    sink = EsBulkSink(stub_es.url, "comment", "doc", parent_routing=True)
+
+    def process(events):
+        """One foreachBatch delivery, exactly run_tail's per-batch
+        steps (a Spark replay re-invokes the handler with the same
+        rows)."""
+        batch = spark.createDataFrame(
+            events,
+            "ts long, ns string, op string, id string, doc string, "
+            "fromMigrate boolean",
+        )
+        compacted = compact_oplog_docs(batch, task)
+        state = sink.read_state(
+            spark, ids=compacted.select("id").distinct()
+        )
+        if state is not None and "data_json" in state.columns:
+            state = state.select(
+                "_id",
+                "_parent",
+                F.from_json(
+                    "data_json", sink_data_schema(task, hints)
+                ).alias("data"),
+            )
+        # pin the IR before applying: the frame is lazy, and counting
+        # it after apply would re-run the live-index lookup against
+        # post-delete state
+        irs = dispatch_ir_frame(
+            compacted, task, state, None, hints
+        ).localCheckpoint(eager=True)
+        n = irs.count()
+        sink.apply(spark, irs, 0)
+        return n
+
+    ns = "jike.comments"
+    ins = [
+        (make_ts(1), ns, "i", "C1",
+         json.dumps({"text": "hi", "postId": "P9"}), None),
+        (make_ts(2), ns, "i", "C2",
+         json.dumps({"text": "yo", "postId": "P9"}), None),
+    ]
+    assert process(ins) == 2
+    assert stub_es.state == {"C1": {"text": "hi"}, "C2": {"text": "yo"}}
+    assert stub_es.parents == {"C1": "P9", "C2": "P9"}
+
+    dels = [(make_ts(3), ns, "d", "C1", "{}", None)]
+    searches_before = stub_es.search_calls
+    assert process(dels) == 1  # routed delete emitted once
+    assert stub_es.search_calls > searches_before  # J2 lookup ran
+    assert set(stub_es.state) == {"C2"}
+    assert set(stub_es.parents) == {"C2"}
+
+    # replay the SAME delete batch: the state lookup finds no doc,
+    # dispatch emits nothing, and the sink is untouched
+    searches_before = stub_es.search_calls
+    assert process(dels) == 0
+    assert stub_es.search_calls > searches_before  # lookup DID run
+    assert stub_es.state == {"C2": {"text": "yo"}}
+    assert stub_es.parents == {"C2": "P9"}
