@@ -544,6 +544,7 @@ _DRIVER_PRIORITY = [
     # round-7 registrations (new code this round)
     "streaming_substring_dedup",
     "dedup_components_incremental",
+    "text_bpe_overlap",
     # similarity/embedding family (31d1305 touched similarity.py)
     "similarity_knn_graph",
     "embedding_knn_classify",
@@ -3705,7 +3706,7 @@ def text_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(docs, "doc_id", "text")
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, source: str = "documents") -> str:
     """Generate the ``n_merges``-stage DuckDB replay of BPE training.
 
     Words are wrapped as ``(sym)(sym)...`` strings so DuckDB's plain
@@ -3715,13 +3716,17 @@ def _bpe_oracle(n_merges: int) -> str:
     token).  Every stage CTE is MATERIALIZED: scalar subqueries
     reference each merge four times and inlining would re-expand the
     whole prefix exponentially.
+
+    ``source``: the (doc_id, text) relation to train on — a table
+    name or a parenthesized subquery (the overlap fixture derives
+    its text from doc_id so both engines build it identically).
     """
     parts = [r"""
     WITH w0 AS MATERIALIZED (
         SELECT regexp_replace(t, '(.)', '(\1)', 'g') AS repr,
                count(*) AS cnt
         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
-              FROM documents)
+              FROM """ + source + r""")
         WHERE len(t) > 0
         GROUP BY 1
     )"""]
@@ -3756,12 +3761,12 @@ def _bpe_oracle(n_merges: int) -> str:
     return "".join(parts) + "\n    " + sel
 
 
-def _bpe_encode_oracle(n_merges: int) -> str:
+def _bpe_encode_oracle(n_merges: int, source: str = "documents") -> str:
     """Replay training (same staged CTEs), then decode the final word
     representations back to ``(word, n_chars, n_syms)`` — stripping
     the parens wrapper recovers the original word exactly — and
     aggregate symbol counts per document through a token join."""
-    prefix = _bpe_oracle(n_merges)
+    prefix = _bpe_oracle(n_merges, source)
     # drop the trailing merge-table SELECT; keep the CTE chain
     prefix = prefix[: prefix.rindex("\n    SELECT 0 AS rank")]
     return (
@@ -3778,7 +3783,7 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
                    AS w
-        FROM documents WHERE length(trim(text)) > 0
+        FROM {source} WHERE length(trim(text)) > 0
     ),
     agg AS (
         SELECT doc_id, sum(nc)::BIGINT AS n_char_syms,
@@ -3791,7 +3796,7 @@ def _bpe_encode_oracle(n_merges: int) -> str:
            round(a.n_char_syms::DOUBLE /
                  (CASE WHEN a.n_bpe_syms > 0 THEN a.n_bpe_syms END), 6)
                AS compression
-    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    FROM {source} d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """
     )
 
@@ -3806,6 +3811,42 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_encode
 
     return bpe_encode(docs, "doc_id", "text", n_merges=8)
+
+
+# Overlap-heavy BPE fixture: text derived deterministically from
+# doc_id with the SAME expression on both engines.  Single-char runs
+# (aaaa...) are where greedy non-overlapping application matters
+# ('aaaa' folds to (aa)(aa), never the straddling (a)(aa)(a));
+# alternating 'abab' makes a merged (ab) symbol that a later (b,a)
+# merge must NOT re-match inside; 'aab' chains force merge-priority
+# order to decide between (a,a) and (a,b).
+_BPE_OVERLAP_TEXT = (
+    "concat(repeat('a', 2 + doc_id % 6), ' ', "
+    "repeat('ab', 1 + doc_id % 5), ' ', "
+    "repeat('ba', 1 + doc_id % 4), ' ', "
+    "repeat('aab', 1 + doc_id % 3))"
+)
+_BPE_OVERLAP_SRC = (
+    f"(SELECT doc_id, {_BPE_OVERLAP_TEXT} AS text FROM documents)"
+)
+
+
+@register(
+    "text_bpe_overlap", _bpe_encode_oracle(6, source=_BPE_OVERLAP_SRC)
+)
+def text_bpe_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-priority-correct BPE encoding pinned on the overlap-heavy
+    fixture: every stage of training AND the final encoding must agree
+    with the staged DuckDB replay, whose wrapped-symbol representation
+    makes greedy non-overlapping fold semantics explicit.  Naive
+    regex/replace encoders (matches straddling merged symbols,
+    re-merging inside a symbol, wrong tie order) diverge on this
+    corpus by construction."""
+    from .operators.text import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fx = docs.select("doc_id", F.expr(_BPE_OVERLAP_TEXT).alias("text"))
+    return bpe_encode(fx, "doc_id", "text", n_merges=6)
 
 
 @register("text_bpe_train", _bpe_oracle(8))
