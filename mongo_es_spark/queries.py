@@ -545,6 +545,7 @@ _DRIVER_PRIORITY = [
     "streaming_substring_dedup",
     "dedup_components_incremental",
     "text_bpe_overlap",
+    "streaming_components",
     # similarity/embedding family (31d1305 touched similarity.py)
     "similarity_knn_graph",
     "embedding_knn_classify",
@@ -1085,6 +1086,59 @@ def dedup_components_incremental(
                     spark, pairs.filter(split == b), store
                 ).count()
         rows = components_over_store(spark, store).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, component long")
+
+
+@register("streaming_components", _COMPONENTS_ORACLE)
+def streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The components store maintained through Structured Streaming
+    under the batch clustering's hard oracle: the corpus's near-dup
+    pairs replay as a 3-file hash-split feed (one trigger per file —
+    NO ordering required: component labels are min-reachable ids and
+    min composes across merges in any order), each micro-batch folds
+    into the label + merge stores, and the final
+    ``components_over_store`` view must equal the one-shot
+    ``dedup_components`` clustering row for row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .operators.dedup import components_over_store
+    from .streaming.components import run_streaming_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    base = tempfile.mkdtemp(prefix="cc_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        split = F.pmod(F.xxhash64("i", "j"), F.lit(3))
+        for b in range(3):
+            pairs.filter(split == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + b * 60,) * 2)
+        stream = (
+            spark.readStream.schema("i long, j long, jaccard double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_streaming_components(
+            spark,
+            stream,
+            os.path.join(base, "store"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming components drain exceeded 300 s")
+        rows = components_over_store(
+            spark, os.path.join(base, "store")
+        ).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "doc long, component long")

@@ -3594,3 +3594,22 @@ def test_incremental_components_late_small_id_bridge(spark, tmp_path):
         for r in spark.read.parquet(store + "/merges").collect()
     }
     assert merges == {(10, 5), (20, 5)}
+
+
+def test_streaming_components_equals_batch(spark):
+    """The Structured-Streaming pair drain (unordered hash-split
+    batches) equals one-shot dedup_components — min labels compose
+    across merges in any feed order; registry query pins the same at
+    sf0.01 under the cross-engine oracle."""
+    from mongo_es_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["doc"], r["component"])
+        for r in REGISTRY["dedup_clusters"][0](spark, sf).collect()
+    }
+    stream = {
+        (r["doc"], r["component"])
+        for r in REGISTRY["streaming_components"][0](spark, sf).collect()
+    }
+    assert stream == batch and len(batch) > 0
