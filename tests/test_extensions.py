@@ -3613,3 +3613,44 @@ def test_streaming_components_equals_batch(spark):
         for r in REGISTRY["streaming_components"][0](spark, sf).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+@pytest.mark.parametrize("seed,n_batches", [(23, 2), (37, 5)])
+def test_incremental_components_random_batching(spark, tmp_path, seed, n_batches):
+    """Property: ANY partition of the edge set into ANY number of
+    batches yields the same final clustering as the one-shot batch
+    operator (min labels compose across merges in any order)."""
+    import random
+
+    from mongo_es_spark.operators.dedup import (
+        components_over_store,
+        dedup_components,
+        incremental_components,
+    )
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(120), 2))) for _ in range(150)}
+    )
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    want = {
+        (r["doc"], r["component"])
+        for r in dedup_components(pairs).collect()
+    }
+    store = str(tmp_path / f"cc_{seed}")
+    cut = len(edges) // n_batches or 1
+    for b in range(n_batches):
+        chunk = edges[b * cut:] if b == n_batches - 1 else edges[
+            b * cut:(b + 1) * cut
+        ]
+        if not chunk:
+            continue
+        incremental_components(
+            spark, spark.createDataFrame(chunk, "i long, j long"), store
+        ).count()
+    got = {
+        (r["doc"], r["component"])
+        for r in components_over_store(spark, store).collect()
+    }
+    assert got == want
