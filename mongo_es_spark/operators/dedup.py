@@ -1451,9 +1451,17 @@ def incremental_components(
         .distinct()
     )
     # current label per endpoint: stored label (or self for a new
-    # doc) pushed through the merge closure
+    # doc) pushed through the merge closure.  Join shape matters at
+    # scale: a plain left join (nodes LEFT store) could only
+    # broadcast the STORE side, so the corpus-sized label store
+    # would shuffle on every batch.  Instead the store inner-joins
+    # the BROADCAST batch keys (map-side scan of the store, nothing
+    # shuffled), and the batch-sized result left-joins back.
     if docs_store is not None:
-        nodes = nodes.join(docs_store, "doc", "left")
+        hits = docs_store.join(
+            F.broadcast(nodes.select("doc")), "doc"
+        )
+        nodes = nodes.join(hits, "doc", "left")
     else:
         nodes = nodes.withColumn("label", F.lit(None).cast("long"))
     nodes = nodes.withColumn("__new", F.col("label").isNull()).withColumn(
