@@ -1697,6 +1697,7 @@ def embedding_dup_pairs(
     threshold: float = 0.45,
     block_rows: int = 1024,
     n_rows: int | None = None,
+    clone_weighted: bool = False,
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (the baseline).
 
@@ -1725,6 +1726,13 @@ def embedding_dup_pairs(
     ``n_rows`` sizes the grid; pass the (distinct-vector) catalog
     count at scale to avoid the sizing count job — an upper bound just
     coarsens the grid.
+
+    ``clone_weighted=True`` switches to the bounded-output clone
+    contract (:func:`_weighted_rep_pairs`): one row per rep pair with
+    an ``n_pairs`` multiplicity — the shape for clone-heavy corpora,
+    where the expanded member-pair list is quadratic in clone
+    multiplicity by definition (the multimodal near-dup 1000× probe:
+    100× more output rows per rep pair at 10× the clones).
     """
     from pyspark.sql.window import Window
 
@@ -1788,11 +1796,19 @@ def embedding_dup_pairs(
     )
     # ids only — tiny; avoids re-running the window per consumer
     members = vm.select("rep", "doc").localCheckpoint(eager=True)
+    # within-group exact dups score 1.0 — only for nonzero vectors
+    # (a zero vector has no cosine with anything, its own clones
+    # included), and only when the threshold admits 1.0
+    nonzero_reps = reps.filter(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0
+    ).select(F.col("doc").alias("rep"))
+    within_reps = nonzero_reps if threshold <= 1.0 else nonzero_reps.limit(0)
+    if clone_weighted:
+        return _weighted_rep_pairs(
+            rep_pairs, members, "cosine", within_reps, F.lit(1.0)
+        )
     out = _expand_rep_pairs(rep_pairs, members, "cosine")
     if threshold <= 1.0:
-        nonzero_reps = reps.filter(
-            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0
-        ).select(F.col("doc").alias("rep"))
         members_nz = members.join(nonzero_reps, "rep", "left_semi")
         out = out.unionByName(
             _within_group_pairs(members_nz, F.lit(1.0), "cosine")
@@ -1834,10 +1850,12 @@ def embedding_dup_pairs_lsh(
     threshold: float = 0.45,
     bits: int = 16,
     band_bits: int = 4,
+    clone_weighted: bool = False,
 ) -> DataFrame:
     """Scale path: hyperplane-LSH bucket join + exact cosine verify.
     Recall < 1 by design (approximate); candidates only form within
-    matching sign-bands."""
+    matching sign-bands.  ``clone_weighted=True`` switches to the
+    bounded-output clone contract (see :func:`embedding_dup_pairs`)."""
     # exact-clone collapse, vector edition: identical embeddings (the
     # common case for exact-duplicate content) would explode candidate
     # pairs inside every bucket; group them via a window min over the
@@ -1903,11 +1921,16 @@ def embedding_dup_pairs_lsh(
         .select("i", "j", "cosine")
     )
     members = vm.select("rep", "doc")
+    nonzero_reps = vecs.filter(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0
+    ).select(F.col("doc").alias("rep"))
+    within_reps = nonzero_reps if threshold <= 1.0 else nonzero_reps.limit(0)
+    if clone_weighted:
+        return _weighted_rep_pairs(
+            rep_pairs, members, "cosine", within_reps, F.lit(1.0)
+        )
     out = _expand_rep_pairs(rep_pairs, members, "cosine")
     if threshold <= 1.0:
-        nonzero_reps = vecs.filter(
-            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0
-        ).select(F.col("doc").alias("rep"))
         members_nz = members.join(nonzero_reps, "rep", "left_semi")
         out = out.unionByName(
             _within_group_pairs(members_nz, F.lit(1.0), "cosine")

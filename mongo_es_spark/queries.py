@@ -546,6 +546,7 @@ _DRIVER_PRIORITY = [
     "dedup_components_incremental",
     "text_bpe_overlap",
     "streaming_components",
+    "dedup_embedding_weighted",
     # similarity/embedding family (31d1305 touched similarity.py)
     "similarity_knn_graph",
     "embedding_knn_classify",
@@ -1213,6 +1214,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "dedup_embedding_weighted",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+    ),
+    g AS (
+        SELECT embedding, min(vec_id) AS rep, count(*) AS k
+        FROM base GROUP BY embedding
+    ),
+    cross_pairs AS (
+        SELECT a.rep AS i, b.rep AS j,
+               round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                   AS cosine,
+               (a.k * b.k)::BIGINT AS n_pairs
+        FROM g a JOIN g b ON a.rep < b.rep
+        WHERE round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                  >= 0.45
+    ),
+    within AS (
+        SELECT rep AS i, rep AS j, 1.0::DOUBLE AS cosine,
+               (k * (k - 1) // 2)::BIGINT AS n_pairs
+        FROM g
+        WHERE k > 1 AND list_sum(
+            list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+    )
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM within
+    """,
+)
+def dedup_embedding_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-output clone contract for EMBEDDING near-dup (the
+    multimodal_near_dup 1000× probe's fix): clone multiplicity is
+    built deterministically on both engines (the corpus unioned with
+    an id-shifted copy — every vector exactly twice), and the
+    operator must emit one row per representative pair carrying
+    ``n_pairs`` (2×2 across groups, k·(k−1)/2 = 1 within) instead of
+    the expanded member pairs.  sum(n_pairs) equals the brute-force
+    pair count exactly while output stays ∝ distinct vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return embedding_dup_pairs(
+        doubled, "vec_id", "embedding", threshold=0.45, clone_weighted=True
+    )
 
 
 @register(

@@ -3654,3 +3654,44 @@ def test_incremental_components_random_batching(spark, tmp_path, seed, n_batches
         for r in components_over_store(spark, store).collect()
     }
     assert got == want
+
+
+def test_embedding_clone_weighted_matches_expanded(spark, emb):
+    """sum(n_pairs) over the bounded clone contract == the expanded
+    member-pair count, for both the exact (blocked gram) and the LSH
+    embedding pair operators, on a corpus with 2 clones per vector."""
+    from mongo_es_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    base = emb.limit(60).select("vec_id", "embedding")
+    doubled = base.unionByName(
+        base.select(
+            (F.col("vec_id") + F.lit(10_000)).alias("vec_id"), "embedding"
+        )
+    )
+    for fn, kw in (
+        (embedding_dup_pairs, {}),
+        (embedding_dup_pairs_lsh, {"dims": 64}),
+    ):
+        expanded = fn(
+            doubled, "vec_id", "embedding", threshold=0.45, **kw
+        )
+        weighted = fn(
+            doubled,
+            "vec_id",
+            "embedding",
+            threshold=0.45,
+            clone_weighted=True,
+            **kw,
+        )
+        n_exp = expanded.count()
+        wrows = weighted.collect()
+        assert sum(r["n_pairs"] for r in wrows) == n_exp
+        # every cross-group rep pair stands for exactly 2x2 members,
+        # every within row for k*(k-1)/2 = 1
+        for r in wrows:
+            assert r["n_pairs"] == (1 if r["i"] == r["j"] else 4)
+            if r["i"] == r["j"]:
+                assert r["cosine"] == 1.0
