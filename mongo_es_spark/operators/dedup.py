@@ -1246,6 +1246,51 @@ def dedup_components(
     return _components_star(pairs, i_col, j_col, max_iters)
 
 
+# Driver-side fast-path bound for connected components: below this
+# many (directed) edges the graph is collected and solved with
+# union-find on the driver instead of iterating distributed
+# propagation rounds.  262,144 long pairs is ~4 MB — bounded model
+# state, the same budget class as collected k-means centroids.  Above
+# the cutoff nothing changes: the distributed propagation runs.  The
+# win is real on a merge graph or a small batch projection, where
+# each propagation round (join + agg + checkpoint + convergence
+# probe) costs several scheduler round-trips for a metadata-sized
+# input.
+_DRIVER_CC_CUTOFF = 1 << 18
+
+
+def _components_union_find(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a SMALL edge list (caller must
+    have bounded the size — see ``_DRIVER_CC_CUTOFF``): collect,
+    union-find with path halving, label every node with the minimum
+    member of its component.  Bit-identical output contract to
+    ``_components_propagation`` (doc -> min reachable id)."""
+    pdf = edges.toPandas()
+    both = pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+    codes, uniques = pd.factorize(both)
+    n = len(uniques)
+    m = len(pdf)
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(codes[:m].tolist(), codes[m:].tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    roots = np.fromiter(
+        (find(i) for i in range(n)), dtype=np.int64, count=n
+    )
+    vals = pd.Series(uniques)
+    comp = vals.groupby(roots).transform("min")
+    out = pd.DataFrame({"doc": vals, "component": comp})
+    return edges.sparkSession.createDataFrame(out)
+
+
 def _components_propagation(
     pairs: DataFrame, i_col: str, j_col: str, max_iters: int
 ) -> DataFrame:
@@ -1258,6 +1303,9 @@ def _components_propagation(
         # per round (and per convergence check)
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    if 0 < n_edges <= _DRIVER_CC_CUTOFF:
+        return _components_union_find(edges)
     labels = (
         edges.select(F.col("a").alias("doc"))
         .distinct()

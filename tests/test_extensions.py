@@ -312,11 +312,21 @@ def test_incremental_minhash_equals_full(spark, docs, tmp_path):
     assert n_sigs == minhash_signature_frame(docs, "doc_id", "text").count()
 
 
-@pytest.mark.parametrize("algorithm", ["propagation", "star"])
-def test_components_match_union_find(spark, algorithm):
+@pytest.mark.parametrize(
+    "algorithm", ["propagation", "propagation_distributed", "star"]
+)
+def test_components_match_union_find(spark, algorithm, monkeypatch):
     import random
 
+    from mongo_es_spark.operators import dedup as dedup_mod
     from mongo_es_spark.operators.dedup import dedup_components
+
+    if algorithm == "propagation_distributed":
+        # a small graph would take the driver union-find fast path;
+        # force the distributed propagation rounds so both sides of
+        # the cutoff stay pinned to the same reference answer
+        monkeypatch.setattr(dedup_mod, "_DRIVER_CC_CUTOFF", 0)
+        algorithm = "propagation"
 
     rng = random.Random(13)
     # random graph with chains, cliques and singles mixed in
@@ -349,6 +359,25 @@ def test_components_match_union_find(spark, algorithm):
         for r in dedup_components(pairs, algorithm=algorithm).collect()
     }
     assert got == want
+
+
+def test_components_driver_path_string_ids(spark):
+    """The driver union-find fast path must keep the min-label
+    contract for non-numeric id columns (object dtype through
+    factorize + lexicographic min)."""
+    from mongo_es_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y"), ("q", "q")],
+        "i string, j string",
+    )
+    got = {
+        r["doc"]: r["component"]
+        for r in dedup_components(pairs).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q",
+    }
 
 
 def test_stratified_sample_deterministic_membership(spark):
