@@ -1110,7 +1110,11 @@ def streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.components import run_streaming_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # materialize once: each of the 3 feed-slice writes below would
+    # otherwise re-run the full pair-generation pipeline
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).localCheckpoint(eager=True)
     base = tempfile.mkdtemp(prefix="cc_stream_")
     try:
         feed = os.path.join(base, "feed")
