@@ -1411,6 +1411,40 @@ def keep_best_semantic(
     )
 
 
+# Driver fast-path budget for the k-center greedy: below this many
+# total doubles (n*d ≈ 32 MB) the vector matrix is bounded model
+# state — collect once, run the k matvecs locally, skip k scheduler
+# round-trips.  Above it, the distributed per-round kernel runs.
+_DRIVER_KCENTER_CUTOFF = 1 << 22
+
+
+def _kcenter_greedy_driver(pdf: pd.DataFrame, k: int) -> list:
+    """Exact farthest-first traversal of a SMALL (doc, v) frame on
+    the driver.  Same selection contract as the distributed rounds:
+    first center = smallest doc id; each round picks (max __mind,
+    ties to min doc); ``radius_after`` of round r is the next round's
+    farthest distance (final round: max remaining)."""
+    order = np.argsort(pdf["doc"].to_numpy(), kind="stable")
+    docs = pdf["doc"].to_numpy()[order]
+    M = _unit_rows(
+        np.asarray(pdf["v"].to_numpy()[order].tolist(), dtype=np.float64)
+    )
+    mind = np.full(len(docs), np.inf)
+    out_rows: list = []
+    prev = None
+    ci = 0  # round 0: smallest doc id = first row after the sort
+    for r in range(k):
+        if r > 0:
+            # first occurrence of the max over doc-ascending rows ==
+            # (mind desc, doc asc) TakeOrdered
+            ci = int(np.argmax(mind))
+            out_rows.append((int(prev), r - 1, float(mind[ci])))
+        prev = docs[ci]
+        mind = np.minimum(mind, 1.0 - M @ M[ci])
+    out_rows.append((int(prev), k - 1, float(mind.max())))
+    return out_rows
+
+
 def kcenter_coreset(
     df: DataFrame,
     id_col: str,
@@ -1451,6 +1485,14 @@ def kcenter_coreset(
     and running k-center over reps — composition, not a different
     operator.  ``checkpoint_every`` is retained for API
     compatibility; materialization is now per round.
+
+    Small inputs take a driver fast path: when the vector matrix fits
+    the bounded model-state budget (``n*d`` ≤ 4.2M doubles, ~32 MB —
+    the k-center input after rep-reduction IS model-sized), the
+    greedy runs as ``k`` numpy matvecs on the driver instead of ``k``
+    scheduler round-trips.  Identical selection contract either way
+    (pinned by tests on both cutoff sides); above the budget the
+    distributed passes are unchanged.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -1472,18 +1514,24 @@ def kcenter_coreset(
         )
     k = min(k, n)
 
+    dim = len(state.head()["v"])
+    if n * dim <= _DRIVER_KCENTER_CUTOFF:
+        out_rows = _kcenter_greedy_driver(
+            state.select("doc", "v").toPandas(), k
+        )
+        return df.sparkSession.createDataFrame(
+            out_rows, f"{id_col} long, round int, radius_after double"
+        )
+
     def dist_kernel_for(center):
         c = np.asarray(center, dtype=np.float64)
         c = c / max(np.linalg.norm(c), 1e-12)
 
         def kernel(vs: pd.Series) -> pd.Series:
-            if len(vs) == 0:
+            M, idx = _mask_stack(vs)  # nulls pre-filtered: idx is full
+            if len(idx) == 0:
                 return pd.Series(np.empty(0, dtype=np.float64))
-            M = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
-            M = M / np.maximum(
-                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
-            )
-            return pd.Series(1.0 - M @ c)
+            return pd.Series(1.0 - _unit_rows(M) @ c)
 
         return pandas_udf(kernel, "double")
 

@@ -3092,6 +3092,35 @@ def test_kcenter_k_capped_at_n(spark):
     assert sorted(r["vec_id"] for r in centers) == [1, 2]
 
 
+def test_kcenter_driver_path_matches_distributed(spark, monkeypatch):
+    """Both sides of the driver fast-path cutoff must make identical
+    greedy selections (centers, rounds, radii) — including exact
+    duplicate vectors, where ties break to the smaller id."""
+    import random
+
+    from mongo_es_spark.operators import similarity as sim
+
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)
+    ]
+    rows += [(100 + i, list(rows[3][1])) for i in range(3)]  # dup ties
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    fast = sim.kcenter_coreset(df, "vec_id", "embedding", k=7).collect()
+    monkeypatch.setattr(sim, "_DRIVER_KCENTER_CUTOFF", 0)
+    slow = sim.kcenter_coreset(df, "vec_id", "embedding", k=7).collect()
+    key = lambda r: r["round"]
+    assert sorted(
+        [(r["vec_id"], r["round"]) for r in fast], key=lambda t: t[1]
+    ) == sorted(
+        [(r["vec_id"], r["round"]) for r in slow], key=lambda t: t[1]
+    )
+    for a, b in zip(sorted(fast, key=key), sorted(slow, key=key)):
+        assert abs(a["radius_after"] - b["radius_after"]) < 1e-12
+
+
 def test_incremental_profile_merge_and_replay(spark, tmp_path):
     from mongo_es_spark.operators.profile import (
         incremental_profile,
