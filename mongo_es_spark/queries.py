@@ -520,16 +520,16 @@ def bulk_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of the
-# queries() dict.  Every r1-r4 priority name now has a green driver
-# row (CORRECTNESS_r01-r04), so the r5 window surfaces: the single
-# never-driver-checked query (streaming_boilerplate, registered 51st
-# in r4), the round-5 registrations, and the queries whose semantics
-# or parameters CHANGED this round (Unicode normalization, keep-best
-# short-group fix, raised ANN floors, collapsed incremental paths) so
-# the formal record reflects the new code.  The remaining ~35 window
-# slots fall back to the earliest-registered queries — harmless
-# re-verification.  Registration order is unchanged; only the
-# exported iteration order rotates.
+# queries() dict.  _export_order() now rotates the window
+# AUTOMATICALLY from the CORRECTNESS_r*.json records at the repo
+# root: never-driver-checked names export first, then
+# oldest-checked — so every round's 50 slots go to the stalest
+# formal records without manual list surgery (the r5/r6 windows
+# being byte-identical was a two-round process failure this
+# removes).  _DRIVER_PRIORITY survives as the TIE-BREAK within a
+# staleness class: names listed here outrank unlisted ones checked
+# in the same round, letting a round steer same-staleness slots
+# toward the families its code changes touched.
 _DRIVER_PRIORITY = [
     # --- round-7 rotation ------------------------------------------------
     # The r5 and r6 driver windows were byte-identical, leaving 65 of the
@@ -621,9 +621,48 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _driver_row_history() -> dict[str, int]:
+    """name -> most recent round with a driver correctness row, read
+    from the ``CORRECTNESS_r*.json`` records the round driver leaves
+    at the repo root.  Unreadable or non-dict files are skipped; no
+    files at all yields an empty history (priority-list fallback)."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            hist[name] = max(hist.get(name, -1), rnd)
+    return hist
+
+
 def _export_order() -> list[str]:
-    rest = [n for n in REGISTRY if n not in _DRIVER_PRIORITY]
-    return [n for n in _DRIVER_PRIORITY if n in REGISTRY] + rest
+    """Driver-facing iteration order, self-rotating staleness-first:
+    the driver records correctness rows for only the FIRST 50
+    exported queries, so never-driver-checked names export first,
+    then oldest-checked.  Ties (same last-checked round) break to
+    the manual ``_DRIVER_PRIORITY`` curation, then registration
+    order.  Deterministic for a given set of record files."""
+    hist = _driver_row_history()
+    prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    reg = {n: i for i, n in enumerate(REGISTRY)}
+    return sorted(
+        REGISTRY,
+        key=lambda n: (hist.get(n, -1), prio.get(n, len(prio)), reg[n]),
+    )
 
 
 def _verdict_frame(spark: SparkSession, cols) -> DataFrame:

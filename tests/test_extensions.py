@@ -3753,3 +3753,35 @@ def test_embedding_clone_weighted_matches_expanded(spark, emb):
             assert r["n_pairs"] == (1 if r["i"] == r["j"] else 4)
             if r["i"] == r["j"]:
                 assert r["cosine"] == 1.0
+
+
+def test_export_order_staleness_first(monkeypatch):
+    """The driver checks only the first 50 exported queries, so the
+    export order must self-rotate: never-driver-checked names first,
+    then ascending last-checked round; ties break to the manual
+    priority list, then registration order; every registry name
+    appears exactly once."""
+    import mongo_es_spark.queries as q
+
+    names = list(q.REGISTRY)
+    fake_hist = {n: 3 for n in names[: len(names) // 2]}
+    fake_hist.update({n: 5 for n in names[len(names) // 2 : -4]})
+    # the last 4 registrations: never checked
+    monkeypatch.setattr(q, "_driver_row_history", lambda: fake_hist)
+    order = q._export_order()
+    assert sorted(order) == sorted(names)
+    last = [fake_hist.get(n, -1) for n in order]
+    assert last == sorted(last)          # staleness-ascending
+    assert set(order[:4]) == set(names[-4:])  # never-checked lead
+
+    # with the real records on disk: full coverage, stable, and no
+    # name the driver checked LAST round sits inside the window while
+    # a staler name sits outside it
+    real = q._export_order()
+    assert sorted(real) == sorted(names)
+    hist = q._driver_row_history()
+    if hist:
+        window, outside = real[:50], real[50:]
+        worst_in = max(hist.get(n, -1) for n in window)
+        best_out = min(hist.get(n, -1) for n in outside)
+        assert worst_in <= best_out
