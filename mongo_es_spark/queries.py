@@ -1372,6 +1372,139 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_embedding_pairs",
+    """
+    SELECT count(*)::BIGINT AS n_exact_pairs,
+           true AS subset_ok,
+           true AS recall_ok,
+           true AS indexed_ok,
+           true AS replay_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+    """,
+)
+def streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-partitioned embedding near-dup store maintained
+    through Structured Streaming (streaming/embedding_pairs.py) —
+    the last incremental store to gain a streaming edition.  Vectors
+    replay as a 3-file feed (first trigger trains the quantizer,
+    later triggers probe + append through the id anti-join), and the
+    drained union of per-batch pair outputs is pinned by a
+    verified summary:
+
+    * ``n_exact_pairs``: brute-force pair count at cosine >= 0.45,
+      computed independently in Spark and DuckDB (cross-engine);
+    * ``subset_ok``: every streamed pair is an exact pair with an
+      identical (round-6) cosine — cell probing re-ranks exactly, so
+      precision is 1 by construction;
+    * ``recall_ok``: recall vs the exact pair set >= 0.3 (measured
+      0.43 at sf0.01 / 0.37 at sf0.1 with k=16 cells trained on the
+      FIRST third of the corpus — the honest streaming cost, same
+      caveat as ``streaming_ivf``'s first-batch training);
+    * ``indexed_ok``: every vector indexed exactly once;
+    * ``replay_ok``: a post-drain redelivery of the training slice
+      emits 0 pairs and appends 0 vectors.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    from .operators.similarity import incremental_embedding_pairs
+    from .streaming.embedding_pairs import run_streaming_embedding_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_total = emb.count()
+    base = tempfile.mkdtemp(prefix="embp_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        for i in range(3):
+            emb.filter(
+                F.pmod(F.col("vec_id"), F.lit(3)) == i
+            ).coalesce(1).write.mode("append").parquet(feed)
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        store = os.path.join(base, "store")
+        q = run_streaming_embedding_pairs(
+            spark,
+            stream,
+            "vec_id",
+            "embedding",
+            store,
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            threshold=0.45,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming embedding-pairs drain exceeded 300 s"
+            )
+        inc = {
+            (r["i"], r["j"]): r["cosine"]
+            for r in spark.read.parquet(os.path.join(base, "out"))
+            .select("i", "j", "cosine")
+            .collect()
+        }
+        vec_ids = [
+            r["doc"]
+            for r in spark.read.parquet(os.path.join(store, "vectors"))
+            .select("doc")
+            .collect()
+        ]
+        replay_n = incremental_embedding_pairs(
+            spark,
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0),
+            "vec_id",
+            "embedding",
+            store,
+            threshold=0.45,
+        ).count()
+        n_after = spark.read.parquet(
+            os.path.join(store, "vectors")
+        ).count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    exact = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    subset_ok = all(
+        p in exact and abs(exact[p] - c) <= 1e-9 for p, c in inc.items()
+    )
+    recall = len([p for p in inc if p in exact]) / max(len(exact), 1)
+    return _verdict_frame(
+        spark,
+        [
+            ("n_exact_pairs", len(exact), "bigint"),
+            ("subset_ok", bool(subset_ok), "boolean"),
+            ("recall_ok", recall >= 0.3, "boolean"),
+            (
+                "indexed_ok",
+                len(vec_ids) == n_total
+                and len(set(vec_ids)) == n_total,
+                "boolean",
+            ),
+            (
+                "replay_ok",
+                replay_n == 0 and n_after == n_total,
+                "boolean",
+            ),
+        ],
+    )
+
+
+@register(
     "similarity_topk",
     """
     SELECT e.vec_id,

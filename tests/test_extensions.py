@@ -3785,3 +3785,78 @@ def test_export_order_staleness_first(monkeypatch):
         worst_in = max(hist.get(n, -1) for n in window)
         best_out = min(hist.get(n, -1) for n in outside)
         assert worst_in <= best_out
+
+
+def test_streaming_embedding_pairs_equals_sequential_batches(spark, tmp_path):
+    """The Structured-Streaming vector drain must equal feeding the
+    SAME three slices sequentially through the batch incremental
+    store: identical pair set (id pair + round-6 cosine) and
+    identical indexed-vector set — foreachBatch adds delivery
+    mechanics, never semantics."""
+    import glob
+    import os
+
+    from mongo_es_spark.operators.similarity import (
+        incremental_embedding_pairs,
+    )
+    from mongo_es_spark.streaming.embedding_pairs import (
+        run_streaming_embedding_pairs,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    slices = [
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+
+    batch_store = str(tmp_path / "batch_store")
+    batch_pairs: set = set()
+    for sl in slices:
+        batch_pairs |= {
+            (r["i"], r["j"], r["cosine"])
+            for r in incremental_embedding_pairs(
+                spark, sl, "vec_id", "embedding", batch_store,
+                threshold=0.45,
+            ).collect()
+        }
+
+    feed = str(tmp_path / "feed")
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(feed)
+        for f in glob.glob(os.path.join(feed, "*.parquet")):
+            if os.path.getmtime(f) > 1_700_000_000:
+                os.utime(f, (1_600_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_store = str(tmp_path / "stream_store")
+    q = run_streaming_embedding_pairs(
+        spark, stream, "vec_id", "embedding", stream_store,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), threshold=0.45,
+    )
+    assert q.awaitTermination(120)
+    stream_pairs = {
+        (r["i"], r["j"], r["cosine"])
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("i", "j", "cosine")
+        .collect()
+    }
+    assert stream_pairs == batch_pairs and len(batch_pairs) > 0
+    sv = {
+        r["doc"]
+        for r in spark.read.parquet(
+            os.path.join(stream_store, "vectors")
+        ).collect()
+    }
+    bv = {
+        r["doc"]
+        for r in spark.read.parquet(
+            os.path.join(batch_store, "vectors")
+        ).collect()
+    }
+    assert sv == bv == {r["vec_id"] for r in emb.collect()}
