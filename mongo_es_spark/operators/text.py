@@ -477,6 +477,124 @@ def bigram_cross_entropy(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+    lam: float = 0.7,
+    rank_bins: int = 256,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC'20):
+    rank every document within its language by bigram cross-entropy
+    and split each language into ``n_buckets`` equal-count tiers —
+    head/middle/tail for the default 3 — then report per
+    ``(lang, bucket)``: doc count, total bigrams, mean xent (exact
+    integer micro-nats, so the cross-engine compare is float-free).
+
+    Exact ntile semantics (the first ``c % n`` tiers of a
+    ``c``-doc language get the extra row), but WITHOUT ntile's
+    scale problem: a window partitioned by language sorts each
+    language's rows in ONE task — the classic skew wall when one
+    language is half the corpus.  Instead ranks come from the
+    grid-offset two-pass of :func:`corpus_shuffle` generalized to
+    group scope: the xent domain splits into ``rank_bins``
+    contiguous ranges, per ``(lang, bin)`` counts roll into
+    broadcast within-language offsets (``langs × rank_bins`` rows of
+    driver state), and row_number runs inside each ``(lang, bin)``
+    cell — parallelism = cells, no language-sized sort task.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    x = bigram_cross_entropy(df, id_col, text_col, lam)
+    lx = df.select(F.col(id_col), F.col(lang_col).alias("lang")).join(
+        x, id_col
+    )
+    # grid the xent domain: one tiny agg for the global bounds
+    bounds = lx.agg(
+        F.min("xent2").alias("lo"), F.max("xent2").alias("hi")
+    ).head()
+    lo, hi = float(bounds["lo"] or 0.0), float(bounds["hi"] or 0.0)
+    span = max(hi - lo, 1e-12)
+    binc = F.least(
+        F.lit(rank_bins - 1),
+        F.floor((F.col("xent2") - F.lit(lo)) / F.lit(span) * rank_bins),
+    ).cast("int")
+    # __lk: null-safe join/window key (equi-joins drop null keys; a
+    # null-lang corpus slice must still bucket as its own group)
+    binned = lx.withColumn("__bin", binc).withColumn(
+        "__lk", F.coalesce(F.col("lang"), F.lit("\x00"))
+    )
+    cells = (
+        binned.groupBy("__lk", "__bin").agg(F.count("*").alias("__c"))
+    ).collect()
+    # within-language prefix offsets + language totals (driver state:
+    # langs × rank_bins rows)
+    from collections import defaultdict
+
+    per_lang: dict = defaultdict(list)
+    for r in cells:
+        per_lang[r["__lk"]].append((r["__bin"], int(r["__c"])))
+    offs, totals = [], {}
+    for lk, bl in per_lang.items():
+        acc = 0
+        for b, c in sorted(bl):
+            offs.append((lk, b, acc))
+            acc += c
+        totals[lk] = acc
+    if not offs:
+        return df.sparkSession.createDataFrame(
+            [],
+            "lang string, bucket int, n_docs long, total_bigrams long, "
+            "avg_xent2_micro long",
+        )
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offs, "__lk string, __bin int, __off long"
+    )
+    tot_df = spark.createDataFrame(
+        list(totals.items()), "__lk string, __n long"
+    )
+    w = Window.partitionBy("__lk", "__bin").orderBy("xent2", id_col)
+    ranked = (
+        binned.join(F.broadcast(off_df), ["__lk", "__bin"])
+        .join(F.broadcast(tot_df), "__lk")
+        .select(
+            "lang",
+            "n_bigrams",
+            "xent2",
+            "__n",
+            (F.col("__off") + F.row_number().over(w) - 1).alias("__r"),
+        )
+    )
+    # exact ntile: the first rem = c % n tiers have size q+1, the
+    # rest size q (integer div throughout; the q=0 branch is
+    # unreachable when every row is a head row, but greatest() keeps
+    # the divisor legal)
+    n = n_buckets
+    bucket = (
+        F.expr(
+            f"CASE WHEN __r < (__n % {n}) * (__n div {n} + 1) "
+            f"THEN __r div (__n div {n} + 1) "
+            f"ELSE (__n % {n}) + (__r - (__n % {n}) * (__n div {n} + 1)) "
+            f"div greatest(__n div {n}, 1L) END"
+        ).cast("int")
+        + 1
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.expr(
+                "sum(cast(round(xent2 * 1000000) as bigint)) div count(*)"
+            ).alias("avg_xent2_micro"),
+        )
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,
@@ -795,6 +913,120 @@ def fingerprint_col(text: Column) -> Column:
         nums,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 32,
+    signed: bool = True,
+    normalize: bool = False,
+    collapse: bool = True,
+) -> DataFrame:
+    """Hashing-trick document embeddings (feature hashing, Weinberger
+    et al. ICML'09): every whitespace token hashes to one of ``dim``
+    buckets — bucket from the first 8 hex chars of ``md5(token)``,
+    a ±1 sign from the 9th — and the document vector is the signed
+    bucket-count histogram, optionally L2-normalized.  The model-free
+    embedding any corpus can compute: it feeds the ANN / semantic
+    stack (``ann_*_topk``, ``kmeans_clusters``, ``semantic_dedup``)
+    when no trained encoder is available, and md5 keeps the bucket
+    assignment bit-identical across engines so the registry pins the
+    raw signed counts cross-engine.
+
+    All JVM: md5/conv bucket + sign columns on the exploded token
+    stream, then ONE doc-keyed hash aggregation of ``dim``
+    conditional sums (map-side combined — each mapper emits ``dim``
+    doubles per doc, the reducer adds them).  No token-keyed join at
+    all (unlike the xent family), no Python anywhere.  Scale shape:
+    explode + a single shuffle on the text/doc key.
+
+    Clone-collapsed by default (the vector depends only on the
+    text): the histogram aggregates once per DISTINCT text and
+    expands back through a null-safe text-keyed join — crawl-shaped
+    corpora pay for distinct content, not clones.
+
+    ``normalize=True`` divides by the unrolled L2 norm (unit vectors
+    for cosine consumers); zero vectors (empty/null docs) stay zero.
+    Output: ``id, vec`` (array<double>, length ``dim``).
+    """
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    key = "__k"
+    if collapse:
+        # one histogram per DISTINCT text, keyed by the text itself
+        base = df.select(F.col(text_col).alias(key)).distinct()
+        text = F.col(key)
+    else:
+        base = df.select(F.col(id_col).alias(key), F.col(text_col))
+        text = F.col(text_col)
+    toks = base.filter(
+        F.length(F.trim(F.coalesce(text, F.lit("")))) > 0
+    ).select(F.col(key), F.explode(tokens_col(text)).alias("__tok"))
+    h = F.md5(F.col("__tok"))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    sgn = (
+        F.when(
+            F.pmod(
+                F.conv(F.substring(h, 9, 1), 16, 10).cast("long"),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        if signed
+        else F.lit(1.0)
+    )
+    hashed = toks.select(F.col(key), bucket.alias("__b"), sgn.alias("__s"))
+    agg = hashed.groupBy(key).agg(
+        *[
+            F.sum(
+                F.when(F.col("__b") == i, F.col("__s")).otherwise(0.0)
+            ).alias(f"__c{i}")
+            for i in range(dim)
+        ]
+    )
+    comps = [F.coalesce(F.col(f"__c{i}"), F.lit(0.0)) for i in range(dim)]
+    if normalize:
+        # unrolled norm (no interpreted HOF fold on the hot path)
+        sq = comps[0] * comps[0]
+        for c in comps[1:]:
+            sq = sq + c * c
+        norm = F.sqrt(sq)
+        vec = F.array(
+            *[
+                F.when(norm == 0.0, F.lit(0.0)).otherwise(c / norm)
+                for c in comps
+            ]
+        )
+    else:
+        vec = F.array(*comps)
+    zero = F.array(*[F.lit(0.0)] * dim)
+    if not collapse:
+        out = base.select(F.col(key).alias(id_col)).join(
+            agg.select(F.col(key).alias(id_col), vec.alias("vec")),
+            id_col,
+            "left",
+        )
+        return out.select(
+            id_col, F.coalesce(F.col("vec"), zero).alias("vec")
+        )
+    per_text = agg.select(
+        F.isnull(key).alias("__k0"),
+        F.coalesce(F.col(key), F.lit("")).alias("__k1"),
+        vec.alias("vec"),
+    )
+    lhs = df.select(
+        F.col(id_col),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    )
+    return lhs.join(per_text, ["__k0", "__k1"], "left").select(
+        id_col, F.coalesce(F.col("vec"), zero).alias("vec")
     )
 
 

@@ -6043,3 +6043,179 @@ def streaming_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "doc_id long, n_chunks long, n_removed long, clean_text string",
     )
+
+
+# ====================================================================
+# Hashing-trick document embeddings + text-to-ANN retrieval pipeline
+# (round 7 continuation)
+# ====================================================================
+
+_HASH_EMBED_DIM = 32
+
+_HASH_EMBED_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT
+                   % {_HASH_EMBED_DIM} AS b,
+               CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM toks
+    ),
+    agg AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"coalesce(sum(CASE WHEN b={i} THEN s END), 0)::BIGINT"
+                   f" AS c{i}" for i in range(_HASH_EMBED_DIM)
+               )}
+        FROM h GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           concat_ws(',', {", ".join(
+               f"coalesce(a.c{i}, 0)" for i in range(_HASH_EMBED_DIM)
+           )}) AS vec_csv
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("text_hash_embed", _HASH_EMBED_SQL)
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al.
+    ICML'09): md5-bucketed ±1 token histogram, all JVM (explode +
+    one conditional-sum aggregation, map-side combined — no
+    token-keyed join, no Python).  The registry pins the RAW signed
+    counts — exact integers, so the cross-engine hash is
+    float-risk-free — serialized CSV like the quantize codes (list
+    cells are unhashable driver-side).  The normalized form feeds
+    the ANN stack; ``pipeline_text_ann`` certifies it end-to-end."""
+    from .operators.text import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embed(
+        docs, "doc_id", "text", dim=_HASH_EMBED_DIM, normalize=False
+    )
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("vec"), lambda x: x.cast("long").cast("string")
+            ),
+            ",",
+        ).alias("vec_csv"),
+    )
+
+
+@register(
+    "pipeline_text_ann",
+    """
+    SELECT 10::BIGINT AS n_results,
+           true AS scores_exact,
+           true AS recall_ok
+    """,
+)
+def pipeline_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end model-free retrieval: hash-embed the documents
+    table (unit-normalized), index with IVF, query one doc's vector,
+    certify against the exact brute-force cosine top-k over the same
+    embeddings (the `_ann_topk_check` contract: ANN must never
+    fabricate scores; recall@10 floor 0.7 — measured 1.0 at sf0.01
+    and sf0.1, deterministic at these scales because the k-means
+    train sample is the whole distinct-text rep set).
+
+    The pipeline runs over one rep per DISTINCT text (min doc_id) —
+    exact-duplicate texts produce identical vectors, and indexing
+    them would only multiply tie rows in every top-k; dedup-then-
+    index is also the semantically right pipeline order.  Empty-text
+    docs (zero vectors, no cosine) are excluded by construction.
+    """
+    from .operators.text import hash_embed
+    from .operators.similarity import ann_ivf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        docs.filter(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    emb = hash_embed(
+        reps, "doc_id", "text", dim=_HASH_EMBED_DIM, normalize=True
+    ).select(
+        F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    # one eager materialization: the IVF trainer, the cell assigner,
+    # and the exact-check scan would each otherwise recompute the
+    # explode + histogram lineage
+    emb = emb.localCheckpoint(eager=True)
+    qid = int(emb.agg(F.min("vec_id")).head()[0])
+    ann = ann_ivf_topk(
+        emb, "vec_id", "embedding", query_id=qid, k=10, n_probe=8
+    )
+    return _ann_topk_check(emb, ann, query_id=qid, k=10, min_recall=0.7)
+
+
+@register(
+    "text_perplexity_buckets",
+    """
+    WITH t0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM t0),
+    uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+    tot AS (SELECT sum(c1)::DOUBLE AS n FROM uni),
+    pairs AS (
+        SELECT doc_id,
+               unnest([{'p': w[i], 'c': w[i + 1]}
+                       for i in range(1, len(w))], recursive := true)
+        FROM t0
+    ),
+    bi AS (SELECT p, c, count(*) AS c2 FROM pairs GROUP BY p, c),
+    x AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               floor(avg(-ln(0.7 * (c2 / up.c1)
+                             + 0.3 * (uc.c1 / n))) * 1000000)
+                   / 1000000 AS xent2
+        FROM pairs
+        JOIN bi USING (p, c)
+        JOIN uni up ON pairs.p = up.t
+        JOIN uni uc ON pairs.c = uc.t
+        CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    xd AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(x.n_bigrams, 0) AS n_bigrams,
+               coalesce(x.xent2, 0.0) AS xent2
+        FROM documents d LEFT JOIN x USING (doc_id)
+    ),
+    r AS (
+        SELECT lang, n_bigrams, xent2,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY xent2, doc_id) AS bucket
+        FROM xd
+    )
+    SELECT lang, bucket::INT AS bucket, count(*)::BIGINT AS n_docs,
+           sum(n_bigrams)::BIGINT AS total_bigrams,
+           (sum(round(xent2 * 1000000)::BIGINT) // count(*))::BIGINT
+               AS avg_xent2_micro
+    FROM r GROUP BY lang, bucket
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers per language (Wenzek
+    et al., LREC'20) — the data-selection recipe that keeps the
+    lowest-perplexity tier and drops or downweights the rest.  The
+    oracle uses DuckDB's own ntile window; the Spark side computes
+    identical tiers WITHOUT a per-language single-task window sort
+    (grid-offset two-pass ranking — see the operator docstring for
+    the skew story).  Mean xent is exact integer micro-nats: the
+    per-doc xent2 values are already floor6-pinned cross-engine, so
+    summing their micro-units and integer-dividing is float-free."""
+    from .operators.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=3)

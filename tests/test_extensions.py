@@ -3860,3 +3860,95 @@ def test_streaming_embedding_pairs_equals_sequential_batches(spark, tmp_path):
         ).collect()
     }
     assert sv == bv == {r["vec_id"] for r in emb.collect()}
+
+
+# ------------------------------------------------------------------ #
+# hash embeddings + perplexity buckets (round-7 continuation)
+# ------------------------------------------------------------------ #
+
+
+def test_hash_embed_deterministic_and_zero_for_empty(spark):
+    from mongo_es_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha"),
+            (1, "alpha beta alpha"),  # clone of 0
+            (2, "gamma"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["vec"]) for r in hash_embed(
+        df, "doc_id", "text", dim=8
+    ).collect()}
+    assert len(out) == 5
+    assert out[0] == out[1]  # clones embed identically
+    assert out[3] == [0.0] * 8 and out[4] == [0.0] * 8
+    # signed counts sum of |v| equals token multiset size for docs
+    # without bucket collisions cancelling: at minimum, nonzero
+    assert any(v != 0 for v in out[0]) and any(v != 0 for v in out[2])
+    # collapse parity
+    nc = {r["doc_id"]: list(r["vec"]) for r in hash_embed(
+        df, "doc_id", "text", dim=8, collapse=False
+    ).collect()}
+    assert nc == out
+
+
+def test_hash_embed_normalize_unit_norm(spark):
+    import math
+
+    from mongo_es_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "zz"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["vec"]) for r in hash_embed(
+        df, "doc_id", "text", dim=8, normalize=True
+    ).collect()}
+    for i in (0, 1):
+        assert abs(math.sqrt(sum(x * x for x in out[i])) - 1.0) < 1e-12
+    assert out[2] == [0.0] * 8  # zero vector stays zero, not NaN
+
+
+def test_perplexity_buckets_exact_ntile(spark):
+    from mongo_es_spark.operators.text import perplexity_buckets
+
+    # 7 docs in one lang -> ntile(3) sizes 3/2/2; 2 docs in another
+    # -> sizes 1/1/0 (bucket 3 empty)
+    rows = [
+        (i, " ".join(["tok%d" % (i * 3 + j) for j in range(i + 2)]), "en")
+        for i in range(7)
+    ] + [(10, "x y z", "fr"), (11, "x y x y", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, "doc_id", "text", "lang", n_buckets=3)
+    got = {(r["lang"], r["bucket"]): r["n_docs"] for r in out.collect()}
+    assert got[("en", 1)] == 3 and got[("en", 2)] == 2 and got[("en", 3)] == 2
+    assert got[("fr", 1)] == 1 and got[("fr", 2)] == 1
+    assert ("fr", 3) not in got
+
+
+def test_perplexity_buckets_no_single_task_language_sort(spark):
+    from mongo_es_spark.operators.text import perplexity_buckets
+
+    rows = [(i, "w%d w%d" % (i, i + 1), "en") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, "doc_id", "text", "lang", rank_bins=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the ranking window partitions by (lang, bin) cells, never by
+    # lang alone — the skew-wall shape this operator exists to avoid
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "__bin" in line
+    assert out.count() > 0
+
+
+def test_pipeline_text_ann_recall_floor(spark):
+    import __spark_entry__ as entry
+
+    q = entry.queries()["pipeline_text_ann"]
+    row = q(spark, "/root/testdata/sf0.001").head()
+    assert row["n_results"] == 10
+    assert row["scores_exact"] and row["recall_ok"]
