@@ -11,6 +11,8 @@ parallel across keys (no global window anywhere).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,6 +88,79 @@ def trailing_features(
         F.coalesce(F.sum(milli).over(w), F.lit(0)).alias(
             "sum_value_milli_prev"
         ),
+    )
+
+
+def attribution(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    lookback_ms: int,
+) -> DataFrame:
+    """First/last-touch conversion attribution: for every conversion
+    event, the earliest and latest touch events (``touch_types``) by
+    the same key in ``[ts - lookback_ms, ts)`` — strictly before
+    conversion time, the same no-label-leakage contract as
+    :func:`trailing_features`.
+
+    All three attribution signals (first touch, last touch, touch
+    count) come from ONE value-based RANGE frame over one key-sorted
+    exchange — no conversions×touches self-join, which at scale
+    multiplies every conversion by its lookback volume.  First/last
+    are min/max over a ``(ts, id, type)`` struct (aggregate min/max
+    skip the NULL structs non-touch rows produce; the unique id makes
+    the ordering a total one, so ties at the same millisecond resolve
+    identically in any engine).
+
+    Output: one row per conversion — ``(key, conv_id, conv_ts,
+    first_touch_id, first_touch_type, last_touch_id,
+    last_touch_type, n_touches)``; conversions with no touch in the
+    window keep NULL touch columns and ``n_touches = 0``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col))
+        .rangeBetween(-lookback_ms, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("tp"),
+        ),
+    )
+    first = F.min(touch_struct).over(w)
+    last = F.max(touch_struct).over(w)
+    n = F.coalesce(
+        F.sum(is_touch.cast("long")).over(w), F.lit(0)
+    )
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(id_col),
+            F.col(ts_col),
+            F.col(type_col),
+            first.alias("__f"),
+            last.alias("__l"),
+            n.alias("n_touches"),
+        )
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(key_col),
+            F.col(id_col).alias("conv_id"),
+            F.col(ts_col).alias("conv_ts"),
+            F.col("__f.id").alias("first_touch_id"),
+            F.col("__f.tp").alias("first_touch_type"),
+            F.col("__l.id").alias("last_touch_id"),
+            F.col("__l.tp").alias("last_touch_type"),
+            "n_touches",
+        )
     )
 
 

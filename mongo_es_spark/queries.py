@@ -6219,3 +6219,72 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=3)
+
+
+@register(
+    "events_attribution",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(ts)::BIGINT AS ts_ms
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id, event_id AS conv_id, ts_ms AS conv_ts
+        FROM o WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id, event_type, ts_ms
+        FROM o WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT c.conv_id, t.event_id, t.event_type,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.ts_ms, t.event_id) AS rf,
+               row_number() OVER (PARTITION BY c.conv_id
+                                  ORDER BY t.ts_ms DESC,
+                                           t.event_id DESC) AS rl,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_t
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.ts_ms >= c.conv_ts - 3600000
+         AND t.ts_ms <= c.conv_ts - 1
+    ),
+    f AS (SELECT conv_id, event_id AS first_touch_id,
+                 event_type AS first_touch_type FROM j WHERE rf = 1),
+    l AS (SELECT conv_id, event_id AS last_touch_id,
+                 event_type AS last_touch_type, n_t FROM j WHERE rl = 1)
+    SELECT c.user_id, c.conv_id, c.conv_ts,
+           f.first_touch_id, f.first_touch_type,
+           l.last_touch_id, l.last_touch_type,
+           coalesce(l.n_t, 0)::BIGINT AS n_touches
+    FROM conv c
+    LEFT JOIN f USING (conv_id)
+    LEFT JOIN l USING (conv_id)
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution over the trailing hour
+    (purchases attributed to click/view touches).  The oracle takes
+    the textbook conversions×touches range self-join; the Spark side
+    gets all three signals from ONE value-based RANGE frame over one
+    user-keyed exchange — at scale the self-join multiplies every
+    conversion by its lookback volume, the window does not."""
+    from .operators.sessions import attribution
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_type",
+    )
+    return attribution(
+        ev,
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "event_type",
+        touch_types=("click", "view"),
+        conversion_type="purchase",
+        lookback_ms=3600 * 1000,
+    )

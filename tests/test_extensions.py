@@ -3952,3 +3952,62 @@ def test_pipeline_text_ann_recall_floor(spark):
     row = q(spark, "/root/testdata/sf0.001").head()
     assert row["n_results"] == 10
     assert row["scores_exact"] and row["recall_ok"]
+
+
+def test_attribution_first_last_touch_and_no_touch(spark):
+    from mongo_es_spark.operators.sessions import attribution
+
+    rows = [
+        # user 1: touches at 100 (view), 200 (click); purchase at 250
+        (1, 10, 100, "view"),
+        (1, 11, 200, "click"),
+        (1, 12, 250, "purchase"),
+        # same-ms touch must NOT count (frame ends at ts-1)
+        (1, 13, 250, "click"),
+        # user 2: purchase with no touches
+        (2, 20, 500, "purchase"),
+        # user 3: touch outside the lookback
+        (3, 30, 100, "click"),
+        (3, 31, 5000, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ms long, event_type string"
+    )
+    out = {
+        r["conv_id"]: r
+        for r in attribution(
+            df,
+            "user_id",
+            "event_id",
+            "ts_ms",
+            "event_type",
+            touch_types=("click", "view"),
+            conversion_type="purchase",
+            lookback_ms=1000,
+        ).collect()
+    }
+    assert len(out) == 3
+    r1 = out[12]
+    assert (r1["first_touch_id"], r1["first_touch_type"]) == (10, "view")
+    assert (r1["last_touch_id"], r1["last_touch_type"]) == (11, "click")
+    assert r1["n_touches"] == 2
+    r2 = out[20]
+    assert r2["first_touch_id"] is None and r2["n_touches"] == 0
+    r3 = out[31]
+    assert r3["first_touch_id"] is None and r3["n_touches"] == 0
+
+
+def test_attribution_plan_has_no_self_join(spark):
+    from mongo_es_spark.operators.sessions import attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, "click"), (1, 2, 2, "purchase")],
+        "user_id long, event_id long, ts_ms long, event_type string",
+    )
+    out = attribution(
+        df, "user_id", "event_id", "ts_ms", "event_type",
+        touch_types=("click",), conversion_type="purchase",
+        lookback_ms=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one window pass, never a range self-join
