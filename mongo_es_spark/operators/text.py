@@ -1030,6 +1030,106 @@ def hash_embed(
     )
 
 
+def topic_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    dim: int = 32,
+    top_terms: int = 3,
+    seed: int = 7,
+    label_salt: int = 32,
+) -> DataFrame:
+    """Model-free topic/domain discovery — the curation workflow that
+    buckets an unlabeled corpus before mixing decisions: hash-embed
+    every document (:func:`hash_embed`, unit-normalized), spherical
+    k-means into ``<= k`` clusters
+    (:func:`~mongo_es_spark.operators.similarity.kmeans_clusters`),
+    then label each cluster with its ``top_terms`` TF-IDF tokens
+    (cluster term frequency × ``ln(N/df)`` corpus IDF).
+
+    Scale shape: embedding is one explode + one combined aggregation;
+    assignment is a shuffle-free Arrow argmax against broadcast
+    centroids; the label stage aggregates ``(cluster, token)`` counts
+    (map-side combined) and picks top-N per cluster in TWO stages —
+    row_number within ``(cluster, salt-of-token)`` first, then a
+    final window over the surviving ``k × label_salt × top_terms``
+    rows — so no task ever sorts a full per-cluster vocabulary (the
+    same skew discipline as ``perplexity_buckets``' ranking).
+
+    Output: ``(cluster, n_docs, top_terms_csv)`` — terms joined
+    rank-ordered; a cluster whose members have no tokens keeps a
+    NULL label.
+    """
+    from .similarity import kmeans_clusters
+
+    emb = hash_embed(
+        df, id_col, text_col, dim=dim, normalize=True
+    )
+    assigned, _C = kmeans_clusters(emb, id_col, "vec", k=k, seed=seed)
+    assigned = assigned.select(id_col, "cluster").localCheckpoint(
+        eager=True
+    )
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    n_total = df.select(F.count("*").cast("double").alias("__n"))
+    dfreq = (
+        toks.select(id_col, "__tok")
+        .distinct()
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__df"))
+    )
+    ct = (
+        toks.join(assigned, id_col)
+        .groupBy("cluster", "__tok")
+        .agg(F.count("*").alias("__tf"))
+    )
+    scored = (
+        ct.join(dfreq, "__tok")
+        .join(F.broadcast(n_total))
+        .select(
+            "cluster",
+            "__tok",
+            (F.col("__tf") * F.log(F.col("__n") / F.col("__df"))).alias(
+                "__score"
+            ),
+        )
+    )
+    salt = F.pmod(F.xxhash64("__tok"), F.lit(label_salt))
+    w1 = Window.partitionBy("cluster", "__salt").orderBy(
+        F.col("__score").desc(), F.col("__tok").asc()
+    )
+    w2 = Window.partitionBy("cluster").orderBy(
+        F.col("__score").desc(), F.col("__tok").asc()
+    )
+    top = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= top_terms)
+        .withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") <= top_terms)
+    )
+    labels = top.groupBy("cluster").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__r", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ),
+            ",",
+        ).alias("top_terms_csv")
+    )
+    counts = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_docs")
+    )
+    return counts.join(labels, "cluster", "left").select(
+        "cluster", "n_docs", "top_terms_csv"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

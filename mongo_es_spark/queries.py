@@ -6288,3 +6288,44 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         conversion_type="purchase",
         lookback_ms=3600 * 1000,
     )
+
+
+@register(
+    "text_topic_clusters",
+    """
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs_total,
+           true AS clusters_ok,
+           true AS labels_ok
+    """,
+)
+def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free topic discovery end-to-end (hash-embed -> spherical
+    k-means -> TF-IDF cluster labels), verified-summary style:
+    ``n_docs_total`` pins cross-engine that every document landed in
+    exactly one cluster (sum of per-cluster counts == table count);
+    ``clusters_ok`` that the partition is 1..k clusters;
+    ``labels_ok`` that every cluster carries a non-empty rank-ordered
+    label (the fixture has no all-empty-text cluster).  The k-means
+    assignment itself is independently certified by the
+    ``embedding_kmeans`` registry query; a pytest pins that two
+    disjoint-vocabulary topic groups separate and label correctly."""
+    from .operators.text import topic_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = topic_clusters(docs, "doc_id", "text", k=8)
+    return out.agg(
+        F.sum("n_docs").cast("long").alias("n_docs_total"),
+        F.coalesce(
+            F.bool_and(
+                (F.col("cluster") >= 0) & (F.col("cluster") < 8)
+            ),
+            F.lit(False),
+        ).alias("clusters_ok"),
+        F.coalesce(
+            F.bool_and(
+                F.col("top_terms_csv").isNotNull()
+                & (F.length("top_terms_csv") > 0)
+            ),
+            F.lit(False),
+        ).alias("labels_ok"),
+    )

@@ -4011,3 +4011,41 @@ def test_attribution_plan_has_no_self_join(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # one window pass, never a range self-join
+
+
+def test_topic_clusters_separates_disjoint_vocabularies(spark):
+    from mongo_es_spark.operators.text import topic_clusters
+
+    sports = "goal match team score league referee stadium win"
+    cooking = "recipe oven flour butter simmer saute whisk bake"
+    rows = []
+    for i in range(40):
+        words = sports.split() if i % 2 == 0 else cooking.split()
+        # vary doc composition deterministically but keep vocab pure
+        rows.append((i, " ".join(words[(i // 2) % 4:] + words[: (i // 2) % 4])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = topic_clusters(df, "doc_id", "text", k=2, dim=16, top_terms=3)
+    rowsc = out.collect()
+    assert sum(r["n_docs"] for r in rowsc) == 40
+    assert 1 <= len(rowsc) <= 2
+    if len(rowsc) == 2:
+        svoc, cvoc = set(sports.split()), set(cooking.split())
+        labels = [set(r["top_terms_csv"].split(",")) for r in rowsc]
+        # each cluster's label vocabulary is pure: all terms from one
+        # topic's vocabulary, and the two clusters pick different topics
+        purity = [
+            ("s" if lab <= svoc else "c" if lab <= cvoc else "x")
+            for lab in labels
+        ]
+        assert sorted(purity) == ["c", "s"], (labels, purity)
+
+
+def test_topic_clusters_empty_text_cluster_keeps_null_label(spark):
+    from mongo_es_spark.operators.text import topic_clusters
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "")], "doc_id long, text string"
+    )
+    out = topic_clusters(df, "doc_id", "text", k=2, dim=8).collect()
+    assert sum(r["n_docs"] for r in out) == 3
+    assert all(r["top_terms_csv"] is None for r in out)
