@@ -1162,10 +1162,14 @@ def incremental_embedding_pairs(
     Store layout: ``<store>/centroids`` (the k-means quantizer,
     trained ONCE on the first batch so cell assignments stay stable —
     the property incrementality needs) and ``<store>/vectors``
-    (``doc, v, cell``).  The probe joins the new side against
-    (store ∪ new) within matching cells only, so work scales with
-    |new| x cell occupancy, not the corpus; exact cosine verifies
-    every candidate (precision 1 like the batch path).
+    (``doc, v, cell``).  The probe pairs the new side against
+    (store ∪ new) within matching cells only — and clone-collapsed:
+    the kernel scores once per DISTINCT (cell, vector) pair and
+    member pairs expand only after the threshold filter, so kernel
+    work scales with |new distinct| × distinct-cell occupancy and
+    shuffle volume with id pairs + output size, never clone².  Exact
+    cosine verifies every candidate (precision 1 like the batch
+    path).
 
     Idempotent append: already-stored ids are anti-joined away first,
     so a replayed batch emits nothing and writes nothing new.
@@ -1209,30 +1213,134 @@ def incremental_embedding_pairs(
             old.select("doc"), "doc", "left_anti"
         )
     new_vecs = new_vecs.localCheckpoint(eager=True)
-    all_vecs = (
-        old.unionByName(new_vecs) if have_store else new_vecs
-    )
 
-    a = new_vecs.select(
-        "cell", F.col("doc").alias("da"), F.col("v").alias("va")
-    )
-    b = all_vecs.select(
-        "cell", F.col("doc").alias("db"), F.col("v").alias("vb")
-    )
-    out = (
-        a.join(b, "cell")
-        .filter(F.col("da") != F.col("db"))
-        .select(
-            F.least("da", "db").alias("i"),
-            F.greatest("da", "db").alias("j"),
-            F.col("va"),
-            F.col("vb"),
+    # Clone collapse, vector edition (the doctrine every pair
+    # operator in this repo follows): identical embeddings — the
+    # dominant case on crawl-shaped corpora — multiply candidate rows
+    # inside every cell quadratically, so the naive new×(store∪new)
+    # member join is a clone²-sized shuffle (measured: the 10×-clone
+    # 200k-vector replica pushed it past a 300 s drain).  Instead the
+    # cosine kernel scores once per DISTINCT (cell, vector) pair,
+    # candidates cross the shuffle as id pairs only (vectors join
+    # back after the dedupe, the LSH path's trick), and member pairs
+    # expand only AFTER the threshold filter — output-sized work,
+    # with the new-side restriction applied per member pair so old×old
+    # pairs never emit.
+    from pyspark.sql.window import Window as _W
+
+    if have_store:
+        # store rows in cells the batch never touches cannot pair —
+        # keep them out of the per-batch collapse window entirely, so
+        # per-batch shuffle volume tracks the batch's cell footprint,
+        # not store history (the n_clusters dial at scale)
+        cells_new = new_vecs.select("cell").distinct()
+        old_rel = old.join(F.broadcast(cells_new), "cell", "left_semi")
+        mem = old_rel.withColumn("__new", F.lit(False)).unionByName(
+            new_vecs.withColumn("__new", F.lit(True))
         )
-        .dropDuplicates(["i", "j"])
+    else:
+        mem = new_vecs.withColumn("__new", F.lit(True))
+    mem = mem.withColumn(
+        # hash-led partition spec (see embedding_dup_pairs_lsh): sort
+        # resolves on 8 bytes, full vectors compare within hash runs
+        "rep",
+        F.min("doc").over(
+            _W.partitionBy(F.xxhash64(F.col("v")), F.col("v"))
+        ),
+    )
+    mem = mem.localCheckpoint(eager=True)
+    reps = mem.filter(F.col("doc") == F.col("rep")).select(
+        "rep", "v", "cell"
+    )
+    flags = mem.groupBy("rep").agg(
+        F.max(F.col("__new").cast("int")).alias("__has_new"),
+        F.count("*").alias("__k"),
+    )
+    members = mem.select("rep", "doc", "__new")
+
+    # cross-group candidates: ids only through the join + dedupe
+    ra = reps.join(
+        flags.filter(F.col("__has_new") == 1).select("rep"), "rep"
+    ).select("cell", F.col("rep").alias("__ra"))
+    rb = reps.select("cell", F.col("rep").alias("__rb"))
+    rep_pairs = (
+        ra.join(rb, "cell")
+        .filter(F.col("__ra") != F.col("__rb"))
+        .select(
+            F.least("__ra", "__rb").alias("__ri"),
+            F.greatest("__ra", "__rb").alias("__rj"),
+        )
+        .dropDuplicates(["__ri", "__rj"])
+        .join(
+            reps.select(F.col("rep").alias("__ri"), F.col("v").alias("va")),
+            "__ri",
+        )
+        .join(
+            reps.select(F.col("rep").alias("__rj"), F.col("v").alias("vb")),
+            "__rj",
+        )
         .withColumn("cosine", F.round(cosine_pairs_col("va", "vb"), 6))
         .filter(F.col("cosine") >= F.lit(threshold))
-        .select("i", "j", "cosine")
+        .select("__ri", "__rj", "cosine")
     )
+    cross = (
+        rep_pairs.join(
+            members.select(
+                F.col("rep").alias("__ri"),
+                F.col("doc").alias("__a"),
+                F.col("__new").alias("__na"),
+            ),
+            "__ri",
+        )
+        .join(
+            members.select(
+                F.col("rep").alias("__rj"),
+                F.col("doc").alias("__b"),
+                F.col("__new").alias("__nb"),
+            ),
+            "__rj",
+        )
+        .filter(F.col("__na") | F.col("__nb"))
+        .select(
+            F.least("__a", "__b").alias("i"),
+            F.greatest("__a", "__b").alias("j"),
+            "cosine",
+        )
+    )
+    # within-group pairs: clones of one distinct vector score its
+    # self-cosine (same kernel, so zero vectors behave exactly as the
+    # expanded join did)
+    self_scored = (
+        reps.join(
+            flags.filter(
+                (F.col("__has_new") == 1) & (F.col("__k") >= 2)
+            ).select("rep"),
+            "rep",
+        )
+        .withColumn("cosine", F.round(cosine_pairs_col("v", "v"), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("rep", "cosine")
+    )
+    within = (
+        self_scored.join(
+            members.select(
+                "rep", F.col("doc").alias("__a"), F.col("__new").alias("__na")
+            ),
+            "rep",
+        )
+        .join(
+            members.select(
+                "rep", F.col("doc").alias("__b"), F.col("__new").alias("__nb")
+            ),
+            "rep",
+        )
+        .filter(
+            (F.col("__a") < F.col("__b"))
+            & (F.col("__na") | F.col("__nb"))
+        )
+        .select(F.col("__a").alias("i"), F.col("__b").alias("j"), "cosine")
+    )
+    out = cross.unionByName(within)
     new_vecs.write.mode("append").parquet(vec_path)
     return out
 

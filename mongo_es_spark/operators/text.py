@@ -1081,13 +1081,18 @@ def topic_clusters(
         .groupBy("__tok")
         .agg(F.count("*").alias("__df"))
     )
+    # merge hints: the assignment and doc-frequency sides are
+    # corpus-sized at scale — AQE must never runtime-convert these to
+    # broadcast builds (measured at the 500k-doc replica: the vocab
+    # side's compressed estimate fits the threshold, the built hash
+    # relation does not — driver OOM on an 8g local run)
     ct = (
-        toks.join(assigned, id_col)
+        toks.join(assigned.hint("merge"), id_col)
         .groupBy("cluster", "__tok")
         .agg(F.count("*").alias("__tf"))
     )
     scored = (
-        ct.join(dfreq, "__tok")
+        ct.join(dfreq.hint("merge"), "__tok")
         .join(F.broadcast(n_total))
         .select(
             "cluster",

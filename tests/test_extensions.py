@@ -4049,3 +4049,69 @@ def test_topic_clusters_empty_text_cluster_keeps_null_label(spark):
     out = topic_clusters(df, "doc_id", "text", k=2, dim=8).collect()
     assert sum(r["n_docs"] for r in out) == 3
     assert all(r["top_terms_csv"] is None for r in out)
+
+
+def test_incremental_embedding_pairs_clone_collapse_parity(spark, tmp_path):
+    """The collapsed probe path (rep scoring + member expansion) must
+    emit EXACTLY the same pair set as the definition: every unordered
+    same-cell pair at cosine >= threshold, each exactly once, across
+    any batch split — including heavy exact-vector clones and a pair
+    whose endpoints arrive in different batches."""
+    import itertools
+
+    import numpy as np
+
+    from mongo_es_spark.operators.similarity import (
+        incremental_embedding_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    vid = 0
+    for b in range(4):
+        for copy in range(6):  # 6 exact clones of each base vector
+            rows.append((vid, [float(x) for x in base[b]]))
+            vid += 1
+    # perturbed near-dup of base[0] (not an exact clone)
+    rows.append((vid, [float(x) for x in base[0] + 0.01 * rng.normal(size=8)]))
+    store = str(tmp_path / "store")
+    batches = [rows[:9], rows[9:17], rows[17:]]
+    got = []
+    for b in batches:
+        df = spark.createDataFrame(b, "vec_id long, embedding array<double>")
+        out = incremental_embedding_pairs(
+            spark, df, "vec_id", "embedding", store,
+            threshold=0.9, n_clusters=2,
+        ).collect()
+        got.extend((r["i"], r["j"], r["cosine"]) for r in out)
+    # no pair reported twice
+    keys = [(i, j) for i, j, _ in got]
+    assert len(keys) == len(set(keys))
+    # model: all unordered same-cell pairs at threshold
+    vecs = spark.read.parquet(store + "/vectors").collect()
+    byid = {r["doc"]: (r["cell"], np.asarray(r["v"])) for r in vecs}
+    assert len(byid) == len(rows)  # every vector stored once
+    expected = {}
+    for a, b in itertools.combinations(sorted(byid), 2):
+        ca, va = byid[a]
+        cb, vb = byid[b]
+        if ca != cb:
+            continue
+        c = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12))
+        c = round(c, 6)
+        if c >= 0.9:
+            expected[(a, b)] = c
+    assert set(keys) == set(expected)
+    for i, j, c in got:
+        assert abs(c - expected[(i, j)]) <= 1e-9
+    # replay: refolding batch 0 emits nothing, appends nothing
+    df0 = spark.createDataFrame(
+        batches[0], "vec_id long, embedding array<double>"
+    )
+    again = incremental_embedding_pairs(
+        spark, df0, "vec_id", "embedding", store,
+        threshold=0.9, n_clusters=2,
+    )
+    assert again.count() == 0
+    assert spark.read.parquet(store + "/vectors").count() == len(rows)
