@@ -6329,3 +6329,63 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("labels_ok"),
     )
+
+
+@register(
+    "dedup_text_semantic",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT
+                   % {_HASH_EMBED_DIM} AS b,
+               CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM toks
+    ),
+    agg AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"coalesce(sum(CASE WHEN b={i} THEN s END), 0)::DOUBLE"
+                   f" AS c{i}" for i in range(_HASH_EMBED_DIM)
+               )}
+        FROM h GROUP BY doc_id
+    ),
+    vecs AS (
+        SELECT d.doc_id,
+               [{", ".join(
+                   f"coalesce(a.c{i}, 0.0)"
+                   for i in range(_HASH_EMBED_DIM)
+               )}] AS v
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    ),
+    nz AS (
+        SELECT doc_id, v FROM vecs
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.92
+    """,
+)
+def dedup_text_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic near-dup over the documents table:
+    hash-embed (raw signed counts — cosine is scale-invariant, so no
+    normalization pass is needed) and run the exact blocked-gram
+    cosine pair operator at 0.92.  Uniquely among the semantic-dedup
+    family, this one gets a HARD cross-engine oracle: DuckDB
+    recomputes the embeddings themselves from the text (same md5
+    bucketing) and brute-forces the pair set — no verified-summary
+    indirection, every pair and cosine value hashed."""
+    from .operators.text import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embed(
+        docs, "doc_id", "text", dim=_HASH_EMBED_DIM, normalize=False
+    )
+    return embedding_dup_pairs(emb, "doc_id", "vec", threshold=0.92)
