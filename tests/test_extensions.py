@@ -4115,3 +4115,59 @@ def test_incremental_embedding_pairs_clone_collapse_parity(spark, tmp_path):
     )
     assert again.count() == 0
     assert spark.read.parquet(store + "/vectors").count() == len(rows)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_attribution_matches_python_model(spark, seed):
+    """Randomized model check: the single-window attribution equals a
+    brute-force python scan over every (conversion, touch) pair —
+    including same-ms collisions, multi-conversion users, and
+    conversions at the exact lookback edge."""
+    import random
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase", "noise"]
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                rng.randrange(8),           # user
+                eid,
+                rng.randrange(50),          # coarse ts: many collisions
+                rng.choice(types),
+            )
+        )
+    look = 10
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ms long, event_type string"
+    )
+    from mongo_es_spark.operators.sessions import attribution
+
+    got = {
+        r["conv_id"]: (
+            r["first_touch_id"],
+            r["last_touch_id"],
+            r["n_touches"],
+        )
+        for r in attribution(
+            df, "user_id", "event_id", "ts_ms", "event_type",
+            touch_types=("click", "view"), conversion_type="purchase",
+            lookback_ms=look,
+        ).collect()
+    }
+    convs = [r for r in rows if r[3] == "purchase"]
+    assert len(got) == len(convs)
+    for u, cid, cts, _ in convs:
+        win = [
+            (ts, eid)
+            for (uu, eid, ts, tp) in rows
+            if uu == u
+            and tp in ("click", "view")
+            and cts - look <= ts <= cts - 1
+        ]
+        if not win:
+            assert got[cid] == (None, None, 0)
+        else:
+            first = min(win)[1]
+            last = max(win)[1]
+            assert got[cid] == (first, last, len(win)), (cid, win)

@@ -582,3 +582,57 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     plan = plan_of(assigned)
     assert n_exchanges(plan) == 0
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_hash_embed_prunes_scan_and_bounds_exchanges(spark):
+    """hash_embed must read only (doc_id, text) from the parquet scan
+    and stay within the documented shuffle budget: explode + one
+    conditional-sum hash agg + the clone expand-back join — never a
+    token-keyed join (no vocab exchange at all)."""
+    from mongo_es_spark.operators.text import hash_embed
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(hash_embed(docs, "doc_id", "text", dim=8))
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+    # collapse group + histogram agg + expand-back join keys: the
+    # token column itself must never key an Exchange
+    assert "hashpartitioning(__tok" not in plan
+    assert n_exchanges(plan) <= 4
+
+
+def test_attribution_single_user_exchange(spark):
+    """All three attribution signals ride ONE user-keyed sort: one
+    Exchange, one Window, no join anywhere in the plan."""
+    from mongo_es_spark.operators.sessions import attribution
+
+    ev = load_table(spark, SF, "events").selectExpr(
+        "user_id", "event_id", "ts div 1000000 as ts_ms", "event_type"
+    )
+    plan = plan_of(
+        attribution(
+            ev, "user_id", "event_id", "ts_ms", "event_type",
+            touch_types=("click", "view"), conversion_type="purchase",
+            lookback_ms=3_600_000,
+        )
+    )
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_perplexity_buckets_no_language_keyed_window(spark):
+    """The ranking window must partition by (lang, xent-bin) cells —
+    never by the language alone (the single-task skew wall)."""
+    from mongo_es_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(
+        perplexity_buckets(docs, "doc_id", "text", "lang", rank_bins=16)
+    )
+    # every row_number window spec carries the bin column
+    specs = re.findall(
+        r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan
+    )
+    assert specs, plan[:500]
+    for s in specs:
+        assert "__bin" in s, s
