@@ -1432,6 +1432,112 @@ def _cc_current_mapping(
     ).withColumnRenamed("doc", "__lbl")
 
 
+def _incremental_components_driver(
+    spark,
+    edges_pdf: pd.DataFrame,
+    merges_pdf: Optional[pd.DataFrame],
+    docs_store: Optional[DataFrame],
+    docs_path: str,
+    merges_path: str,
+    id_type,
+) -> DataFrame:
+    """Driver-side edition of the :func:`incremental_components` fold
+    for a batch whose edge set and merge store both fit the
+    ``_DRIVER_CC_CUTOFF`` budget (the caller bounded both).  Same
+    store contract bit for bit: stored-label lookup, merge-graph
+    closure, min-label components over the projected batch edges,
+    then one ``(src, dst)`` append per component merge and one
+    ``(doc, label)`` append per first-seen doc.  The doc-store lookup
+    stays a DISTRIBUTED map-side scan against the broadcast batch
+    keys — the one corpus-sized input never reaches the driver."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-rooted: the root IS the component's min label, the
+            # same label convention as `_components_union_find`
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ei = edges_pdf["ei"].tolist()
+    ej = edges_pdf["ej"].tolist()
+    nodes = list(dict.fromkeys(ei + ej))
+
+    # stored label per endpoint (absent -> new doc, labels itself)
+    labels: dict = {}
+    if docs_store is not None and nodes:
+        keys = spark.createDataFrame(
+            pd.DataFrame({"doc": nodes}),
+            StructType([StructField("doc", id_type)]),
+        )
+        hits = docs_store.join(F.broadcast(keys), "doc").toPandas()
+        labels = dict(zip(hits["doc"].tolist(), hits["label"].tolist()))
+
+    # merge-graph closure: historical label -> current component
+    # label (min reachable through every merge ever recorded)
+    if merges_pdf is not None and len(merges_pdf):
+        for s, d in zip(
+            merges_pdf["src"].tolist(), merges_pdf["dst"].tolist()
+        ):
+            union(s, d)
+        mapping = {
+            x: find(x)
+            for x in set(merges_pdf["src"].tolist())
+            | set(merges_pdf["dst"].tolist())
+        }
+        parent.clear()
+    else:
+        mapping = {}
+
+    cur = {d: mapping.get(labels.get(d, d), labels.get(d, d)) for d in nodes}
+    for a, b in zip(ei, ej):
+        union(cur[a], cur[b])
+    final = {d: find(cur[d]) for d in nodes}
+
+    new_merges = sorted(
+        {
+            (cur[d], final[d])
+            for d in nodes
+            if d in labels and cur[d] != final[d]
+        }
+    )
+    new_docs = [(d, final[d]) for d in nodes if d not in labels]
+
+    # Store appends.  Two measured taxes to stay clear of: frames are
+    # built from pandas (Arrow local relation) because createDataFrame
+    # on a plain Python list takes the Python-RDD path, whose worker
+    # spin-up costs ~5 s per call; and EMPTY appends are skipped
+    # outright because writing an empty local relation through
+    # coalesce(1) also costs ~5 s (the readers already treat a
+    # missing/footerless store as "no data yet", so an empty append
+    # carries no information).
+    def _frame(rows, c1, c2):
+        pdf = pd.DataFrame(rows, columns=[c1, c2])
+        return spark.createDataFrame(
+            pdf, StructType([StructField(c1, id_type), StructField(c2, id_type)])
+        )
+
+    if new_merges:
+        _frame(new_merges, "src", "dst").coalesce(1).write.mode(
+            "append"
+        ).parquet(merges_path)
+    if new_docs:
+        _frame(new_docs, "doc", "label").coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_path)
+    return _frame([(d, final[d]) for d in nodes], "doc", "component")
+
+
 def incremental_components(
     spark,
     pairs_batch: DataFrame,
@@ -1484,7 +1590,6 @@ def incremental_components(
     merges_path = _cc_merges_path(store_path)
     docs_store = read_parquet_if_exists(spark, docs_path)
     merges_store = read_parquet_if_exists(spark, merges_path)
-    mapping = _cc_current_mapping(spark, merges_store, max_iters)
 
     edges = (
         pairs_batch.select(
@@ -1493,6 +1598,37 @@ def incremental_components(
         .filter(F.col("ei") != F.col("ej"))
         .distinct()
     )
+    # Driver fast path: when the batch's distinct edge set AND the
+    # merge store (metadata-sized by contract — one row per component
+    # merge ever) both fit the union-find budget, the whole fold runs
+    # as one Python pass with a single distributed job left in it
+    # (the doc-store lookup, which must stay a map-side scan of the
+    # corpus-sized store against broadcast batch keys).  This
+    # replaces three eager materializations plus a distributed
+    # components run — each several scheduler round-trips — for what
+    # is by construction batch-sized state, the same budget class as
+    # `_components_union_find`.  Oversized batches fall through to
+    # the distributed path unchanged (costing one extra pass over the
+    # batch edges for the peek).
+    edges_pdf = edges.limit(_DRIVER_CC_CUTOFF + 1).toPandas()
+    if len(edges_pdf) <= _DRIVER_CC_CUTOFF:
+        merges_pdf = None
+        if merges_store is not None:
+            merges_pdf = merges_store.limit(
+                _DRIVER_CC_CUTOFF + 1
+            ).toPandas()
+        if merges_pdf is None or len(merges_pdf) <= _DRIVER_CC_CUTOFF:
+            return _incremental_components_driver(
+                spark,
+                edges_pdf,
+                merges_pdf,
+                docs_store,
+                docs_path,
+                merges_path,
+                edges.schema["ei"].dataType,
+            )
+
+    mapping = _cc_current_mapping(spark, merges_store, max_iters)
     nodes = (
         edges.select(F.col("ei").alias("doc"))
         .union(edges.select(F.col("ej").alias("doc")))

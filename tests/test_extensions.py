@@ -3714,6 +3714,55 @@ def test_incremental_components_random_batching(spark, tmp_path, seed, n_batches
     assert got == want
 
 
+def test_incremental_components_driver_distributed_parity(
+    spark, tmp_path, monkeypatch
+):
+    """The driver union-find fast path and the distributed fold are
+    bit-identical on the SAME batched feed: same resolved views per
+    batch, same final clustering, same merge-event store (up to row
+    order).  Late small-id bridge included so the merge closure is
+    exercised on both sides of the cutoff."""
+    import random
+
+    from mongo_es_spark.operators import dedup as dedup_mod
+    from mongo_es_spark.operators.dedup import (
+        components_over_store,
+        incremental_components,
+    )
+
+    rng = random.Random(41)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(30, 160), 2))) for _ in range(140)}
+    )
+    rng.shuffle(edges)
+    batches = [edges[0::3], edges[1::3], edges[2::3]]
+    batches.append([(5, e[0]) for e in edges[:4]])  # small-id bridge
+
+    def run(store):
+        views, outs = [], []
+        for b in batches:
+            out = incremental_components(
+                spark, spark.createDataFrame(b, "i long, j long"), store
+            )
+            outs.append({(r["doc"], r["component"]) for r in out.collect()})
+            views.append(
+                {
+                    (r["doc"], r["component"])
+                    for r in components_over_store(spark, store).collect()
+                }
+            )
+        merges = {
+            (r["src"], r["dst"])
+            for r in spark.read.parquet(store + "/merges").collect()
+        }
+        return views, outs, merges
+
+    fast = run(str(tmp_path / "cc_fast"))
+    monkeypatch.setattr(dedup_mod, "_DRIVER_CC_CUTOFF", 0)
+    slow = run(str(tmp_path / "cc_dist"))
+    assert fast == slow
+
+
 def test_embedding_clone_weighted_matches_expanded(spark, emb):
     """sum(n_pairs) over the bounded clone contract == the expanded
     member-pair count, for both the exact (blocked gram) and the LSH
