@@ -402,6 +402,41 @@ def containment_pairs(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: Optional[int] = None,
+    clone_weighted: bool = False,
+    score: str = "containment",
+) -> DataFrame:
+    """All pairs (i < j) whose WINNOWING-FINGERPRINT sets overlap at
+    ``score`` >= threshold (``"containment"`` default, ``"jaccard"``
+    optional) — the passage-sharing detector: by the winnowing
+    guarantee any shared run of k+w-1 tokens forces a shared
+    fingerprint, so excerpt/quote relationships surface even when the
+    documents' full shingle sets are dissimilar.
+
+    Same scale shape as :func:`jaccard_pairs` — exact clones collapse
+    before the quadratic stage, one shared-shuffle inverted-index
+    self-join over the fingerprint frame (~2/(w+1) the density of the
+    raw gram index), ``max_df`` stop-fingerprint pruning, and the
+    bounded ``clone_weighted`` output contract for huge clone groups.
+    """
+    from .text import winnow_fingerprints_col
+
+    if score not in ("containment", "jaccard"):
+        raise ValueError(f"unknown score {score!r}")
+    return _setsim_pairs(
+        df, id_col, text_col, 0, threshold, max_df, clone_weighted,
+        "word", score=score,
+        elements=lambda c: winnow_fingerprints_col(c, k, w),
+    )
+
+
 def _setsim_pairs(
     df: DataFrame,
     id_col: str,
@@ -412,12 +447,20 @@ def _setsim_pairs(
     clone_weighted: bool,
     mode: str,
     score: str,
+    elements=None,
 ) -> DataFrame:
+    # `elements` overrides the per-text element-set builder (text
+    # Column -> array Column of distinct set elements); default is
+    # n-gram shingling.  Everything downstream — clone collapse,
+    # inverted-index self-join, max_df pruning, the weighted clone
+    # contract — is element-agnostic.
+    if elements is None:
+        elements = lambda c: shingles_col(c, n, mode)  # noqa: E731
     tm = _text_groups(df, id_col, text_col)
     reps = _group_reps(tm)
     sh = reps.select(
         F.col("rep").alias("doc"),
-        F.explode(shingles_col(F.col("__text"), n, mode)).alias("s"),
+        F.explode(elements(F.col("__text"))).alias("s"),
     )
     if max_df is not None:
         hot = (
@@ -452,7 +495,7 @@ def _setsim_pairs(
     # in the brute-force result either
     members = tm.select("rep", "doc")
     shingled_reps = reps.filter(
-        F.size(shingles_col(F.col("__text"), n, mode)) > 0
+        F.size(elements(F.col("__text"))) > 0
     ).select("rep")
     if clone_weighted:
         return _weighted_rep_pairs(

@@ -916,6 +916,84 @@ def fingerprint_col(text: Column) -> Column:
     )
 
 
+def _winnow_kernel(k: int, w: int):
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    p = FINGERPRINT_MOD
+    # 31^(k-1-i) mod p: the positional weights of the k-token rolling
+    # hash, so a window's hash is one int64 dot product instead of a
+    # per-token Python fold.  Bound check: token value < 0x10FFFF*31+L,
+    # weight < p, so a k-term dot product stays far inside int64.
+    pows = np.array([pow(31, k - 1 - i, p) for i in range(k)], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view
+
+    # no annotations: text.py imports pandas lazily, and under
+    # `from __future__ import annotations` pyspark would try to
+    # resolve the 'pd.Series' hint in module globals where pd is absent
+    def kernel(texts):
+        out = []
+        for t in texts:
+            # strip(' ') not strip(): SQL trim() removes spaces only
+            toks = ws.split(t.strip(" ")) if t is not None else []
+            if len(toks) < k:
+                out.append([])
+                continue
+            nums = np.fromiter(
+                ((ord(x[0]) if x else 0) * 31 + len(x) for x in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            h = (sw(nums, k) @ pows) % p
+            mins = h.min(keepdims=True) if len(h) <= w else sw(h, w).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return kernel
+
+
+def winnow_fingerprints_col(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every k-token gram with the same
+    portable rolling recurrence as :func:`fingerprint_col`, then keep
+    the MINIMUM hash of each window of ``w`` consecutive gram hashes.
+    The selected set is a position-robust local fingerprint with the
+    winnowing guarantee: any shared token run of length >= k + w - 1
+    between two documents yields at least one shared fingerprint —
+    the detector for documents sharing PASSAGES, where whole-doc
+    hashing (exact clones only) and doc-level Jaccard (diluted by
+    unshared text) both miss.
+
+    Arrow-batched kernel for the same reason as ``shingles_col``:
+    per-element HOF lambdas evaluate interpreted; here the whole doc
+    reduces to two numpy sliding-window passes.  Documents shorter
+    than ``k`` tokens fingerprint to the empty set.  Density is
+    ~2/(w+1) of the gram count, so the emitted state is a tunable
+    fraction of the corpus — at 100 TB the fingerprint frame is the
+    bucketed join input, never the raw grams.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_winnow_kernel(k, w), "array<long>")(text)
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Exploded ``(id, fp)`` winnowing-fingerprint frame — one row per
+    distinct selected gram hash per document (the inverted-index shape
+    consumed by :func:`~.dedup.winnow_overlap_pairs`)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias(
+            "fp"
+        ),
+    )
+
+
 def hash_embed(
     df: DataFrame,
     id_col: str,

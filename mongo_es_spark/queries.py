@@ -6389,3 +6389,84 @@ def dedup_text_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", dim=_HASH_EMBED_DIM, normalize=False
     )
     return embedding_dup_pairs(emb, "doc_id", "vec", threshold=0.92)
+
+
+_WINNOW_FPS = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    nums AS (
+        SELECT doc_id,
+               [(ascii(x[1:1]) * 31 + length(x))::BIGINT for x in w] AS v
+        FROM t WHERE len(w) >= 5
+    ),
+    grams AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT, v[i:i+4]),
+                            (acc, x) -> (acc * 31 + x) % 1000000007)
+                for i in generate_series(1, len(v) - 4)] AS h
+        FROM nums
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                        ELSE [list_min(h[j:j+3])
+                              for j in generate_series(1, len(h) - 3)]
+                   END) AS f
+        FROM grams
+    )
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    _WINNOW_FPS + "SELECT doc_id, unnest(f) AS fp FROM fps",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=5-token grams, window w=4) —
+    every selected local hash of every document, pinned value-exact
+    cross-engine: the DuckDB oracle recomputes the rolling gram
+    hashes and the window minima from the raw text with list
+    comprehensions."""
+    from .operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+@register(
+    "dedup_winnow_overlap",
+    _WINNOW_FPS
+    + """,
+    counts AS (SELECT doc_id, len(f) AS nf FROM fps),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS sh
+        FROM (SELECT doc_id, unnest(f) AS fp FROM fps) a
+        JOIN (SELECT doc_id, unnest(f) AS fp FROM fps) b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j,
+           round(sh::DOUBLE / least(ca.nf, cb.nf), 6) AS containment
+    FROM shared
+    JOIN counts ca ON ca.doc_id = i
+    JOIN counts cb ON cb.doc_id = j
+    WHERE round(sh::DOUBLE / least(ca.nf, cb.nf), 6) >= 0.5
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-sharing pairs over winnowing fingerprints: containment
+    >= 0.5 of the smaller fingerprint set.  By the winnowing guarantee
+    any shared 8-token run (k+w-1) forces a shared fingerprint, so
+    excerpt/quote relationships surface that doc-level Jaccard
+    dilutes away.  Clone-collapsed inverted-index self-join (the
+    jaccard_pairs scale shape); oracle brute-forces the same pair set
+    from the raw text."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", k=5, w=4, threshold=0.5
+    )

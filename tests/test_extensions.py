@@ -4220,3 +4220,120 @@ def test_attribution_matches_python_model(spark, seed):
             first = min(win)[1]
             last = max(win)[1]
             assert got[cid] == (first, last, len(win)), (cid, win)
+
+
+def _winnow_model(text, k=5, w=4, p=1_000_000_007):
+    """Independent pure-Python winnowing reference (no numpy, no
+    shared code with the kernel): per-window fold exactly as the
+    DuckDB oracle computes it."""
+    import re
+
+    toks = re.split(r"\s+", text.strip(" ")) if text is not None else []
+    if len(toks) < k:
+        return set()
+    nums = [(ord(t[0]) if t else 0) * 31 + len(t) for t in toks]
+    grams = []
+    for i in range(len(nums) - k + 1):
+        acc = 0
+        for x in nums[i : i + k]:
+            acc = (acc * 31 + x) % p
+        grams.append(acc)
+    if len(grams) <= w:
+        return {min(grams)}
+    return {
+        min(grams[j : j + w]) for j in range(len(grams) - w + 1)
+    }
+
+
+def test_winnow_fingerprints_match_model(spark):
+    """Kernel output == the independent per-window fold model on
+    mixed-length docs (short, exactly-k, k..k+w, long), including the
+    empty set for sub-k docs and None text."""
+    from mongo_es_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (0, "too short"),
+        (1, "one two three four five"),  # exactly k tokens
+        (2, "a b c d e f g h"),  # k + w - 1 tokens
+        (3, " ".join(f"tok{i % 7}x{i % 3}" for i in range(60))),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in rows:
+        want = _winnow_model(text)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_winnow_guarantee_shared_run_forces_shared_fp(spark):
+    """The winnowing guarantee: two docs sharing a token run of
+    length >= k + w - 1 (8) share at least one fingerprint, for
+    random surrounding junk — pinned on 25 random constructions."""
+    import random
+
+    from mongo_es_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for c in range(25):
+        run = [rng.choice(vocab) for _ in range(8)]
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 30))] + run + [
+            rng.choice(vocab) for _ in range(rng.randint(0, 30))
+        ]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 30))] + run + [
+            rng.choice(vocab) for _ in range(rng.randint(0, 30))
+        ]
+        rows.append((2 * c, " ".join(a)))
+        rows.append((2 * c + 1, " ".join(b)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for c in range(25):
+        assert fps[2 * c] & fps[2 * c + 1], f"construction {c}"
+
+
+def test_winnow_overlap_pairs_match_brute_force(spark):
+    """winnow_overlap_pairs (clone-collapsed inverted index) == the
+    brute-force pair set over per-doc fingerprint sets, on a corpus
+    with exact clones, a shared-passage pair, and sub-k docs."""
+    import random
+
+    from mongo_es_spark.operators.dedup import winnow_overlap_pairs
+
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(40)]
+    passage = [rng.choice(vocab) for _ in range(20)]
+    texts = {
+        0: " ".join(rng.choice(vocab) for _ in range(50)),
+        1: " ".join(passage + [rng.choice(vocab) for _ in range(10)]),
+        2: " ".join([rng.choice(vocab) for _ in range(10)] + passage),
+        3: "tiny doc",
+        4: "tiny doc",
+    }
+    texts[5] = texts[0]  # exact clone
+    texts[6] = texts[0]
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    fps = {d: _winnow_model(t) for d, t in texts.items()}
+    want = set()
+    for i in sorted(fps):
+        for j in sorted(fps):
+            if i < j and fps[i] and fps[j]:
+                c = len(fps[i] & fps[j]) / min(len(fps[i]), len(fps[j]))
+                if round(c, 6) >= 0.5:
+                    want.add((i, j, round(c, 6)))
+    got = {
+        (r["i"], r["j"], r["containment"])
+        for r in winnow_overlap_pairs(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    # the clone family (0,5,6) must be present via within-group pairs
+    assert {(0, 5), (0, 6), (5, 6)} <= {(i, j) for i, j, _ in got}
