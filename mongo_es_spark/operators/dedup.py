@@ -437,6 +437,117 @@ def winnow_overlap_pairs(
     )
 
 
+def _wn_params_path(store_path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(store_path)
+    return store_path.rstrip("/") + "/_wn_params"
+
+
+def winnow_store_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing state worth persisting: ``doc, fps``
+    (the sorted distinct fingerprint set).  Documents shorter than
+    ``k`` tokens fingerprint to the empty set and are dropped — they
+    can never share a passage."""
+    from .text import winnow_fingerprints_col
+
+    return df.select(
+        F.col(id_col).alias("doc"),
+        winnow_fingerprints_col(F.col(text_col), k, w).alias("fps"),
+    ).filter(F.size("fps") > 0)
+
+
+def incremental_winnow_pairs(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    score: str = "containment",
+) -> DataFrame:
+    """Passage-overlap pairs touching at least one NEW document,
+    against the persisted fingerprint store; the new fingerprints then
+    append to the store.
+
+    Unlike the probabilistic signature stores this family is EXACT:
+    the fingerprint set fully determines the score, so the union of
+    per-batch outputs over any disjoint feed equals
+    :func:`winnow_overlap_pairs` on the full corpus, each pair
+    reported exactly once — by the first batch that contains both
+    members.  No feed ordering is required.
+
+    Per-batch work is ``|new| × posting collision rate``: the batch's
+    fingerprint postings join against (store ∪ batch) postings, ids
+    only on the wire; fingerprint sets join back per surviving
+    candidate pair.  Store appends are idempotent via the id
+    anti-join (id-identity contract, like the signature stores);
+    ``k``/``w`` are pinned in a ``_wn_params`` sidecar — a drift
+    between batches would silently zero cross-batch collisions.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    if score not in ("containment", "jaccard"):
+        raise ValueError(f"unknown score {score!r}")
+    params_frame = read_parquet_if_exists(spark, _wn_params_path(store_path))
+    if params_frame is None:
+        spark.range(1).select(
+            F.lit(int(k)).cast("int").alias("k"),
+            F.lit(int(w)).cast("int").alias("w"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _wn_params_path(store_path)
+        )
+    else:
+        d = params_frame.head().asDict()
+        if d["k"] != k or d["w"] != w:
+            raise ValueError(
+                f"store at {store_path} was written with k={d['k']} "
+                f"w={d['w']}; caller asked k={k} w={w}"
+            )
+    old = read_parquet_if_exists(spark, store_path)
+    if old is None:
+        old = winnow_store_frame(new_df.limit(0), id_col, text_col, k, w)
+    new_fps = (
+        winnow_store_frame(new_df, id_col, text_col, k, w)
+        .join(old.select("doc"), "doc", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    all_fps = old.unionByName(new_fps)
+
+    post_new = new_fps.select("doc", F.explode("fps").alias("fp")).alias("a")
+    post_all = all_fps.select("doc", F.explode("fps").alias("fp")).alias("b")
+    cands = (
+        post_new.join(
+            post_all,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least("a.doc", "b.doc").alias("i"),
+            F.greatest("a.doc", "b.doc").alias("j"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    fp_i = all_fps.select(F.col("doc").alias("i"), F.col("fps").alias("fp_i"))
+    fp_j = all_fps.select(F.col("doc").alias("j"), F.col("fps").alias("fp_j"))
+    paired = cands.join(fp_i, "i").join(fp_j, "j")
+    inter = F.size(F.array_intersect("fp_i", "fp_j"))
+    denom = (
+        F.least(F.size("fp_i"), F.size("fp_j"))
+        if score == "containment"
+        else F.size(F.array_union("fp_i", "fp_j"))
+    )
+    out = (
+        paired.withColumn(score, F.round(inter / denom, 6))
+        .filter(F.col(score) >= threshold)
+        .select("i", "j", score)
+    )
+    new_fps.write.mode("append").parquet(store_path)
+    return out
+
+
 def _setsim_pairs(
     df: DataFrame,
     id_col: str,

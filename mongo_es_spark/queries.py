@@ -6470,3 +6470,82 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         docs, "doc_id", "text", k=5, w=4, threshold=0.5
     )
+
+
+@register(
+    "streaming_winnow_pairs",
+    _WINNOW_FPS
+    + """,
+    counts AS (SELECT doc_id, len(f) AS nf FROM fps),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS sh
+        FROM (SELECT doc_id, unnest(f) AS fp FROM fps) a
+        JOIN (SELECT doc_id, unnest(f) AS fp FROM fps) b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j,
+           round(sh::DOUBLE / least(ca.nf, cb.nf), 6) AS containment
+    FROM shared
+    JOIN counts ca ON ca.doc_id = i
+    JOIN counts cb ON cb.doc_id = j
+    WHERE round(sh::DOUBLE / least(ca.nf, cb.nf), 6) >= 0.5
+    """,
+)
+def streaming_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing-fingerprint store maintained through Structured
+    Streaming under the batch query's hard oracle: documents replay
+    as an UNORDERED hash-split file feed (the fingerprint set fully
+    determines the score, so the family is exact and order-free —
+    each pair is emitted once, by whichever batch first contains both
+    members), each micro-batch probes + appends through the
+    id-anti-joined incremental store, and the concatenated per-batch
+    outputs must equal the one-shot batch operator row for row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .streaming.winnow import run_streaming_winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="wn_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        slices = [
+            docs.filter(F.col("doc_id") % 3 == s) for s in (2, 0, 1)
+        ]
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(feed)
+            # strictly increasing mtimes pin a deterministic trigger
+            # order (any order is correct; determinism aids replay)
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_streaming_winnow_pairs(
+            spark,
+            stream,
+            "doc_id",
+            "text",
+            os.path.join(base, "store"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            k=5,
+            w=4,
+            threshold=0.5,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming winnow drain exceeded 300 s")
+        rows = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("i", "j", "containment")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "i long, j long, containment double")

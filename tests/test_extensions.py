@@ -4337,3 +4337,62 @@ def test_winnow_overlap_pairs_match_brute_force(spark):
     assert got == want
     # the clone family (0,5,6) must be present via within-group pairs
     assert {(0, 5), (0, 6), (5, 6)} <= {(i, j) for i, j, _ in got}
+
+
+def test_incremental_winnow_equals_full(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import (
+        incremental_winnow_pairs,
+        winnow_overlap_pairs,
+    )
+
+    full = {
+        (r["i"], r["j"]): r["containment"]
+        for r in winnow_overlap_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    store = str(tmp_path / "wnstore")
+    # unordered feed: high-id batch first — the family is order-free
+    batches = [
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+    ]
+    merged: dict = {}
+    for b in batches:
+        for r in incremental_winnow_pairs(
+            spark, b, "doc_id", "text", store, threshold=0.5
+        ).collect():
+            key = (r["i"], r["j"])
+            # each pair must be emitted by exactly one batch
+            assert key not in merged
+            merged[key] = r["containment"]
+    assert merged == full
+
+
+def test_incremental_winnow_replay_is_idempotent(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import incremental_winnow_pairs
+
+    store = str(tmp_path / "wnstore")
+    batch = docs.filter(F.col("doc_id") < 200)
+    first = incremental_winnow_pairs(
+        spark, batch, "doc_id", "text", store
+    ).count()
+    n_store = spark.read.parquet(store).count()
+    replay = incremental_winnow_pairs(
+        spark, batch, "doc_id", "text", store
+    )
+    assert replay.count() == 0
+    assert spark.read.parquet(store).count() == n_store
+    assert first >= 0  # first call ran through the same code path
+
+
+def test_incremental_winnow_param_mismatch_raises(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import incremental_winnow_pairs
+
+    store = str(tmp_path / "wnstore")
+    batch = docs.filter(F.col("doc_id") < 100)
+    incremental_winnow_pairs(spark, batch, "doc_id", "text", store, k=5, w=4)
+    with pytest.raises(ValueError, match="k=5"):
+        incremental_winnow_pairs(
+            spark, batch, "doc_id", "text", store, k=4, w=4
+        )
