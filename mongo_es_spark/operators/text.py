@@ -334,6 +334,51 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement — exactly ``k``
+    rows, inclusion probability proportional to ``weight`` — via the
+    Efraimidis–Spirakis A-ES key: each row draws a deterministic
+    uniform ``u`` from its id (Knuth multiplicative hash — plain
+    integer arithmetic, reproducible on any engine) and ranks by
+    ``ln(u) / weight``; the global top-k by key IS the weighted
+    sample.  The textbook alternative — normalize weights, then
+    sequential/rejection sampling — needs a total and a sequential
+    pass; the A-ES key needs neither.
+
+    Scale shape: ``orderBy(key).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition bounded heap plus a
+    driver merge of ``k × partitions`` candidates.  No global sort,
+    no shuffle, one scan; pinned in the plan contracts.
+
+    Rows with ``weight <= 0`` or NULL are excluded (their key is
+    NULL).  Output: the input columns plus the weight under
+    ``__weight`` (the sampling key is internal — it is float-valued
+    and engine-log-dependent at the last ulp, so callers pin the
+    SELECTED SET, which is ulp-stable for continuous keys).
+    """
+    u = (
+        F.pmod(
+            (F.col(id_col) + F.lit(seed)) * F.lit(KNUTH), F.lit(HASH_MOD)
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(HASH_MOD))
+    key = F.when(weight > 0, F.log(u) / weight)
+    return (
+        df.withColumn("__weight", weight)
+        .withColumn("__key", key)
+        .filter(F.col("__key").isNotNull())
+        .orderBy(F.desc("__key"))
+        .limit(k)
+        .drop("__key")
+    )
+
+
 def unigram_cross_entropy(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -1906,6 +1906,35 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_sample_weighted",
+    """
+    SELECT doc_id, lang, (length(text) + 1)::BIGINT AS __weight
+    FROM documents
+    ORDER BY ln((doc_id * 2654435761 % 4294967296 + 0.5) / 4294967296.0)
+             / (length(text) + 1) DESC
+    LIMIT 500
+    """,
+)
+def text_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): exactly 500 documents, inclusion probability proportional
+    to text length, from ONE scan with no global sort — the per-row
+    key ln(u)/w ranks through TakeOrderedAndProject (bounded
+    per-partition heaps + a k×partitions driver merge; plan pinned in
+    the contracts suite).  The uniform u derives from the id via the
+    Knuth multiplicative hash, so the oracle reproduces the exact
+    same sample with plain SQL."""
+    from .operators.text import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return weighted_sample_topk(
+        docs, "doc_id", (F.length("text") + F.lit(1)).cast("long"), k=500
+    ).select("doc_id", "lang", "__weight")
+
+
+@register(
     "table_profile",
     """
     WITH t AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)

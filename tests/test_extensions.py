@@ -4396,3 +4396,45 @@ def test_incremental_winnow_param_mismatch_raises(spark, docs, tmp_path):
         incremental_winnow_pairs(
             spark, batch, "doc_id", "text", store, k=4, w=4
         )
+
+
+def test_weighted_sample_matches_model(spark, docs):
+    import math
+
+    from mongo_es_spark.operators.text import (
+        HASH_MOD,
+        KNUTH,
+        weighted_sample_topk,
+    )
+
+    rows = docs.select("doc_id", "text").collect()
+    keyed = []
+    for r in rows:
+        w = len(r["text"]) + 1
+        u = ((r["doc_id"] * KNUTH) % HASH_MOD + 0.5) / float(HASH_MOD)
+        keyed.append((math.log(u) / w, r["doc_id"], w))
+    keyed.sort(reverse=True)
+    want = {(d, w) for _, d, w in keyed[:50]}
+    got = {
+        (r["doc_id"], r["__weight"])
+        for r in weighted_sample_topk(
+            docs, "doc_id", (F.length("text") + F.lit(1)).cast("long"), k=50
+        )
+        .select("doc_id", "__weight")
+        .collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from mongo_es_spark.operators.text import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (5, 3)],
+        "id long, w int",
+    )
+    got = {
+        r["id"]
+        for r in weighted_sample_topk(df, "id", F.col("w"), k=5).collect()
+    }
+    assert got == {1, 5}

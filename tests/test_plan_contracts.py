@@ -194,6 +194,17 @@ def test_importance_sample_takeordered_no_global_window(spark):
     assert "SinglePartition" not in plan
 
 
+def test_weighted_sample_takeordered_no_shuffle(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_sample_weighted"](spark, SF))
+    # the A-ES top-k must stay a bounded-heap TakeOrdered over one
+    # scan: no exchange, no window, no single-partition sort
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(plan) == 0
+    assert "Window" not in plan
+
+
 def test_funnel_stays_key_partitioned(spark):
     import __spark_entry__ as e
 
