@@ -126,6 +126,116 @@ def quality_features(
     )
 
 
+def collapse_by_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    features: "dict[str, Column]",
+) -> DataFrame:
+    """Evaluate text-only feature columns once per DISTINCT text and
+    expand back to per-document rows through a null-safe text-keyed
+    join — the clone-collapse shape :func:`quality_features` uses,
+    shared.  ``features`` maps output name -> Column over ``__qt``
+    (the distinct text).  Output: ``id_col`` + the feature columns;
+    work ∝ distinct content, output identical to direct evaluation.
+    """
+    feats = (
+        df.select(F.col(text_col).alias("__qt"))
+        .distinct()
+        .select(
+            F.isnull("__qt").alias("__k0"),
+            F.coalesce(F.col("__qt"), F.lit("")).alias("__k1"),
+            *[c.alias(name) for name, c in features.items()],
+        )
+    )
+    lhs = df.select(
+        F.col(id_col),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    )
+    return lhs.join(feats, ["__k0", "__k1"]).select(
+        id_col, *features.keys()
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher / MassiveWeb quality-filter rule set (Rae et al.
+    2021, appendix A1.1) — the published heuristic battery most
+    large-scale text pipelines start from:
+
+    1. word count in [50, 100000]
+    2. mean word length in [3, 10]
+    3. symbol-to-word ratio (``#`` or ``...``) <= 0.1
+    4. < 90% of lines start with a bullet
+    5. < 30% of lines end with an ellipsis
+    6. >= 80% of words contain an alphabetic character
+    7. >= 2 of the 8 required stopwords present
+
+    Output: the per-rule signals plus the combined ``passes``
+    verdict (NULL signals — empty/NULL text — fail closed).  All
+    pure JVM column expressions, clone-collapsed via
+    :func:`collapse_by_text` so rule evaluation costs ∝ distinct
+    content; one scan, no shuffle beyond the collapse join.
+    """
+    text = F.col("__qt")
+    toks = tokens_col(text)
+    n = token_count_col(text).cast("double")
+    n_safe = F.when(n > 0, n)
+    mean_len = F.length(F.concat_ws("", toks)).cast("double") / n_safe
+    hash_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("double")
+    ell_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ).cast("double") / F.lit(3.0)
+    symbol_ratio = (hash_cnt + ell_cnt) / n_safe
+    lines = F.split(text, "\n")
+    n_lines = F.when(F.size(lines) > 0, F.size(lines).cast("double"))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_safe
+    )
+    n_stop = sum(
+        F.when(F.array_contains(toks, s), 1).otherwise(0)
+        for s in GOPHER_STOPWORDS
+    ).cast("long")
+    passes = F.coalesce(
+        n.between(50, 100_000)
+        & mean_len.between(3, 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2),
+        F.lit(False),
+    )
+    return collapse_by_text(
+        df,
+        id_col,
+        text_col,
+        {
+            "n_words": n.cast("long"),
+            "mean_word_len": F.round(mean_len, 6),
+            "symbol_ratio": F.round(symbol_ratio, 6),
+            "bullet_frac": F.round(bullet_frac, 6),
+            "ellipsis_frac": F.round(ellipsis_frac, 6),
+            "alpha_frac": F.round(alpha_frac, 6),
+            "n_stopwords": n_stop,
+            "passes": passes,
+        },
+    )
+
+
 def _trigram_kernel(texts):
     import pandas as pd
 

@@ -1823,6 +1823,58 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_rules",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::DOUBLE AS n,
+               string_split_regex(trim(text), '\\s+') AS w,
+               string_split(text, chr(10)) AS ls
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n,
+            length(array_to_string(w, ''))::DOUBLE / nullif(n, 0) AS ml,
+            ((length(text) - length(replace(text, '#', '')))::DOUBLE
+             + (length(text) - length(replace(text, '...', '')))::DOUBLE
+               / 3.0) / nullif(n, 0) AS sym,
+            len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*]')))::DOUBLE
+                / nullif(len(ls), 0) AS bf,
+            len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))::DOUBLE
+                / nullif(len(ls), 0) AS ef,
+            len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / nullif(n, 0) AS af,
+            len(list_filter(['the','be','to','of','and','that','have','with'],
+                            s -> list_contains(w, s)))::BIGINT AS ns
+        FROM t
+    )
+    SELECT doc_id, n::BIGINT AS n_words,
+           round(ml, 6) AS mean_word_len,
+           round(sym, 6) AS symbol_ratio,
+           round(bf, 6) AS bullet_frac,
+           round(ef, 6) AS ellipsis_frac,
+           round(af, 6) AS alpha_frac,
+           ns AS n_stopwords,
+           coalesce(n BETWEEN 50 AND 100000 AND ml BETWEEN 3 AND 10
+                    AND sym <= 0.1 AND bf < 0.9 AND ef < 0.3
+                    AND af >= 0.8 AND ns >= 2, false) AS passes
+    FROM f
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveWeb quality-rule battery (Rae et al. 2021):
+    per-document rule signals + combined pass verdict, every value
+    pinned cross-engine — the DuckDB oracle recomputes all seven
+    rules from the raw text with list comprehensions."""
+    from .operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text")
+
+
+@register(
     "text_lang_id",
     """
     WITH tri AS (

@@ -4438,3 +4438,47 @@ def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
         for r in weighted_sample_topk(df, "id", F.col("w"), k=5).collect()
     }
     assert got == {1, 5}
+
+
+def test_gopher_rules_edge_docs(spark):
+    from mongo_es_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over with lazy dogs near rivers"] * 6
+    )  # 66 words, stopwords 'the'/'with', alpha-heavy
+    rows = [
+        (1, good),
+        (2, "short text"),                      # fails word count
+        (3, "- a\n- b\n- c"),                   # all bullet lines
+        (4, "so...\nmuch...\nsuspense..."),     # all ellipsis lines
+        (5, "#### " + good),                    # symbol-heavy prefix
+        (6, ""),                                # empty -> fail closed
+        (7, None),                              # null  -> fail closed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(
+        df, "doc_id", "text").collect()}
+    assert got[1]["passes"] is True
+    assert got[1]["n_words"] == 66 and got[1]["n_stopwords"] >= 2
+    assert got[2]["passes"] is False            # n_words < 50
+    assert got[3]["bullet_frac"] == 1.0 and got[3]["passes"] is False
+    assert got[4]["ellipsis_frac"] == 1.0 and got[4]["passes"] is False
+    assert got[5]["symbol_ratio"] > 0.05 and got[5]["n_words"] == 67
+    assert got[6]["passes"] is False and got[6]["n_words"] == 0
+    assert got[7]["passes"] is False
+
+
+def test_gopher_rules_clone_collapse_identical(spark, docs):
+    from mongo_es_spark.operators.text import gopher_rules
+
+    # duplicate every doc under a shifted id: per-doc outputs must be
+    # identical for identical texts (the collapse join is exact)
+    doubled = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = gopher_rules(doubled, "doc_id", "text")
+    base = {r["doc_id"]: tuple(r)[1:] for r in out.filter(
+        F.col("doc_id") < 100000).collect()}
+    shifted = {r["doc_id"] - 100000: tuple(r)[1:] for r in out.filter(
+        F.col("doc_id") >= 100000).collect()}
+    assert base == shifted and len(base) > 0
