@@ -489,6 +489,55 @@ def weighted_sample_topk(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight: Column,
+    k: int,
+    seed: int = 0,
+    salt: int = 32,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: exactly ``k``
+    rows PER GROUP (fewer when the group is smaller), inclusion
+    probability proportional to ``weight`` within its group — the
+    balanced-subset builder (e.g. 10k docs per language).  Same A-ES
+    key as :func:`weighted_sample_topk`, ranked per group.
+
+    Scale shape: two salted window stages (the topic-label pattern) —
+    rank within ``(group, id-salt)`` first and keep k per shard, then
+    rank the ≤ ``k × salt`` survivors per group — so no task ever
+    sorts a whole group, only group-shards and the tiny survivor set.
+    Exact: every global per-group top-k row survives its shard stage.
+    Rows with NULL or non-positive weight are excluded.
+    """
+    u = (
+        F.pmod(
+            (F.col(id_col) + F.lit(seed)) * F.lit(KNUTH), F.lit(HASH_MOD)
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(HASH_MOD))
+    key = F.when(weight > 0, F.log(u) / weight)
+    shard = F.pmod(F.col(id_col), F.lit(salt))
+    w1 = Window.partitionBy(group_col, "__shard").orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__weight", weight)
+        .withColumn("__key", key)
+        .filter(F.col("__key").isNotNull())
+        .withColumn("__shard", shard)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+        .drop("__key", "__shard", "__r1", "__r2")
+    )
+
+
 def unigram_cross_entropy(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -1987,6 +1987,44 @@ def text_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_sample_weighted_grouped",
+    """
+    WITH keyed AS (
+        SELECT doc_id, lang, (length(text) + 1)::BIGINT AS __weight,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln((doc_id * 2654435761 % 4294967296 + 0.5)
+                              / 4294967296.0) / (length(text) + 1) DESC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, __weight FROM keyed WHERE rn <= 40
+    """,
+)
+def text_sample_weighted_grouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Balanced per-language weighted sample: 40 documents per lang,
+    inclusion probability proportional to text length within each
+    language (A-ES key per group).  Two salted window stages — no
+    task sorts a whole language; the oracle is the textbook
+    single-window row_number, pinning the staged form exactly."""
+    from .operators.text import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return weighted_sample_per_group(
+        docs,
+        "doc_id",
+        "lang",
+        (F.length("text") + F.lit(1)).cast("long"),
+        k=40,
+    ).select("doc_id", "lang", "__weight")
+
+
+@register(
     "table_profile",
     """
     WITH t AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)

@@ -4482,3 +4482,73 @@ def test_gopher_rules_clone_collapse_identical(spark, docs):
     shifted = {r["doc_id"] - 100000: tuple(r)[1:] for r in out.filter(
         F.col("doc_id") >= 100000).collect()}
     assert base == shifted and len(base) > 0
+
+
+def test_incremental_winnow_clone_heavy_parity(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import (
+        incremental_winnow_pairs,
+        winnow_overlap_pairs,
+    )
+
+    # 5 exact clones of every doc, ids striped so clones of one text
+    # land in BOTH batches — the set-collapse must still emit every
+    # clone pair and every cross pair exactly once
+    cloned = docs.select("doc_id", "text")
+    for c in range(1, 5):
+        cloned = cloned.unionByName(
+            docs.select(
+                (F.col("doc_id") + 10000 * c).alias("doc_id"), "text"
+            )
+        )
+    full = {
+        (r["i"], r["j"]): r["containment"]
+        for r in winnow_overlap_pairs(
+            cloned, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    store = str(tmp_path / "wnstore")
+    merged: dict = {}
+    batches = [
+        cloned.filter(F.col("doc_id") % 2 == 1),
+        cloned.filter(F.col("doc_id") % 2 == 0),
+    ]
+    for b in batches:
+        for r in incremental_winnow_pairs(
+            spark, b, "doc_id", "text", store, threshold=0.5
+        ).collect():
+            key = (r["i"], r["j"])
+            assert key not in merged
+            merged[key] = r["containment"]
+    assert merged == full and len(full) > 0
+
+
+def test_weighted_sample_per_group_matches_single_window(spark, docs):
+    from pyspark.sql import Window
+    from mongo_es_spark.operators.text import (
+        HASH_MOD,
+        KNUTH,
+        weighted_sample_per_group,
+    )
+
+    w = (F.length("text") + F.lit(1)).cast("long")
+    u = (F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(HASH_MOD))
+         + F.lit(0.5)) / F.lit(float(HASH_MOD))
+    ref_rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            (F.log(u) / w).desc(), F.col("doc_id").asc()
+        )
+    )
+    want = {
+        (r["doc_id"], r["lang"])
+        for r in docs.withColumn("rn", ref_rn)
+        .filter(F.col("rn") <= 7)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in weighted_sample_per_group(
+            docs, "doc_id", "lang", w, k=7
+        ).select("doc_id", "lang").collect()
+    }
+    assert got == want and len(got) > 0
