@@ -467,10 +467,20 @@ def incremental_winnow_pairs(
     w: int = 4,
     threshold: float = 0.5,
     score: str = "containment",
+    clone_weighted: bool = False,
 ) -> DataFrame:
     """Passage-overlap pairs touching at least one NEW document,
     against the persisted fingerprint store; the new fingerprints then
     append to the store.
+
+    ``clone_weighted=True`` switches to the bounded-output contract
+    (the batch family's shape): one row per distinct fingerprint-SET
+    pair carrying the min-id representatives and ``n_pairs`` — how
+    many member pairs touching a new doc it stands for
+    (``|A||B| − |old_A||old_B|`` cross-set, the triangular analogue
+    within-set) — so a 10³-clone feed emits thousands of rep rows
+    instead of billions of member rows, with sum(n_pairs) exactly
+    equal to the expanded count.
 
     Unlike the probabilistic signature stores this family is EXACT:
     the fingerprint set fully determines the score, so the union of
@@ -531,7 +541,16 @@ def incremental_winnow_pairs(
     # canonical set representation.
     sig = F.md5(F.concat_ws(",", F.transform("fps", lambda x: x.cast("string"))))
     mem_new = new_fps.select(F.col("doc"), sig.alias("s"))
-    mem_all = all_fps.select(F.col("doc"), sig.alias("s"))
+    # newness travels with the membership frame so the expansion can
+    # emit each unordered pair exactly once WITHOUT an output-sized
+    # dropDuplicates: a pair is double-generated only when BOTH
+    # members are new (each direction probes it), and then the
+    # new-side < other-side ordering keeps exactly one copy
+    mem_all = old.select(
+        F.col("doc"), sig.alias("s"), F.lit(False).alias("nw")
+    ).unionByName(
+        new_fps.select(F.col("doc"), sig.alias("s"), F.lit(True).alias("nw"))
+    )
     sets_new = new_fps.select(sig.alias("s"), "fps").dropDuplicates(["s"])
     sets_all = all_fps.select(sig.alias("s"), "fps").dropDuplicates(["s"])
 
@@ -558,10 +577,69 @@ def incremental_winnow_pairs(
     passing = paired.withColumn(score, F.round(inter / denom, 6)).filter(
         F.col(score) >= threshold
     ).select("sa", "sb", score)
+    if clone_weighted:
+        stats = mem_all.groupBy("s").agg(
+            F.count("*").alias("na"),
+            F.sum(F.col("nw").cast("long")).alias("nn"),
+            F.min("doc").alias("rep"),
+        )
+        sa_st = stats.select(
+            F.col("s").alias("sa"), F.col("na").alias("na_a"),
+            F.col("nn").alias("nn_a"), F.col("rep").alias("rep_a"),
+        )
+        sb_st = stats.select(
+            F.col("s").alias("sb"), F.col("na").alias("na_b"),
+            F.col("nn").alias("nn_b"), F.col("rep").alias("rep_b"),
+        )
+        cross_n = (
+            F.col("na_a") * F.col("na_b")
+            - (F.col("na_a") - F.col("nn_a"))
+            * (F.col("na_b") - F.col("nn_b"))
+        ).cast("long")
+        cross_w = (
+            passing.join(sa_st, "sa").join(sb_st, "sb")
+            # one row per unordered set pair: the direction whose
+            # counterpart never probed (no new members), else sa < sb
+            .filter((F.col("nn_b") == 0) | (F.col("sa") < F.col("sb")))
+            .select(
+                F.least("rep_a", "rep_b").alias("i"),
+                F.greatest("rep_a", "rep_b").alias("j"),
+                F.col(score),
+                cross_n.alias("n_pairs"),
+            )
+        )
+        within_n = (
+            (F.col("na") * (F.col("na") - 1)
+             - (F.col("na") - F.col("nn")) * (F.col("na") - F.col("nn") - 1))
+            / 2
+        ).cast("long")
+        within_w = (
+            stats.filter((F.col("nn") > 0) & F.lit(1.0 >= threshold))
+            .select(
+                F.col("rep").alias("i"),
+                F.col("rep").alias("j"),
+                F.round(F.lit(1.0), 6).alias(score),
+                within_n.alias("n_pairs"),
+            )
+            .filter(F.col("n_pairs") > 0)
+        )
+        out = cross_w.unionByName(within_w)
+        new_fps.write.mode("append").parquet(store_path)
+        return out
+
+    # single-emission guard: keep the generated (da, db) row iff the
+    # other member is old, or both are new and da < db
+    emit_once = (~F.col("nw")) | (F.col("da") < F.col("db"))
     # cross-set expansion: new members of sa × all members of sb
     cross = (
         passing.join(mem_new.select(F.col("s").alias("sa"), F.col("doc").alias("da")), "sa")
-        .join(mem_all.select(F.col("s").alias("sb"), F.col("doc").alias("db")), "sb")
+        .join(
+            mem_all.select(
+                F.col("s").alias("sb"), F.col("doc").alias("db"), "nw"
+            ),
+            "sb",
+        )
+        .filter(emit_once)
         .select(
             F.least("da", "db").alias("i"),
             F.greatest("da", "db").alias("j"),
@@ -571,8 +649,10 @@ def incremental_winnow_pairs(
     # within-set (clone) pairs: identical sets score exactly 1.0
     within = (
         mem_new.select("s", F.col("doc").alias("da"))
-        .join(mem_all.select("s", F.col("doc").alias("db")), "s")
-        .filter(F.col("da") != F.col("db"))
+        .join(
+            mem_all.select("s", F.col("doc").alias("db"), "nw"), "s"
+        )
+        .filter((F.col("da") != F.col("db")) & emit_once)
         .select(
             F.least("da", "db").alias("i"),
             F.greatest("da", "db").alias("j"),
@@ -580,7 +660,6 @@ def incremental_winnow_pairs(
         )
     ) if 1.0 >= threshold else None
     out = cross if within is None else cross.unionByName(within)
-    out = out.dropDuplicates(["i", "j"])
     new_fps.write.mode("append").parquet(store_path)
     return out
 

@@ -4552,3 +4552,36 @@ def test_weighted_sample_per_group_matches_single_window(spark, docs):
         ).select("doc_id", "lang").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_winnow_clone_weighted_algebra(spark, docs, tmp_path):
+    from mongo_es_spark.operators.dedup import incremental_winnow_pairs
+
+    cloned = docs.select("doc_id", "text")
+    for c in range(1, 4):
+        cloned = cloned.unionByName(
+            docs.select(
+                (F.col("doc_id") + 10000 * c).alias("doc_id"), "text"
+            )
+        )
+    batches = [
+        cloned.filter(F.col("doc_id") % 2 == 1),
+        cloned.filter(F.col("doc_id") % 2 == 0),
+    ]
+    exp_store = str(tmp_path / "exp")
+    w_store = str(tmp_path / "wtd")
+    for b in batches:
+        expanded = incremental_winnow_pairs(
+            spark, b, "doc_id", "text", exp_store, threshold=0.5
+        )
+        weighted = incremental_winnow_pairs(
+            spark, b, "doc_id", "text", w_store, threshold=0.5,
+            clone_weighted=True,
+        )
+        n_exp = expanded.count()
+        rows = weighted.collect()
+        # multiplicity algebra: the bounded rows stand for exactly
+        # the expanded per-batch pair set
+        assert sum(r["n_pairs"] for r in rows) == n_exp
+        assert all(r["n_pairs"] > 0 for r in rows)
+        assert all(r["i"] <= r["j"] for r in rows)
