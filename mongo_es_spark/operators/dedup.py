@@ -493,8 +493,8 @@ def incremental_winnow_pairs(
     signature BEFORE the quadratic posting join, so scoring work is
     per distinct (set, set) pair and member pairs expand back only
     for pairs that PASS the threshold — candidate traffic never goes
-    clone²-sized (measured: a 100-way-clone 5M-doc feed dropped from
-    613 s to the distinct-set cost; the EXPANDED output itself is
+    clone²-sized (measured: a 100-way-clone 500k-doc feed dropped
+    from 613 s to 61 s; the EXPANDED output itself is
     inherently clone²-sized — for bounded output at extreme clone
     multiplicities use the batch op's ``clone_weighted`` contract).
     Store appends are idempotent via the id

@@ -538,6 +538,49 @@ def weighted_sample_per_group(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_tokens: Column,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Fill a per-group TOKEN budget (not a row count): order each
+    group by a deterministic random key (Knuth id hash — any engine
+    reproduces the order) and keep documents while the tokens
+    consumed BEFORE each one stay under ``budget`` — the greedy
+    random prefix, i.e. "sample ~1B tokens per domain", the unit
+    data mixtures are actually specified in.  The last kept document
+    may overshoot the budget (greedy-prefix semantics: a document is
+    atomic).
+
+    One window per group: the running sum is inherently sequential
+    in the prefix order, so unlike top-k it cannot shard — but
+    groups parallelize across the cluster and the window carries
+    only (id, tokens, key).  Output: input columns + ``__tokens``
+    (the document's counted tokens).
+    """
+    u = F.pmod(
+        (F.col(id_col) + F.lit(seed)) * F.lit(KNUTH), F.lit(HASH_MOD)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__tokens", n_tokens)
+        .withColumn("__key", u)
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("__tokens").over(w) - F.col("__tokens"), F.lit(0)
+            ),
+        )
+        .filter(F.col("__before") < budget)
+        .drop("__key", "__before")
+    )
+
+
 def unigram_cross_entropy(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

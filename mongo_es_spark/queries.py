@@ -2025,6 +2025,48 @@ def text_sample_weighted_grouped(
 
 
 @register(
+    "text_token_budget_sample",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::BIGINT AS __tokens,
+               doc_id * 2654435761 % 4294967296 AS k
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, __tokens,
+               coalesce(sum(__tokens) OVER (
+                   PARTITION BY lang ORDER BY k ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM t
+    )
+    SELECT doc_id, lang, __tokens FROM c WHERE before < 2000
+    """,
+)
+def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling: keep a deterministic
+    random prefix of each language's documents until ~2000 tokens
+    are consumed (greedy prefix, last doc may overshoot) — the unit
+    real data mixtures are specified in.  Oracle replays the same
+    hash order and running sum in SQL."""
+    from .operators.text import token_budget_sample, token_count_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return token_budget_sample(
+        docs,
+        "doc_id",
+        "lang",
+        token_count_col(F.col("text")).cast("long"),
+        budget=2000,
+    ).select("doc_id", "lang", "__tokens")
+
+
+@register(
     "table_profile",
     """
     WITH t AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)
