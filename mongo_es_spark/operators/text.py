@@ -91,38 +91,20 @@ def quality_features(
                 "quality_score"
             ),
         )
-    feats = (
-        df.select(F.col(text_col).alias("__qt"))
-        .distinct()
-        .select(
-            # null-safe join key: (is-null flag, coalesced text) —
-            # two plain equi-join columns instead of eqNullSafe
-            F.isnull("__qt").alias("__k0"),
-            F.coalesce(F.col("__qt"), F.lit("")).alias("__k1"),
-            n.cast("long").alias("n_tokens"),
-            F.round(distinct_ratio, 6).alias("distinct_ratio"),
-            F.round(stop_ratio, 6).alias("stopword_ratio"),
-            F.round(mean_len, 6).alias("mean_token_len"),
-            # floor, not round: composite scores of dyadic terms land
-            # on exact .5 decimal boundaries where engines' round()
-            # disagree
-            (F.floor(score * 1_000_000) / 1_000_000).alias(
-                "quality_score"
-            ),
-        )
-    )
-    lhs = df.select(
-        F.col(id_col),
-        F.isnull(F.col(text_col)).alias("__k0"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
-    )
-    return lhs.join(feats, ["__k0", "__k1"]).select(
+    # floor, not round, for the composite: scores of dyadic terms
+    # land on exact .5 decimal boundaries where engines' round()
+    # disagree
+    return collapse_by_text(
+        df,
         id_col,
-        "n_tokens",
-        "distinct_ratio",
-        "stopword_ratio",
-        "mean_token_len",
-        "quality_score",
+        text_col,
+        {
+            "n_tokens": n.cast("long"),
+            "distinct_ratio": F.round(distinct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "mean_token_len": F.round(mean_len, 6),
+            "quality_score": F.floor(score * 1_000_000) / 1_000_000,
+        },
     )
 
 
@@ -143,6 +125,8 @@ def collapse_by_text(
         df.select(F.col(text_col).alias("__qt"))
         .distinct()
         .select(
+            # null-safe join key: (is-null flag, coalesced text) —
+            # two plain equi-join columns instead of eqNullSafe
             F.isnull("__qt").alias("__k0"),
             F.coalesce(F.col("__qt"), F.lit("")).alias("__k1"),
             *[c.alias(name) for name, c in features.items()],

@@ -4585,3 +4585,40 @@ def test_incremental_winnow_clone_weighted_algebra(spark, docs, tmp_path):
         assert sum(r["n_pairs"] for r in rows) == n_exp
         assert all(r["n_pairs"] > 0 for r in rows)
         assert all(r["i"] <= r["j"] for r in rows)
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from mongo_es_spark.operators.text import (
+        HASH_MOD,
+        KNUTH,
+        token_budget_sample,
+    )
+
+    rows = [(i, "g", 10) for i in range(1, 21)]  # 20 docs x 10 tokens
+    df = spark.createDataFrame(rows, "id long, grp string, nt long")
+    got = token_budget_sample(
+        df, "id", "grp", F.col("nt"), budget=45
+    ).collect()
+    # greedy prefix: 10+10+10+10 = 40 < 45 -> fifth doc still starts
+    # under budget and overshoots; sixth does not
+    assert len(got) == 5
+    # the kept set is the prefix of the Knuth-hash order
+    order = sorted(range(1, 21), key=lambda i: ((i * KNUTH) % HASH_MOD, i))
+    assert {r["id"] for r in got} == set(order[:5])
+    assert all(r["__tokens"] == 10 for r in got)
+
+
+def test_token_budget_sample_groups_independent(spark):
+    from mongo_es_spark.operators.text import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", 5), (4, "b", 5)],
+        "id long, grp string, nt long",
+    )
+    got = token_budget_sample(df, "id", "grp", F.col("nt"), budget=10)
+    by_grp = {}
+    for r in got.collect():
+        by_grp.setdefault(r["grp"], set()).add(r["id"])
+    # group a: first doc overshoots alone; group b: both fit
+    assert len(by_grp["a"]) == 1
+    assert by_grp["b"] == {3, 4}
