@@ -448,13 +448,39 @@ def winnow_store_frame(
     """Per-document winnowing state worth persisting: ``doc, fps``
     (the sorted distinct fingerprint set).  Documents shorter than
     ``k`` tokens fingerprint to the empty set and are dropped — they
-    can never share a passage."""
+    can never share a passage.
+
+    The Arrow kernel runs once per DISTINCT text and expands back
+    through a text-keyed join (the batch operator's collapse): on a
+    1000-way-clone feed the kernel was ~85% of the incremental
+    store's batch time before this."""
     from .text import winnow_fingerprints_col
 
-    return df.select(
-        F.col(id_col).alias("doc"),
-        winnow_fingerprints_col(F.col(text_col), k, w).alias("fps"),
-    ).filter(F.size("fps") > 0)
+    texts = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+    )
+    distinct = (
+        texts.select("__t")
+        .distinct()
+        # lazy-checkpoint barrier: size(fps) > 0 is a function of the
+        # grouping key, so without it Catalyst pushes the filter (and
+        # the Arrow kernel feeding it) BELOW this aggregate — kernel
+        # over every clone instead of every distinct text
+        .localCheckpoint(eager=False)
+        .select(
+            "__t",
+            winnow_fingerprints_col(F.col("__t"), k, w).alias("fps"),
+        )
+        .filter(F.size("fps") > 0)
+        # eager checkpoint: with the udf expression still visible,
+        # InferFiltersFromConstraints clones the size(kernel(__t))
+        # predicate onto the expand-back PROBE side of the join —
+        # re-running the kernel over all clones (measured 106 s vs
+        # 0.3 s of true kernel work on a 1000-way-clone batch).
+        # Materializing first leaves the join a plain RDD build side.
+        .localCheckpoint(eager=True)
+    )
+    return texts.join(distinct, "__t").select("doc", "fps")
 
 
 def incremental_winnow_pairs(
