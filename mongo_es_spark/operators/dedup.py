@@ -711,16 +711,28 @@ def _setsim_pairs(
         elements = lambda c: shingles_col(c, n, mode)  # noqa: E731
     tm = _text_groups(df, id_col, text_col)
     reps = _group_reps(tm)
-    sh = reps.select(
+    # ONE Arrow-kernel pass for the whole operator: postings, set
+    # sizes and the shingled-rep set all derive from this eagerly
+    # materialized (doc, els) frame.  Left lazy, the kernel subtree
+    # is re-evaluated under every consumer (postings self-join,
+    # per-doc counts, hot-element counts, shingled_reps) — 4+
+    # ArrowEvalPython nodes in the physical plan, which a clone-free
+    # corpus pays at full n each time.
+    els = reps.select(
         F.col("rep").alias("doc"),
-        F.explode(elements(F.col("__text"))).alias("s"),
-    )
+        elements(F.col("__text")).alias("els"),
+    ).localCheckpoint(eager=True)
+    sh = els.select("doc", F.explode("els").alias("s"))
     if max_df is not None:
         hot = (
             sh.groupBy("s").count().filter(F.col("count") > max_df).select("s")
         )
         sh = sh.join(hot, "s", "left_anti")
-    counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    else:
+        # element arrays are distinct by construction — the set size
+        # is a projection, not an aggregation
+        counts = els.select("doc", F.size("els").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         # merge hint: both sides are the same subplan, so a sort-merge
@@ -745,11 +757,12 @@ def _setsim_pairs(
         .select("i", "j", score)
     )
     # clone groups with no shingles (too-short text) produce no pairs
-    # in the brute-force result either
+    # in the brute-force result either (pre-prune sets: a doc whose
+    # every element is max_df-hot still HAD elements)
     members = tm.select("rep", "doc")
-    shingled_reps = reps.filter(
-        F.size(elements(F.col("__text"))) > 0
-    ).select("rep")
+    shingled_reps = els.filter(F.size("els") > 0).select(
+        F.col("doc").alias("rep")
+    )
     if clone_weighted:
         return _weighted_rep_pairs(
             rep_pairs, members, score, shingled_reps, F.lit(1.0)
