@@ -53,6 +53,27 @@ def _nearest_cell_kernel(C: np.ndarray):
     return assign_kernel
 
 
+def _top_cells_kernel(C: np.ndarray, p: int):
+    """Arrow kernel factory: the ``p`` nearest centroids per vector
+    (multiprobe assignment) against the broadcast centroid matrix.
+    Null-in/null-out like :func:`_nearest_cell_kernel`."""
+
+    def kernel(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        M, idx = _mask_stack(vs)
+        if len(idx) == 0:
+            return pd.Series([None] * len(vs), dtype=object)
+        sims = _unit_rows(M) @ C.T
+        top = np.argsort(-sims, axis=1)[:, :p]
+        out = [None] * len(vs)
+        for j, i in enumerate(idx):
+            out[i] = [int(c) for c in top[j]]
+        return pd.Series(out, dtype=object)
+
+    return kernel
+
+
 def _query_vec(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
     return df.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("qv")
@@ -1153,6 +1174,7 @@ def incremental_embedding_pairs(
     n_clusters: int = 16,
     seed: int = 7,
     train_sample: int = 100_000,
+    n_probe: int = 2,
 ) -> DataFrame:
     """The streaming-ingest twin of :func:`semantic_dedup_frames`
     (mirroring ``incremental_minhash_pairs``): detect embedding
@@ -1173,6 +1195,12 @@ def incremental_embedding_pairs(
 
     Idempotent append: already-stored ids are anti-joined away first,
     so a replayed batch emits nothing and writes nothing new.
+
+    ``n_probe``: the NEW side probes its ``n_probe`` nearest cells
+    (store membership stays single-cell) — cell-boundary pairs are
+    the misses of single-cell probing, and the second cell recovers
+    most of them for ~2× candidate traffic (measured at sf0.1:
+    recall 0.29 → see the registry query's pinned floor).
     """
     import os
 
@@ -1194,8 +1222,16 @@ def incremental_embedding_pairs(
             C[r["cell"]] = r["centroid"]
     else:
         sample = (  # nulls masked: one missing vector must not ragged-array training
-        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
-    )
+            # id-sorted: limit().toPandas() row order is partition-
+            # order-sensitive, and k-means init indexes rows — an
+            # arbitrary order makes the trained cells (and the
+            # store's recall) vary run to run on identical data
+            vecs.filter(F.col("v").isNotNull())
+            .orderBy("doc")
+            .select("v")
+            .limit(train_sample)
+            .toPandas()
+        )
         X = np.asarray(sample["v"].tolist(), dtype=np.float64)
         C = _kmeans_fit(X, n_clusters, seed)
         spark.createDataFrame(
@@ -1204,10 +1240,15 @@ def incremental_embedding_pairs(
         ).write.parquet(cent_path)
 
     assign = pandas_udf(_nearest_cell_kernel(C), "int")
+    probe = pandas_udf(_top_cells_kernel(C, n_probe), "array<int>")
     old = read_parquet_if_exists(spark, vec_path)
     have_store = old is not None
 
-    new_vecs = vecs.withColumn("cell", assign(F.col("v")))
+    # store membership is single-cell (nearest); the probe footprint
+    # is the n_probe nearest cells per new vector
+    new_vecs = vecs.withColumn("cell", assign(F.col("v"))).withColumn(
+        "pcells", probe(F.col("v"))
+    )
     if have_store:
         new_vecs = new_vecs.join(
             old.select("doc"), "doc", "left_anti"
@@ -1228,18 +1269,21 @@ def incremental_embedding_pairs(
     # pairs never emit.
     from pyspark.sql.window import Window as _W
 
+    new_store = new_vecs.drop("pcells")
     if have_store:
-        # store rows in cells the batch never touches cannot pair —
+        # store rows in cells the batch never PROBES cannot pair —
         # keep them out of the per-batch collapse window entirely, so
-        # per-batch shuffle volume tracks the batch's cell footprint,
-        # not store history (the n_clusters dial at scale)
-        cells_new = new_vecs.select("cell").distinct()
+        # per-batch shuffle volume tracks the batch's probe-cell
+        # footprint, not store history (the n_clusters dial at scale)
+        cells_new = new_vecs.select(
+            F.explode("pcells").alias("cell")
+        ).distinct()
         old_rel = old.join(F.broadcast(cells_new), "cell", "left_semi")
         mem = old_rel.withColumn("__new", F.lit(False)).unionByName(
-            new_vecs.withColumn("__new", F.lit(True))
+            new_store.withColumn("__new", F.lit(True))
         )
     else:
-        mem = new_vecs.withColumn("__new", F.lit(True))
+        mem = new_store.withColumn("__new", F.lit(True))
     mem = mem.withColumn(
         # hash-led partition spec (see embedding_dup_pairs_lsh): sort
         # resolves on 8 bytes, full vectors compare within hash runs
@@ -1258,10 +1302,20 @@ def incremental_embedding_pairs(
     )
     members = mem.select("rep", "doc", "__new")
 
-    # cross-group candidates: ids only through the join + dedupe
-    ra = reps.join(
-        flags.filter(F.col("__has_new") == 1).select("rep"), "rep"
-    ).select("cell", F.col("rep").alias("__ra"))
+    # cross-group candidates: ids only through the join + dedupe.
+    # The new-touched side probes its n_probe nearest cells (explode)
+    # against single-cell store assignments — the multiprobe that
+    # recovers cell-boundary pairs; duplicate candidates from two
+    # probe cells collapse in the pair dedupe
+    ra = (
+        reps.join(
+            flags.filter(F.col("__has_new") == 1).select("rep"), "rep"
+        )
+        .select(
+            F.explode(probe(F.col("v"))).alias("cell"),
+            F.col("rep").alias("__ra"),
+        )
+    )
     rb = reps.select("cell", F.col("rep").alias("__rb"))
     rep_pairs = (
         ra.join(rb, "cell")
@@ -1341,7 +1395,7 @@ def incremental_embedding_pairs(
         .select(F.col("__a").alias("i"), F.col("__b").alias("j"), "cosine")
     )
     out = cross.unionByName(within)
-    new_vecs.write.mode("append").parquet(vec_path)
+    new_store.write.mode("append").parquet(vec_path)
     return out
 
 

@@ -1399,9 +1399,12 @@ def streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       identical (round-6) cosine — cell probing re-ranks exactly, so
       precision is 1 by construction;
     * ``recall_ok``: recall vs the exact pair set >= 0.3 (measured
-      0.43 at sf0.01 / 0.37 at sf0.1 with k=16 cells trained on the
-      FIRST third of the corpus — the honest streaming cost, same
-      caveat as ``streaming_ivf``'s first-batch training);
+      0.52 at sf0.1 with k=16 cells trained on the FIRST third of
+      the corpus and the new side probing its 2 nearest cells —
+      single-cell probing measured 0.29, UNDER the floor, once the
+      training sample was made content-deterministic by id-sorting
+      it; the first-batch-training caveat is the same as
+      ``streaming_ivf``'s);
     * ``indexed_ok``: every vector indexed exactly once;
     * ``replay_ok``: a post-drain redelivery of the training slice
       emits 0 pairs and appends 0 vectors.

@@ -205,6 +205,16 @@ def test_weighted_sample_takeordered_no_shuffle(spark):
     assert "Window" not in plan
 
 
+def test_token_budget_sample_group_partitioned(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["text_token_budget_sample"](spark, SF))
+    # the running sum is one window per GROUP key — never a global
+    # single-partition sort
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_funnel_stays_key_partitioned(spark):
     import __spark_entry__ as e
 
