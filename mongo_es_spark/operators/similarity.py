@@ -345,7 +345,11 @@ def materialize_ivf_index(
     # a 100k x 64 collect() serializes row-by-row through py4j and
     # measured ~10x slower
     sample = (  # nulls masked: one missing vector must not ragged-array training
-        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+        vecs.filter(F.col("v").isNotNull())
+        # id-sorted: limit().toPandas() row order is partition-order
+        # sensitive and k-means init indexes rows — unsorted, the
+        # trained cells vary run to run on identical data
+        .orderBy(id_col).select("v").limit(train_sample).toPandas()
     )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
@@ -471,7 +475,11 @@ def ann_ivf_topk(
     # a 100k x 64 collect() serializes row-by-row through py4j and
     # measured ~10x slower
     sample = (  # nulls masked: one missing vector must not ragged-array training
-        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+        vecs.filter(F.col("v").isNotNull())
+        # id-sorted: limit().toPandas() row order is partition-order
+        # sensitive and k-means init indexes rows — unsorted, the
+        # trained cells vary run to run on identical data
+        .orderBy(id_col).select("v").limit(train_sample).toPandas()
     )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
@@ -546,7 +554,11 @@ def ann_ivf_batch_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     sample = (  # nulls masked: one missing vector must not ragged-array training
-        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+        vecs.filter(F.col("v").isNotNull())
+        # id-sorted: limit().toPandas() row order is partition-order
+        # sensitive and k-means init indexes rows — unsorted, the
+        # trained cells vary run to run on identical data
+        .orderBy(id_col).select("v").limit(train_sample).toPandas()
     )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
@@ -894,7 +906,11 @@ def ann_ivf_pq_topk(
     # a 100k x 64 collect() serializes row-by-row through py4j and
     # measured ~10x slower
     sample = (  # nulls masked: one missing vector must not ragged-array training
-        vecs.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+        vecs.filter(F.col("v").isNotNull())
+        # id-sorted: limit().toPandas() row order is partition-order
+        # sensitive and k-means init indexes rows — unsorted, the
+        # trained cells vary run to run on identical data
+        .orderBy(id_col).select("v").limit(train_sample).toPandas()
     )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
@@ -1039,7 +1055,9 @@ def semantic_dedup_frames(
         F.col("rep").alias("doc"), "v"
     )
     sample = (
-        reps.filter(F.col("v").isNotNull()).select("v").limit(train_sample).toPandas()
+        reps.filter(F.col("v").isNotNull())
+        # id-sorted for run-to-run determinism (see the other trainers)
+        .orderBy("doc").select("v").limit(train_sample).toPandas()
     )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_clusters, seed)
@@ -1430,7 +1448,9 @@ def kmeans_clusters(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     sample = (
-        base.filter(F.col("__v").isNotNull()).select("__v").limit(train_sample).toPandas()
+        base.filter(F.col("__v").isNotNull())
+        # id-sorted for run-to-run determinism (see the other trainers)
+        .orderBy(id_col).select("__v").limit(train_sample).toPandas()
     )
     if len(sample) == 0:
         raise ValueError("kmeans_clusters: empty input (nothing to train on)")
