@@ -1181,6 +1181,86 @@ def minhash_lsh_pairs(
     return out
 
 
+def cross_minhash_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    mode: str = "word",
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """Fuzzy cross-corpus decontamination: near-duplicate pairs
+    BETWEEN two corpora — ``i`` from ``df_a`` (train), ``j`` from
+    ``df_b`` (benchmark), shingle Jaccard >= ``threshold``.  The
+    MinHash analogue of the exact n-gram ``contamination`` check:
+    catches paraphrased / lightly-edited benchmark leakage that exact
+    n-gram collision misses (the train-vs-eval dedup of GPT-3
+    appendix C, Dolma, RefinedWeb).
+
+    Scale shape: both sides clone-collapse by text, signatures and
+    band buckets are computed per DISTINCT text, and candidates come
+    from an equi-join of the two band frames — never a cross product.
+    ``broadcast_b=True`` (default) broadcasts the benchmark side's
+    band and shingle frames: eval suites are MB-sized while the train
+    corpus is the 100 TB side, so candidate generation is map-side and
+    the train corpus is never shuffled for it.  Set False for
+    corpus-vs-corpus runs and AQE picks the join strategy.
+
+    Texts too short to shingle (< ``n`` tokens) never match — inherent
+    to n-gram methods; run exact ``contamination`` alongside if those
+    matter.  Band recall is the self-join family's: miss probability
+    ``(1 - t^r)^b`` per distinct-text pair.
+    """
+    tm_a = _text_groups(df_a, id_col, text_col)
+    tm_b = _text_groups(df_b, id_col, text_col)
+    docs_a = _rep_docs(_group_reps(tm_a), n, mode)
+    docs_b = _rep_docs(_group_reps(tm_b), n, mode)
+    banded_a = _band_frame(
+        _minhash_signatures(docs_a, num_hashes), num_hashes, bands
+    )
+    banded_b = _band_frame(
+        _minhash_signatures(docs_b, num_hashes), num_hashes, bands
+    )
+    sh_b = docs_b.select(F.col("doc").alias("j"), F.col("sh").alias("sh_j"))
+    if broadcast_b:
+        banded_b = F.broadcast(banded_b)
+        sh_b = F.broadcast(sh_b)
+    a, b_ = banded_a.alias("a"), banded_b.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .dropDuplicates(["i", "j"])
+    )
+    sh_a = docs_a.select(F.col("doc").alias("i"), F.col("sh").alias("sh_i"))
+    paired = cands.join(sh_a, "i").join(sh_b, "j")
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size(F.array_union("sh_i", "sh_j"))
+    rep_pairs = (
+        paired.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+    # expansion through BOTH membership frames: sides keep their own
+    # id spaces, so no least/greatest canonicalization applies here
+    mi = tm_a.select(F.col("rep").alias("i"), F.col("doc").alias("a"))
+    mj = tm_b.select(F.col("rep").alias("j"), F.col("doc").alias("b"))
+    return (
+        rep_pairs.join(mi, "i")
+        .join(mj, "j")
+        .select(
+            F.col("a").alias("i"), F.col("b").alias("j"), "jaccard"
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
@@ -2134,6 +2214,12 @@ def _cosine_pairs_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
     denom = na * nb
     denom[denom == 0.0] = np.nan
     cos = np.einsum("ij,ij->i", A, B) / denom
+    # a zero vector has no cosine with anything — surface NULL, not
+    # NaN: Spark orders NaN ABOVE every number, so a NaN cosine would
+    # pass every ">= threshold" verify filter downstream
+    bad = np.isnan(cos)
+    if bad.any():
+        cos = np.where(bad, None, cos.astype(object))
     return _scatter(len(va), both, cos)
 
 
@@ -2434,6 +2520,121 @@ def embedding_dup_pairs_lsh(
             _within_group_pairs(members_nz, F.lit(1.0), "cosine")
         )
     return out
+
+
+def cross_embedding_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    threshold: float = 0.45,
+    bits: int = 16,
+    band_bits: int = 4,
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """Semantic cross-corpus decontamination: cosine near-duplicate
+    pairs BETWEEN two corpora — ``i`` from ``df_a`` (train), ``j``
+    from ``df_b`` (benchmark), cosine >= ``threshold``.  The embedding
+    analogue of :func:`cross_minhash_pairs`: catches semantically-
+    rewritten benchmark leakage that shingle methods miss entirely.
+
+    Scale shape: both sides clone-collapse by vector value, hyperplane
+    signatures (SHARED seed — both sides hash through the identical
+    matrix, so sign-band collision probability is the self-join
+    family's) band into (band, val) buckets, and candidates come from
+    an equi-join of the two band frames — never a cross product.
+    ``broadcast_b=True`` (default) broadcasts the benchmark side's
+    band and vector frames: eval suites are MB-sized while the train
+    corpus is the 100 TB side, so candidate generation is map-side and
+    the train corpus is never shuffled for it.  Set False for
+    corpus-vs-corpus runs and AQE picks the join strategy.
+
+    Approximate by design (recall < 1, precision = 1: every candidate
+    re-ranks with the exact cosine).  Sides keep their own id spaces —
+    no least/greatest canonicalization; a NULL vector on either side
+    never pairs (signature is NULL, and NULL never equi-joins).
+    """
+    from pyspark.sql.window import Window
+
+    def _collapse(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        vm = df.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn(
+            "rep",
+            F.min("doc").over(
+                Window.partitionBy(F.xxhash64(F.col("v")), F.col("v"))
+            ),
+        )
+        reps = vm.filter(F.col("doc") == F.col("rep")).select(
+            F.col("rep").alias("doc"), "v"
+        )
+        return reps, vm.select("rep", "doc")
+
+    def _bands(reps: DataFrame) -> DataFrame:
+        sigs = reps.withColumn(
+            "sig", hyperplane_signature(F.col("v"), dims, bits)
+        )
+        n_bands = bits // band_bits
+        return sigs.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            (
+                                F.shiftrightunsigned(
+                                    F.col("sig"), b * band_bits
+                                )
+                                % F.lit(2**band_bits)
+                            ).alias("val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.val")
+
+    reps_a, members_a = _collapse(df_a)
+    reps_b, members_b = _collapse(df_b)
+    banded_a, banded_b = _bands(reps_a), _bands(reps_b)
+    vecs_b = reps_b.select(F.col("doc").alias("j"), F.col("v").alias("vj"))
+    if broadcast_b:
+        banded_b = F.broadcast(banded_b)
+        vecs_b = F.broadcast(vecs_b)
+    a, b_ = banded_a.alias("a"), banded_b.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val")),
+        )
+        .select(F.col("a.doc").alias("i"), F.col("b.doc").alias("j"))
+        .dropDuplicates(["i", "j"])
+    )
+    vecs_a = reps_a.select(F.col("doc").alias("i"), F.col("v").alias("vi"))
+    rep_pairs = (
+        cands.join(vecs_a, "i")
+        .join(vecs_b, "j")
+        .withColumn(
+            "cosine", F.round(cosine_pairs_col(F.col("vi"), F.col("vj")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("i", "j", "cosine")
+    )
+    # expansion through BOTH membership frames: sides keep their own
+    # id spaces, so no least/greatest canonicalization applies here
+    mi = members_a.select(F.col("rep").alias("i"), F.col("doc").alias("a"))
+    mj = members_b.select(F.col("rep").alias("j"), F.col("doc").alias("b"))
+    if broadcast_b:
+        mj = F.broadcast(mj)
+    return (
+        rep_pairs.join(mi, "i")
+        .join(mj, "j")
+        .select(F.col("a").alias("i"), F.col("b").alias("j"), "cosine")
+    )
 
 
 # ------------------------------------------------------------------ #

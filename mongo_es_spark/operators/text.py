@@ -398,6 +398,63 @@ def bm25_search(
     )
 
 
+def rrf_fuse(
+    frames: Sequence[DataFrame],
+    id_col: str,
+    rank_names: Sequence[str],
+    score_col: str = "score",
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval legs — the standard
+    hybrid-search combiner (BM25 leg + dense-vector leg, score
+    ``sum(1 / (k + rank))`` per leg the document appears in).
+
+    Each input frame is one leg: ``(id_col, score_col)`` rows, higher
+    score better.  Ranks are re-derived here (``score DESC, id ASC``)
+    so fusion never depends on the legs' own row order.  A document
+    missing from a leg contributes 0 for that leg; its rank column is
+    NULL in the output.
+
+    Scale shape: the legs arrive top-k-sized by construction (each is
+    its own TakeOrdered reduction over the corpus — see
+    :func:`bm25_search` / ``cosine_topk``), so everything here runs on
+    <= sum(k) rows.  The unpartitioned rank window is leg-sized, not
+    corpus-sized; the fusion join is a few-row full-outer.
+    """
+    if len(frames) != len(rank_names):
+        raise ValueError(
+            f"{len(frames)} legs but {len(rank_names)} rank names"
+        )
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    fused = None
+    for leg, name in zip(frames, rank_names):
+        ranked = leg.select(
+            F.col(id_col),
+            F.row_number().over(w).cast("long").alias(name),
+        )
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, id_col, "full_outer")
+        )
+    rrf = None
+    for name in rank_names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(name)), F.lit(0.0)
+        )
+        rrf = term if rrf is None else rrf + term
+    return (
+        fused.select(
+            F.col(id_col),
+            F.round(rrf, 6).alias("rrf_score"),
+            *rank_names,
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
 KNUTH = 2654435761
 HASH_MOD = 2**32
 

@@ -723,6 +723,8 @@ def oracle_sql() -> dict[str, str]:
 
 from .operators.dedup import (  # noqa: E402
     containment_pairs,
+    cross_embedding_pairs,
+    cross_minhash_pairs,
     dedup_components,
     drop_near_duplicates,
     embedding_dup_pairs,
@@ -758,6 +760,7 @@ from .operators.text import (  # noqa: E402
     pack_sequences,
     quality_features,
     repetition_features,
+    rrf_fuse,
     stratified_sample,
     substring_dedup,
     token_count_col,
@@ -893,6 +896,129 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as banding recall holds (miss prob (1-0.8^2)^16 ~ 1e-7)
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "dedup_cross_corpus",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, len(w) - 1)])) AS s
+        FROM w
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        GROUP BY 1, 2
+    )
+    SELECT i, j,
+           round(shared::DOUBLE / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN counts ca ON i = ca.doc_id
+    JOIN counts cb ON j = cb.doc_id
+    WHERE round(shared::DOUBLE / (ca.n + cb.n - shared), 6) >= 0.8
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train-vs-benchmark decontamination: the corpus hash-split
+    into a 90% "train" and 10% "benchmark" side, near-dup pairs
+    ACROSS the split by MinHash-LSH + exact Jaccard verify.  The
+    benchmark side's band/shingle frames broadcast (map-side candidate
+    generation; the train side is never shuffled for it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return cross_minhash_pairs(
+        train, bench, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_cross_semantic",
+    """
+    SELECT count(*)::BIGINT AS n_exact_pairs,
+           true AS subset_ok,
+           true AS recall_ok
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+     AND a.vec_id <> b.vec_id
+    WHERE round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+    """,
+)
+def dedup_cross_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train-vs-benchmark decontamination, hard-checked: the
+    embeddings table hash-split into a 90% "train" and 10% "benchmark"
+    side, cross-corpus cosine near-dups by hyperplane-LSH + exact
+    cosine verify (``cross_minhash_pairs``'s embedding analogue).
+    Oracle-pinnable assertions, ``dedup_embedding_lsh``'s shape:
+
+    * ``n_exact_pairs``: the brute-force CROSS pair count, computed
+      independently in Spark (blocked gram over the full corpus,
+      filtered to split-crossing pairs) and DuckDB;
+    * ``subset_ok``: every LSH cross pair is an exact cross pair with
+      an identical cosine (precision = 1);
+    * ``recall_ok``: recall vs the exact cross set >= 0.5 (measured
+      1.0 at sf0.01 AND sf0.1 with dims=64 / 16 bits / 4-bit bands —
+      the split-crossing exact pairs are few and high-cosine, so every
+      one collides in some band).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    lsh = cross_embedding_pairs(
+        train, bench, "vec_id", "embedding", dims=64, threshold=0.45
+    )
+    # exact leg: the scale-sound blocked gram over the WHOLE corpus,
+    # reduced to split-crossing pairs and re-oriented train->bench
+    # (embedding_dup_pairs canonicalizes i<j; sides here keep their
+    # own id spaces)
+    full = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    exact = full.filter(
+        (F.col("i") % 10 == 0) != (F.col("j") % 10 == 0)
+    ).select(
+        F.when(F.col("i") % 10 != 0, F.col("i"))
+        .otherwise(F.col("j"))
+        .alias("i"),
+        F.when(F.col("i") % 10 == 0, F.col("i"))
+        .otherwise(F.col("j"))
+        .alias("j"),
+        "cosine",
+    )
+    joined = lsh.withColumnRenamed("cosine", "lsh_cosine").join(
+        exact, ["i", "j"], "left"
+    )
+    checks = joined.agg(
+        F.coalesce(
+            F.bool_and(
+                F.col("cosine").isNotNull()
+                & (F.col("cosine") == F.col("lsh_cosine"))
+            ),
+            F.lit(True),
+        ).alias("subset_ok"),
+        F.coalesce(
+            F.sum(F.when(F.col("cosine").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("__n_hit"),
+    )
+    totals = exact.agg(F.count("*").alias("n_exact_pairs"))
+    return totals.crossJoin(checks).select(
+        "n_exact_pairs",
+        "subset_ok",
+        (
+            F.col("__n_hit").cast("double")
+            / F.greatest(F.col("n_exact_pairs"), F.lit(1)).cast("double")
+            >= F.lit(0.5)
+        ).alias("recall_ok"),
+    )
 
 
 @register(
@@ -1523,6 +1649,86 @@ def streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, "vec_id", "embedding", query_id=0, k=10)
+
+
+@register(
+    "search_hybrid_rrf",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm_scores AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    ),
+    bm AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS bm25_rank
+        FROM bm_scores
+    ),
+    cos_scores AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    ),
+    cos AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS cos_rank
+        FROM cos_scores
+    )
+    SELECT doc_id,
+           round(coalesce(1.0 / (60 + bm25_rank), 0)
+                 + coalesce(1.0 / (60 + cos_rank), 0), 6) AS rrf_score,
+           bm25_rank, cos_rank
+    FROM bm FULL JOIN cos USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a BM25 lexical leg over ``documents`` and an
+    exact-cosine dense leg over ``embeddings`` (the tables share the
+    0..n-1 id space), fused by reciprocal rank (k=60).  Each leg is
+    its own TakeOrdered top-20 over the corpus; fusion runs on <= 40
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm_leg = bm25_search(
+        docs, "doc_id", "text", ["spark", "table", "stream"], top_k=20
+    )
+    cos_leg = cosine_topk(
+        emb, "vec_id", "embedding", query_id=0, k=20
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(
+        [bm_leg, cos_leg],
+        "doc_id",
+        ["bm25_rank", "cos_rank"],
+        top_k=10,
+    )
 
 
 def _ann_topk_check(

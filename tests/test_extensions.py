@@ -4622,3 +4622,199 @@ def test_token_budget_sample_groups_independent(spark):
     # group a: first doc overshoots alone; group b: both fit
     assert len(by_grp["a"]) == 1
     assert by_grp["b"] == {3, 4}
+
+
+def test_cross_minhash_pairs_expected_set(spark):
+    from mongo_es_spark.operators.dedup import cross_minhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    train = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # clone of 1 -> expands through membership
+            (3, "one two three four five six"),  # shingled, unrelated
+            (4, "tiny"),  # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, near),  # 3-shingle jaccard 7/9 with base
+            (101, base),  # exact cross-corpus clone
+            (102, "tiny"),  # short on BOTH sides: no pair by contract
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in cross_minhash_pairs(
+            train, bench, "doc_id", "text", n=3, threshold=0.7
+        ).collect()
+    }
+    exp_score = round(7 / 9, 6)
+    assert got == {
+        (1, 100): exp_score,
+        (2, 100): exp_score,
+        (1, 101): 1.0,
+        (2, 101): 1.0,
+    }
+    # the shuffled-join variant returns the identical pair set
+    got_shuffle = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in cross_minhash_pairs(
+            train,
+            bench,
+            "doc_id",
+            "text",
+            n=3,
+            threshold=0.7,
+            broadcast_b=False,
+        ).collect()
+    }
+    assert got_shuffle == got
+
+
+def test_rrf_fuse_math_and_missing_legs(spark):
+    from mongo_es_spark.operators.text import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, score double"
+    )
+    cos = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, score double"
+    )
+    rows = rrf_fuse(
+        [bm, cos], "doc_id", ["bm25_rank", "cos_rank"], top_k=10
+    ).collect()
+    m = {
+        r["doc_id"]: (r["rrf_score"], r["bm25_rank"], r["cos_rank"])
+        for r in rows
+    }
+    assert m[2] == (round(1 / 62 + 1 / 61, 6), 2, 1)
+    assert m[1] == (round(1 / 61, 6), 1, None)
+    assert m[4] == (round(1 / 62, 6), None, 2)
+    assert m[3] == (round(1 / 63, 6), 3, None)
+    # ordering: fused score desc (doc 2 first, then the bm25 #1,
+    # then the cos #2, then the bm25 #3)
+    assert [r["doc_id"] for r in rows] == [2, 1, 4, 3]
+
+
+def test_rrf_fuse_tiebreak_and_topk(spark):
+    from mongo_es_spark.operators.text import rrf_fuse
+
+    # equal scores inside a leg rank by id ASC (deterministic), and
+    # equal fused scores order by id ASC; top_k truncates
+    leg = spark.createDataFrame(
+        [(7, 1.0), (5, 1.0), (6, 1.0)], "doc_id long, score double"
+    )
+    rows = rrf_fuse([leg], "doc_id", ["r"], top_k=2).collect()
+    assert [(r["doc_id"], r["r"]) for r in rows] == [(5, 1), (6, 2)]
+
+
+def test_cross_embedding_pairs_expected_set(spark):
+    import numpy as np
+
+    from mongo_es_spark.operators.dedup import cross_embedding_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(8)
+    near = base + 0.05 * rng.standard_normal(8)  # cosine ~0.999
+    far = rng.standard_normal(8)  # ~orthogonal in expectation
+    rows_a = [
+        (1, base.tolist()),
+        (2, base.tolist()),  # clone of 1 -> expands through membership
+        (3, far.tolist()),
+        (4, None),  # NULL vec never pairs
+    ]
+    rows_b = [
+        (100, near.tolist()),
+        (101, base.tolist()),  # exact cross-corpus clone
+        (102, None),  # NULL on the benchmark side
+    ]
+    train = spark.createDataFrame(rows_a, "vec_id long, v array<double>")
+    bench = spark.createDataFrame(rows_b, "vec_id long, v array<double>")
+    got = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in cross_embedding_pairs(
+            train, bench, "vec_id", "v", dims=8, threshold=0.9
+        ).collect()
+    }
+    exp_near = round(
+        float(
+            base @ near / (np.linalg.norm(base) * np.linalg.norm(near))
+        ),
+        6,
+    )
+    assert got == {
+        (1, 100): exp_near,
+        (2, 100): exp_near,
+        (1, 101): 1.0,
+        (2, 101): 1.0,
+    }
+    # the shuffled-join variant returns the identical pair set
+    got_shuffle = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in cross_embedding_pairs(
+            train,
+            bench,
+            "vec_id",
+            "v",
+            dims=8,
+            threshold=0.9,
+            broadcast_b=False,
+        ).collect()
+    }
+    assert got_shuffle == got
+
+
+def test_cross_embedding_pairs_zero_vectors_never_pair(spark):
+    from mongo_es_spark.operators.dedup import cross_embedding_pairs
+
+    zero = [0.0] * 4
+    train = spark.createDataFrame(
+        [(1, zero), (2, [1.0, 0.0, 0.0, 0.0])], "vec_id long, v array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(100, zero), (101, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        (r["i"], r["j"])
+        for r in cross_embedding_pairs(
+            train, bench, "vec_id", "v", dims=4, threshold=0.0
+        ).collect()
+    }
+    # zero vectors have no cosine with anything, their clones included
+    assert got == {(2, 101)}
+
+
+def test_cosine_pairs_col_zero_vector_is_null_not_nan(spark):
+    from mongo_es_spark.operators.dedup import cosine_pairs_col
+
+    df = spark.createDataFrame(
+        [
+            ([0.0, 0.0], [1.0, 0.0]),
+            ([1.0, 0.0], [1.0, 0.0]),
+            (None, [1.0, 0.0]),
+        ],
+        "a array<double>, b array<double>",
+    )
+    vals = [
+        r["c"]
+        for r in df.select(
+            cosine_pairs_col(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    ]
+    # zero-norm pair -> NULL (NaN would pass ">= t" in Spark); null
+    # input -> NULL; real pair scores
+    assert vals[0] is None
+    assert vals[1] == 1.0
+    assert vals[2] is None
+    # and NULL fails the verify filter
+    kept = (
+        df.select(cosine_pairs_col(F.col("a"), F.col("b")).alias("c"))
+        .filter(F.col("c") >= 0.0)
+        .count()
+    )
+    assert kept == 1

@@ -102,7 +102,15 @@ def test_compaction_is_one_exchange(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["similarity_topk", "text_domain_mix", "text_contamination"]
+    "name",
+    [
+        "similarity_topk",
+        "text_domain_mix",
+        "text_contamination",
+        "dedup_cross_corpus",
+        "search_hybrid_rrf",
+        "dedup_cross_semantic",
+    ],
 )
 def test_no_cartesian_products(spark, name):
     import __spark_entry__ as e
@@ -111,6 +119,39 @@ def test_no_cartesian_products(spark, name):
     # nested-loop joins are tolerated only in their BROADCAST form
     # (single-row query vector / totals row / model-sized rate table);
     # a shuffle cartesian of corpus-sized inputs must never appear
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_corpus_benchmark_side_broadcasts(spark):
+    """The decontamination candidate join must build on the benchmark
+    side as a broadcast (the train corpus is the 100 TB side and must
+    not shuffle for candidate generation)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["dedup_cross_corpus"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_semantic_benchmark_side_broadcasts(spark):
+    """Same contract for the embedding edition: the benchmark side's
+    band and vector frames broadcast; the train corpus never shuffles
+    for candidate generation."""
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.operators.dedup import cross_embedding_pairs
+
+    emb = load_table(spark, SF, "embeddings")
+    out = cross_embedding_pairs(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        "vec_id",
+        "embedding",
+        dims=64,
+        threshold=0.45,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
