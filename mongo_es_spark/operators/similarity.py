@@ -447,6 +447,129 @@ def ann_ivf_search(
     )
 
 
+def exact_batch_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    skip: int = 0,
+    dup_threshold: float | None = None,
+    exclude_self: bool = False,
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """EXACT brute-force cosine top-``k`` for a batch of queries in one
+    corpus pass — the certification baseline for every ANN path, and
+    (with ``skip``/``dup_threshold``) **hard-negative mining** for
+    contrastive training: per query, the rank band
+    ``[skip+1, skip+k]`` of candidates scoring BELOW the near-dup bar
+    (``score >= dup_threshold`` pairs are excluded as positives /
+    duplicates before ranking, as is the query itself under
+    ``exclude_self``).
+
+    Scale shape: the query matrix is MODEL-SIZED state (an eval set or
+    a training batch, not a corpus — capped at ``max_queries``,
+    ``toPandas`` driver-side like the IVF quantizer's training
+    sample); the corpus is scanned ONCE by an Arrow kernel holding the
+    unit-normalized query matrix in closure — one BLAS gram per batch,
+    a local top-``skip+k`` per query per batch (exclusions applied
+    BEFORE the prune, so any global band member survives its batch's
+    local cut), then one window exchange keyed by query id over the
+    q x (skip+k) x n_batches survivors.  No join, no replication of
+    the corpus, driver state ∝ queries.
+
+    Determinism mirrors :func:`knn_graph`: scores round to 6dp before
+    pruning; local and global order are both (score desc, doc id asc).
+    NULL corpus vectors never match; NULL query vectors are dropped
+    (documented — a query with no embedding has no neighbors).  Zero
+    vectors score -inf against everything (no cosine), so they return
+    no band.  Output: ``(q_id, <id_col>, score, rank)`` with ``rank``
+    the 1-based global rank AFTER exclusions.
+    """
+    from pyspark.sql.window import Window
+
+    qpd = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).cast("array<double>").alias("qv"),
+        )
+        .filter(F.col("qv").isNotNull())
+        .orderBy("q_id")  # deterministic driver state
+        .limit(max_queries + 1)
+        .toPandas()
+    )
+    if len(qpd) > max_queries:
+        raise ValueError(
+            f"exact_batch_topk: > {max_queries} queries — the query "
+            "matrix is driver-side model state; chunk the query set "
+            "or use ann_ivf_batch_topk"
+        )
+    q_ids = qpd["q_id"].to_numpy(dtype=np.int64)
+    if len(q_ids) == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"q_id long, {id_col} long, score double, rank long"
+        )
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
+    Qn = _unit_rows(Q)
+    # a zero vector has no cosine with anything (the cosine_pairs_col
+    # NULL contract): zero-norm queries match no corpus row
+    q_zero = np.linalg.norm(Q, axis=1) == 0.0
+    local_k = int(skip) + int(k)
+    dup = dup_threshold
+    excl = bool(exclude_self)
+
+    def gen(batches):
+        for pdf in batches:
+            vs = pdf["v"]
+            if len(vs) == 0:
+                continue
+            V, idx = _mask_stack(vs)
+            if len(idx) == 0:
+                continue
+            v_ids = pdf["doc"].to_numpy(dtype=np.int64)[idx]
+            # (q, n_batch): one BLAS gram, the knn_graph kernel shape
+            S = np.round(Qn @ _unit_rows(V).T, 6)
+            S[q_zero, :] = -np.inf
+            S[:, np.linalg.norm(V, axis=1) == 0.0] = -np.inf
+            if excl:
+                S[q_ids[:, None] == v_ids[None, :]] = -np.inf
+            if dup is not None:
+                S[S >= dup] = -np.inf
+            kc = min(local_k, S.shape[1])
+            order = np.lexsort(
+                (np.broadcast_to(v_ids, S.shape), -S), axis=1
+            )[:, :kc]
+            rows = np.repeat(np.arange(S.shape[0]), kc)
+            cols = order.ravel()
+            out_s = S[rows, cols]
+            ok = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, kc)[ok],
+                    "__doc": v_ids[cols][ok],
+                    "score": out_s[ok],
+                }
+            )
+
+    local = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(gen, "q_id long, __doc long, score double")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("__doc").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") > F.lit(int(skip)))
+            & (F.col("rank") <= F.lit(local_k))
+        )
+        .select("q_id", F.col("__doc").alias(id_col), "score", "rank")
+    )
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str,

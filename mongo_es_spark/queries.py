@@ -1022,6 +1022,160 @@ def dedup_cross_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_decontaminate",
+    """
+    WITH train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    tt AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM train
+    ),
+    tg AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                              i -> array_to_string(toks[i:i+4], ' ')) AS grams
+        FROM tt
+    ),
+    bt AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM bench
+    ),
+    bg AS (
+        SELECT DISTINCT
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 4, 0)),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        FROM bt
+    ),
+    exact_hits AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM tg) e
+        JOIN bg USING (gram)
+    ),
+    w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, len(w) - 1)])) AS s
+        FROM w
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    lex_hits AS (
+        SELECT DISTINCT i AS doc_id FROM (
+            SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s
+            WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+            GROUP BY 1, 2
+        ) p
+        JOIN counts ca ON p.i = ca.doc_id
+        JOIN counts cb ON p.j = cb.doc_id
+        WHERE round(shared::DOUBLE / (ca.n + cb.n - shared), 6) >= 0.8
+    ),
+    sem_hits AS (
+        SELECT DISTINCT a.vec_id AS doc_id
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+        WHERE round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+    )
+    SELECT t.doc_id,
+           (e.doc_id IS NOT NULL) AS exact_hit,
+           (l.doc_id IS NOT NULL) AS lexical_hit,
+           (s.doc_id IS NOT NULL) AS semantic_hit,
+           (e.doc_id IS NULL AND l.doc_id IS NULL AND s.doc_id IS NULL)
+               AS keep
+    FROM train t
+    LEFT JOIN exact_hits e ON t.doc_id = e.doc_id
+    LEFT JOIN lex_hits l ON t.doc_id = l.doc_id
+    LEFT JOIN sem_hits s ON t.doc_id = s.doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed decontamination pass a training pipeline runs
+    before every release: per TRAIN document, three independent
+    leakage verdicts against the benchmark split and the final keep
+    decision — the three operators this registry pins individually,
+    composed end-to-end.
+
+    * ``exact_hit`` — any word-5-gram collides with a benchmark gram
+      (``contamination``: bench grams broadcast, one doc-keyed
+      shuffle);
+    * ``lexical_hit`` — MinHash-LSH 3-gram Jaccard >= 0.8 against any
+      benchmark doc (``cross_minhash_pairs``: benchmark bands
+      broadcast, train side never shuffles for candidates; the
+      16-band/r=2 scheme's per-pair miss probability at t >= 0.8 is
+      (1-0.64)^16 ~ 8e-8 — value-pinnable);
+    * ``semantic_hit`` — embedding cosine >= 0.9 against any benchmark
+      vector.  The EXACT blocked-gram leg (split-crossing filter of
+      ``embedding_dup_pairs``): at 0.9 the hyperplane band scheme's
+      per-pair miss is ~4.5%, too lossy for a value oracle — swap in
+      ``cross_embedding_pairs`` (the `dedup_cross_semantic` scale
+      path) when approximate recall is acceptable;
+    * ``keep`` — no leg hit.
+
+    The two flag frames are id-only and distinct (at most one row per
+    train doc), so the final assembly is two broadcast-able left joins
+    onto the contamination frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    cont = contamination(train, "doc_id", "text", bench, n=5).select(
+        "doc_id", F.col("contaminated").alias("exact_hit")
+    )
+    lex = (
+        cross_minhash_pairs(
+            train, bench, "doc_id", "text", n=3, threshold=0.8
+        )
+        .select(F.col("i").alias("doc_id"))
+        .distinct()
+        .withColumn("__lx", F.lit(True))
+    )
+    sem = (
+        embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+        .filter((F.col("i") % 10 == 0) != (F.col("j") % 10 == 0))
+        .select(
+            F.when(F.col("i") % 10 != 0, F.col("i"))
+            .otherwise(F.col("j"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__sm", F.lit(True))
+    )
+    return (
+        cont.join(F.broadcast(lex), "doc_id", "left")
+        .join(F.broadcast(sem), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_hit",
+            F.coalesce("__lx", F.lit(False)).alias("lexical_hit"),
+            F.coalesce("__sm", F.lit(False)).alias("semantic_hit"),
+            (
+                ~(
+                    F.col("exact_hit")
+                    | F.coalesce("__lx", F.lit(False))
+                    | F.coalesce("__sm", F.lit(False))
+                )
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
     "dedup_char_jaccard",
     """
     WITH sh AS (
@@ -5598,6 +5752,64 @@ def multimodal_frame_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__h")
     )
     return frame_overlap_pairs(reps, k_shared=2)
+
+
+@register(
+    "similarity_hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.qv), 6) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, vec_id ASC
+               ) AS rank
+        FROM scored WHERE score < 0.95
+    )
+    SELECT q_id, vec_id, score, rank::BIGINT AS rank
+    FROM ranked WHERE rank > 5 AND rank <= 15
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py:exact_batch_topk): per query (the first
+    20 vectors, a stand-in training batch), the EXACT rank band
+    [6, 15] of corpus candidates after excluding the query itself and
+    near-duplicates (cosine >= 0.95 — those are positives, not
+    negatives).  One corpus scan with the unit-normalized query matrix
+    in kernel closure, a local per-batch top-(skip+k) prune, one
+    query-keyed window — no join, no corpus replication; fully
+    value-pinned cross-engine (exact scores, deterministic ties)."""
+    from .operators.similarity import exact_batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 20)
+    out = exact_batch_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        qs,
+        "vec_id",
+        "embedding",
+        k=10,
+        skip=5,
+        dup_threshold=0.95,
+        exclude_self=True,
+    )
+    return out.select(
+        "q_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
 
 
 @register(

@@ -4818,3 +4818,111 @@ def test_cosine_pairs_col_zero_vector_is_null_not_nan(spark):
         .count()
     )
     assert kept == 1
+
+
+def test_pipeline_decontaminate_consistency(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["pipeline_decontaminate"](spark, SF).collect()
+    from mongo_es_spark.sources.tables import load_table
+
+    n_train = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .count()
+    )
+    # one row per train doc, keep == no leg hit, flags never NULL
+    assert len(rows) == n_train
+    for r in rows:
+        assert r["exact_hit"] is not None
+        assert r["lexical_hit"] is not None
+        assert r["semantic_hit"] is not None
+        assert r["keep"] == (
+            not (r["exact_hit"] or r["lexical_hit"] or r["semantic_hit"])
+        )
+    # the composition is non-degenerate at this SF: something kept
+    assert any(r["keep"] for r in rows)
+
+
+def test_exact_batch_topk_band_and_exclusions(spark):
+    from mongo_es_spark.operators.similarity import exact_batch_topk
+
+    # corpus along one axis: cosine with q0=[1,0] is simply v[0]/|v|
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # the query itself (excluded)
+            (1, [1.0, 0.01]),  # near-dup (cos > 0.99 -> excluded)
+            (2, [1.0, 0.5]),
+            (3, [1.0, 1.0]),
+            (4, [0.5, 1.0]),
+            (5, [0.0, 1.0]),
+            (6, [-1.0, 0.0]),
+            (7, None),         # never matches
+            (8, [0.0, 0.0]),   # zero vec: no cosine
+        ],
+        "vec_id long, v array<double>",
+    )
+    qs = corpus.filter(F.col("vec_id") == 0)
+    rows = exact_batch_topk(
+        corpus,
+        "vec_id",
+        "v",
+        qs,
+        "vec_id",
+        "v",
+        k=2,
+        skip=1,
+        dup_threshold=0.99,
+        exclude_self=True,
+    ).collect()
+    # surviving order by cosine desc: 2 (0.894), 3 (0.707), 4 (0.447),
+    # 5 (0.0), 6 (-1.0); band ranks (2, 3] -> docs 3 and 4
+    got = [(r["q_id"], r["vec_id"], r["rank"]) for r in rows]
+    assert got == [(0, 3, 2), (0, 4, 3)]
+
+
+def test_exact_batch_topk_matches_window_oracle(spark):
+    import numpy as np
+
+    from mongo_es_spark.operators.similarity import exact_batch_topk
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    qs = corpus.filter(F.col("vec_id") < 5)
+    got = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in exact_batch_topk(
+            corpus, "vec_id", "v", qs, "vec_id", "v",
+            k=7, skip=3, exclude_self=True,
+        ).collect()
+    }
+    # naive reference: full sort per query
+    M = np.asarray([v for _, v in vecs])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    exp = {}
+    for q in range(5):
+        scores = np.round(Mn @ Mn[q], 6)
+        order = sorted(
+            (i for i in range(200) if i != q),
+            key=lambda i: (-scores[i], i),
+        )
+        for rank0, i in enumerate(order[3:10], start=4):
+            exp[(q, rank0)] = (i, float(scores[i]))
+    assert got == exp
+
+
+def test_exact_batch_topk_zero_and_null_queries(spark):
+    from mongo_es_spark.operators.similarity import exact_batch_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    qs = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, None)], "vec_id long, v array<double>"
+    )
+    out = exact_batch_topk(
+        corpus, "vec_id", "v", qs, "vec_id", "v", k=5
+    ).collect()
+    # zero-norm query has no cosine; NULL query is dropped
+    assert out == []

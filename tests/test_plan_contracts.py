@@ -110,6 +110,8 @@ def test_compaction_is_one_exchange(spark):
         "dedup_cross_corpus",
         "search_hybrid_rrf",
         "dedup_cross_semantic",
+        "pipeline_decontaminate",
+        "similarity_hard_negatives",
     ],
 )
 def test_no_cartesian_products(spark, name):
