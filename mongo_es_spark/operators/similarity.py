@@ -963,6 +963,66 @@ def knn_graph(
     )
 
 
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "doc",
+    max_depth: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum hop distance from a SEED set over a graph — the
+    link-distance quality signal (Common-Crawl-style "hops from
+    trusted seeds"), label-propagation seeding, and coverage audits
+    over the kNN-embedding graph.
+
+    ``edges`` carries columns ``i``/``j`` (``directed=False`` default
+    symmetrizes); ``seeds`` carries ``id_col``.  Output:
+    ``(<id_col>, dist)`` for every node within ``max_depth`` hops of
+    any seed (seeds at 0); unreached nodes are absent — the caller
+    left-joins and fills the "beyond horizon" policy.
+
+    Scale shape: classic frontier BFS as ``max_depth`` rounds of one
+    hash equi-join (edges x frontier) + one anti-join against the
+    settled set — per-round shuffle ∝ frontier-adjacent edges, never
+    whole-graph.  Each round's frontier is EAGERLY checkpointed: the
+    plan would otherwise deepen by two joins per round and Catalyst
+    re-derives every prior frontier per consumer (the components /
+    winnow-store lesson).  Depth is FIXED (``max_depth`` rounds, no
+    convergence test) so the same plan shape runs everywhere; on
+    small-diameter graphs rounds past convergence cost one empty-
+    frontier join each.  For unbounded-depth closure use
+    ``dedup_components``'s propagation instead.
+    """
+    e = edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("j").alias("a"), F.col("i").alias("b"))
+        )
+    e = e.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+    settled = (
+        seeds.select(F.col(id_col).alias("doc"))
+        .dropDuplicates(["doc"])
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for d in range(1, int(max_depth) + 1):
+        frontier = (
+            e.join(
+                frontier.select(F.col("doc").alias("a")), "a"
+            )
+            .select(F.col("b").alias("doc"))
+            .dropDuplicates(["doc"])
+            .join(settled.select("doc"), "doc", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionByName(frontier).localCheckpoint(
+            eager=True
+        )
+    return settled.select(F.col("doc").alias(id_col), "dist")
+
+
 def _pq_fit(
     X: np.ndarray, m: int, ksub: int, seed: int, iters: int = 10
 ) -> np.ndarray:

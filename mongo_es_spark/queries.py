@@ -3443,6 +3443,60 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_seed_distance",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT i, j FROM (
+            SELECT i, j,
+                   row_number() OVER (PARTITION BY i
+                                      ORDER BY cosine DESC, j ASC) AS rk
+            FROM pairs)
+        WHERE rk <= 5
+    ),
+    edges AS (
+        SELECT i AS a, j AS b FROM knn
+        UNION
+        SELECT j AS a, i AS b FROM knn
+    ),
+    walk AS (
+        SELECT vec_id AS doc, 0 AS dist
+        FROM embeddings WHERE vec_id % 50 = 0
+        UNION
+        SELECT e.b AS doc, w.dist + 1 AS dist
+        FROM walk w JOIN edges e ON e.a = w.doc
+        WHERE w.dist < 4
+    )
+    SELECT doc, min(dist)::BIGINT AS dist FROM walk GROUP BY doc
+    """,
+)
+def graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-distance-from-trusted-seeds quality signal
+    (operators/similarity.py:seed_distance): minimum hops from the
+    deterministic seed slice (vec_id % 50 == 0) over the symmetrized
+    exact 5-NN embedding graph, horizon 4.  Frontier BFS — max_depth
+    rounds of one edge-frontier equi-join + one settled anti-join,
+    each frontier eagerly checkpointed; integer distances make the
+    iterative result exactly value-pinnable against DuckDB's bounded
+    recursive CTE."""
+    from .operators.similarity import seed_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, "vec_id", "embedding", k=5).select("i", "j")
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("doc")
+    )
+    return seed_distance(edges, seeds, id_col="doc", max_depth=4)
+
+
+@register(
     "text_domain_mix",
     """
     WITH c AS (

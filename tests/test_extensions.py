@@ -4926,3 +4926,42 @@ def test_exact_batch_topk_zero_and_null_queries(spark):
     ).collect()
     # zero-norm query has no cosine; NULL query is dropped
     assert out == []
+
+
+def test_seed_distance_path_graph(spark):
+    from mongo_es_spark.operators.similarity import seed_distance
+
+    # path 1-2-3-4-5-6-7 plus isolated 9; seed at 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)], "i long, j long"
+    )
+    seeds = spark.createDataFrame([(1,), (1,)], "doc long")  # dup seed
+    got = {
+        r["doc"]: r["dist"]
+        for r in seed_distance(edges, seeds, max_depth=4).collect()
+    }
+    # horizon 4: nodes 6, 7 and the isolated 9 are absent
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_seed_distance_directed_and_min_over_seeds(spark):
+    from mongo_es_spark.operators.similarity import seed_distance
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 3)], "i long, j long"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "doc long")
+    got = {
+        r["doc"]: r["dist"]
+        for r in seed_distance(
+            edges, seeds, max_depth=3, directed=True
+        ).collect()
+    }
+    # directed: 2 unreachable from 10; 3 takes the shorter hop (10->3)
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}
+    # undirected default: edge 2->1 etc. exist both ways
+    got_u = {
+        r["doc"]: r["dist"]
+        for r in seed_distance(edges, seeds, max_depth=3).collect()
+    }
+    assert got_u == {1: 0, 10: 0, 2: 1, 3: 1}
