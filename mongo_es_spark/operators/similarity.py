@@ -1023,6 +1023,259 @@ def seed_distance(
     return settled.select(F.col("doc").alias(id_col), "dist")
 
 
+def _sd_edges_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/edges"
+
+
+def _sd_dists_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/dists"
+
+
+def _sd_params_path(store_path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(store_path)
+    return store_path.rstrip("/") + "/_sd_params"
+
+
+def _read_sd_params(spark, store_path: str):
+    from ..storeio import read_parquet_if_exists
+
+    frame = read_parquet_if_exists(spark, _sd_params_path(store_path))
+    if frame is None:
+        return None
+    d = frame.head().asDict()
+    return {"max_depth": d["max_depth"], "directed": bool(d["directed"])}
+
+
+def _write_sd_params(
+    spark, store_path: str, max_depth: int, directed: bool
+) -> None:
+    spark.range(1).select(
+        F.lit(int(max_depth)).cast("int").alias("max_depth"),
+        F.lit(bool(directed)).alias("directed"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _sd_params_path(store_path)
+    )
+
+
+def _sd_store_min(dists_store, docs: DataFrame) -> DataFrame:
+    """Current stored distance for a batch-sized doc set: the
+    corpus-sized dist store map-side scans against the BROADCAST doc
+    keys (nothing store-sized shuffles), then min per doc — rows
+    append per improvement event, so the min IS the current value."""
+    if dists_store is None:
+        return docs.select("doc", F.lit(None).cast("long").alias("cur"))
+    hits = (
+        dists_store.join(F.broadcast(docs.select("doc")), "doc")
+        .groupBy("doc")
+        .agg(F.min("dist").alias("cur"))
+    )
+    return docs.join(hits, "doc", "left")
+
+
+def incremental_seed_distance(
+    spark,
+    store_path: str,
+    edges_batch: DataFrame | None = None,
+    seeds_batch: DataFrame | None = None,
+    i_col: str = "i",
+    j_col: str = "j",
+    seed_col: str = "doc",
+    max_depth: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Incremental seed-distance maintenance: fold a batch of NEW
+    edges and/or NEW seed docs into a persisted hop-distance view so
+    the link-distance quality signal stays fresh as the corpus grows —
+    a new crawl batch never re-runs global BFS (:func:`seed_distance`
+    is the batch form).
+
+    State under ``store_path``:
+
+    * ``edges/ (a, b)`` — append-only edge set (symmetrized at write
+      unless ``directed``);
+    * ``dists/ (doc, dist)`` — one row per IMPROVEMENT EVENT; a doc's
+      current distance is its row minimum, resolved at read time by
+      :func:`seed_distance_over_store`.  Distances only decrease and
+      are horizon-capped, so a doc accumulates at most
+      ``max_depth + 2`` rows ever;
+    * ``_sd_params`` — ``max_depth``/``directed`` drift guard (a
+      mismatched horizon silently truncates or inflates reach, so it
+      raises).
+
+    Per-batch work: candidate improvements seed from the batch (new
+    seeds at 0; each new edge relaxes its head through the STORED tail
+    distance), then ``max_depth`` relaxation rounds over the full edge
+    set — each round one map-side scan of the edge store joined
+    against the BROADCAST frontier plus one dist-store min lookup;
+    improvement-wave shuffles are wave-sized (bounded by the nodes
+    within ``max_depth`` hops of the batch), and neither store is ever
+    shuffled.  Store scans per batch are a bounded constant
+    (``max_depth + 1`` each) — IO-linear in store size, the price of
+    transitive relaxation over old edges; the components store's
+    metadata-closure trick does not apply because distances, unlike
+    min-labels, change under composition.
+
+    Write order is dists-first, then edges: min composes, so a crash
+    between the two appends retries into a no-op improvement pass
+    followed by the missing edge append (edges-first would strand a
+    batch's improvements if the retry found its edges already
+    stored).  Naturally idempotent — a replayed batch's edges
+    anti-join away and its seeds/relaxations are no longer strict
+    improvements, so nothing appends.
+
+    Feeding any partition of an edge/seed set through in ANY batch
+    order then reading the store reproduces the one-shot
+    :func:`seed_distance` over the union EXACTLY (min hop distance
+    composes across arrival orders).
+
+    Returns the batch's strict improvements ``(doc, dist)`` —
+    empty on replay.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    params = _read_sd_params(spark, store_path)
+    if params is None:
+        _write_sd_params(spark, store_path, max_depth, directed)
+    elif (
+        params["max_depth"] != max_depth
+        or params["directed"] != bool(directed)
+    ):
+        raise ValueError(
+            f"store at {store_path} was written with "
+            f"max_depth={params['max_depth']} "
+            f"directed={params['directed']}; caller asked "
+            f"max_depth={max_depth} directed={directed}"
+        )
+    edges_store = read_parquet_if_exists(
+        spark, _sd_edges_path(store_path)
+    )
+    dists_store = read_parquet_if_exists(
+        spark, _sd_dists_path(store_path)
+    )
+
+    sess = spark
+    if edges_batch is not None:
+        e = edges_batch.select(
+            F.col(i_col).alias("a"), F.col(j_col).alias("b")
+        )
+        if not directed:
+            e = e.unionByName(
+                edges_batch.select(
+                    F.col(j_col).alias("a"), F.col(i_col).alias("b")
+                )
+            )
+        e = e.filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
+        if edges_store is not None:
+            hits = edges_store.join(
+                F.broadcast(e), ["a", "b"], "left_semi"
+            )
+            e = e.exceptAll(hits)
+        new_edges = e.localCheckpoint(eager=True)
+    else:
+        new_edges = sess.createDataFrame([], "a long, b long")
+    full_edges = (
+        new_edges
+        if edges_store is None
+        else edges_store.unionByName(new_edges)
+    )
+
+    # initial frontier: new seeds at 0, plus each new edge's head
+    # relaxed through its tail's STORED distance (transitive effects
+    # are the rounds' job — new edges are part of full_edges)
+    cands = sess.createDataFrame([], "doc long, dist long")
+    if seeds_batch is not None:
+        cands = cands.unionByName(
+            seeds_batch.select(F.col(seed_col).alias("doc"))
+            .dropDuplicates(["doc"])
+            .withColumn("dist", F.lit(0).cast("long"))
+        )
+    tails = new_edges.select(F.col("a").alias("doc")).dropDuplicates(
+        ["doc"]
+    )
+    tail_cur = _sd_store_min(dists_store, tails).filter(
+        F.col("cur").isNotNull()
+    )
+    cands = cands.unionByName(
+        new_edges.join(
+            tail_cur.select(F.col("doc").alias("a"), "cur"), "a"
+        )
+        .select(
+            F.col("b").alias("doc"),
+            (F.col("cur") + 1).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_depth)
+    )
+    cands = cands.groupBy("doc").agg(F.min("dist").alias("dist"))
+    cand_cur = _sd_store_min(dists_store, cands.select("doc"))
+    frontier = (
+        cands.join(cand_cur, "doc")
+        .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
+        .select("doc", "dist")
+        .localCheckpoint(eager=True)
+    )
+    best = frontier
+
+    for _ in range(int(max_depth)):
+        nxt = (
+            full_edges.join(
+                F.broadcast(
+                    frontier.select(
+                        F.col("doc").alias("a"), F.col("dist")
+                    )
+                ),
+                "a",
+            )
+            .select(
+                F.col("b").alias("doc"),
+                (F.col("dist") + 1).cast("long").alias("dist"),
+            )
+            .filter(F.col("dist") <= max_depth)
+            .groupBy("doc")
+            .agg(F.min("dist").alias("dist"))
+        )
+        nxt_cur = _sd_store_min(dists_store, nxt.select("doc"))
+        nxt_best = best.select(
+            "doc", F.col("dist").alias("__b")
+        )
+        frontier = (
+            nxt.join(nxt_cur, "doc")
+            .join(nxt_best, "doc", "left")
+            .filter(
+                (F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
+                & (F.col("__b").isNull() | (F.col("dist") < F.col("__b")))
+            )
+            .select("doc", "dist")
+            .localCheckpoint(eager=True)
+        )
+        best = (
+            best.unionByName(frontier)
+            .groupBy("doc")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+
+    # dists first, then edges (see write-order note above)
+    best.write.mode("append").parquet(_sd_dists_path(store_path))
+    if edges_batch is not None:
+        new_edges.write.mode("append").parquet(
+            _sd_edges_path(store_path)
+        )
+    return best
+
+
+def seed_distance_over_store(spark, store_path: str) -> DataFrame:
+    """Corpus-wide ``(doc, dist)`` view of the incremental store:
+    row-min per doc over the append-only improvement events — equal to
+    the one-shot :func:`seed_distance` over every edge/seed batch ever
+    folded, in any arrival order."""
+    from ..storeio import read_parquet_if_exists
+
+    dists = read_parquet_if_exists(spark, _sd_dists_path(store_path))
+    if dists is None:
+        return spark.createDataFrame([], "doc long, dist long")
+    return dists.groupBy("doc").agg(F.min("dist").alias("dist"))
+
+
 def _pq_fit(
     X: np.ndarray, m: int, ksub: int, seed: int, iters: int = 10
 ) -> np.ndarray:

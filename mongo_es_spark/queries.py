@@ -3442,9 +3442,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, "vec_id", "embedding", k=5)
 
 
-@register(
-    "graph_seed_distance",
-    """
+_SEED_DISTANCE_ORACLE = """
     WITH RECURSIVE pairs AS (
         SELECT a.vec_id AS i, b.vec_id AS j,
                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -3475,8 +3473,10 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE w.dist < 4
     )
     SELECT doc, min(dist)::BIGINT AS dist FROM walk GROUP BY doc
-    """,
-)
+    """
+
+
+@register("graph_seed_distance", _SEED_DISTANCE_ORACLE)
 def graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-distance-from-trusted-seeds quality signal
     (operators/similarity.py:seed_distance): minimum hops from the
@@ -3494,6 +3494,121 @@ def graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc")
     )
     return seed_distance(edges, seeds, id_col="doc", max_depth=4)
+
+
+@register("graph_seed_distance_incremental", _SEED_DISTANCE_ORACLE)
+def graph_seed_distance_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted edition of ``graph_seed_distance`` under the
+    SAME cross-engine oracle: the 5-NN edge set arrives in three
+    hash-split batches (mixed order; seeds fold with the MIDDLE batch
+    — min hop distance composes across arrival orders, so no feed
+    ordering is required), each batch folds into the append-only
+    edge + distance stores via ``incremental_seed_distance``, and the
+    final ``seed_distance_over_store`` view must equal the one-shot
+    BFS row for row.  The middle batch is re-delivered once to pin
+    the replay no-op on the formal record."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        incremental_seed_distance,
+        seed_distance_over_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph(emb, "vec_id", "embedding", k=5)
+        .select("i", "j")
+        .localCheckpoint(eager=True)
+    )
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("doc")
+    )
+    base = tempfile.mkdtemp(prefix="sd_store_")
+    try:
+        store = os.path.join(base, "sd")
+        split = F.pmod(F.xxhash64("i", "j"), F.lit(3))
+        for b in range(3):
+            incremental_seed_distance(
+                spark,
+                store,
+                edges_batch=edges.filter(split == b),
+                seeds_batch=seeds if b == 1 else None,
+                max_depth=4,
+            ).count()
+            if b == 1:  # replay: must change neither store nor view
+                incremental_seed_distance(
+                    spark,
+                    store,
+                    edges_batch=edges.filter(split == b),
+                    seeds_batch=seeds,
+                    max_depth=4,
+                ).count()
+        rows = seed_distance_over_store(spark, store).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, dist long")
+
+
+@register("streaming_seed_distance", _SEED_DISTANCE_ORACLE)
+def streaming_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seed-distance store maintained through Structured
+    Streaming under the batch BFS's hard oracle: the 5-NN edge set
+    replays as a 3-file hash-split feed (one trigger per file, NO
+    ordering required — min hop distance composes), each micro-batch
+    folds into the edge + distance stores, and the final
+    ``seed_distance_over_store`` view must equal the one-shot
+    ``seed_distance`` row for row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .operators.similarity import seed_distance_over_store
+    from .streaming.seed_distance import run_streaming_seed_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph(emb, "vec_id", "embedding", k=5)
+        .select("i", "j")
+        .localCheckpoint(eager=True)
+    )
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("doc")
+    )
+    base = tempfile.mkdtemp(prefix="sd_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        split = F.pmod(F.xxhash64("i", "j"), F.lit(3))
+        for b in range(3):
+            edges.filter(split == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + b * 60,) * 2)
+        stream = (
+            spark.readStream.schema("i long, j long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_streaming_seed_distance(
+            spark,
+            stream,
+            seeds,
+            os.path.join(base, "sd"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            max_depth=4,
+        )
+        q.awaitTermination()
+        rows = seed_distance_over_store(
+            spark, os.path.join(base, "sd")
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, dist long")
 
 
 @register(

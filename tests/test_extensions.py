@@ -4965,3 +4965,140 @@ def test_seed_distance_directed_and_min_over_seeds(spark):
         for r in seed_distance(edges, seeds, max_depth=3).collect()
     }
     assert got_u == {1: 0, 10: 0, 2: 1, 3: 1}
+
+
+def _sd_random_graph(rng, n_nodes=40, n_edges=70):
+    import numpy as np
+
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    return sorted(edges)
+
+
+def test_incremental_seed_distance_matches_oneshot(spark, tmp_path):
+    import numpy as np
+
+    from mongo_es_spark.operators.similarity import (
+        incremental_seed_distance,
+        seed_distance,
+        seed_distance_over_store,
+    )
+
+    rng = np.random.default_rng(17)
+    edge_list = _sd_random_graph(rng)
+    edges = spark.createDataFrame(edge_list, "i long, j long")
+    seeds = spark.createDataFrame([(0,), (7,)], "doc long")
+    oneshot = {
+        (r["doc"], r["dist"])
+        for r in seed_distance(edges, seeds, max_depth=3).collect()
+    }
+
+    store = str(tmp_path / "sd")
+    # seeds arrive with the MIDDLE batch: arrival order must not
+    # matter (min composes)
+    slices = [
+        [e for k, e in enumerate(edge_list) if k % 3 == s]
+        for s in range(3)
+    ]
+    for s, sl in enumerate(slices):
+        incremental_seed_distance(
+            spark,
+            store,
+            edges_batch=spark.createDataFrame(sl, "i long, j long"),
+            seeds_batch=seeds if s == 1 else None,
+            max_depth=3,
+        )
+    got = {
+        (r["doc"], r["dist"])
+        for r in seed_distance_over_store(spark, store).collect()
+    }
+    assert got == oneshot
+
+
+def test_incremental_seed_distance_replay_noop(spark, tmp_path):
+    import numpy as np
+
+    from mongo_es_spark.operators.similarity import (
+        incremental_seed_distance,
+        seed_distance_over_store,
+    )
+
+    store = str(tmp_path / "sd")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "i long, j long")
+    seeds = spark.createDataFrame([(1,)], "doc long")
+    first = incremental_seed_distance(
+        spark, store, edges_batch=edges, seeds_batch=seeds, max_depth=4
+    ).collect()
+    assert len(first) == 3  # 1@0, 2@1, 3@2
+    before = {
+        (r["doc"], r["dist"])
+        for r in seed_distance_over_store(spark, store).collect()
+    }
+    replay = incremental_seed_distance(
+        spark, store, edges_batch=edges, seeds_batch=seeds, max_depth=4
+    ).collect()
+    assert replay == []  # strict improvements only: replay is empty
+    after = {
+        (r["doc"], r["dist"])
+        for r in seed_distance_over_store(spark, store).collect()
+    }
+    assert after == before
+
+
+def test_incremental_seed_distance_late_edge_improves(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import (
+        incremental_seed_distance,
+        seed_distance_over_store,
+    )
+
+    store = str(tmp_path / "sd")
+    # path 1-2-3-4 seeded at 1: 4 sits at dist 3
+    incremental_seed_distance(
+        spark,
+        store,
+        edges_batch=spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "i long, j long"
+        ),
+        seeds_batch=spark.createDataFrame([(1,)], "doc long"),
+        max_depth=4,
+    )
+    # a later shortcut 1-4 must improve 4 (and only 4: 2,3 keep theirs)
+    out = incremental_seed_distance(
+        spark,
+        store,
+        edges_batch=spark.createDataFrame([(1, 4)], "i long, j long"),
+        max_depth=4,
+    ).collect()
+    assert {(r["doc"], r["dist"]) for r in out} == {(4, 1)}
+    got = {
+        r["doc"]: r["dist"]
+        for r in seed_distance_over_store(spark, store).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_incremental_seed_distance_params_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from mongo_es_spark.operators.similarity import (
+        incremental_seed_distance,
+    )
+
+    store = str(tmp_path / "sd")
+    incremental_seed_distance(
+        spark,
+        store,
+        edges_batch=spark.createDataFrame([(1, 2)], "i long, j long"),
+        seeds_batch=spark.createDataFrame([(1,)], "doc long"),
+        max_depth=4,
+    )
+    with _pytest.raises(ValueError, match="max_depth"):
+        incremental_seed_distance(
+            spark,
+            store,
+            edges_batch=spark.createDataFrame([(2, 3)], "i long, j long"),
+            max_depth=3,
+        )
