@@ -455,6 +455,61 @@ def rrf_fuse(
     )
 
 
+def highlight_snippets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    window: int = 30,
+) -> DataFrame:
+    """Search-hit highlighting: for every document containing any of
+    ``terms`` (case-insensitive substring), the snippet of fixed
+    length ``window + len(term) + window`` around the EARLIEST match
+    (ties across terms break to the terms' given order) — the ES
+    highlight feature the reference's sink serves, runnable on the
+    corpus directly and composable with :func:`bm25_search` /
+    ``rrf_fuse`` result frames.
+
+    Pure JVM projection — per doc: one ``lower``, one ``locate`` per
+    term folded through an array-of-struct min (struct comparison is
+    field-order lexicographic, so ``(pos, idx)`` picks the earliest
+    position then the first term), one ``substring``.  No shuffle, no
+    UDF; docs without a match drop out.
+
+    Positions are 1-based character offsets into the ORIGINAL text
+    (lowercasing is only used for matching; for exotic case mappings
+    that change string length the offsets would drift — fine for the
+    usual case-preserving alphabets).
+    """
+    low = F.lower(F.col(text_col))
+    cands = F.array(
+        *[
+            F.struct(
+                F.locate(t.lower(), low).alias("pos"),
+                F.lit(i).alias("idx"),
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    best = F.array_min(F.filter(cands, lambda s: s["pos"] > 0))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        best.alias("__best"),
+    ).filter(F.col("__best").isNotNull())
+    term_expr = F.element_at(
+        F.array(*[F.lit(t) for t in terms]), F.col("__best.idx") + 1
+    )
+    start = F.greatest(F.lit(1), F.col("__best.pos") - window)
+    length = F.length(term_expr) + F.lit(2 * window)
+    return out.select(
+        F.col(id_col),
+        term_expr.alias("matched_term"),
+        F.col("__best.pos").cast("long").alias("match_pos"),
+        F.substring("__t", start, length).alias("snippet"),
+    )
+
+
 KNUTH = 2654435761
 HASH_MOD = 2**32
 

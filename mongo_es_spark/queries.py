@@ -1885,6 +1885,71 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_bm25_highlight",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    ),
+    hl AS (
+        SELECT doc_id, text,
+               list_sort([x FOR x IN
+                   [[strpos(lower(text), 'spark'), 1],
+                    [strpos(lower(text), 'table'), 2],
+                    [strpos(lower(text), 'stream'), 3]]
+                   IF x[1] > 0])[1] AS best
+        FROM documents
+    )
+    SELECT b.doc_id, b.score,
+           ['spark', 'table', 'stream'][best[2]] AS matched_term,
+           best[1]::BIGINT AS match_pos,
+           substr(text, greatest(1, best[1] - 30),
+                  length(['spark', 'table', 'stream'][best[2]]) + 60)
+               AS snippet
+    FROM bm b JOIN hl USING (doc_id)
+    WHERE best IS NOT NULL
+    """,
+)
+def search_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical search with hit highlighting — the ES search+highlight
+    shape over the corpus: BM25 top-10 joined to
+    ``highlight_snippets`` (earliest case-insensitive match across the
+    query terms, fixed ±30-char snippet around it, ties to term
+    order).  The highlight is a pure JVM projection (lower + locate
+    folded through an array-of-struct min + one substring) — no
+    shuffle beyond BM25's own, no UDF."""
+    from .operators.text import highlight_snippets
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "table", "stream"]
+    bm = bm25_search(docs, "doc_id", "text", terms, top_k=10)
+    hl = highlight_snippets(docs, "doc_id", "text", terms, window=30)
+    return bm.join(hl, "doc_id").select(
+        "doc_id", "score", "matched_term", "match_pos", "snippet"
+    )
+
+
 def _ann_topk_check(
     emb: DataFrame, ann: DataFrame, query_id: int, k: int, min_recall: float
 ) -> DataFrame:

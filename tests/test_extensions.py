@@ -5102,3 +5102,48 @@ def test_incremental_seed_distance_params_guard(spark, tmp_path):
             edges_batch=spark.createDataFrame([(2, 3)], "i long, j long"),
             max_depth=3,
         )
+
+
+def test_highlight_snippets_semantics(spark):
+    from mongo_es_spark.operators.text import highlight_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xx Spark yy table zz"),   # spark first (case-insens.)
+            (2, "a table then spark"),     # table first by position
+            (3, "sparktable"),             # both at 1/6: tie -> spark? no: spark pos 1 < table pos 6
+            (4, "TABLE at the start"),
+            (5, "no match here"),          # dropped
+            (6, "spark"),                  # clamp: window start < 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["matched_term"], r["match_pos"], r["snippet"])
+        for r in highlight_snippets(
+            docs, "doc_id", "text", ["spark", "table"], window=5
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 6}
+    # start clamps to 1 (pos 4 - window 5), snippet len = 5+5+5 = 15
+    assert got[1] == ("spark", 4, "xx Spark yy tab")
+    assert got[2][0] == "table" and got[2][1] == 3
+    assert got[3] == ("spark", 1, "sparktable")
+    assert got[4][0] == "table" and got[4][1] == 1
+    assert got[6] == ("spark", 1, "spark")
+
+
+def test_highlight_snippets_term_order_tiebreak(spark):
+    from mongo_es_spark.operators.text import highlight_snippets
+
+    # both terms match at position 1 ("ab" and "abc"): the FIRST term
+    # in the terms list wins the tie
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    row = highlight_snippets(
+        docs, "doc_id", "text", ["abc", "ab"], window=2
+    ).collect()[0]
+    assert row["matched_term"] == "abc"
+    row2 = highlight_snippets(
+        docs, "doc_id", "text", ["ab", "abc"], window=2
+    ).collect()[0]
+    assert row2["matched_term"] == "ab"
