@@ -510,6 +510,175 @@ def highlight_snippets(
     )
 
 
+_BM_SCHEME = 1  # tokenizer/layout version pinned in the sidecar
+
+
+def _bm_postings_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/postings"
+
+
+def _bm_docstats_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/docstats"
+
+
+def _bm_params_path(store_path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(store_path)
+    return store_path.rstrip("/") + "/_bm_params"
+
+
+def incremental_bm25_index(
+    spark,
+    docs_batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally maintained full-text index: fold a batch of NEW
+    documents into persisted BM25 state so search stays fresh as the
+    corpus grows — the Elasticsearch index the reference's sink
+    exists to feed, as a parquet-native store queried by
+    :func:`bm25_over_store`.
+
+    State under ``store_path``:
+
+    * ``postings/ (token, doc, tf)`` — the inverted index, append-only;
+    * ``docstats/ (doc, dl)`` — per-doc token counts for the BM25
+      length norm (present only for token-bearing docs, mirroring
+      :func:`bm25_search`'s ``dl`` frame so the two score
+      identically);
+    * ``_bm_params`` — tokenizer-scheme drift guard (postings written
+      by a different tokenizer never merge; it raises).
+
+    Identity is doc id, first-arrival-wins (documents are immutable
+    by id in this engine's data model — re-index under a new id):
+    a batch's ids anti-join against ``docstats`` via a map-side scan
+    of the store against the BROADCAST batch keys, so replays append
+    nothing.  Write order is postings-first, docstats-second, and the
+    postings append additionally drops docs already present in
+    ``postings`` — a crash between the two appends retries into
+    "postings already there, docstats appended", converging without
+    duplicates.  Per-batch work ∝ batch tokens; neither store is ever
+    shuffled or rewritten.
+
+    Returns the newly indexed ``(doc, dl)`` rows — empty on replay.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    if params is None:
+        spark.range(1).select(
+            F.lit(_BM_SCHEME).cast("int").alias("scheme")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _bm_params_path(store_path)
+        )
+    elif params.head()["scheme"] != _BM_SCHEME:
+        raise ValueError(
+            f"store at {store_path} was written with tokenizer scheme "
+            f"{params.head()['scheme']}; this build computes scheme "
+            f"{_BM_SCHEME} — rebuild the index (mixed tokenizations "
+            "score garbage silently)"
+        )
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    batch = docs_batch.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+    ).dropDuplicates(["doc"])
+    if docstats is not None:
+        seen = docstats.join(
+            F.broadcast(batch.select("doc")), "doc", "left_semi"
+        ).select("doc")
+        batch = batch.join(F.broadcast(seen), "doc", "left_anti")
+    new = batch.localCheckpoint(eager=True)
+    toks = new.select(
+        "doc", F.explode(tokens_col(F.col("__t"))).alias("token")
+    )
+    tf_rows = toks.groupBy("doc", "token").agg(
+        F.count("*").alias("tf")
+    )
+    dl_rows = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    if postings is not None:
+        already = (
+            postings.join(
+                F.broadcast(new.select("doc")), "doc", "left_semi"
+            )
+            .select("doc")
+            .distinct()
+        )
+        tf_rows = tf_rows.join(F.broadcast(already), "doc", "left_anti")
+    tf_rows.select("token", "doc", "tf").write.mode("append").parquet(
+        _bm_postings_path(store_path)
+    )
+    dl_rows = dl_rows.localCheckpoint(eager=True)
+    dl_rows.write.mode("append").parquet(_bm_docstats_path(store_path))
+    return dl_rows
+
+
+def bm25_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Query the incremental index: BM25 top-``k`` over the persisted
+    postings — identical scoring to :func:`bm25_search` over the
+    union of every folded batch (pinned by the registry oracle).
+
+    Scale shape: the postings scan FILTERS on the query terms, so
+    Parquet row-group statistics prune most of the index before it is
+    read (``PushedFilters: In(token, ...)``); everything after is
+    query-terms-sized except one doc-keyed join against ``docstats``
+    for the length norm, ∝ matching docs.  The corpus stats
+    (``n_docs``/``avgdl``) are one aggregate over ``docstats`` riding
+    along as a broadcast one-row frame.  At true scale, sort each
+    postings append by token (or bucket by token hash) so the
+    pushdown prunes at file granularity.  Output: ``(doc, score)``.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "doc long, score double")
+    stats = docstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = postings.filter(F.col("token").isin(*list(terms)))
+    n_t = tf.groupBy("token").agg(
+        F.countDistinct("doc").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(n_t), "token")
+        .join(docstats, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+        + 1.0
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.withColumn("w", w)
+        .groupBy("doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
 KNUTH = 2654435761
 HASH_MOD = 2**32
 

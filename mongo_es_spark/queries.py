@@ -1950,6 +1950,77 @@ def search_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_more_like_this",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf0 AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE length(term) > 0 GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf0 GROUP BY term),
+    nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+    kw AS (
+        SELECT term FROM (
+            SELECT t.term,
+                   row_number() OVER (
+                       ORDER BY round(t.tf * ln(nn.n / dfreq.df), 6) DESC,
+                                t.term ASC
+                   ) AS rk
+            FROM tf0 t JOIN dfreq USING (term), nn
+            WHERE t.doc_id = 0
+        ) WHERE rk <= 3
+    ),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+    toks2 AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM corpus
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks2
+        WHERE token IN (SELECT term FROM kw)
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more-like-this: extract the seed document's top TF-IDF
+    keywords (doc 0, top 3 — the registered ``text_idf_keywords``
+    logic, deterministic across engines via 6-dp rounding + term
+    tie-break), then BM25-search them over the corpus minus the seed.
+    The keyword list is driver-side model state (3 rows, the same
+    budget class as a query vector); both stages are the registry's
+    own pinned operators composed."""
+    from .operators.text import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    kws = [
+        r["term"]
+        for r in tfidf_keywords(docs, "doc_id", "text", top_k=3)
+        .filter(F.col("doc_id") == 0)
+        .orderBy("rank")
+        .collect()
+    ]
+    rest = docs.filter(F.col("doc_id") != 0)
+    return bm25_search(rest, "doc_id", "text", kws, top_k=10)
+
+
 def _ann_topk_check(
     emb: DataFrame, ann: DataFrame, query_id: int, k: int, min_recall: float
 ) -> DataFrame:
@@ -2366,6 +2437,102 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25_search(
         docs, "doc_id", "text", ["spark", "table", "stream"], top_k=10
+    )
+
+
+_BM25_ORACLE = REGISTRY["text_bm25_search"][1]
+
+
+@register("search_bm25_incremental", _BM25_ORACLE)
+def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index edition of ``text_bm25_search`` under the
+    SAME cross-engine oracle: the corpus arrives in three hash-split
+    batches, each folds into the append-only postings + docstats
+    stores via ``incremental_bm25_index`` (first-arrival doc-id
+    identity; the middle batch is re-delivered once to pin the replay
+    no-op), and ``bm25_over_store`` must score the same top-10 the
+    one-shot ``bm25_search`` does."""
+    import shutil
+    import tempfile
+
+    from .operators.text import bm25_over_store, incremental_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="bm_store_")
+    try:
+        store = os.path.join(base, "bm")
+        split = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        for b in range(3):
+            incremental_bm25_index(
+                spark, docs.filter(split == b), store
+            ).count()
+            if b == 1:  # replay: must append nothing
+                incremental_bm25_index(
+                    spark, docs.filter(split == b), store
+                ).count()
+        rows = bm25_over_store(
+            spark, store, ["spark", "table", "stream"], top_k=10
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, score double").select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
+@register("streaming_bm25_index", _BM25_ORACLE)
+def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 index maintained through Structured Streaming under
+    the batch search's hard oracle: the corpus replays as a 3-file
+    hash-split feed (one trigger per file, order-free — doc identity
+    is first-arrival by immutable id), each micro-batch folds into
+    the postings + docstats stores, and query-time
+    ``bm25_over_store`` must equal the one-shot ``bm25_search``
+    top-10 row for row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from .operators.text import bm25_over_store
+    from .streaming.bm25_index import run_streaming_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="bm_stream_")
+    try:
+        feed = os.path.join(base, "feed")
+        split = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        for b in range(3):
+            docs.filter(split == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+            for f in glob.glob(os.path.join(feed, "*.parquet")):
+                if os.path.getmtime(f) > 1_700_000_000:
+                    os.utime(f, (1_600_000_000 + b * 60,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = run_streaming_bm25_index(
+            spark,
+            stream,
+            os.path.join(base, "bm"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        rows = bm25_over_store(
+            spark,
+            os.path.join(base, "bm"),
+            ["spark", "table", "stream"],
+            top_k=10,
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, score double").select(
+        F.col("doc").alias("doc_id"), "score"
     )
 
 

@@ -5147,3 +5147,97 @@ def test_highlight_snippets_term_order_tiebreak(spark):
         docs, "doc_id", "text", ["ab", "abc"], window=2
     ).collect()[0]
     assert row2["matched_term"] == "ab"
+
+
+def test_incremental_bm25_index_replay_and_parity(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        bm25_search,
+        incremental_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark table"),
+            (2, "table stream"),
+            (3, "stream spark other words here"),
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm")
+    for b in (0, 1):
+        out = incremental_bm25_index(
+            spark, docs.filter(F.col("doc_id") % 2 == b), store
+        ).collect()
+        assert len(out) == 2
+    replay = incremental_bm25_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), store
+    ).collect()
+    assert replay == []  # first-arrival identity: replay appends nothing
+    got = [
+        (r["doc"], r["score"])
+        for r in bm25_over_store(
+            spark, store, ["spark", "table", "stream"], top_k=10
+        ).collect()
+    ]
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(
+            docs, "doc_id", "text", ["spark", "table", "stream"], top_k=10
+        ).collect()
+    ]
+    assert got == exp
+
+
+def test_incremental_bm25_index_crash_repair(spark, tmp_path):
+    import shutil
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        incremental_bm25_index,
+    )
+    from mongo_es_spark.operators.text import (
+        _bm_docstats_path,
+        _bm_postings_path,
+    )
+    from mongo_es_spark.storeio import read_parquet_if_exists
+
+    docs = spark.createDataFrame(
+        [(1, "spark table"), (2, "stream")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store)
+    n_postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store)
+    ).count()
+    # simulate a crash BETWEEN the two appends: postings landed,
+    # docstats did not — the retry must re-append docstats without
+    # duplicating postings
+    shutil.rmtree(_bm_docstats_path(store))
+    retried = incremental_bm25_index(spark, docs, store).collect()
+    assert {r["doc"] for r in retried} == {1, 2}
+    assert (
+        read_parquet_if_exists(spark, _bm_postings_path(store)).count()
+        == n_postings
+    )
+    scores = bm25_over_store(spark, store, ["spark"], top_k=5).collect()
+    assert [r["doc"] for r in scores] == [1]
+
+
+def test_incremental_bm25_index_scheme_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from mongo_es_spark.operators.text import (
+        _bm_params_path,
+        incremental_bm25_index,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store)
+    spark.range(1).select(F.lit(999).cast("int").alias("scheme")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(_bm_params_path(store))
+    with _pytest.raises(ValueError, match="scheme"):
+        incremental_bm25_index(spark, docs, store)

@@ -700,3 +700,24 @@ def test_perplexity_buckets_no_language_keyed_window(spark):
     assert specs, plan[:500]
     for s in specs:
         assert "__bin" in s, s
+
+
+def test_bm25_store_query_pushes_token_filter(spark, tmp_path):
+    """The postings scan must push the query-term filter into the
+    parquet source (row-group pruning at index scale) — a scan that
+    reads the whole inverted index for a 3-term query is wrong."""
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        incremental_bm25_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store)
+    plan = plan_of(
+        bm25_over_store(spark, store, ["spark", "table", "stream"])
+    )
+    assert re.search(r"PushedFilters: \[.*In\(token", plan)
+    assert "CartesianProduct" not in plan
