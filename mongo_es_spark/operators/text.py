@@ -510,7 +510,7 @@ def highlight_snippets(
     )
 
 
-_BM_SCHEME = 1  # tokenizer/layout version pinned in the sidecar
+_BM_SCHEME = 2  # tokenizer/layout version; 2 = positional postings
 
 
 def _bm_postings_path(store_path: str) -> str:
@@ -594,10 +594,14 @@ def incremental_bm25_index(
         batch = batch.join(F.broadcast(seen), "doc", "left_anti")
     new = batch.localCheckpoint(eager=True)
     toks = new.select(
-        "doc", F.explode(tokens_col(F.col("__t"))).alias("token")
+        "doc",
+        F.posexplode(tokens_col(F.col("__t"))).alias("p", "token"),
     )
+    # positional postings: 0-based token offsets, sorted — phrase
+    # queries check relative adjacency so the base never matters
     tf_rows = toks.groupBy("doc", "token").agg(
-        F.count("*").alias("tf")
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("p")).alias("pos"),
     )
     dl_rows = toks.groupBy("doc").agg(F.count("*").alias("dl"))
     if postings is not None:
@@ -609,9 +613,9 @@ def incremental_bm25_index(
             .distinct()
         )
         tf_rows = tf_rows.join(F.broadcast(already), "doc", "left_anti")
-    tf_rows.select("token", "doc", "tf").write.mode("append").parquet(
-        _bm_postings_path(store_path)
-    )
+    tf_rows.select("token", "doc", "tf", "pos").write.mode(
+        "append"
+    ).parquet(_bm_postings_path(store_path))
     dl_rows = dl_rows.localCheckpoint(eager=True)
     dl_rows.write.mode("append").parquet(_bm_docstats_path(store_path))
     return dl_rows
@@ -676,6 +680,66 @@ def bm25_over_store(
         .agg(F.round(F.sum("w"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(top_k)
+    )
+
+
+def phrase_over_store(
+    spark,
+    store_path: str,
+    phrase: Sequence[str],
+) -> DataFrame:
+    """Exact phrase query over the positional postings index: every
+    document where ``phrase``'s tokens appear at CONSECUTIVE
+    positions, with the occurrence count — the ES ``match_phrase``
+    feature over the :func:`incremental_bm25_index` store.
+
+    Scale shape: one postings scan FILTERED to the phrase's distinct
+    tokens (``PushedFilters: In(token, …)`` — the index is never read
+    whole), one doc-keyed equi-join per phrase term, then the
+    adjacency test as a chained ``array_intersect`` over the position
+    lists shifted by each term's offset (an occurrence at position p
+    needs term i at ``p + i``; the intersection of the shifted lists
+    IS the occurrence-start set, counting overlapping occurrences).
+    All JVM; per-doc work ∝ the phrase terms' posting sizes.  Output:
+    ``(doc, n_occurrences)``, occurrence-count-desc then doc asc.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    if len(phrase) < 1:
+        raise ValueError("phrase needs at least one term")
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    if postings is None:
+        return spark.createDataFrame(
+            [], "doc long, n_occurrences long"
+        )
+    base = postings.filter(
+        F.col("token").isin(*list(dict.fromkeys(phrase)))
+    )
+    def _shifted(offset: int):
+        # NOTE: the lambda must stay single-argument — F.transform
+        # passes the ARRAY INDEX to a second parameter, so the usual
+        # `lambda x, _i=i` loop-capture idiom silently shifts each
+        # position by its index in the list instead of by the term
+        # offset
+        return F.transform("pos", lambda x: x - F.lit(offset))
+
+    joined = None
+    for i, term in enumerate(phrase):
+        leg = base.filter(F.col("token") == term).select(
+            "doc", _shifted(i).alias(f"__p{i}")
+        )
+        joined = leg if joined is None else joined.join(leg, "doc")
+    starts = F.col("__p0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, F.col(f"__p{i}"))
+    return (
+        joined.select(
+            "doc", F.size(starts).cast("long").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc").asc())
     )
 
 

@@ -2480,6 +2480,56 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_phrase",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len([i FOR i IN range(1, len(toks))
+                    IF toks[i] = 'value' AND toks[i+1] = 'table'])
+                   AS n_occurrences
+        FROM t
+    )
+    SELECT doc_id, n_occurrences::BIGINT AS n_occurrences
+    FROM m WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id ASC
+    """,
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase over the positional postings store
+    (operators/text.py:phrase_over_store): the corpus folds into the
+    incremental BM25 index once, then the phrase "value table" runs
+    as a token-filtered postings scan + one doc-keyed join per term +
+    a shifted-position array intersection (the occurrence-start set,
+    overlaps counted).  The oracle counts occurrences straight off
+    the token lists — the index path must agree exactly."""
+    import shutil
+    import tempfile
+
+    from .operators.text import incremental_bm25_index, phrase_over_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="bm_phrase_")
+    try:
+        store = os.path.join(base, "bm")
+        incremental_bm25_index(spark, docs, store).count()
+        rows = phrase_over_store(
+            spark, store, ["value", "table"]
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc long, n_occurrences long"
+    ).select(F.col("doc").alias("doc_id"), "n_occurrences")
+
+
 @register("streaming_bm25_index", _BM25_ORACLE)
 def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BM25 index maintained through Structured Streaming under

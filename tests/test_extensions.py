@@ -5241,3 +5241,38 @@ def test_incremental_bm25_index_scheme_guard(spark, tmp_path):
     ).write.mode("overwrite").parquet(_bm_params_path(store))
     with _pytest.raises(ValueError, match="scheme"):
         incremental_bm25_index(spark, docs, store)
+
+
+def test_phrase_over_store_semantics(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        phrase_over_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "value table x"),
+            (2, "table value"),          # reversed: no match
+            (3, "value y table"),        # gap: no match
+            (4, "value table value table"),
+            (5, "table table table"),    # overlapping repeats
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store)
+    vt = {
+        (r["doc"], r["n_occurrences"])
+        for r in phrase_over_store(spark, store, ["value", "table"]).collect()
+    }
+    assert vt == {(1, 1), (4, 2)}
+    tt = {
+        (r["doc"], r["n_occurrences"])
+        for r in phrase_over_store(spark, store, ["table", "table"]).collect()
+    }
+    assert tt == {(5, 2)}  # overlaps count
+    one = {
+        (r["doc"], r["n_occurrences"])
+        for r in phrase_over_store(spark, store, ["value"]).collect()
+    }
+    assert one == {(1, 1), (2, 1), (3, 1), (4, 2)}  # degenerates to tf
