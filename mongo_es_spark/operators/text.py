@@ -613,9 +613,15 @@ def incremental_bm25_index(
             .distinct()
         )
         tf_rows = tf_rows.join(F.broadcast(already), "doc", "left_anti")
-    tf_rows.select("token", "doc", "tf", "pos").write.mode(
-        "append"
-    ).parquet(_bm_postings_path(store_path))
+    # range-cluster each append by token: row-group (and at larger
+    # appends file-level) min/max statistics then bound tight token
+    # ranges, so the query-time In(token, …) pushdown skips most of
+    # the index instead of just filtering it post-read
+    tf_rows.select("token", "doc", "tf", "pos").repartitionByRange(
+        "token"
+    ).sortWithinPartitions("token").write.mode("append").parquet(
+        _bm_postings_path(store_path)
+    )
     dl_rows = dl_rows.localCheckpoint(eager=True)
     dl_rows.write.mode("append").parquet(_bm_docstats_path(store_path))
     return dl_rows
