@@ -2001,22 +2001,55 @@ def search_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES more-like-this: extract the seed document's top TF-IDF
-    keywords (doc 0, top 3 — the registered ``text_idf_keywords``
-    logic, deterministic across engines via 6-dp rounding + term
-    tie-break), then BM25-search them over the corpus minus the seed.
-    The keyword list is driver-side model state (3 rows, the same
-    budget class as a query vector); both stages are the registry's
-    own pinned operators composed."""
-    from .operators.text import tfidf_keywords
+    keywords (doc 0, top 3 — ``text_idf_keywords``'s exact math:
+    ``tf * ln(N/df)``, 6-dp rounding, term tie-break), then
+    BM25-search them over the corpus minus the seed.
+
+    Scale shape: keyword extraction is SEED-FOCUSED — the seed's
+    term frequencies are one tiny aggregate, document frequencies
+    come from ONE corpus scan filtered to the seed's terms (a
+    broadcast ``isin`` the scan can push down) + a term-keyed
+    count-distinct, and the final scoring/ranking runs driver-side
+    over <= seed-distinct-terms rows (model-sized state, the query-
+    vector budget class).  Computing the registered per-doc
+    ``tfidf_keywords`` for ALL docs to read 3 rows of one doc cost
+    387 s at 5M docs (a corpus-wide (doc, term) shuffle + window);
+    this shape is one filtered scan."""
+    import math as _math
 
     docs = load_table(spark, sf_dir, "documents")
-    kws = [
-        r["term"]
-        for r in tfidf_keywords(docs, "doc_id", "text", top_k=3)
-        .filter(F.col("doc_id") == 0)
-        .orderBy("rank")
+    seed_tf = {
+        r["term"]: r["tf"]
+        for r in docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
         .collect()
-    ]
+    }
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    dfreq = {
+        r["term"]: r["df"]
+        for r in toks.filter(F.col("term").isin(*seed_tf))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    n = docs.select(F.countDistinct("doc_id")).head()[0]
+    scored = sorted(
+        (
+            (-round(tf * _math.log(n / dfreq[t]), 6), t)
+            for t, tf in seed_tf.items()
+        ),
+    )
+    kws = [t for _, t in scored[:3]]
     rest = docs.filter(F.col("doc_id") != 0)
     return bm25_search(rest, "doc_id", "text", kws, top_k=10)
 
