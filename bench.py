@@ -58,6 +58,41 @@ def main() -> int:
 
     max_jvms = _spark_jvm_count()
 
+    # Calibration canary: two FIXED micro-ops (pure-codegen CPU sum,
+    # one pinned small shuffle) timed min-of-3 and emitted in the JSON
+    # line.  Cross-round host drift (r6->r7 measured ~1.3-1.7x on
+    # untouched queries) made raw BENCH_r{N} deltas meaningless; these
+    # run identical code every round, so value_r8/value_r7 on the
+    # canary IS the host-speed ratio and query deltas can be
+    # drift-normalized.
+    def _min_of(run, reps: int = 3) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    from pyspark.sql import functions as _cF
+
+    canary_cpu = _min_of(
+        lambda: spark.range(1_000_000_000)
+        .selectExpr("sum(id * 3 + 1)")
+        .collect()
+    )
+    canary_shuffle = _min_of(
+        lambda: spark.range(0, 20_000_000, 1, 32)
+        .groupBy(_cF.pmod("id", _cF.lit(997)).alias("k"))
+        .agg(_cF.count("*").alias("n"), _cF.sum("id").alias("s"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    canary = {
+        "cpu": round(canary_cpu, 3),
+        "shuffle": round(canary_shuffle, 3),
+    }
+
     # min of N repeats: single-run numbers on a shared VM carry several
     # seconds of scheduler/GC noise; the minimum is the real cost
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
@@ -114,13 +149,7 @@ def main() -> int:
     # whole-stage-codegen compilation + page-cache warm and lands 3-4x
     # under steady state (measured — the r1->r2 "regression" was one
     # cold single-shot sample); sustained docs/s is the metric
-    def best_time(run, reps: int = 3) -> float:
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run()
-            best = min(best, time.perf_counter() - t0)
-        return best
+    best_time = _min_of
 
     li = load_table(spark, sf_dir, "lineitem")
     n_docs = li.count()
@@ -155,6 +184,9 @@ def main() -> int:
         "queries": timings,
         "throughput": throughput,
         "sf": sf,
+        # fixed micro-op timings for cross-round host-drift
+        # normalization (see canary block above)
+        "canary": canary,
         # self-labeling contention flag (NOTES.md bench protocol:
         # never time two Spark sessions at once) — false means the
         # totals are contention-skewed and bench_result.json from an
