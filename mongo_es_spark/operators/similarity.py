@@ -74,6 +74,52 @@ def _top_cells_kernel(C: np.ndarray, p: int):
     return kernel
 
 
+def _assign_residual_kernel(C: np.ndarray):
+    """Arrow kernel factory: nearest-centroid assignment PLUS the
+    member's residual norm ``|| unit(v) - centroid_cell ||`` in one
+    pass (centroid rows are unit — :func:`_kmeans_fit` re-normalizes
+    every iteration — so the residual falls out of the same cosine
+    used for the argmax: ``sqrt(2 - 2*cos)``).
+
+    The cell choice is bit-identical to :func:`_nearest_cell_kernel`
+    (same ``argmax(unit_rows(M) @ C.T)``), so indexes written before
+    residual tracking stay compatible.  NULL vectors yield NULL for
+    both fields; ZERO vectors keep their cell (they must land
+    somewhere) but yield a NULL residual — a zero vector has no cosine
+    with anything (the ``cosine_pairs_col`` NULL contract), so it can
+    never appear in a top-k and must not widen the cell's pruning
+    radius."""
+
+    def kernel(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        out_cell = np.full(n, None, dtype=object)
+        out_res = np.full(n, None, dtype=object)
+        if n:
+            M, idx = _mask_stack(vs)
+            if len(idx):
+                norms = np.linalg.norm(M, axis=1)
+                sims = _unit_rows(M) @ C.T
+                cells = np.argmax(sims, axis=1)
+                res = np.sqrt(
+                    np.maximum(
+                        2.0 - 2.0 * sims[np.arange(len(cells)), cells],
+                        0.0,
+                    )
+                )
+                zero = norms == 0.0
+                for j, i in enumerate(idx):
+                    out_cell[i] = int(cells[j])
+                    out_res[i] = None if zero[j] else float(res[j])
+        return pd.DataFrame(
+            {
+                "cell": pd.Series(out_cell, dtype=object),
+                "residual": pd.Series(out_res, dtype=object),
+            }
+        )
+
+    return kernel
+
+
 def _query_vec(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
     return df.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).cast("array<double>").alias("qv")
@@ -335,7 +381,10 @@ def materialize_ivf_index(
 ) -> None:
     """Persist an IVF index: vectors written partitioned by their
     k-means cell (``<path>/vectors/cell=N/...``) plus the centroid
-    matrix (``<path>/centroids``).  Queries then prune *files*, not
+    matrix (``<path>/centroids``) plus per-cell pruning statistics
+    (``<path>/cellstats``: the max residual norm and scorable-member
+    count, the model state :func:`ivf_exact_topk` needs to prune cells
+    with an exactness certificate).  Queries then prune *files*, not
     rows — the probe filter never reads the unprobed cells' parquet.
     """
     vecs = df.select(
@@ -354,18 +403,53 @@ def materialize_ivf_index(
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
 
-    assign = pandas_udf(_nearest_cell_kernel(C), "int")
+    assign = pandas_udf(
+        _assign_residual_kernel(C), "struct<cell:int,residual:double>"
+    )
+    # one kernel pass serves both writes: the eager checkpoint holds
+    # the (id, v, cell, residual) assignment so the cellstats aggregate
+    # never re-runs the Arrow kernel over the corpus
+    staged = (
+        vecs.withColumn("__ar", assign(F.col("v")))
+        .select(
+            F.col(id_col),
+            "v",
+            F.col("__ar.cell").alias("cell"),
+            F.col("__ar.residual").alias("__res"),
+        )
+        .localCheckpoint(eager=True)
+    )
     (
-        vecs.withColumn("cell", assign(F.col("v")))
+        staged.drop("__res")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
     )
     spark = df.sparkSession
+    _write_cellstats(staged, f"{path}/cellstats", mode="overwrite")
     spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _write_cellstats(staged: DataFrame, path: str, mode: str) -> None:
+    """Append-only mergeable per-cell pruning stats: ``radius`` is the
+    max member residual (max is mergeable — read-time ``max`` over the
+    per-batch rows), ``n`` the count of SCORABLE members (non-null,
+    non-zero vectors; zero/NULL vectors have NULL residuals and score
+    NULL cosine, so they belong in neither the radius nor the count)."""
+    (
+        staged.filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(
+            F.max("__res").alias("radius"),
+            F.count("__res").alias("n"),
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def append_to_ivf_index(
@@ -398,15 +482,30 @@ def append_to_ivf_index(
     existing = spark.read.parquet(f"{path}/vectors").select(id_col)
     fresh = vecs.join(existing, id_col, "left_anti")
 
-    assign = pandas_udf(_nearest_cell_kernel(C), "int")
-    staged = fresh.withColumn("cell", assign(F.col("v"))).localCheckpoint(
-        eager=True
+    assign = pandas_udf(
+        _assign_residual_kernel(C), "struct<cell:int,residual:double>"
+    )
+    staged = (
+        fresh.withColumn("__ar", assign(F.col("v")))
+        .select(
+            F.col(id_col),
+            "v",
+            F.col("__ar.cell").alias("cell"),
+            F.col("__ar.residual").alias("__res"),
+        )
+        .localCheckpoint(eager=True)
     )
     n = staged.count()
     if n:
-        staged.write.mode("append").partitionBy("cell").parquet(
-            f"{path}/vectors"
-        )
+        staged.drop("__res").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/vectors")
+        # per-batch stats rows append; readers take max(radius)/sum(n)
+        # per cell, so the merge is read-time and the store never
+        # rewrites (indexes written before stats tracking simply have
+        # no cellstats — ivf_exact_topk falls back to radius 2.0,
+        # correct but unpruned)
+        _write_cellstats(staged, f"{path}/cellstats", mode="append")
     return n
 
 
@@ -445,6 +544,136 @@ def ann_ivf_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_exact_topk(
+    spark,
+    path: str,
+    query_vec,
+    id_col: str,
+    k: int = 10,
+    exclude_id=None,
+    probe_log: list | None = None,
+) -> DataFrame:
+    """EXACT top-k over a materialized IVF index — approximate-index
+    speed with a brute-force-equality certificate, the store-backed
+    dense leg hybrid retrieval serves from.
+
+    Pruning bound: centroid rows are unit (:func:`_kmeans_fit`
+    re-normalizes) so for the unit query q and any member x of cell c,
+    ``cos(q, x) = q·unit(x) = q·c + q·(unit(x) − c) ≤ q·c + ‖unit(x) −
+    c‖ ≤ q·c + radius_c`` (Cauchy–Schwarz; ``radius_c`` is the stored
+    max member residual).  Cells whose upper bound falls below the
+    provisional k-th score cannot contribute a row, so their parquet is
+    never read.
+
+    Two waves: (1) probe the smallest ub-ordered cell prefix holding
+    ≥ k scorable members and take its exact top-k; (2) with the
+    provisional k-th ROUNDED score s_k in hand, re-probe only unprobed
+    cells with ``ub ≥ s_k − 5e-7`` — anything below provably rounds
+    under s_k at 6-dp granularity, so skipping it can neither beat nor
+    tie the current k-th row.  In the common case wave 2 is empty and
+    the scan read ~k/n_cells of the index (``PartitionFilters`` on
+    ``cell`` — file-level pruning).  Worst case (a query equidistant
+    from every cluster) degrades to a full scan and stays exact.
+
+    Driver state is model-sized by construction: the centroid matrix +
+    per-cell stats (n_cells rows) and ≤ 2k provisional result rows —
+    the same budget class as the IVF training sample.  Indexes written
+    before cellstats tracking fall back to radius 2.0 (the cosine
+    diameter): correct, never pruned.
+
+    ``exclude_id`` drops one id before ranking (the cosine_topk
+    query-row exclusion).  Output: ``(id_col long, score double)``,
+    score desc / id asc, exactly :func:`cosine_topk` over the indexed
+    vectors.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0]["centroid"])))
+    for r in cent:
+        C[r["cell"]] = r["centroid"]
+    C = _unit_rows(C)  # belt-and-braces; _kmeans_fit already unit
+    stats = read_parquet_if_exists(spark, f"{path}/cellstats")
+    if stats is None:
+        # pre-stats index: every cell conservatively coverable
+        radii = {int(r["cell"]): 2.0 for r in cent}
+        counts = {int(r["cell"]): k for r in cent}
+    else:
+        merged = (
+            stats.groupBy("cell")
+            .agg(F.max("radius").alias("radius"), F.sum("n").alias("n"))
+            .collect()
+        )
+        radii, counts = {}, {}
+        seen = set()
+        for r in merged:
+            c = int(r["cell"])
+            seen.add(c)
+            counts[c] = int(r["n"])
+            # NULL radius == zero scorable members (all-zero-vector
+            # cell): nothing there can ever score, skip outright
+            if r["radius"] is not None:
+                radii[c] = float(r["radius"])
+        # centroid cells with NO stats row: truly empty (scanning them
+        # is a no-op) or written by a pre-stats build — either way,
+        # conservatively coverable rather than silently skippable
+        for r in cent:
+            c = int(r["cell"])
+            if c not in seen:
+                radii[c] = 2.0
+                counts[c] = 0
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    ub = {c: float(C[c] @ qn) + r for c, r in radii.items()}
+    order = sorted(ub, key=lambda c: (-ub[c], c))
+
+    def _scan(cells):
+        vecs = spark.read.parquet(f"{path}/vectors").filter(
+            F.col("cell").isin(list(cells))
+        )
+        if exclude_id is not None:
+            vecs = vecs.filter(F.col(id_col) != exclude_id)
+        q_df = spark.createDataFrame(
+            [([float(x) for x in q],)], "qv array<double>"
+        )
+        return (
+            vecs.crossJoin(F.broadcast(q_df))
+            .select(
+                F.col(id_col).cast("long").alias("__id"),
+                F.round(cosine_col(F.col("v"), F.col("qv")), 6).alias(
+                    "score"
+                ),
+            )
+            .filter(F.col("score").isNotNull())
+            .orderBy(F.col("score").desc(), F.col("__id").asc())
+            .limit(k)
+            .collect()
+        )
+
+    wave1: list[int] = []
+    covered = 0
+    for c in order:
+        wave1.append(c)
+        covered += counts.get(c, 0)
+        if covered >= k:
+            break
+    rows = _scan(wave1) if wave1 else []
+    s_k = rows[k - 1]["score"] if len(rows) >= k else float("-inf")
+    probed = set(wave1)
+    wave2 = [c for c in order if c not in probed and ub[c] >= s_k - 5e-7]
+    if probe_log is not None:
+        # test/ops introspection: which cells each wave actually read
+        probe_log.append({"wave1": list(wave1), "wave2": list(wave2)})
+    if wave2:
+        rows = sorted(
+            rows + _scan(wave2), key=lambda r: (-r["score"], r["__id"])
+        )[:k]
+    out = [(int(r["__id"]), float(r["score"])) for r in rows]
+    return spark.createDataFrame(
+        out, f"{id_col} long, score double"
+    ).orderBy(F.col("score").desc(), F.col(id_col).asc())
 
 
 def exact_batch_topk(

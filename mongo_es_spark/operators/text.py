@@ -634,6 +634,7 @@ def bm25_over_store(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
+    exclude_docs: Sequence | None = None,
 ) -> DataFrame:
     """Query the incremental index: BM25 top-``k`` over the persisted
     postings — identical scoring to :func:`bm25_search` over the
@@ -648,6 +649,13 @@ def bm25_over_store(
     along as a broadcast one-row frame.  At true scale, sort each
     postings append by token (or bucket by token hash) so the
     pushdown prunes at file granularity.  Output: ``(doc, score)``.
+
+    ``exclude_docs`` removes the given ids BEFORE every statistic
+    (corpus size, avgdl, per-term df and the candidate set) — scoring
+    is then identical to :func:`bm25_search` over the corpus minus
+    those docs, the more-like-this "everything but the seed" shape.
+    The exclusion list is model-sized (a handful of seed ids), applied
+    as a NOT IN the scans push down.
     """
     from ..storeio import read_parquet_if_exists
 
@@ -659,6 +667,10 @@ def bm25_over_store(
     )
     if postings is None or docstats is None:
         return spark.createDataFrame([], "doc long, score double")
+    if exclude_docs:
+        excl = list(exclude_docs)
+        postings = postings.filter(~F.col("doc").isin(excl))
+        docstats = docstats.filter(~F.col("doc").isin(excl))
     stats = docstats.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

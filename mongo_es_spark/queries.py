@@ -2538,29 +2538,18 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase over the positional postings store
     (operators/text.py:phrase_over_store): the corpus folds into the
-    incremental BM25 index once, then the phrase "value table" runs
-    as a token-filtered postings scan + one doc-keyed join per term +
-    a shifted-position array intersection (the occurrence-start set,
-    overlaps counted).  The oracle counts occurrences straight off
-    the token lists — the index path must agree exactly."""
-    import shutil
-    import tempfile
+    incremental BM25 index once (the shared serving store), then the
+    phrase "value table" runs as a token-filtered postings scan + one
+    doc-keyed join per term + a shifted-position array intersection
+    (the occurrence-start set, overlaps counted).  The oracle counts
+    occurrences straight off the token lists — the index path must
+    agree exactly."""
+    from .operators.text import phrase_over_store
 
-    from .operators.text import incremental_bm25_index, phrase_over_store
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="bm_phrase_")
-    try:
-        store = os.path.join(base, "bm")
-        incremental_bm25_index(spark, docs, store).count()
-        rows = phrase_over_store(
-            spark, store, ["value", "table"]
-        ).collect()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "doc long, n_occurrences long"
-    ).select(F.col("doc").alias("doc_id"), "n_occurrences")
+    store = _shared_bm25_store(spark, sf_dir)
+    return phrase_over_store(spark, store, ["value", "table"]).select(
+        F.col("doc").alias("doc_id"), "n_occurrences"
+    )
 
 
 @register("streaming_bm25_index", _BM25_ORACLE)
@@ -2617,6 +2606,160 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc long, score double").select(
         F.col("doc").alias("doc_id"), "score"
     )
+
+
+# --------------------------------------------------------------------
+# Shared read-only index stores for the search-family harnesses.
+# Queries that SERVE from an index (hybrid, more-like-this, phrase,
+# proximity) all want the same fully-folded index over the same
+# corpus, so one build per (kind, corpus) amortizes across every such
+# query in a bench / correctness run — BENCH_r07 carried ~40-80 s of
+# per-query store rebuilds that measured the harness, not the
+# operator.  Queries whose POINT is fold/replay semantics
+# (search_bm25_incremental, the streaming editions) keep building
+# their own fresh stores.
+# --------------------------------------------------------------------
+_SHARED_STORES: dict[tuple[str, str], str] = {}
+
+
+def _shared_store(kind: str, sf_dir: str, build) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (kind, os.path.abspath(sf_dir))
+    path = _SHARED_STORES.get(key)
+    if path is None or not os.path.isdir(path):
+        base = tempfile.mkdtemp(prefix=f"shared_{kind}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = os.path.join(base, kind)
+        build(path)
+        _SHARED_STORES[key] = path
+    return path
+
+
+def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus folded once into the incremental BM25 index
+    (postings + docstats + positions) — the serving index every
+    store-backed lexical query reads."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        incremental_bm25_index(spark, docs, path).count()
+
+    return _shared_store("bm25", sf_dir, build)
+
+
+def _shared_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """The embeddings table materialized once as the IVF index
+    (cell-partitioned vectors + centroids + pruning cellstats) — the
+    serving index the store-backed dense legs read."""
+    from .operators.similarity import materialize_ivf_index
+
+    def build(path: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        materialize_ivf_index(
+            emb, "vec_id", "embedding", path, n_cells=16
+        )
+
+    return _shared_store("ivf", sf_dir, build)
+
+
+@register("search_hybrid_over_store", REGISTRY["search_hybrid_rrf"][1])
+def search_hybrid_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED FROM MAINTAINED INDEXES, under the
+    scan-path query's own oracle: the BM25 leg reads the persisted
+    postings store (token-filtered scan — ``PushedFilters:
+    In(token, …)`` over token-range-clustered files, never a corpus
+    re-tokenize), the dense leg reads the IVF store through
+    ``ivf_exact_topk`` (centroid-radius upper-bound pruning with a
+    brute-force-equality certificate — unprobed cells' parquet is
+    never read), and ``rrf_fuse`` combines the two ≤20-row legs.
+    This is the shape the reference exists to serve
+    (src/elasticsearch.ts:30-89 — queries hit the index, not the
+    collection): per-query work ∝ postings of the query terms + the
+    probed cells, not corpus size.  Must equal ``search_hybrid_rrf``
+    (the corpus-scan edition) row for row."""
+    from .operators.similarity import ivf_exact_topk
+    from .operators.text import bm25_over_store
+
+    bm_store = _shared_bm25_store(spark, sf_dir)
+    ivf_store = _shared_ivf_store(spark, sf_dir)
+    bm_leg = bm25_over_store(
+        spark, bm_store, ["spark", "table", "stream"], top_k=20
+    ).select(F.col("doc").alias("doc_id"), "score")
+    # the query vector is one point lookup (model state, same budget
+    # class as the IVF training sample)
+    qv = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    )
+    cos_leg = ivf_exact_topk(
+        spark, ivf_store, qv, "vec_id", k=20, exclude_id=0
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(
+        [bm_leg, cos_leg],
+        "doc_id",
+        ["bm25_rank", "cos_rank"],
+        top_k=10,
+    )
+
+
+@register("search_mlt_over_store", REGISTRY["search_more_like_this"][1])
+def search_mlt_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this SERVED FROM the maintained BM25 index, under the
+    scan-path query's own oracle: the seed's term frequencies come
+    from tokenizing ONE document (a doc_id point lookup on the
+    corpus), the per-term document frequencies come from a POSTINGS
+    AGGREGATE filtered to the seed's terms (``PushedFilters:
+    In(token, …)`` — the index prunes to the seed's vocabulary
+    instead of re-tokenizing the corpus), the corpus size is one
+    column-pruned count, and the keyword scoring runs driver-side
+    over ≤ seed-distinct-terms rows.  The BM25 stage then scores the
+    keywords over the store with the seed excluded from every
+    statistic (``exclude_docs`` — corpus-minus-seed, exactly the
+    scan edition's semantics).  Must equal ``search_more_like_this``
+    row for row."""
+    import math as _math
+
+    from .operators.text import _bm_postings_path, bm25_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    seed_tf = {
+        r["term"]: r["tf"]
+        for r in docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    }
+    postings = spark.read.parquet(_bm_postings_path(store))
+    dfreq = {
+        r["token"]: r["df"]
+        for r in postings.filter(F.col("token").isin(*seed_tf))
+        .groupBy("token")
+        .agg(F.countDistinct("doc").alias("df"))
+        .collect()
+    }
+    n = docs.select(F.countDistinct("doc_id")).head()[0]
+    scored = sorted(
+        (
+            (-round(tf * _math.log(n / dfreq[t]), 6), t)
+            for t, tf in seed_tf.items()
+        ),
+    )
+    kws = [t for _, t in scored[:3]]
+    return bm25_over_store(
+        spark, store, kws, top_k=10, exclude_docs=[0]
+    ).select(F.col("doc").alias("doc_id"), "score")
 
 
 @register(

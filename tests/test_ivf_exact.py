@@ -1,0 +1,251 @@
+"""ivf_exact_topk: exact top-k over the IVF store via centroid-radius
+upper-bound pruning.  The contract under test is EQUALITY with
+brute-force cosine top-k (score desc, id asc, 6-dp rounding) while
+unprobed cells' parquet is never read — so every test pins the result
+against an independently computed brute force, and the cluster
+geometries are chosen to exercise each wave/bound edge: one-wave
+pruning, the forced second wave, rounded-score ties straddling the
+wave boundary (the 5e-7 margin), zero/NULL vectors, store appends,
+and the pre-cellstats fallback."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _brute_topk(rows, qv, k, exclude_id=None):
+    """Driver-side reference: cosine to qv, 6-dp round, score desc /
+    id asc, NULL (zero/missing) vectors excluded."""
+    q = np.asarray(qv, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    out = []
+    for vid, v in rows:
+        if v is None or (exclude_id is not None and vid == exclude_id):
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        na = np.linalg.norm(a)
+        if na == 0.0 or qn == 0.0:
+            continue  # NULL cosine under the kernel contract
+        out.append((vid, round(float(a @ q / (na * qn)), 6)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def _arc_rows(angles, start_id=0):
+    """2-D unit vectors at the given angles (degrees), ids sequential."""
+    return [
+        (
+            start_id + i,
+            [math.cos(math.radians(a)), math.sin(math.radians(a))],
+        )
+        for i, a in enumerate(angles)
+    ]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from mongo_es_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def _mk_index(spark, rows, path, n_cells, schema="vec_id long, v array<double>"):
+    from mongo_es_spark.operators.similarity import materialize_ivf_index
+
+    df = spark.createDataFrame(rows, schema)
+    materialize_ivf_index(df, "vec_id", "v", path, n_cells=n_cells)
+    return df
+
+
+def test_exact_equals_brute_force_on_fixture(spark, emb, tmp_path):
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    path = str(tmp_path / "ivf")
+    from mongo_es_spark.operators.similarity import materialize_ivf_index
+
+    materialize_ivf_index(emb, "vec_id", "embedding", path, n_cells=16)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(
+            spark, path, qv, "vec_id", k=10, exclude_id=0
+        ).collect()
+    ]
+    rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    assert got == _brute_topk(rows, qv, 10, exclude_id=0)
+
+
+def test_separated_clusters_prune_to_one_wave(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    # three tight, well-separated arcs: the query sits inside the
+    # first, whose upper bound dominates — wave 1 must read exactly
+    # one cell and wave 2 must be provably empty
+    rows = _arc_rows(
+        [i * 0.5 for i in range(20)]            # 0..9.5 degrees
+        + [120 + i * 0.5 for i in range(20)]    # 120..129.5
+        + [240 + i * 0.5 for i in range(20)]    # 240..249.5
+    )
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=3)
+    qv = [1.0, 0.0]
+    log: list = []
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(
+            spark, path, qv, "vec_id", k=10, probe_log=log
+        ).collect()
+    ]
+    assert got == _brute_topk(rows, qv, 10)
+    assert len(log) == 1
+    assert len(log[0]["wave1"]) == 1
+    assert log[0]["wave2"] == []
+
+
+def test_underfilled_wave_one_forces_second_wave(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    # the near cell's stats say 10 members, but exclude_id removes one
+    # at scan time: wave 1 returns 9 < k rows, s_k stays -inf, and the
+    # second wave must sweep the remaining cell — still exact
+    rows = _arc_rows(
+        [i * 2.0 for i in range(10)] + [180 + i * 2.0 for i in range(10)]
+    )
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=2)
+    qv = [1.0, 0.0]
+    log: list = []
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(
+            spark, path, qv, "vec_id", k=10, exclude_id=0, probe_log=log
+        ).collect()
+    ]
+    assert got == _brute_topk(rows, qv, 10, exclude_id=0)
+    assert len(got) == 10
+    assert len(log[0]["wave1"]) == 1 and log[0]["wave2"] != []
+
+    # and k beyond the whole corpus returns every scorable row once
+    got_all = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(spark, path, qv, "vec_id", k=25).collect()
+    ]
+    assert got_all == _brute_topk(rows, qv, 25)
+    assert len(got_all) == 20
+
+
+def test_rounded_tie_across_wave_boundary(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    # mirror pair at ±25° around the query: equal rounded cosine, one
+    # per cluster.  k=1 makes wave 1 read a single cell; the OTHER
+    # cell's bound ties within the 5e-7 margin, so wave 2 must probe
+    # it and the global tie must break to the smaller id.
+    a_cluster = _arc_rows([25 + i for i in range(8)], start_id=100)
+    b_cluster = _arc_rows([-25 - i for i in range(8)], start_id=200)
+    mirror_a = [(7, [math.cos(math.radians(25)), math.sin(math.radians(25))])]
+    mirror_b = [(3, [math.cos(math.radians(-25)), math.sin(math.radians(-25))])]
+    rows = a_cluster + b_cluster + mirror_a + mirror_b
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=2)
+    qv = [1.0, 0.0]
+    log: list = []
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(
+            spark, path, qv, "vec_id", k=1, probe_log=log
+        ).collect()
+    ]
+    assert got == _brute_topk(rows, qv, 1)
+    assert got[0][0] == 3  # the tie breaks to the smaller id
+    assert log[0]["wave2"] != []  # the margin forced the second probe
+
+
+def test_zero_and_null_vectors_never_rank(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    rows = _arc_rows([i * 3.0 for i in range(12)]) + [
+        (50, [0.0, 0.0]),
+        (51, None),
+    ]
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=2)
+    qv = [1.0, 0.0]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(spark, path, qv, "vec_id", k=12).collect()
+    ]
+    assert got == _brute_topk(rows, qv, 12)
+    assert all(vid not in (50, 51) for vid, _ in got)
+
+
+def test_append_keeps_exactness_and_merges_stats(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_exact_topk,
+        materialize_ivf_index,
+    )
+
+    # train/materialize on the first arc only, then append a batch that
+    # WIDENS a cell (points farther from its centroid than anything in
+    # the training set) — read-time max over the per-batch stats rows
+    # must absorb the wider radius or the bound would wrongly prune
+    base = _arc_rows([i * 1.0 for i in range(16)])
+    widen = _arc_rows([30 + i * 1.0 for i in range(8)], start_id=100)
+    path = str(tmp_path / "ivf")
+    df = _mk_index(spark, base, path, n_cells=2)
+    appended = append_to_ivf_index(
+        spark.createDataFrame(widen, "vec_id long, v array<double>"),
+        "vec_id",
+        "v",
+        path,
+    )
+    assert appended == 8
+    stats = spark.read.parquet(f"{path}/cellstats")
+    assert stats.count() > stats.select("cell").distinct().count()
+    qv = [math.cos(math.radians(35)), math.sin(math.radians(35))]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(spark, path, qv, "vec_id", k=6).collect()
+    ]
+    assert got == _brute_topk(base + widen, qv, 6)
+    # replay: the same batch appends nothing
+    assert (
+        append_to_ivf_index(
+            spark.createDataFrame(widen, "vec_id long, v array<double>"),
+            "vec_id",
+            "v",
+            path,
+        )
+        == 0
+    )
+
+
+def test_prestats_store_falls_back_exact(spark, tmp_path):
+    import shutil
+
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    rows = _arc_rows([i * 4.0 for i in range(24)])
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=3)
+    shutil.rmtree(f"{path}/cellstats")  # simulate a pre-stats index
+    qv = [1.0, 0.0]
+    log: list = []
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(
+            spark, path, qv, "vec_id", k=5, probe_log=log
+        ).collect()
+    ]
+    assert got == _brute_topk(rows, qv, 5)
+    # radius 2.0 fallback: every unprobed cell stays coverable
+    assert set(log[0]["wave1"]) | set(log[0]["wave2"]) == {0, 1, 2}

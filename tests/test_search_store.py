@@ -1,0 +1,101 @@
+"""Store-backed search serving: the registered hybrid / more-like-this
+queries must serve from the maintained indexes (postings store + IVF
+store) and still equal the corpus-scan editions row for row — the
+serving shape the reference's ES sink exists for, minus the corpus
+re-tokenize per query."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_hybrid_over_store_equals_scan_path(spark):
+    from mongo_es_spark.queries import (
+        search_hybrid_over_store,
+        search_hybrid_rrf,
+    )
+
+    assert _rows(search_hybrid_over_store(spark, SF)) == _rows(
+        search_hybrid_rrf(spark, SF)
+    )
+
+
+def test_mlt_over_store_equals_scan_path(spark):
+    from mongo_es_spark.queries import (
+        search_mlt_over_store,
+        search_more_like_this,
+    )
+
+    assert _rows(search_mlt_over_store(spark, SF)) == _rows(
+        search_more_like_this(spark, SF)
+    )
+
+
+def test_bm25_exclude_docs_matches_minus_corpus(spark, tmp_path):
+    """exclude_docs must remove the doc from EVERY statistic (n_docs,
+    avgdl, df), not just the candidate set — the excluded doc here
+    contains the query term, so a candidate-only exclusion would leave
+    df one too high and shift every score."""
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        bm25_search,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (0, "spark spark makes maps"),
+        (1, "spark joins tables quickly"),
+        (2, "tables hold rows"),
+        (3, "spark spark spark everywhere now"),
+        (4, "nothing relevant here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+
+    got = [
+        (r["doc"], r["score"])
+        for r in bm25_over_store(
+            spark, store, ["spark", "tables"], exclude_docs=[0]
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(
+            docs.filter(F.col("doc_id") != 0),
+            "doc_id",
+            "text",
+            ["spark", "tables"],
+        ).collect()
+    ]
+    assert got == want and len(got) == 3
+
+
+def test_bm25_exclude_docs_keeps_token_pushdown(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        incremental_bm25_index,
+    )
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    plan = (
+        bm25_over_store(
+            spark, store, ["spark", "table"], exclude_docs=[0]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PushedFilters: \[.*In\(token", plan)
+    assert "CartesianProduct" not in plan
