@@ -761,6 +761,90 @@ def phrase_over_store(
     )
 
 
+def proximity_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+) -> DataFrame:
+    """Proximity scoring over the positional postings index: for every
+    document containing ALL the (distinct) query terms, the MINIMAL
+    SPAN — the smallest ``max(pos) − min(pos)`` over any choice of one
+    occurrence per term — the primitive behind ES ``match_phrase``
+    slop and proximity boosting (a sloppy phrase match is
+    ``min_span ≤ slop + len(terms) − 1``; a proximity boost is a
+    monotone function of ``min_span``, e.g. ``1 / (1 + min_span)``).
+    Completes the search-parity list alongside :func:`phrase_over_store`
+    (exact adjacency) using the same scheme-2 positions.
+
+    Scale shape: one postings scan FILTERED to the query terms
+    (``PushedFilters: In(token, …)`` over the token-range-clustered
+    files — the index is never read whole), one doc-keyed equi-join
+    per term (docs missing any term drop out), then the classic
+    LINEAR minimal-window algorithm as a pure-JVM fold: merge the
+    per-term position lists into one position-sorted event array
+    (size = Σ tf over the query terms, never the ∏ tf cross product)
+    and ``F.aggregate`` over it tracking the last-seen position per
+    term — each event's candidate window is ``pos − min(last_seen)``.
+    Per-doc work ∝ the query terms' posting sizes.  Output:
+    ``(doc, min_span)``, span asc then doc asc (0 for a single term).
+    """
+    from ..storeio import read_parquet_if_exists
+
+    terms = list(dict.fromkeys(terms))
+    k = len(terms)
+    if k < 1:
+        raise ValueError("proximity needs at least one term")
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    if postings is None:
+        return spark.createDataFrame([], "doc long, min_span long")
+    base = postings.filter(F.col("token").isin(terms))
+    joined = None
+    for i, term in enumerate(terms):
+        leg = base.filter(F.col("token") == term).select(
+            "doc", F.col("pos").alias(f"__p{i}")
+        )
+        joined = leg if joined is None else joined.join(leg, "doc")
+
+    def _tagged(i: int):
+        # single-arg lambda: F.transform hands the ARRAY INDEX to a
+        # second parameter, which would clobber the term tag (the
+        # phrase_over_store lesson)
+        lit_i = F.lit(i)
+        return F.transform(
+            F.col(f"__p{i}"),
+            lambda x: F.struct(x.alias("pos"), lit_i.alias("t")),
+        )
+
+    merged = F.array_sort(
+        F.flatten(F.array(*[_tagged(i) for i in range(k)]))
+    )
+    init = F.struct(
+        *[F.lit(-1).alias(f"l{i}") for i in range(k)],
+        F.lit(2**31).alias("best"),
+    )
+
+    def step(acc, e):
+        post = [
+            F.when(e["t"] == i, e["pos"]).otherwise(acc[f"l{i}"])
+            for i in range(k)
+        ]
+        lo = F.least(*post) if k > 1 else post[0]
+        best = F.when(
+            lo >= 0, F.least(acc["best"], e["pos"] - lo)
+        ).otherwise(acc["best"])
+        return F.struct(
+            *[p.alias(f"l{i}") for i, p in enumerate(post)],
+            best.alias("best"),
+        )
+
+    acc = F.aggregate(merged, init, step)
+    return joined.select(
+        "doc", acc["best"].cast("long").alias("min_span")
+    ).orderBy(F.col("min_span").asc(), F.col("doc").asc())
+
+
 KNUTH = 2654435761
 HASH_MOD = 2**32
 

@@ -2552,6 +2552,47 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_proximity",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+            [i FOR i IN range(1, len(toks)+1) IF toks[i] = 'value'] AS p1,
+            [i FOR i IN range(1, len(toks)+1) IF toks[i] = 'table'] AS p2,
+            [i FOR i IN range(1, len(toks)+1) IF toks[i] = 'stream'] AS p3
+        FROM t
+    )
+    SELECT doc_id,
+           min(greatest(a, b, c) - least(a, b, c))::BIGINT AS min_span
+    FROM m, unnest(p1) AS ua(a), unnest(p2) AS ub(b), unnest(p3) AS uc(c)
+    GROUP BY doc_id
+    ORDER BY min_span ASC, doc_id ASC
+    """,
+)
+def search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES proximity scoring over the positional postings store
+    (operators/text.py:proximity_over_store): minimal window span
+    containing one occurrence of each of the three query terms, per
+    matching doc — the match_phrase-with-slop / proximity-boost
+    primitive.  The index path runs the LINEAR merged-events fold
+    over a token-pruned postings scan; the oracle brute-forces the
+    span off the token lists (min over the full occurrence cross
+    product) — they must agree exactly."""
+    from .operators.text import proximity_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return proximity_over_store(
+        spark, store, ["value", "table", "stream"]
+    ).select(F.col("doc").alias("doc_id"), "min_span")
+
+
 @register("streaming_bm25_index", _BM25_ORACLE)
 def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BM25 index maintained through Structured Streaming under

@@ -79,6 +79,69 @@ def test_bm25_exclude_docs_matches_minus_corpus(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_proximity_min_span_edges(spark, tmp_path):
+    """The linear merged-events fold must find the TIGHT window among
+    interleaved repeats (a naive first-occurrence pairing would not),
+    treat repeated query terms as one, require every term, and give a
+    single term span 0."""
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        proximity_over_store,
+    )
+
+    rows = [
+        # a .... b a b  -> tight (a,b) window is 1, not 4
+        (1, "a x x x b a b"),
+        (2, "a x b"),          # span 2
+        (3, "b a"),            # order-free: span 1
+        (4, "a a a"),          # missing b -> drops
+        (5, "x b x"),          # missing a -> drops
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+
+    got = {
+        r["doc"]: r["min_span"]
+        for r in proximity_over_store(spark, store, ["a", "b"]).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}
+    # repeated query terms collapse to the distinct set
+    rep = {
+        r["doc"]: r["min_span"]
+        for r in proximity_over_store(
+            spark, store, ["a", "b", "a"]
+        ).collect()
+    }
+    assert rep == got
+    # single term: every containing doc at span 0
+    one = {
+        r["doc"]: r["min_span"]
+        for r in proximity_over_store(spark, store, ["b"]).collect()
+    }
+    assert one == {1: 0, 2: 0, 3: 0, 5: 0}
+
+
+def test_proximity_pushes_token_filter(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        proximity_over_store,
+    )
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    plan = (
+        proximity_over_store(spark, store, ["value", "table"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PushedFilters: \[.*In\(token", plan)
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_exclude_docs_keeps_token_pushdown(spark, tmp_path):
     from mongo_es_spark.operators.text import (
         bm25_over_store,
