@@ -24,6 +24,7 @@ Everything is built-in column expressions — no Python in the hot path.
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -2128,6 +2129,61 @@ def components_over_store(
         "doc",
         F.coalesce(F.col("component"), F.col("label")).alias("component"),
     )
+
+
+def compact_components_store(
+    spark, store_path: str, max_iters: int = 20
+) -> dict:
+    """Vacuum pass for the incremental-components store: rewrite
+    ``docs/`` with the merge closure APPLIED (labels become current
+    component ids) and clear ``merges/`` — read-time closure work
+    drops to zero until the next merge event.
+
+    Safety argument for the ordering (docs swap first, merges cleared
+    second): the rewritten labels are component MINIMA, and a minimum
+    is never superseded (merge events only ever map a label to a
+    smaller one), so no stale merge edge can have a current root as
+    its ``src`` — pushing the rewritten labels through any subset of
+    the old merge graph is the identity.  Every crash point therefore
+    reads identically through :func:`components_over_store`; a re-run
+    completes the pass.  The docs rewrite itself uses the crash-aware
+    directory swap (labels are NOT idempotent under duplication — a
+    doc must keep exactly one row).  Single-writer maintenance op.
+    Returns file/row counts.
+    """
+    import shutil
+
+    from ..storeio import (
+        list_data_files,
+        read_parquet_if_exists,
+        rewrite_store,
+    )
+
+    docs_path = _cc_docs_path(store_path)
+    merges_path = _cc_merges_path(store_path)
+    if read_parquet_if_exists(spark, docs_path) is None:
+        return {"docs_files": (0, 0), "merge_rows_cleared": 0}
+    merges = read_parquet_if_exists(spark, merges_path)
+    n_merges = 0 if merges is None else merges.count()
+    before = list_data_files(docs_path)
+    size = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, -(-size // (128 << 20)))
+
+    def write_docs(new: str) -> None:
+        (
+            components_over_store(spark, store_path, max_iters)
+            .select("doc", F.col("component").alias("label"))
+            .repartitionByRange(n_out, "doc")
+            .write.mode("overwrite")
+            .parquet(new)
+        )
+
+    rewrite_store(docs_path, write_docs)
+    shutil.rmtree(merges_path, ignore_errors=True)
+    return {
+        "docs_files": (len(before), len(list_data_files(docs_path))),
+        "merge_rows_cleared": n_merges,
+    }
 
 
 # ------------------------------------------------------------------ #

@@ -1505,6 +1505,70 @@ def seed_distance_over_store(spark, store_path: str) -> DataFrame:
     return dists.groupBy("doc").agg(F.min("dist").alias("dist"))
 
 
+def compact_seed_distance_store(spark, store_path: str) -> dict:
+    """Vacuum pass for the seed-distance store: fold ``dists/`` to its
+    read-time view (one MIN row per doc — the store accumulates one
+    row per improvement event, ≤ max_depth+2 per doc) and coalesce the
+    per-batch ``edges/`` files.
+
+    Crash-safety without a swap: min composes, so the dists sequence
+    is write-compacted-rows-into-a-staging-dir → move its data files
+    INTO the live dir → delete the listed pre-existing files.  Every
+    intermediate state (old rows, old+compacted, compacted only)
+    reads identically through the ``groupBy(doc).min(dist)`` view —
+    a crash anywhere leaves a correct (merely denser) store and the
+    pass simply re-runs.  Edge rows are unique and the BFS relaxation
+    folds min over candidates, so edges use the same move-in pattern.
+    Single-writer maintenance op.  Returns per-store file counts.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..storeio import list_data_files, read_parquet_if_exists
+
+    target_bytes = 128 << 20
+    out = {}
+    for name, path, fold in (
+        (
+            "dists",
+            _sd_dists_path(store_path),
+            lambda df, n: df.groupBy("doc")
+            .agg(F.min("dist").alias("dist"))
+            .repartitionByRange(n, "doc"),
+        ),
+        (
+            "edges",
+            _sd_edges_path(store_path),
+            lambda df, n: df.dropDuplicates(["a", "b"]).repartitionByRange(
+                n, "a"
+            ),
+        ),
+    ):
+        frame = read_parquet_if_exists(spark, path)
+        if frame is None:
+            out[f"{name}_files"] = (0, 0)
+            continue
+        before = list_data_files(path)
+        size = sum(os.path.getsize(f) for f in before)
+        n_out = max(1, -(-size // target_bytes))
+        stage = tempfile.mkdtemp(prefix=f"sd_compact_{name}_")
+        try:
+            fold(frame, n_out).write.mode("overwrite").parquet(stage)
+            # the write above fully materialized the fold FROM the old
+            # files; only now do the old files become redundant
+            for f in list_data_files(stage):
+                shutil.move(
+                    f, os.path.join(path, "compact_" + os.path.basename(f))
+                )
+            for f in before:
+                os.remove(f)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        out[f"{name}_files"] = (len(before), len(list_data_files(path)))
+    return out
+
+
 def _pq_fit(
     X: np.ndarray, m: int, ksub: int, seed: int, iters: int = 10
 ) -> np.ndarray:

@@ -8,6 +8,7 @@ DuckDB-SQL twin in the query registry.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -759,6 +760,66 @@ def phrase_over_store(
         .filter(F.col("n_occurrences") > 0)
         .orderBy(F.col("n_occurrences").desc(), F.col("doc").asc())
     )
+
+
+def compact_bm25_store(
+    spark,
+    store_path: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Vacuum/OPTIMIZE pass for the incremental BM25 index: rewrite
+    ``postings/`` GLOBALLY token-range-clustered into ~``target_bytes``
+    files and coalesce ``docstats/``.
+
+    Why: each append range-clusters only within its own batch, so
+    every batch contributes a file spanning the full token alphabet —
+    as the store ages, the query-time ``In(token, …)`` pushdown
+    filters rows but prunes no files.  One global recluster restores
+    file-level pruning and collapses the per-batch small files.
+
+    Reads are EXACTLY unchanged (same rows, different layout):
+    ``bm25_over_store`` / ``phrase_over_store`` /
+    ``proximity_over_store`` before == after, pinned in the registry
+    and tests.  Uses the crash-aware directory swap
+    (:func:`mongo_es_spark.storeio.rewrite_store`): single-writer
+    maintenance op, re-runs self-heal.  Returns per-store file counts.
+    """
+    from ..storeio import list_data_files, rewrite_store
+
+    p = _bm_postings_path(store_path)
+    d = _bm_docstats_path(store_path)
+    before_p = list_data_files(p)
+    before_d = list_data_files(d)
+    size = sum(os.path.getsize(f) for f in before_p)
+    n_out = max(1, -(-size // target_bytes))
+
+    def write_postings(new: str) -> None:
+        (
+            spark.read.parquet(p)
+            .repartitionByRange(n_out, "token")
+            .sortWithinPartitions("token", "doc")
+            .write.mode("overwrite")
+            .parquet(new)
+        )
+
+    rewrite_store(p, write_postings)
+
+    size_d = sum(os.path.getsize(f) for f in before_d)
+    n_out_d = max(1, -(-size_d // target_bytes))
+
+    def write_docstats(new: str) -> None:
+        (
+            spark.read.parquet(d)
+            .repartition(n_out_d)
+            .write.mode("overwrite")
+            .parquet(new)
+        )
+
+    rewrite_store(d, write_docstats)
+    return {
+        "postings_files": (len(before_p), len(list_data_files(p))),
+        "docstats_files": (len(before_d), len(list_data_files(d))),
+    }
 
 
 def proximity_over_store(

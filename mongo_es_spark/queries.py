@@ -2649,6 +2649,57 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("search_index_compaction", _BM25_ORACLE)
+def search_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index VACUUM pass under the batch search's hard oracle:
+    the corpus folds into the postings/docstats stores in three
+    hash-split batches (each append is range-clustered only within
+    itself, so files span the full token alphabet),
+    ``compact_bm25_store`` then rewrites the store globally
+    token-range-clustered via the crash-aware directory swap — and
+    ``bm25_over_store`` must return the exact same top-10 it did
+    before the rewrite (rows unchanged, layout the only thing
+    compaction may touch).  The harness asserts the file count
+    dropped so the registry row really exercised a multi-file
+    compaction."""
+    import shutil
+    import tempfile
+
+    from .operators.text import (
+        bm25_over_store,
+        compact_bm25_store,
+        incremental_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="bm_compact_")
+    try:
+        store = os.path.join(base, "bm")
+        split = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+        for b in range(3):
+            incremental_bm25_index(
+                spark, docs.filter(split == b), store
+            ).count()
+        pre = bm25_over_store(
+            spark, store, ["spark", "table", "stream"], top_k=10
+        ).collect()
+        counts = compact_bm25_store(spark, store)
+        if not counts["postings_files"][1] < counts["postings_files"][0]:
+            raise AssertionError(
+                f"compaction did not reduce files: {counts}"
+            )
+        rows = bm25_over_store(
+            spark, store, ["spark", "table", "stream"], top_k=10
+        ).collect()
+        if rows != pre:
+            raise AssertionError("compaction changed query results")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, score double").select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
 # --------------------------------------------------------------------
 # Shared read-only index stores for the search-family harnesses.
 # Queries that SERVE from an index (hybrid, more-like-this, phrase,
