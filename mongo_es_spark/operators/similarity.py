@@ -1445,6 +1445,14 @@ def incremental_seed_distance(
     best = frontier
 
     for _ in range(int(max_depth)):
+        # early exit: an empty frontier stays empty — steady-state
+        # batches into a settled store converge in one or two rounds,
+        # and a replayed batch converges in ZERO, so the remaining
+        # rounds' join/aggregate/checkpoint jobs are pure overhead.
+        # The frontier is already eagerly checkpointed, so the
+        # emptiness probe is a limit-1 scan of materialized rows.
+        if frontier.isEmpty():
+            break
         nxt = (
             full_edges.join(
                 F.broadcast(
@@ -1483,8 +1491,12 @@ def incremental_seed_distance(
             .localCheckpoint(eager=True)
         )
 
-    # dists first, then edges (see write-order note above)
-    best.write.mode("append").parquet(_sd_dists_path(store_path))
+    # dists first, then edges (see write-order note above); a batch
+    # with zero improvements (replay, or edges that shortcut nothing)
+    # appends no dists file at all instead of an empty one — replayed
+    # feeds must not accrete per-replay file clutter
+    if not best.isEmpty():
+        best.write.mode("append").parquet(_sd_dists_path(store_path))
     if edges_batch is not None:
         new_edges.write.mode("append").parquet(
             _sd_edges_path(store_path)
