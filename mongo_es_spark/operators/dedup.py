@@ -2132,7 +2132,10 @@ def components_over_store(
 
 
 def compact_components_store(
-    spark, store_path: str, max_iters: int = 20
+    spark,
+    store_path: str,
+    max_iters: int = 20,
+    min_files: int | None = None,
 ) -> dict:
     """Vacuum pass for the incremental-components store: rewrite
     ``docs/`` with the merge closure APPLIED (labels become current
@@ -2167,7 +2170,12 @@ def compact_components_store(
     n_merges = 0 if merges is None else merges.count()
     before = list_data_files(docs_path)
     size = sum(os.path.getsize(f) for f in before)
-    n_out = max(1, -(-size // (128 << 20)))
+    floor = (
+        spark.sparkContext.defaultParallelism
+        if min_files is None
+        else int(min_files)
+    )
+    n_out = max(1, floor, -(-size // (128 << 20)))
 
     def write_docs(new: str) -> None:
         (

@@ -1517,7 +1517,9 @@ def seed_distance_over_store(spark, store_path: str) -> DataFrame:
     return dists.groupBy("doc").agg(F.min("dist").alias("dist"))
 
 
-def compact_seed_distance_store(spark, store_path: str) -> dict:
+def compact_seed_distance_store(
+    spark, store_path: str, min_files: int | None = None
+) -> dict:
     """Vacuum pass for the seed-distance store: fold ``dists/`` to its
     read-time view (one MIN row per doc — the store accumulates one
     row per improvement event, ≤ max_depth+2 per doc) and coalesce the
@@ -1563,7 +1565,14 @@ def compact_seed_distance_store(spark, store_path: str) -> dict:
             continue
         before = list_data_files(path)
         size = sum(os.path.getsize(f) for f in before)
-        n_out = max(1, -(-size // target_bytes))
+        # parallelism floor, same rationale as compact_bm25_store: a
+        # byte-only target can serialize small-store scans
+        floor = (
+            spark.sparkContext.defaultParallelism
+            if min_files is None
+            else int(min_files)
+        )
+        n_out = max(1, floor, -(-size // target_bytes))
         stage = tempfile.mkdtemp(prefix=f"sd_compact_{name}_")
         try:
             fold(frame, n_out).write.mode("overwrite").parquet(stage)

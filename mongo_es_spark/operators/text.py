@@ -702,6 +702,94 @@ def bm25_over_store(
     )
 
 
+def bm25_batch_over_store(
+    spark,
+    store_path: str,
+    queries: Sequence[tuple],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """Batched BM25 over the persisted index — the ES ``msearch``
+    shape: ``queries`` is a model-sized batch of ``(q_id, [terms])``
+    pairs served in ONE index pass, scoring each query identically to
+    :func:`bm25_over_store` (pinned by tests and the registry oracle).
+
+    Scale shape: one postings scan filtered to the UNION of every
+    query's terms (``PushedFilters: In(token, …)``), the per-(doc,
+    token) BM25 weight computed once (idf and length norm are
+    query-independent), then a broadcast join against the tiny
+    (q_id, token) map fans weights out to queries, one (q_id, doc)
+    aggregation sums them, and a q_id-keyed window takes each top-k.
+    Serving q queries costs one index read instead of q — the
+    amortization msearch exists for.  Output: ``(q_id, doc, score)``,
+    per-query rank ≤ ``top_k``, ordered q_id asc / score desc / doc
+    asc.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    qlist = [(int(q), list(dict.fromkeys(terms))) for q, terms in queries]
+    if len(qlist) > max_queries:
+        raise ValueError(
+            f"bm25_batch_over_store: > {max_queries} queries — the "
+            "query batch is driver-side model state; chunk it"
+        )
+    all_terms = sorted({t for _, terms in qlist for t in terms})
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    if postings is None or docstats is None or not all_terms:
+        return spark.createDataFrame(
+            [], "q_id long, doc long, score double"
+        )
+    qt = spark.createDataFrame(
+        [(q, t) for q, terms in qlist for t in terms],
+        "q_id long, token string",
+    )
+    stats = docstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = postings.filter(F.col("token").isin(all_terms))
+    n_t = tf.groupBy("token").agg(
+        F.countDistinct("doc").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(n_t), "token")
+        .join(docstats, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+        + 1.0
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    per_query = (
+        scored.withColumn("w", w)
+        .join(F.broadcast(qt), "token")
+        .groupBy("q_id", "doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    rk = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        per_query.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") <= top_k)
+        .select("q_id", "doc", "score")
+        .orderBy(
+            F.col("q_id").asc(), F.col("score").desc(), F.col("doc").asc()
+        )
+    )
+
+
 def phrase_over_store(
     spark,
     store_path: str,
@@ -766,6 +854,7 @@ def compact_bm25_store(
     spark,
     store_path: str,
     target_bytes: int = 128 << 20,
+    min_files: int | None = None,
 ) -> dict:
     """Vacuum/OPTIMIZE pass for the incremental BM25 index: rewrite
     ``postings/`` GLOBALLY token-range-clustered into ~``target_bytes``
@@ -791,7 +880,20 @@ def compact_bm25_store(
     before_p = list_data_files(p)
     before_d = list_data_files(d)
     size = sum(os.path.getsize(f) for f in before_p)
-    n_out = max(1, -(-size // target_bytes))
+    # file-count floor = scheduler parallelism: sizing purely by bytes
+    # collapsed a 298-file store to 7 files and made the query SLOWER
+    # on 32 cores (measured 17.2 -> 26.4 s at 5M docs) — a handful of
+    # token-sorted files serializes both the pruned scan and the
+    # docstats join into a handful of tasks.  At cluster scale the
+    # byte target dominates anyway; the floor only bites where the
+    # store is small relative to the executor count.  ``min_files``
+    # overrides the floor (tests pin exact layouts with it).
+    floor = (
+        spark.sparkContext.defaultParallelism
+        if min_files is None
+        else int(min_files)
+    )
+    n_out = max(1, floor, -(-size // target_bytes))
 
     def write_postings(new: str) -> None:
         (
@@ -805,7 +907,7 @@ def compact_bm25_store(
     rewrite_store(p, write_postings)
 
     size_d = sum(os.path.getsize(f) for f in before_d)
-    n_out_d = max(1, -(-size_d // target_bytes))
+    n_out_d = max(1, floor, -(-size_d // target_bytes))
 
     def write_docstats(new: str) -> None:
         (

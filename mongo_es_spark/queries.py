@@ -2683,7 +2683,7 @@ def search_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre = bm25_over_store(
             spark, store, ["spark", "table", "stream"], top_k=10
         ).collect()
-        counts = compact_bm25_store(spark, store)
+        counts = compact_bm25_store(spark, store, min_files=1)
         if not counts["postings_files"][1] < counts["postings_files"][0]:
             raise AssertionError(
                 f"compaction did not reduce files: {counts}"
@@ -2797,6 +2797,73 @@ def search_hybrid_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["bm25_rank", "cos_rank"],
         top_k=10,
     )
+
+
+@register(
+    "search_bm25_batch",
+    """
+    WITH qt(q_id, token) AS (
+        VALUES (0, 'spark'), (0, 'table'),
+               (1, 'stream'), (1, 'value'),
+               (2, 'table'), (2, 'stream'), (2, 'spark')
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN (SELECT DISTINCT token FROM qt)
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    w AS (
+        SELECT doc_id, token,
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    ),
+    scores AS (
+        SELECT q.q_id, w.doc_id, round(sum(w.w), 6) AS score
+        FROM w JOIN qt q USING (token)
+        GROUP BY q.q_id, w.doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, doc_id ASC
+        ) AS rk
+        FROM scores
+    )
+    SELECT q_id::BIGINT AS q_id, doc_id, score
+    FROM ranked WHERE rk <= 10
+    ORDER BY q_id ASC, score DESC, doc_id ASC
+    """,
+)
+def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched lexical serving — the ES ``msearch`` shape over the
+    maintained index (operators/text.py:bm25_batch_over_store): three
+    queries share ONE token-pruned postings scan; the query-independent
+    per-(doc, token) BM25 weight is computed once and fanned out to
+    queries through a broadcast (q_id, token) map, then one (q_id, doc)
+    aggregation and a q_id-keyed window take each top-10.  Scoring is
+    identical per query to ``bm25_over_store`` (the oracle replays the
+    same math per q_id from the raw text)."""
+    from .operators.text import bm25_batch_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return bm25_batch_over_store(
+        spark,
+        store,
+        [
+            (0, ["spark", "table"]),
+            (1, ["stream", "value"]),
+            (2, ["table", "stream", "spark"]),
+        ],
+        top_k=10,
+    ).select("q_id", F.col("doc").alias("doc_id"), "score")
 
 
 @register("search_mlt_over_store", REGISTRY["search_more_like_this"][1])

@@ -79,6 +79,52 @@ def test_bm25_exclude_docs_matches_minus_corpus(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_bm25_batch_equals_per_query(spark, tmp_path):
+    """The msearch batch must score every query identically to its
+    standalone bm25_over_store run — one index pass, same math."""
+    from mongo_es_spark.operators.text import (
+        bm25_batch_over_store,
+        bm25_over_store,
+        incremental_bm25_index,
+    )
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    queries = [
+        (0, ["spark", "table"]),
+        (1, ["stream", "value"]),
+        (2, ["table", "table", "stream"]),  # dup term collapses
+        (3, ["zzz_not_a_token"]),           # no hits -> no rows
+    ]
+    got = [
+        (r["q_id"], r["doc"], r["score"])
+        for r in bm25_batch_over_store(
+            spark, store, queries, top_k=5
+        ).collect()
+    ]
+    want = []
+    for q_id, terms in queries:
+        want += [
+            (q_id, r["doc"], r["score"])
+            for r in bm25_over_store(
+                spark, store, terms, top_k=5
+            ).collect()
+        ]
+    assert got == want
+    assert not [r for r in got if r[0] == 3]
+
+    plan = (
+        bm25_batch_over_store(spark, store, queries[:3])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PushedFilters: \[.*In\(token", plan)
+    assert "CartesianProduct" not in plan
+
+
 def test_proximity_min_span_edges(spark, tmp_path):
     """The linear merged-events fold must find the TIGHT window among
     interleaved repeats (a naive first-occurrence pairing would not),

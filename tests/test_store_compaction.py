@@ -46,7 +46,9 @@ def test_bm25_compaction_preserves_every_reader(spark, tmp_path):
         spark, store, ["value", "table"]
     ).collect()
 
-    counts = compact_bm25_store(spark, store, target_bytes=1 << 30)
+    counts = compact_bm25_store(
+        spark, store, target_bytes=1 << 30, min_files=1
+    )
     assert counts["postings_files"][1] < counts["postings_files"][0]
 
     assert (
@@ -85,12 +87,12 @@ def test_bm25_compaction_self_heals_crashed_swap(spark, tmp_path):
     # fully written, the live dir was renamed away, the second rename
     # never happened
     p = os.path.join(store, "postings")
-    compact_bm25_store(spark, store)  # produces a compacted layout
+    compact_bm25_store(spark, store, min_files=1)
     post = bm25_over_store(spark, store, ["spark", "table"]).collect()
     assert post == pre
     os.rename(p, p + "__new")
     shutil.rmtree(p, ignore_errors=True)
-    compact_bm25_store(spark, store)  # must heal, then re-compact
+    compact_bm25_store(spark, store, min_files=1)  # heal, re-compact
     assert (
         bm25_over_store(spark, store, ["spark", "table"]).collect()
         == pre
@@ -128,7 +130,7 @@ def test_seed_distance_compaction(spark, tmp_path):
     dists_rows_before = spark.read.parquet(f"{store}/dists").count()
     assert dists_rows_before > len(pre)  # improvement events piled up
 
-    counts = compact_seed_distance_store(spark, store)
+    counts = compact_seed_distance_store(spark, store, min_files=1)
     assert counts["dists_files"][1] <= counts["dists_files"][0]
     assert spark.read.parquet(f"{store}/dists").count() == len(pre)
     assert (
@@ -185,7 +187,7 @@ def test_components_compaction(spark, tmp_path):
     assert {c for _, c in pre} == {1}  # all merged to min id
     assert os.path.isdir(f"{store}/merges")
 
-    out = compact_components_store(spark, store)
+    out = compact_components_store(spark, store, min_files=1)
     assert out["merge_rows_cleared"] >= 1
     assert not os.path.isdir(f"{store}/merges")
     assert (
