@@ -614,13 +614,15 @@ def incremental_bm25_index(
             .distinct()
         )
         tf_rows = tf_rows.join(F.broadcast(already), "doc", "left_anti")
-    # range-cluster each append by token: row-group (and at larger
-    # appends file-level) min/max statistics then bound tight token
-    # ranges, so the query-time In(token, …) pushdown skips most of
-    # the index instead of just filtering it post-read
+    # range-cluster each append by (token, doc): row-group (and at
+    # larger appends file-level) min/max statistics then bound tight
+    # token ranges, so the query-time In(token, …) pushdown skips most
+    # of the index instead of just filtering it post-read; the doc
+    # component splits a heavy token's rows across files so the
+    # post-pruning scan stays parallel (see compact_bm25_store)
     tf_rows.select("token", "doc", "tf", "pos").repartitionByRange(
-        "token"
-    ).sortWithinPartitions("token").write.mode("append").parquet(
+        "token", "doc"
+    ).sortWithinPartitions("token", "doc").write.mode("append").parquet(
         _bm_postings_path(store_path)
     )
     dl_rows = dl_rows.localCheckpoint(eager=True)
@@ -896,9 +898,16 @@ def compact_bm25_store(
     n_out = max(1, floor, -(-size // target_bytes))
 
     def write_postings(new: str) -> None:
+        # composite (token, doc) range: every file still carries a
+        # tight token min/max (file-level In(token) pruning), but a
+        # HEAVY token's rows split across several files by doc range
+        # instead of concentrating in one — post-pruning scan
+        # parallelism survives skewed/common tokens (single-key range
+        # clustering measured 7.0 -> 11.6 s on a 3-common-term query
+        # at 5M docs because each term's postings landed in one file)
         (
             spark.read.parquet(p)
-            .repartitionByRange(n_out, "token")
+            .repartitionByRange(n_out, "token", "doc")
             .sortWithinPartitions("token", "doc")
             .write.mode("overwrite")
             .parquet(new)
