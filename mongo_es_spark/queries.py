@@ -2799,6 +2799,30 @@ def search_hybrid_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("search_dense_over_store", REGISTRY["similarity_topk"][1])
+def search_dense_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense retrieval SERVED FROM the maintained IVF store, under the
+    brute-force query's own oracle: ``ivf_exact_topk`` probes cells in
+    upper-bound order (cos(q,x) ≤ q·centroid + stored max residual)
+    and stops as soon as no unprobed cell can beat the provisional
+    k-th rounded score — unprobed cells' parquet is never read, and
+    the result is EXACTLY ``cosine_topk`` over the indexed vectors.
+    The pruning bites on clustered corpora (the IVF premise); on this
+    fixture's random-ish vectors it degrades to a certified full scan
+    (the honest negative recorded in SCALING.md)."""
+    from .operators.similarity import ivf_exact_topk
+
+    store = _shared_ivf_store(spark, sf_dir)
+    qv = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    )
+    return ivf_exact_topk(
+        spark, store, qv, "vec_id", k=10, exclude_id=0
+    ).select("vec_id", "score")
+
+
 @register(
     "search_bm25_batch",
     """
