@@ -792,6 +792,131 @@ def bm25_batch_over_store(
     )
 
 
+def bool_search_over_store(
+    spark,
+    store_path: str,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``bool`` query over the postings store: candidates contain
+    ALL ``must`` terms and NONE of ``must_not``; the score is the BM25
+    sum over the candidate's ``must`` + ``should`` term matches
+    (``should`` boosts ranking without gating membership — the ES
+    semantics when ``must`` is present; with no ``must``, ``should``
+    gates as an OR).
+
+    Scale shape: ONE postings scan filtered to the union of all three
+    clauses' terms (``PushedFilters: In(token, …)``); the must gate is
+    a distinct-token count against ``len(must)``, the must_not gate a
+    broadcast anti-join of blocked doc ids — every frame after the
+    scan is query-terms-sized except the docstats length-norm join.
+    Scoring math identical to :func:`bm25_over_store` restricted to
+    the gated candidates.  Output: ``(doc, score)`` top-k.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    must = list(dict.fromkeys(must))
+    should = list(dict.fromkeys(should))
+    must_not = list(dict.fromkeys(must_not))
+    if not must and not should:
+        raise ValueError("bool query needs at least one must/should term")
+    all_terms = sorted(set(must) | set(should) | set(must_not))
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "doc long, score double")
+    tf = postings.filter(F.col("token").isin(all_terms)).select(
+        "doc", "token", "tf"
+    )
+    gate_terms = must if must else should
+    need = len(must) if must else 1
+    cand = (
+        tf.filter(F.col("token").isin(gate_terms))
+        .groupBy("doc")
+        .agg(F.countDistinct("token").alias("__nt"))
+        .filter(F.col("__nt") >= need)
+        .select("doc")
+    )
+    if must_not:
+        blocked = (
+            tf.filter(F.col("token").isin(must_not))
+            .select("doc")
+            .distinct()
+        )
+        cand = cand.join(F.broadcast(blocked), "doc", "left_anti")
+    score_terms = sorted(set(must) | set(should))
+    scored_tf = tf.filter(F.col("token").isin(score_terms)).join(
+        cand, "doc", "left_semi"
+    )
+    stats = docstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # df_t over the SCANNED term set (matches the oracle's tf CTE):
+    # document frequency is a corpus property, not a candidate one
+    n_t = tf.groupBy("token").agg(
+        F.countDistinct("doc").alias("df_t")
+    )
+    scored = (
+        scored_tf.join(F.broadcast(n_t), "token")
+        .join(docstats, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+        + 1.0
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.withColumn("w", w)
+        .groupBy("doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
+def expand_fuzzy_terms(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    max_dist: int = 1,
+) -> list[str]:
+    """ES ``fuzziness`` term expansion against the INDEX VOCABULARY:
+    every distinct stored token within Levenshtein ``max_dist`` of any
+    query term.  The vocabulary frame is index-metadata-sized (distinct
+    tokens, not postings), the distance runs as the JVM ``levenshtein``
+    with its early-exit threshold form, and the expanded set collects
+    as driver-side model state (the query-vector budget class) to feed
+    :func:`bm25_over_store` / :func:`bool_search_over_store`."""
+    from ..storeio import read_parquet_if_exists
+
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    if postings is None:
+        return []
+    vocab = postings.select("token").distinct()
+    cond = None
+    for t in dict.fromkeys(terms):
+        c = F.levenshtein(F.col("token"), F.lit(t)) <= max_dist
+        cond = c if cond is None else (cond | c)
+    return sorted(
+        r["token"] for r in vocab.filter(cond).collect()
+    )
+
+
 def phrase_over_store(
     spark,
     store_path: str,

@@ -2890,6 +2890,113 @@ def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", F.col("doc").alias("doc_id"), "score")
 
 
+@register(
+    "search_bool",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream', 'value')
+        GROUP BY doc_id, token
+    ),
+    cand AS (
+        SELECT doc_id FROM tf WHERE token IN ('spark', 'table')
+        GROUP BY doc_id HAVING count(DISTINCT token) = 2
+    ),
+    blocked AS (SELECT DISTINCT doc_id FROM tf WHERE token = 'value'),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT t.doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN cand USING (doc_id)
+    ANTI JOIN blocked USING (doc_id)
+    JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    WHERE t.token IN ('spark', 'table', 'stream')
+    GROUP BY t.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query over the postings store
+    (operators/text.py:bool_search_over_store): must=[spark, table]
+    gates membership (all required), should=[stream] boosts scoring,
+    must_not=[value] blocks — one token-pruned postings scan, gates as
+    a distinct-token count + a broadcast anti-join, BM25 over the
+    must+should matches of the surviving candidates."""
+    from .operators.text import bool_search_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return bool_search_over_store(
+        spark,
+        store,
+        must=["spark", "table"],
+        should=["stream"],
+        must_not=["value"],
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_fuzzy",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT DISTINCT token FROM toks WHERE length(token) > 0),
+    expanded AS (
+        SELECT token FROM vocab
+        WHERE levenshtein(token, 'sow') <= 1
+           OR levenshtein(token, 'steam') <= 1
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN (SELECT token FROM expanded)
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzziness over the postings store: the misspelled query
+    terms [sow, steam] expand against the INDEX VOCABULARY (distinct
+    stored tokens, index-metadata-sized) to every token within
+    Levenshtein 1 — on this corpus {row, slow, stream} — then plain
+    BM25 serves the expanded set from the store.  The oracle replays
+    the same expansion + scoring from the raw text."""
+    from .operators.text import bm25_over_store, expand_fuzzy_terms
+
+    store = _shared_bm25_store(spark, sf_dir)
+    expanded = expand_fuzzy_terms(
+        spark, store, ["sow", "steam"], max_dist=1
+    )
+    return bm25_over_store(spark, store, expanded, top_k=10).select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
 @register("search_mlt_over_store", REGISTRY["search_more_like_this"][1])
 def search_mlt_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this SERVED FROM the maintained BM25 index, under the

@@ -79,6 +79,79 @@ def test_bm25_exclude_docs_matches_minus_corpus(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_bool_search_gates_and_boosts(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        bool_search_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "a b c"),       # must hit
+        (2, "a b c x"),     # must hit, blocked by must_not x
+        (3, "a c"),         # missing must term b -> out
+        (4, "a b"),         # must hit, no should term
+        (5, "c x"),         # no must terms at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+
+    got = {
+        r["doc"]: r["score"]
+        for r in bool_search_over_store(
+            spark, store, must=["a", "b"], should=["c"], must_not=["x"]
+        ).collect()
+    }
+    assert set(got) == {1, 4}          # gated by must, blocked by x
+    assert got[1] > got[4]             # should term boosts 1 over 4
+    # no must: should gates as OR
+    or_hits = {
+        r["doc"]
+        for r in bool_search_over_store(
+            spark, store, should=["c"], must_not=["x"]
+        ).collect()
+    }
+    assert or_hits == {1, 3}
+    # must-only bool == plain bm25 restricted to docs with ALL terms
+    plain = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(spark, store, ["a", "b"]).collect()
+        if r["doc"] in (1, 2, 4)
+    }
+    must_only = {
+        r["doc"]: r["score"]
+        for r in bool_search_over_store(
+            spark, store, must=["a", "b"]
+        ).collect()
+    }
+    assert must_only == plain
+
+
+def test_fuzzy_expansion_against_vocabulary(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        expand_fuzzy_terms,
+        incremental_bm25_index,
+    )
+
+    rows = [(1, "row slow stream spark"), (2, "grow crow rows")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    assert expand_fuzzy_terms(spark, store, ["sow"], max_dist=1) == [
+        "row",
+        "slow",
+    ]
+    assert expand_fuzzy_terms(spark, store, ["sow"], max_dist=2) == [
+        "crow",
+        "grow",
+        "row",
+        "rows",
+        "slow",
+    ]
+    assert expand_fuzzy_terms(spark, store, ["zzz"], max_dist=1) == []
+
+
 def test_bm25_batch_equals_per_query(spark, tmp_path):
     """The msearch batch must score every query identically to its
     standalone bm25_over_store run — one index pass, same math."""
