@@ -2799,6 +2799,38 @@ def search_hybrid_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_highlight_over_store", REGISTRY["search_bm25_highlight"][1]
+)
+def search_highlight_over_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Search + highlight SERVED FROM the index, under the scan
+    edition's own oracle: BM25 top-10 comes from the postings store
+    (token-pruned), and the snippets compute over a POINT LOOKUP of
+    just those 10 documents (the hit ids are model-sized driver state;
+    the corpus filter is an ``In(doc_id, …)`` the parquet scan pushes
+    down) — the scan edition runs the highlight projection over the
+    ENTIRE corpus and joins it down to 10 rows.  This is the ES
+    search+highlight serving shape: stored-field fetch per hit, not a
+    corpus pass per query."""
+    from .operators.text import bm25_over_store, highlight_snippets
+
+    store = _shared_bm25_store(spark, sf_dir)
+    terms = ["spark", "table", "stream"]
+    bm = bm25_over_store(spark, store, terms, top_k=10).select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+    hit_ids = [r["doc_id"] for r in bm.collect()]
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(hit_ids)
+    )
+    hl = highlight_snippets(docs, "doc_id", "text", terms, window=30)
+    return bm.join(hl, "doc_id").select(
+        "doc_id", "score", "matched_term", "match_pos", "snippet"
+    )
+
+
 @register("search_dense_over_store", REGISTRY["similarity_topk"][1])
 def search_dense_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense retrieval SERVED FROM the maintained IVF store, under the
