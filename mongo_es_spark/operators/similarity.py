@@ -676,6 +676,181 @@ def ivf_exact_topk(
     ).orderBy(F.col("score").desc(), F.col(id_col).asc())
 
 
+def ivf_exact_batch_topk(
+    spark,
+    path: str,
+    queries,
+    id_col: str,
+    k: int = 10,
+    exclude_self: bool = False,
+    max_queries: int = 65_536,
+    probe_log: list | None = None,
+) -> DataFrame:
+    """Batched EXACT top-k over the IVF store — dense ``msearch``:
+    a model-sized batch of ``(q_id, vector)`` queries served with the
+    same two-wave centroid-radius pruning as :func:`ivf_exact_topk`,
+    but each wave scans the UNION of every query's probe cells ONCE
+    (one Arrow pass holding the unit query matrix plus a per-(query,
+    cell) allow mask — a row scores against exactly the queries whose
+    probe set contains its cell, so per-query results are identical to
+    q independent runs while the index is read once per wave).
+
+    Per-query exactness argument is unchanged: wave 1 is the smallest
+    ub-ordered cell prefix holding ≥ k scorable members; wave 2
+    re-probes only the cells whose bound reaches that query's
+    provisional k-th rounded score minus the 6-dp margin.  Driver
+    state: centroids + cellstats + q×k provisional rows (the msearch
+    budget class).  ``exclude_self`` drops rows whose id equals the
+    query's own id (corpus-drawn queries).  Output: ``(q_id, id_col,
+    score)``, q_id asc / score desc / id asc, ≤ k rows per query —
+    equal to per-query :func:`ivf_exact_topk` / brute force.
+    """
+    qlist = [(int(q), v) for q, v in queries]
+    if len(qlist) > max_queries:
+        raise ValueError(
+            f"ivf_exact_batch_topk: > {max_queries} queries — chunk "
+            "the batch (driver-side model state)"
+        )
+    if len({q for q, _ in qlist}) != len(qlist):
+        raise ValueError("duplicate q_id in the query batch")
+    if not qlist:
+        return spark.createDataFrame(
+            [], f"q_id long, {id_col} long, score double"
+        )
+    from ..storeio import read_parquet_if_exists
+
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    n_cells = len(cent)
+    C = np.zeros((n_cells, len(cent[0]["centroid"])))
+    for r in cent:
+        C[r["cell"]] = r["centroid"]
+    C = _unit_rows(C)
+    stats = read_parquet_if_exists(spark, f"{path}/cellstats")
+    radii = np.full(n_cells, 2.0)
+    counts = np.zeros(n_cells, dtype=np.int64)
+    if stats is not None:
+        merged = (
+            stats.groupBy("cell")
+            .agg(F.max("radius").alias("radius"), F.sum("n").alias("n"))
+            .collect()
+        )
+        seen = np.zeros(n_cells, dtype=bool)
+        for r in merged:
+            c = int(r["cell"])
+            seen[c] = True
+            counts[c] = int(r["n"])
+            radii[c] = (
+                -np.inf if r["radius"] is None else float(r["radius"])
+            )
+        # unseen centroid cells stay conservatively coverable at 2.0
+        counts[~seen] = 0
+    else:
+        counts[:] = k  # pre-stats fallback: probe-as-you-go
+    q_ids = np.array([q for q, _ in qlist], dtype=np.int64)
+    Q = np.asarray(
+        [np.asarray(v, dtype=np.float64) for _, v in qlist]
+    )
+    Qn = _unit_rows(Q)
+    ub = Qn @ C.T + radii[None, :]  # (q, cells)
+    order = np.argsort(-ub, axis=1, kind="stable")
+
+    def _wave_scan(allow: np.ndarray, cells: list[int]):
+        """One pass over ``cells``; a row scores against query j only
+        where ``allow[j, row_cell]``.  Returns the local top-k rows."""
+
+        def gen(batches):
+            for pdf in batches:
+                vs = pdf["v"]
+                if len(vs) == 0:
+                    continue
+                V, idx = _mask_stack(vs)
+                if len(idx) == 0:
+                    continue
+                v_ids = pdf["doc"].to_numpy(dtype=np.int64)[idx]
+                v_cells = pdf["cell"].to_numpy(dtype=np.int64)[idx]
+                S = np.round(Qn @ _unit_rows(V).T, 6)
+                S[:, np.linalg.norm(V, axis=1) == 0.0] = -np.inf
+                S[~allow[:, v_cells]] = -np.inf
+                if exclude_self:
+                    S[q_ids[:, None] == v_ids[None, :]] = -np.inf
+                kc = min(k, S.shape[1])
+                sel = np.lexsort(
+                    (np.broadcast_to(v_ids, S.shape), -S), axis=1
+                )[:, :kc]
+                rows = np.repeat(np.arange(S.shape[0]), kc)
+                cols = sel.ravel()
+                out_s = S[rows, cols]
+                ok = np.isfinite(out_s)
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.repeat(q_ids, kc)[ok],
+                        "__doc": v_ids[cols][ok],
+                        "score": out_s[ok],
+                    }
+                )
+
+        scan = (
+            spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("cell").isin([int(c) for c in cells]))
+            .select(
+                F.col(id_col).cast("long").alias("doc"),
+                "v",
+                F.col("cell").cast("long").alias("cell"),
+            )
+        )
+        return scan.mapInPandas(
+            gen, "q_id long, __doc long, score double"
+        ).collect()
+
+    def _topk(rows):
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["q_id"], []).append(r)
+        out = {}
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: (-r["score"], r["__doc"]))
+            out[q] = rs[:k]
+        return out
+
+    # wave 1: per-query count-covering prefix
+    allow1 = np.zeros((len(q_ids), n_cells), dtype=bool)
+    for j in range(len(q_ids)):
+        covered = 0
+        for c in order[j]:
+            allow1[j, c] = True
+            covered += counts[c]
+            if covered >= k:
+                break
+    cells1 = sorted(int(c) for c in np.flatnonzero(allow1.any(axis=0)))
+    best = _topk(_wave_scan(allow1, cells1)) if cells1 else {}
+
+    # wave 2: per-query cells whose bound survives that query's s_k
+    allow2 = np.zeros_like(allow1)
+    for j, q in enumerate(q_ids):
+        rs = best.get(int(q), [])
+        s_k = rs[k - 1]["score"] if len(rs) >= k else -np.inf
+        allow2[j] = ~allow1[j] & (ub[j] >= s_k - 5e-7)
+    cells2 = sorted(int(c) for c in np.flatnonzero(allow2.any(axis=0)))
+    if probe_log is not None:
+        probe_log.append({"wave1": cells1, "wave2": cells2})
+    if cells2:
+        extra = _topk(_wave_scan(allow2, cells2))
+        for q, rs in extra.items():
+            both = best.get(q, []) + rs
+            both.sort(key=lambda r: (-r["score"], r["__doc"]))
+            best[q] = both[:k]
+    out = [
+        (int(q), int(r["__doc"]), float(r["score"]))
+        for q in sorted(best)
+        for r in best[q]
+    ]
+    return spark.createDataFrame(
+        out, f"q_id long, {id_col} long, score double"
+    ).orderBy(
+        F.col("q_id").asc(), F.col("score").desc(), F.col(id_col).asc()
+    )
+
+
 def exact_batch_topk(
     df: DataFrame,
     id_col: str,

@@ -2856,6 +2856,53 @@ def search_dense_over_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_dense_batch",
+    """
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding FROM embeddings
+        WHERE vec_id IN (0, 1, 2)
+    )
+    SELECT q_id, vec_id, score FROM (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                   AS score,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                       DESC, e.vec_id ASC
+               ) AS rk
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    ) WHERE rk <= 10
+    ORDER BY q_id ASC, score DESC, vec_id ASC
+    """,
+)
+def search_dense_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense msearch over the IVF store
+    (operators/similarity.py:ivf_exact_batch_topk): three corpus-drawn
+    query vectors served in shared two-wave passes — each wave scans
+    the UNION of the queries' probe cells once, with a per-(query,
+    cell) allow mask inside the Arrow kernel so every query's result
+    stays exactly its standalone run.  Oracle: per-query brute-force
+    cosine top-10 (self excluded)."""
+    from .operators.similarity import ivf_exact_batch_topk
+
+    store = _shared_ivf_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return ivf_exact_batch_topk(
+        spark, store, queries, "vec_id", k=10, exclude_self=True
+    )
+
+
+@register(
     "search_bm25_batch",
     """
     WITH qt(q_id, token) AS (

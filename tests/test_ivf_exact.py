@@ -229,6 +229,78 @@ def test_append_keeps_exactness_and_merges_stats(spark, tmp_path):
     )
 
 
+def test_batch_equals_per_query_and_brute_force(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import (
+        ivf_exact_batch_topk,
+        ivf_exact_topk,
+    )
+
+    # three separated arcs + a zero and a NULL vector; queries sit in
+    # different clusters so the union wave covers several cells while
+    # each query's own mask stays narrow
+    rows = _arc_rows(
+        [i * 0.5 for i in range(20)]
+        + [120 + i * 0.5 for i in range(20)]
+        + [240 + i * 0.5 for i in range(20)]
+    ) + [(90, [0.0, 0.0]), (91, None)]
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=3)
+    queries = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(math.radians(121)), math.sin(math.radians(121))]),
+        (2, [math.cos(math.radians(60)), math.sin(math.radians(60))]),
+    ]
+    log: list = []
+    got = [
+        (r["q_id"], r["vec_id"], r["score"])
+        for r in ivf_exact_batch_topk(
+            spark, path, queries, "vec_id", k=7, probe_log=log
+        ).collect()
+    ]
+    want = []
+    for q_id, qv in queries:
+        want += [
+            (q_id, r["vec_id"], r["score"])
+            for r in ivf_exact_topk(
+                spark, path, qv, "vec_id", k=7
+            ).collect()
+        ]
+        want_bf = [(q_id, v, s) for v, s in _brute_topk(rows, qv, 7)]
+        assert want[-7:] == want_bf
+    assert got == want
+    # the boundary query (60 deg) forces a wider probe than the
+    # in-cluster ones, but the batch still reads each wave once
+    assert len(log) == 1
+
+
+def test_batch_exclude_self_and_duplicate_guard(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.similarity import ivf_exact_batch_topk
+
+    rows = _arc_rows([i * 3.0 for i in range(18)])
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=2)
+    queries = [(0, rows[0][1]), (5, rows[5][1])]
+    got = [
+        (r["q_id"], r["vec_id"], r["score"])
+        for r in ivf_exact_batch_topk(
+            spark, path, queries, "vec_id", k=5, exclude_self=True
+        ).collect()
+    ]
+    for q_id, qv in queries:
+        chunk = [t for t in got if t[0] == q_id]
+        assert chunk == [
+            (q_id, v, s)
+            for v, s in _brute_topk(rows, qv, 5, exclude_id=q_id)
+        ]
+        assert all(v != q_id for _, v, _ in chunk)
+    with pytest.raises(ValueError, match="duplicate q_id"):
+        ivf_exact_batch_topk(
+            spark, path, [(0, [1.0, 0.0]), (0, [0.0, 1.0])], "vec_id"
+        )
+
+
 def test_prestats_store_falls_back_exact(spark, tmp_path):
     import shutil
 
