@@ -533,6 +533,7 @@ def incremental_bm25_index(
     store_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    field_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Incrementally maintained full-text index: fold a batch of NEW
     documents into persisted BM25 state so search stays fresh as the
@@ -585,8 +586,11 @@ def incremental_bm25_index(
     docstats = read_parquet_if_exists(
         spark, _bm_docstats_path(store_path)
     )
+    fields = [c for c in field_cols if c not in (id_col, text_col)]
     batch = docs_batch.select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__t"),
+        *[F.col(c) for c in fields],
     ).dropDuplicates(["doc"])
     if docstats is not None:
         seen = docstats.join(
@@ -605,6 +609,11 @@ def incremental_bm25_index(
         F.sort_array(F.collect_list("p")).alias("pos"),
     )
     dl_rows = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    if fields:
+        # ES doc values: per-doc stored fields ride the docstats frame
+        # (one row per doc), so facet/filter aggregations serve from
+        # the index without touching the corpus
+        dl_rows = dl_rows.join(new.select("doc", *fields), "doc")
     if postings is not None:
         already = (
             postings.join(
@@ -789,6 +798,56 @@ def bm25_batch_over_store(
         .orderBy(
             F.col("q_id").asc(), F.col("score").desc(), F.col("doc").asc()
         )
+    )
+
+
+def facets_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    facet_col: str,
+) -> DataFrame:
+    """ES terms aggregation over the search hit set, served ENTIRELY
+    from the index: count the documents matching ANY of ``terms``
+    per value of a stored field (``facet_col`` must have been indexed
+    via ``incremental_bm25_index(field_cols=[...])`` — the ES
+    doc-values idea: per-doc fields ride the docstats frame so facet
+    queries never touch the corpus).
+
+    Scale shape: matched ids from ONE token-pruned postings scan
+    (``PushedFilters: In(token, …)``), a semi-join against docstats
+    (doc-keyed, ∝ matched docs), one facet-keyed count.  ES computes
+    aggregations over the FULL matched set, not the top-k page —
+    same here.  Output: ``(facet value, n_docs)``, count desc then
+    value asc.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    if postings is None or docstats is None:
+        return spark.createDataFrame(
+            [], f"{facet_col} string, n_docs long"
+        )
+    if facet_col not in docstats.columns:
+        raise ValueError(
+            f"field {facet_col!r} is not stored in the index — "
+            f"fold batches with field_cols=[{facet_col!r}]"
+        )
+    matched = (
+        postings.filter(F.col("token").isin(*list(terms)))
+        .select("doc")
+        .distinct()
+    )
+    return (
+        docstats.join(matched, "doc", "left_semi")
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
     )
 
 

@@ -2738,7 +2738,11 @@ def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
 
     def build(path: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
-        incremental_bm25_index(spark, docs, path).count()
+        # lang rides docstats as a stored field (ES doc values) so the
+        # facet query serves from the index alone
+        incremental_bm25_index(
+            spark, docs, path, field_cols=["lang"]
+        ).count()
 
     return _shared_store("bm25", sf_dir, build)
 
@@ -2967,6 +2971,38 @@ def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         top_k=10,
     ).select("q_id", F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_facets",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'stream')
+    )
+    SELECT d.lang, count(*) AS n_docs
+    FROM documents d JOIN matched USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY n_docs DESC, lang ASC
+    """,
+)
+def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation served from the index
+    (operators/text.py:facets_over_store): per-language document
+    counts over the FULL set of docs matching any query term — the
+    matched ids come from one token-pruned postings scan and the
+    language from the docstats-stored field (doc values), so the
+    corpus is never touched."""
+    from .operators.text import facets_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return facets_over_store(
+        spark, store, ["spark", "stream"], "lang"
+    )
 
 
 @register(
