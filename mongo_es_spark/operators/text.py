@@ -801,6 +801,73 @@ def bm25_batch_over_store(
     )
 
 
+def prefix_search_over_store(
+    spark,
+    store_path: str,
+    prefix: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``prefix`` query over the postings store: BM25 over every
+    indexed term starting with ``prefix``, scored per expanded term
+    (each matching token contributes with its own tf/idf — the ES
+    multi-term expansion semantics, same as :func:`expand_fuzzy_terms`
+    fed to BM25, but resolved without materializing the term list).
+
+    Scale shape: the prefix is a half-open RANGE ``[prefix,
+    prefix+1)`` on the token column, which the parquet scan pushes
+    down (``PushedFilters: GreaterThanOrEqual/LessThan(token)``) —
+    and because the postings are token-range-clustered, the range
+    prunes at file/row-group granularity exactly like the ``In``
+    pushdown does for exact terms.  Everything after the scan is
+    expansion-sized.  Output: ``(doc, score)`` top-k.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    if not prefix:
+        raise ValueError("empty prefix would scan the whole index")
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "doc long, score double")
+    stats = docstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = postings.filter(
+        (F.col("token") >= prefix) & (F.col("token") < hi)
+    )
+    n_t = tf.groupBy("token").agg(
+        F.countDistinct("doc").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(n_t), "token")
+        .join(docstats.select("doc", "dl"), "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+        + 1.0
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.withColumn("w", w)
+        .groupBy("doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
 def facets_over_store(
     spark,
     store_path: str,

@@ -2974,6 +2974,47 @@ def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_prefix",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token >= 's' AND token < 't'
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix query over the postings store
+    (operators/text.py:prefix_search_over_store): BM25 over every
+    indexed term starting with 's', expanded by a half-open token
+    RANGE the parquet scan pushes down — the token-range-clustered
+    files make prefix queries prune exactly like exact-term ones."""
+    from .operators.text import prefix_search_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return prefix_search_over_store(spark, store, "s", top_k=10).select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
+@register(
     "search_facets",
     """
     WITH toks AS (

@@ -79,6 +79,59 @@ def test_bm25_exclude_docs_matches_minus_corpus(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+def test_prefix_search_pushes_range_and_matches_expansion(spark, tmp_path):
+    """The prefix query must (a) score identically to BM25 over the
+    explicitly expanded term list and (b) push the token RANGE into
+    the parquet scan."""
+    import re as _re
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        incremental_bm25_index,
+        prefix_search_over_store,
+    )
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    got = [
+        (r["doc"], r["score"])
+        for r in prefix_search_over_store(
+            spark, store, "s", top_k=10
+        ).collect()
+    ]
+    vocab = [
+        r["token"]
+        for r in spark.read.parquet(f"{store}/postings")
+        .select("token")
+        .distinct()
+        .collect()
+        if r["token"].startswith("s")
+    ]
+    want = [
+        (r["doc"], r["score"])
+        for r in bm25_over_store(
+            spark, store, sorted(vocab), top_k=10
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+    plan = (
+        prefix_search_over_store(spark, store, "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert _re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(token,s\)", plan
+    )
+    assert _re.search(r"LessThan\(token,t\)", plan)
+    import pytest
+
+    with pytest.raises(ValueError, match="empty prefix"):
+        prefix_search_over_store(spark, store, "")
+
+
 def test_bool_search_gates_and_boosts(spark, tmp_path):
     from mongo_es_spark.operators.text import (
         bm25_over_store,
