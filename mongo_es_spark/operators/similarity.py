@@ -34,6 +34,17 @@ from .dedup import (
 )
 
 
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """6-dp rounding with the HALF-AWAY-FROM-ZERO rule — the one
+    ``F.round`` (java.math HALF_UP) and DuckDB ``round()`` apply.
+    ``np.round`` banker's-rounds (half-to-even), so a cosine landing
+    exactly on a 5e-7 boundary would rank differently between a numpy
+    kernel and a Spark/oracle expression; every Arrow kernel that
+    feeds a result pinned equal to an ``F.round`` path shares this
+    helper so both sides apply one rounding rule."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _nearest_cell_kernel(C: np.ndarray):
     """Arrow kernel factory: nearest-centroid (max-cosine) assignment
     against the broadcast centroid matrix ``C``.  Null-in/null-out: a
@@ -431,6 +442,39 @@ def materialize_ivf_index(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # coverage marker LAST: it asserts "every vector has a cellstats
+    # row", so it must only exist once the stats do — a crash before
+    # this line leaves exact search conservatively unpruned (radius
+    # 2.0), never wrong.  Indexes without the marker (pre-marker
+    # builds, or appended to before stats existed) are never pruned.
+    _write_ivf_params(spark, path, stats_cover=1, cur_gen=0)
+
+
+def _ivf_params_path(path: str) -> str:
+    # underscore prefix: invisible to spark.read.parquet(path)
+    return f"{path.rstrip('/')}/_ivf_params"
+
+
+def _read_ivf_params(spark, path: str):
+    """One-row params frame for an IVF store, or ``None`` for an index
+    materialized before params existed.  ``stats_cover = 1`` asserts
+    every vector in the store is covered by a cellstats row — the
+    invariant the exact-search radius pruning needs.  Indexes without
+    the marker may hold vectors appended before cellstats tracking
+    (stats non-None but partial), so exact search must NOT trust their
+    radii: a too-small radius prunes a cell holding a true top-k hit
+    and silently breaks the exactness certificate."""
+    from ..storeio import read_parquet_if_exists
+
+    df = read_parquet_if_exists(spark, _ivf_params_path(path))
+    return None if df is None else df.head()
+
+
+def _write_ivf_params(spark, path: str, stats_cover: int, cur_gen: int) -> None:
+    spark.range(1).select(
+        F.lit(int(stats_cover)).cast("int").alias("stats_cover"),
+        F.lit(int(cur_gen)).cast("long").alias("cur_gen"),
+    ).coalesce(1).write.mode("overwrite").parquet(_ivf_params_path(path))
 
 
 def _write_cellstats(staged: DataFrame, path: str, mode: str) -> None:
@@ -497,15 +541,20 @@ def append_to_ivf_index(
     )
     n = staged.count()
     if n:
+        # cellstats BEFORE the vectors append: replay detection
+        # anti-joins on the vectors id set, so a crash between the two
+        # writes must leave stats OVER-covering (retry re-appends both
+        # → radius is a max and stays exact; the count double-counts,
+        # which only makes wave-1 probe fewer cells — wave 2 rescues
+        # exactness).  The reverse order left vectors visible with NO
+        # stats row, and the retry's anti-join skipped them forever —
+        # an under-covered radius that silently breaks the exactness
+        # certificate.  Readers take max(radius)/sum(n) per cell, so
+        # the merge is read-time and the store never rewrites.
+        _write_cellstats(staged, f"{path}/cellstats", mode="append")
         staged.drop("__res").write.mode("append").partitionBy(
             "cell"
         ).parquet(f"{path}/vectors")
-        # per-batch stats rows append; readers take max(radius)/sum(n)
-        # per cell, so the merge is read-time and the store never
-        # rewrites (indexes written before stats tracking simply have
-        # no cellstats — ivf_exact_topk falls back to radius 2.0,
-        # correct but unpruned)
-        _write_cellstats(staged, f"{path}/cellstats", mode="append")
     return n
 
 
@@ -595,8 +644,14 @@ def ivf_exact_topk(
     for r in cent:
         C[r["cell"]] = r["centroid"]
     C = _unit_rows(C)  # belt-and-braces; _kmeans_fit already unit
+    params = _read_ivf_params(spark, path)
     stats = read_parquet_if_exists(spark, f"{path}/cellstats")
-    if stats is None:
+    # stats are only trusted under the coverage marker: an index
+    # materialized before the marker may hold vectors appended before
+    # cellstats tracking, so its radii UNDER-cover and pruning on them
+    # would violate the exactness certificate (ADVICE r8)
+    covered = params is not None and int(params["stats_cover"]) == 1
+    if stats is None or not covered:
         # pre-stats index: every cell conservatively coverable
         radii = {int(r["cell"]): 2.0 for r in cent}
         counts = {int(r["cell"]): k for r in cent}
@@ -725,9 +780,14 @@ def ivf_exact_batch_topk(
     for r in cent:
         C[r["cell"]] = r["centroid"]
     C = _unit_rows(C)
+    params = _read_ivf_params(spark, path)
     stats = read_parquet_if_exists(spark, f"{path}/cellstats")
     radii = np.full(n_cells, 2.0)
     counts = np.zeros(n_cells, dtype=np.int64)
+    # same coverage gate as ivf_exact_topk: unmarked indexes may hold
+    # vectors their cellstats never saw — never prune on their radii
+    if params is None or int(params["stats_cover"]) != 1:
+        stats = None
     if stats is not None:
         merged = (
             stats.groupBy("cell")
@@ -768,7 +828,7 @@ def ivf_exact_batch_topk(
                     continue
                 v_ids = pdf["doc"].to_numpy(dtype=np.int64)[idx]
                 v_cells = pdf["cell"].to_numpy(dtype=np.int64)[idx]
-                S = np.round(Qn @ _unit_rows(V).T, 6)
+                S = _round6_half_up(Qn @ _unit_rows(V).T)
                 S[:, np.linalg.norm(V, axis=1) == 0.0] = -np.inf
                 S[~allow[:, v_cells]] = -np.inf
                 if exclude_self:
@@ -934,7 +994,7 @@ def exact_batch_topk(
                 continue
             v_ids = pdf["doc"].to_numpy(dtype=np.int64)[idx]
             # (q, n_batch): one BLAS gram, the knn_graph kernel shape
-            S = np.round(Qn @ _unit_rows(V).T, 6)
+            S = _round6_half_up(Qn @ _unit_rows(V).T)
             S[q_zero, :] = -np.inf
             S[:, np.linalg.norm(V, axis=1) == 0.0] = -np.inf
             if excl:
@@ -1181,7 +1241,7 @@ def ann_ivf_batch_topk(
                 # with identical output
                 B = 512
                 for s0 in range(0, Qn.shape[0], B):
-                    S = np.round(Qn[s0:s0 + B] @ Vn.T, 6)
+                    S = _round6_half_up(Qn[s0:s0 + B] @ Vn.T)
                     qb_ids = q_ids[s0:s0 + B]
                     if excl:
                         S[qb_ids[:, None] == v_ids[None, :]] = -np.inf
@@ -1334,7 +1394,7 @@ def knn_graph(
                     ids_b, Xb = ids_a, Xa
                 else:
                     ids_b, Xb = _unpack(row["items_b"])
-                gram = np.round(Xa @ Xb.T, 6)
+                gram = _round6_half_up(Xa @ Xb.T)
                 if same:
                     np.fill_diagonal(gram, -np.inf)  # no self edges
                 i1, j1, c1 = _local_topk(ids_a, ids_b, gram)

@@ -801,6 +801,28 @@ def bm25_batch_over_store(
     )
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string strictly above every ``prefix``-prefixed string
+    in Spark's UTF-8 binary collation, or ``None`` when no such bound
+    exists (an all-U+10FFFF prefix).  Code-point order equals UTF-8
+    byte order for every encodable code point, so incrementing the
+    last code point is correct — but the naive ``chr(ord(c)+1)``
+    raises on U+10FFFF and lands inside the surrogate block after
+    U+D7FF (where Python chars and Spark's UTF-8 comparison diverge):
+    carry past maximal code points and hop the surrogate gap instead.
+    Callers must keep the ``startswith`` predicate alongside — a
+    carried bound over-covers (it spans sibling prefixes)."""
+    s = list(prefix)
+    while s:
+        cp = ord(s[-1])
+        if cp >= 0x10FFFF:
+            s.pop()  # carry: no code point above — shorten and bump
+            continue
+        s[-1] = chr(0xE000 if cp == 0xD7FF else cp + 1)
+        return "".join(s)
+    return None
+
+
 def prefix_search_over_store(
     spark,
     store_path: str,
@@ -827,7 +849,7 @@ def prefix_search_over_store(
 
     if not prefix:
         raise ValueError("empty prefix would scan the whole index")
-    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    hi = _prefix_upper_bound(prefix)
     postings = read_parquet_if_exists(
         spark, _bm_postings_path(store_path)
     )
@@ -839,9 +861,16 @@ def prefix_search_over_store(
     stats = docstats.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = postings.filter(
-        (F.col("token") >= prefix) & (F.col("token") < hi)
-    )
+    # startswith is the SEMANTIC predicate (always correct, and itself
+    # pushes down as StringStartsWith); the half-open range is the
+    # pruning accelerator layered on top.  When the upper bound needed
+    # a carry (trailing U+10FFFF dropped), the range over-covers —
+    # e.g. ["a\U0010FFFF", "b") admits "ab" — so the range may never
+    # stand alone.
+    cond = F.col("token").startswith(prefix)
+    if hi is not None:
+        cond = cond & (F.col("token") >= prefix) & (F.col("token") < hi)
+    tf = postings.filter(cond)
     n_t = tf.groupBy("token").agg(
         F.countDistinct("doc").alias("df_t")
     )

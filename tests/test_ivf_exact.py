@@ -321,3 +321,130 @@ def test_prestats_store_falls_back_exact(spark, tmp_path):
     assert got == _brute_topk(rows, qv, 5)
     # radius 2.0 fallback: every unprobed cell stays coverable
     assert set(log[0]["wave1"]) | set(log[0]["wave2"]) == {0, 1, 2}
+
+
+def test_unmarked_store_refuses_stats_pruning(spark, tmp_path):
+    """An index whose vectors may predate cellstats (no _ivf_params
+    coverage marker) must NOT prune on whatever cellstats rows exist:
+    here the stats deliberately UNDER-cover (they describe only one
+    tight cell, while the true top-1 lives in a cell the stats call
+    empty), so trusting them would drop the best hit.  Both exact
+    paths must fall back to unpruned-but-exact."""
+    import shutil
+
+    from mongo_es_spark.operators.similarity import (
+        _write_cellstats,
+        ivf_exact_batch_topk,
+        ivf_exact_topk,
+    )
+
+    rows = _arc_rows([i * 0.5 for i in range(10)]) + _arc_rows(
+        [180.0], start_id=50
+    )
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=2)
+    # simulate a pre-marker index with PARTIAL stats: drop the marker,
+    # then rewrite cellstats to claim the far cell has radius ~0 and
+    # no members beyond one tight point
+    shutil.rmtree(f"{path}/_ivf_params")
+    shutil.rmtree(f"{path}/cellstats")
+    staged = spark.createDataFrame(
+        [(0, 0.0001), (1, 0.0001)], "cell int, __res double"
+    )
+    _write_cellstats(staged, f"{path}/cellstats", mode="overwrite")
+    qv = [-1.0, 0.0]  # nearest true hit is id 50 in the far cell
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(spark, path, qv, "vec_id", k=3).collect()
+    ]
+    assert got == _brute_topk(rows, qv, 3)
+    got_b = [
+        (r["q_id"], r["vec_id"], r["score"])
+        for r in ivf_exact_batch_topk(
+            spark, path, [(7, qv)], "vec_id", k=3
+        ).collect()
+    ]
+    assert got_b == [(7, v, s) for v, s in _brute_topk(rows, qv, 3)]
+
+
+def test_append_crash_between_stats_and_vectors_converges(spark, tmp_path):
+    """Crash ordering for append_to_ivf_index: cellstats append FIRST,
+    vectors second.  Simulate the crash point (stats written, vectors
+    not) by appending the batch's stats rows manually, then run the
+    full append as the retry: the anti-join re-appends both, stats
+    over-cover (radius max / doubled count — conservative), and exact
+    search over the converged store equals brute force."""
+    from mongo_es_spark.operators.similarity import (
+        append_to_ivf_index,
+        _assign_residual_kernel,
+        _write_cellstats,
+        ivf_exact_topk,
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    base = _arc_rows([i * 3.0 for i in range(20)])
+    extra = _arc_rows([200 + i * 3.0 for i in range(10)], start_id=100)
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, base, path, n_cells=2)
+
+    # crash point: the retry's exact stats rows already on disk
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0]["centroid"])))
+    for r in cent:
+        C[r["cell"]] = r["centroid"]
+    assign = pandas_udf(
+        _assign_residual_kernel(C), "struct<cell:int,residual:double>"
+    )
+    staged = (
+        spark.createDataFrame(extra, "vec_id long, v array<double>")
+        .withColumn("__ar", assign(F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            F.col("__ar.cell").alias("cell"),
+            F.col("__ar.residual").alias("__res"),
+        )
+    )
+    _write_cellstats(staged, f"{path}/cellstats", mode="append")
+
+    # retry: must append the vectors (ids absent) and re-append stats
+    n = append_to_ivf_index(
+        spark.createDataFrame(extra, "vec_id long, v array<double>"),
+        "vec_id",
+        "v",
+        path,
+    )
+    assert n == len(extra)
+    rows = base + extra
+    for qv in ([1.0, 0.0], [-0.8, -0.6]):
+        got = [
+            (r["vec_id"], r["score"])
+            for r in ivf_exact_topk(
+                spark, path, qv, "vec_id", k=8
+            ).collect()
+        ]
+        assert got == _brute_topk(rows, qv, 8)
+    # replay of the SAME batch after success: pure no-op
+    assert (
+        append_to_ivf_index(
+            spark.createDataFrame(extra, "vec_id long, v array<double>"),
+            "vec_id",
+            "v",
+            path,
+        )
+        == 0
+    )
+
+
+def test_round6_half_up_matches_spark_round():
+    """The Arrow kernels' rounding rule must match F.round (HALF_UP,
+    away from zero) on exact 5e-7 boundaries where np.round banker's-
+    rounds the other way."""
+    from mongo_es_spark.operators.similarity import _round6_half_up
+
+    xs = np.array([0.0000005, 0.0000015, -0.0000005, -0.0000015, 0.1239995])
+    got = _round6_half_up(xs)
+    want = np.array([0.000001, 0.000002, -0.000001, -0.000002, 0.124])
+    assert np.allclose(got, want, atol=1e-12)
+    # and np.round would have disagreed on the half-to-even cases
+    assert not np.allclose(np.round(xs, 6), want, atol=1e-12)

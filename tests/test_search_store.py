@@ -334,3 +334,68 @@ def test_bm25_exclude_docs_keeps_token_pushdown(spark, tmp_path):
     )
     assert re.search(r"PushedFilters: \[.*In\(token", plan)
     assert "CartesianProduct" not in plan
+
+def test_prefix_upper_bound_edge_cases(spark, tmp_path):
+    """_prefix_upper_bound: carry past U+10FFFF, hop the surrogate
+    gap after U+D7FF, None for an unboundable prefix -- and the query
+    path stays CORRECT on tokens around those boundaries (startswith
+    is the semantic predicate; the range only accelerates)."""
+    from mongo_es_spark.operators.text import (
+        _prefix_upper_bound,
+        incremental_bm25_index,
+        prefix_search_over_store,
+    )
+
+    assert _prefix_upper_bound("abc") == "abd"
+    # U+D7FF + 1 hops the (unencodable) surrogate block to U+E000
+    assert _prefix_upper_bound("a\ud7ff") == "a\ue000"
+    # trailing U+10FFFF: carry into the previous position
+    assert _prefix_upper_bound("a\U0010FFFF") == "b"
+    assert _prefix_upper_bound("\U0010FFFF\U0010FFFF") is None
+
+    max_c = "\U0010FFFF"
+    rows = [
+        (1, "a" + max_c + "x " + "a" + max_c + "x plain"),
+        (2, "ab decoy"),
+        (3, "a\ud7ffq surrogate-edge"),
+        (4, "a\ue000q gap-right"),
+        (5, max_c + max_c + " lone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+
+    # carried bound ["a<max>", "b") admits "ab..." -- startswith must
+    # exclude doc 2
+    hits = {
+        r["doc"]
+        for r in prefix_search_over_store(
+            spark, store, "a" + max_c, top_k=10
+        ).collect()
+    }
+    assert hits == {1}
+    # the D7FF bound "a\ue000" is EXCLUSIVE: doc 4's token equals the
+    # bound's own prefix and must not leak into the D7FF range
+    hits2 = {
+        r["doc"]
+        for r in prefix_search_over_store(
+            spark, store, "a\ud7ff", top_k=10
+        ).collect()
+    }
+    assert hits2 == {3}
+    # plain prefix spans every a-token
+    hits3 = {
+        r["doc"]
+        for r in prefix_search_over_store(
+            spark, store, "a", top_k=10
+        ).collect()
+    }
+    assert hits3 == {1, 2, 3, 4}
+    # unboundable prefix: falls back to pure startswith, still correct
+    hits4 = {
+        r["doc"]
+        for r in prefix_search_over_store(
+            spark, store, max_c, top_k=10
+        ).collect()
+    }
+    assert hits4 == {5}
