@@ -511,7 +511,9 @@ def highlight_snippets(
     )
 
 
-_BM_SCHEME = 2  # tokenizer/layout version; 2 = positional postings
+_BM_SCHEME = 3  # tokenizer/layout version; 2 = positional postings,
+# 3 = CDC-maintainable (postings carry gen; docstats carry
+# gen/deleted/sig; _bm_params records stored fields + mutated flag)
 
 
 def _bm_postings_path(store_path: str) -> str:
@@ -525,6 +527,55 @@ def _bm_docstats_path(store_path: str) -> str:
 def _bm_params_path(store_path: str) -> str:
     # underscore prefix: invisible to spark.read.parquet(store_path)
     return store_path.rstrip("/") + "/_bm_params"
+
+
+def _bm_write_params(
+    spark, store_path: str, fields: Sequence[str], mutated: bool
+) -> None:
+    spark.range(1).select(
+        F.lit(_BM_SCHEME).cast("int").alias("scheme"),
+        F.array(*[F.lit(c) for c in fields]).cast(
+            "array<string>"
+        ).alias("fields"),
+        F.lit(bool(mutated)).alias("mutated"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _bm_params_path(store_path)
+    )
+
+
+def _bm_check_params(spark, store_path: str, fields: Sequence[str]):
+    """Create-or-validate the store's params row for a write path:
+    raises on tokenizer-scheme drift AND on stored-field drift —
+    folding batches with differing ``field_cols`` would append
+    docstats files with different column sets, and a schema-merge-free
+    ``spark.read.parquet`` then resolves the store from an arbitrary
+    footer, silently dropping or nulling stored fields (the facet
+    reader would miscount with no error).  Returns the params row, or
+    None when this call created it."""
+    from ..storeio import read_parquet_if_exists
+
+    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    if params is None:
+        _bm_write_params(spark, store_path, fields, mutated=False)
+        return None
+    row = params.head()
+    if row["scheme"] != _BM_SCHEME:
+        raise ValueError(
+            f"store at {store_path} was written with tokenizer scheme "
+            f"{row['scheme']}; this build computes scheme "
+            f"{_BM_SCHEME} — rebuild the index (mixed tokenizations "
+            "score garbage silently)"
+        )
+    stored = list(row["fields"]) if "fields" in params.columns else []
+    if stored != list(fields):
+        raise ValueError(
+            f"store at {store_path} was created with stored fields "
+            f"{stored}; this fold passes {list(fields)} — mixed "
+            "docstats schemas resolve from an arbitrary parquet "
+            "footer and silently drop fields; rebuild or match the "
+            "field list"
+        )
+    return row
 
 
 def incremental_bm25_index(
@@ -551,52 +602,88 @@ def incremental_bm25_index(
     * ``_bm_params`` — tokenizer-scheme drift guard (postings written
       by a different tokenizer never merge; it raises).
 
-    Identity is doc id, first-arrival-wins (documents are immutable
-    by id in this engine's data model — re-index under a new id):
-    a batch's ids anti-join against ``docstats`` via a map-side scan
-    of the store against the BROADCAST batch keys, so replays append
-    nothing.  Write order is postings-first, docstats-second, and the
-    postings append additionally drops docs already present in
-    ``postings`` — a crash between the two appends retries into
-    "postings already there, docstats appended", converging without
-    duplicates.  Per-batch work ∝ batch tokens; neither store is ever
-    shuffled or rewritten.
+    Identity is doc id, CONTENT-AWARE first-arrival-wins: a batch's
+    ids check against the store's live state (BROADCAST batch keys, a
+    map-side scan), and an already-present id is silently dropped
+    ONLY when its content digest matches the stored one (a replay).
+    An id arriving with DIFFERENT text — or one the store has
+    tombstoned — raises: silently no-op'ing a changed document would
+    leave the index serving stale postings forever with no error
+    (mutations belong to :func:`apply_cdc_to_bm25_index`, which
+    supersedes by generation).  Write order is postings-first,
+    docstats-second, and the postings append additionally drops docs
+    already present in ``postings`` — a crash between the two appends
+    retries into "postings already there, docstats appended",
+    converging without duplicates.  Per-batch work ∝ batch tokens;
+    neither store is ever shuffled or rewritten.
 
     Returns the newly indexed ``(doc, dl)`` rows — empty on replay.
     """
     from ..storeio import read_parquet_if_exists
 
-    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
-    if params is None:
-        spark.range(1).select(
-            F.lit(_BM_SCHEME).cast("int").alias("scheme")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _bm_params_path(store_path)
-        )
-    elif params.head()["scheme"] != _BM_SCHEME:
-        raise ValueError(
-            f"store at {store_path} was written with tokenizer scheme "
-            f"{params.head()['scheme']}; this build computes scheme "
-            f"{_BM_SCHEME} — rebuild the index (mixed tokenizations "
-            "score garbage silently)"
-        )
+    fields = [c for c in field_cols if c not in (id_col, text_col)]
+    _bm_check_params(spark, store_path, fields)
+    # RAW frames, not the live view: the fold's guards need every
+    # generation's sig/deleted state, and its crash-repair anti-join
+    # needs the orphaned postings a previous attempt left behind
     postings = read_parquet_if_exists(
         spark, _bm_postings_path(store_path)
     )
     docstats = read_parquet_if_exists(
         spark, _bm_docstats_path(store_path)
     )
-    fields = [c for c in field_cols if c not in (id_col, text_col)]
     batch = docs_batch.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("__t"),
         *[F.col(c) for c in fields],
-    ).dropDuplicates(["doc"])
+    ).dropDuplicates(["doc"]).withColumn(
+        "__sig", F.xxhash64(F.col("__t"))
+    )
     if docstats is not None:
-        seen = docstats.join(
-            F.broadcast(batch.select("doc")), "doc", "left_semi"
-        ).select("doc")
-        batch = batch.join(F.broadcast(seen), "doc", "left_anti")
+        # latest stored state per batch doc (store scan against the
+        # broadcast batch keys, then a batch-sized window)
+        w = Window.partitionBy("doc").orderBy(F.col("gen").desc())
+        latest = (
+            docstats.join(
+                F.broadcast(batch.select("doc")), "doc", "left_semi"
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "doc",
+                F.col("sig").alias("__cur_sig"),
+                F.col("deleted").alias("__cur_del"),
+            )
+        )
+        st = batch.join(F.broadcast(latest), "doc", "left")
+        conflicts = [
+            r["doc"]
+            for r in st.filter(
+                F.col("__cur_sig").isNotNull()
+                | F.col("__cur_del").isNotNull()
+            )
+            .filter(
+                F.col("__cur_del")
+                | ~F.col("__cur_sig").eqNullSafe(F.col("__sig"))
+            )
+            .select("doc")
+            .limit(5)
+            .collect()
+        ]
+        if conflicts:
+            raise ValueError(
+                f"incremental_bm25_index: doc ids {conflicts} already "
+                "indexed with different content (or tombstoned) — the "
+                "fold is append-only and silently keeping the old "
+                "postings would serve stale text; route mutations "
+                "through apply_cdc_to_bm25_index"
+            )
+        # keep only docs with NO stored row at all (deleted is
+        # non-null on every docstats row, unlike sig which is null on
+        # op-d tombstones); same-sig replays drop silently here
+        batch = st.filter(F.col("__cur_del").isNull()).drop(
+            "__cur_sig", "__cur_del"
+        )
     new = batch.localCheckpoint(eager=True)
     toks = new.select(
         "doc",
@@ -609,6 +696,16 @@ def incremental_bm25_index(
         F.sort_array(F.collect_list("p")).alias("pos"),
     )
     dl_rows = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    # content digest + generation bookkeeping ride every docstats row
+    # (scheme 3): sig powers the changed-content guard above and the
+    # CDC replay skip; folds always write generation 0 (new ids only)
+    dl_rows = dl_rows.join(new.select("doc", "__sig"), "doc").select(
+        "doc",
+        "dl",
+        F.col("__sig").alias("sig"),
+        F.lit(0).cast("long").alias("gen"),
+        F.lit(False).alias("deleted"),
+    )
     if fields:
         # ES doc values: per-doc stored fields ride the docstats frame
         # (one row per doc), so facet/filter aggregations serve from
@@ -629,14 +726,288 @@ def incremental_bm25_index(
     # of the index instead of just filtering it post-read; the doc
     # component splits a heavy token's rows across files so the
     # post-pruning scan stays parallel (see compact_bm25_store)
-    tf_rows.select("token", "doc", "tf", "pos").repartitionByRange(
+    tf_rows.select(
+        "token", "doc", "tf", "pos", F.lit(0).cast("long").alias("gen")
+    ).repartitionByRange(
         "token", "doc"
     ).sortWithinPartitions("token", "doc").write.mode("append").parquet(
         _bm_postings_path(store_path)
     )
     dl_rows = dl_rows.localCheckpoint(eager=True)
     dl_rows.write.mode("append").parquet(_bm_docstats_path(store_path))
-    return dl_rows
+    # legacy return shape: the newly indexed (doc, dl [, fields]) rows
+    return dl_rows.drop("sig", "gen", "deleted")
+
+
+def apply_cdc_to_bm25_index(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    field_cols: Sequence[str] = (),
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Index maintenance under MUTATION: apply a CDC batch of inserts,
+    updates and deletes to the incremental BM25 store, so the search
+    index tracks a mutating source collection — the reason the
+    reference exists (``src/processor.ts:225-258`` routes all three op
+    kinds into Elasticsearch; deletes at ``:244-250``).  The repo's
+    tail pipeline already materializes IR frames into the keyed doc
+    sink; this folds the same frames into the SEARCH store.
+
+    Mechanism is generation-based MVCC over the append-only layout:
+
+    * every applied row lands at generation ``g = max(stored gen)+1``
+      — postings ``(token, doc, tf, pos, gen)``, docstats ``(doc, dl,
+      sig, gen, deleted, fields…)``;
+    * a delete appends a docstats TOMBSTONE (``deleted=true``, no
+      postings);
+    * readers resolve each doc to its latest-generation docstats row
+      and drop tombstones + superseded postings
+      (:func:`_read_search_store`); never-mutated stores skip that
+      entirely via the ``mutated`` params flag;
+    * :func:`compact_bm25_store` reclaims dead rows and restores the
+      flag, so steady-state serving cost returns to the insert-only
+      path.
+
+    Semantics per op (``op_col`` value ``"d"`` deletes; anything else
+    upserts; with ``seq_col`` the batch pre-compacts last-writer-wins
+    per doc, mirroring ``mergeOplogs``; without it duplicate doc ids
+    raise):
+
+    * upsert of UNCHANGED content (live row with the same xxhash64
+      digest) is a replay → skipped, so at-least-once delivery
+      composes to exactly-once index state;
+    * upsert of changed/new/previously-deleted content applies;
+    * delete of a live doc applies; delete of an absent or
+      already-deleted doc is a replay → skipped.
+
+    Crash ordering: params(mutated)-first (a reader must never take
+    the fast path while multi-generation rows exist), postings second
+    (anti-joined on ``(doc, gen)`` so a retry never duplicates),
+    docstats last — every crash point re-runs into convergence
+    because ``g`` recomputes identically until docstats lands, and a
+    full replay after success skips via the digest check.  Per-batch
+    work ∝ batch tokens + a batch-keyed probe of docstats; the store
+    is never rewritten.
+
+    Returns the APPLIED rows ``(doc, op, gen)`` — empty when the whole
+    batch was a replay (in which case nothing was written at all).
+    """
+    from ..storeio import read_parquet_if_exists
+
+    fields = [c for c in field_cols if c not in (id_col, text_col)]
+    _bm_check_params(spark, store_path, fields)
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    b = batch.select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.col(op_col)).alias("__op"),
+        F.col(text_col).alias("__t"),
+        *[F.col(c) for c in fields],
+        *([F.col(seq_col).alias("__seq")] if seq_col else []),
+    )
+    if seq_col:
+        wseq = Window.partitionBy("doc").orderBy(F.col("__seq").desc())
+        b = (
+            b.withColumn("__rn", F.row_number().over(wseq))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__seq")
+        )
+    else:
+        agg = b.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc").alias("nd"),
+        ).head()
+        if agg["n"] != agg["nd"]:
+            raise ValueError(
+                "apply_cdc_to_bm25_index: duplicate doc ids in the "
+                "batch and no seq_col to order them — pre-compact "
+                "(mergeOplogs) or pass seq_col for last-writer-wins"
+            )
+    b = b.withColumn(
+        "__sig",
+        F.when(
+            F.col("__op") != "d", F.xxhash64(F.col("__t"))
+        ),  # tombstones carry a NULL digest
+    )
+    cur_gen = -1
+    if docstats is not None:
+        cur_gen = docstats.agg(F.max("gen")).head()[0]
+        w = Window.partitionBy("doc").orderBy(F.col("gen").desc())
+        latest = (
+            docstats.join(
+                F.broadcast(b.select("doc")), "doc", "left_semi"
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "doc",
+                F.col("sig").alias("__cur_sig"),
+                F.col("deleted").alias("__cur_del"),
+            )
+        )
+        b = b.join(F.broadcast(latest), "doc", "left")
+    else:
+        b = b.withColumn("__cur_sig", F.lit(None).cast("long")).withColumn(
+            "__cur_del", F.lit(None).cast("boolean")
+        )
+    # replay filter: an upsert applies unless the LIVE row carries the
+    # same digest; a delete applies only to a live row
+    applies = F.when(
+        F.col("__op") == "d", F.col("__cur_del").eqNullSafe(F.lit(False))
+    ).otherwise(
+        ~(
+            (F.col("__cur_del").eqNullSafe(F.lit(False)))
+            & F.col("__cur_sig").eqNullSafe(F.col("__sig"))
+        )
+    )
+    applied = (
+        b.filter(applies)
+        .drop("__cur_sig", "__cur_del")
+        .localCheckpoint(eager=True)
+    )
+    if applied.limit(1).count() == 0:
+        return spark.createDataFrame([], "doc long, op string, gen long")
+    g = int(cur_gen) + 1 if cur_gen is not None else 0
+
+    # mutated flag FIRST: from the moment any generation-g row is
+    # visible, readers must take the live-filtering path (the fast
+    # path over multi-generation rows double-counts docs).  A fresh
+    # store (no docstats yet) stays on the fast path — generation-0
+    # inserts are exactly a fold.
+    if docstats is not None:
+        _bm_write_params(spark, store_path, fields, mutated=True)
+
+    ups = applied.filter(F.col("__op") != "d")
+    toks = ups.select(
+        "doc",
+        F.posexplode(tokens_col(F.col("__t"))).alias("p", "token"),
+    )
+    tf_rows = toks.groupBy("doc", "token").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("p")).alias("pos"),
+    )
+    if postings is not None:
+        # retry convergence: rows for (doc, g) already on disk from a
+        # crashed attempt must not append twice
+        already = (
+            postings.filter(F.col("gen") == g)
+            .join(F.broadcast(ups.select("doc")), "doc", "left_semi")
+            .select("doc")
+            .distinct()
+        )
+        tf_rows = tf_rows.join(F.broadcast(already), "doc", "left_anti")
+    tf_rows.select(
+        "token", "doc", "tf", "pos", F.lit(g).cast("long").alias("gen")
+    ).repartitionByRange("token", "doc").sortWithinPartitions(
+        "token", "doc"
+    ).write.mode("append").parquet(_bm_postings_path(store_path))
+
+    dl_rows = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    up_stats = (
+        ups.join(dl_rows, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
+            F.col("__sig").alias("sig"),
+            F.lit(g).cast("long").alias("gen"),
+            # an upsert that tokenizes to NOTHING (null text) must
+            # still supersede the old generation — as a tombstone, so
+            # corpus stats keep counting only token-bearing docs (the
+            # bm25_search / rebuild-equivalence contract)
+            F.col("dl").isNull().alias("deleted"),
+            *[F.col(c) for c in fields],
+        )
+    )
+    up_types = dict(up_stats.dtypes)
+    del_stats = applied.filter(F.col("__op") == "d").select(
+        "doc",
+        F.lit(0).cast("long").alias("dl"),
+        F.lit(None).cast("long").alias("sig"),
+        F.lit(g).cast("long").alias("gen"),
+        F.lit(True).alias("deleted"),
+        # null stored fields, typed to match the upsert frame so the
+        # union (and the parquet footer) keeps one schema
+        *[F.lit(None).cast(up_types[c]).alias(c) for c in fields],
+    )
+    new_stats = up_stats.unionByName(del_stats)
+    if docstats is not None:
+        dup = (
+            docstats.filter(F.col("gen") == g)
+            .join(F.broadcast(applied.select("doc")), "doc", "left_semi")
+            .select("doc")
+            .distinct()
+        )
+        new_stats = new_stats.join(F.broadcast(dup), "doc", "left_anti")
+    new_stats.write.mode("append").parquet(_bm_docstats_path(store_path))
+    return applied.select(
+        "doc", F.col("__op").alias("op"), F.lit(g).cast("long").alias("gen")
+    )
+
+
+def _bm_live_docstats(docstats: DataFrame) -> DataFrame:
+    """Latest-generation, non-tombstone docstats rows — the MVCC read
+    view of a mutated store.  One docstats-sized window exchange; the
+    insert-only fast path (params ``mutated=false``) never pays it,
+    and :func:`compact_bm25_store` restores that path."""
+    w = Window.partitionBy("doc").orderBy(F.col("gen").desc())
+    return (
+        docstats.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (~F.col("deleted")))
+        .drop("__rn")
+    )
+
+
+def _read_search_store(spark, store_path: str):
+    """Resolve the store to its LIVE rows with the legacy reader
+    shape: ``postings (token, doc, tf, pos)`` and ``docstats (doc, dl,
+    fields…)``.  Three store states:
+
+    * legacy scheme-2 store (no ``gen`` column) — returned as-is;
+    * scheme-3, never mutated (params flag) — bookkeeping columns
+      dropped, zero extra cost;
+    * mutated — docstats resolve to latest-generation non-tombstone
+      rows (one docstats-sized window), postings semi-join the live
+      ``(doc, gen)`` pairs (token pushdown still reaches the scan —
+      the filter sits below the join on the postings side).
+
+    Returns ``(None, None)`` when either store is missing.
+    """
+    from ..storeio import read_parquet_if_exists
+
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    if postings is None or docstats is None:
+        return None, None
+    if "gen" not in docstats.columns:
+        return postings, docstats
+    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    mutated = (
+        params is not None
+        and "mutated" in params.columns
+        and bool(params.head()["mutated"])
+    )
+    if not mutated:
+        return (
+            postings.drop("gen"),
+            docstats.drop("sig", "gen", "deleted"),
+        )
+    live = _bm_live_docstats(docstats)
+    live_postings = postings.join(
+        live.select("doc", "gen"), ["doc", "gen"], "left_semi"
+    ).drop("gen")
+    return live_postings, live.drop("sig", "gen", "deleted")
 
 
 def bm25_over_store(
@@ -671,12 +1042,7 @@ def bm25_over_store(
     """
     from ..storeio import read_parquet_if_exists
 
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
-    docstats = read_parquet_if_exists(
-        spark, _bm_docstats_path(store_path)
-    )
+    postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame([], "doc long, score double")
     if exclude_docs:
@@ -747,12 +1113,7 @@ def bm25_batch_over_store(
             "query batch is driver-side model state; chunk it"
         )
     all_terms = sorted({t for _, terms in qlist for t in terms})
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
-    docstats = read_parquet_if_exists(
-        spark, _bm_docstats_path(store_path)
-    )
+    postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None or not all_terms:
         return spark.createDataFrame(
             [], "q_id long, doc long, score double"
@@ -850,12 +1211,7 @@ def prefix_search_over_store(
     if not prefix:
         raise ValueError("empty prefix would scan the whole index")
     hi = _prefix_upper_bound(prefix)
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
-    docstats = read_parquet_if_exists(
-        spark, _bm_docstats_path(store_path)
-    )
+    postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame([], "doc long, score double")
     stats = docstats.agg(
@@ -919,12 +1275,7 @@ def facets_over_store(
     """
     from ..storeio import read_parquet_if_exists
 
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
-    docstats = read_parquet_if_exists(
-        spark, _bm_docstats_path(store_path)
-    )
+    postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame(
             [], f"{facet_col} string, n_docs long"
@@ -980,12 +1331,7 @@ def bool_search_over_store(
     if not must and not should:
         raise ValueError("bool query needs at least one must/should term")
     all_terms = sorted(set(must) | set(should) | set(must_not))
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
-    docstats = read_parquet_if_exists(
-        spark, _bm_docstats_path(store_path)
-    )
+    postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame([], "doc long, score double")
     tf = postings.filter(F.col("token").isin(all_terms)).select(
@@ -1057,9 +1403,7 @@ def expand_fuzzy_terms(
     :func:`bm25_over_store` / :func:`bool_search_over_store`."""
     from ..storeio import read_parquet_if_exists
 
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
+    postings, _ds = _read_search_store(spark, store_path)
     if postings is None:
         return []
     vocab = postings.select("token").distinct()
@@ -1096,9 +1440,7 @@ def phrase_over_store(
 
     if len(phrase) < 1:
         raise ValueError("phrase needs at least one term")
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
+    postings, _ds = _read_search_store(spark, store_path)
     if postings is None:
         return spark.createDataFrame(
             [], "doc long, n_occurrences long"
@@ -1148,17 +1490,39 @@ def compact_bm25_store(
     filters rows but prunes no files.  One global recluster restores
     file-level pruning and collapses the per-batch small files.
 
-    Reads are EXACTLY unchanged (same rows, different layout):
-    ``bm25_over_store`` / ``phrase_over_store`` /
+    On a CDC-MUTATED store (params ``mutated`` flag) this pass also
+    RECLAIMS: superseded generations and tombstoned docs are dropped
+    from both stores, and once both rewrites land the flag resets so
+    readers return to the no-window fast path — the vacuum step of
+    the generation-MVCC scheme (:func:`apply_cdc_to_bm25_index`).
+    Surviving rows KEEP their generation numbers: a crash between the
+    two rewrites then leaves (live-only postings, still-multi-gen
+    docstats) whose live join still matches — every crash point of
+    the three-step sequence (postings, docstats, params) serves
+    correct results and a re-run converges.
+
+    QUERY results are EXACTLY unchanged (live rows only, different
+    layout): ``bm25_over_store`` / ``phrase_over_store`` /
     ``proximity_over_store`` before == after, pinned in the registry
     and tests.  Uses the crash-aware directory swap
     (:func:`mongo_es_spark.storeio.rewrite_store`): single-writer
     maintenance op, re-runs self-heal.  Returns per-store file counts.
     """
-    from ..storeio import list_data_files, rewrite_store
+    from ..storeio import (
+        list_data_files,
+        read_parquet_if_exists,
+        rewrite_store,
+    )
 
     p = _bm_postings_path(store_path)
     d = _bm_docstats_path(store_path)
+    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    prow = params.head() if params is not None else None
+    mutated = (
+        prow is not None
+        and "mutated" in params.columns
+        and bool(prow["mutated"])
+    )
     before_p = list_data_files(p)
     before_d = list_data_files(d)
     size = sum(os.path.getsize(f) for f in before_p)
@@ -1177,6 +1541,14 @@ def compact_bm25_store(
     )
     n_out = max(1, floor, -(-size // target_bytes))
 
+    def _live_pairs():
+        # computed lazily INSIDE each writer so it reads the docstats
+        # directory as it exists at execution time (pre-rewrite for
+        # both writers — docstats is rewritten second)
+        return _bm_live_docstats(spark.read.parquet(d)).select(
+            "doc", "gen"
+        )
+
     def write_postings(new: str) -> None:
         # composite (token, doc) range: every file still carries a
         # tight token min/max (file-level In(token) pruning), but a
@@ -1185,9 +1557,11 @@ def compact_bm25_store(
         # parallelism survives skewed/common tokens (single-key range
         # clustering measured 7.0 -> 11.6 s on a 3-common-term query
         # at 5M docs because each term's postings landed in one file)
+        rows = spark.read.parquet(p)
+        if mutated:
+            rows = rows.join(_live_pairs(), ["doc", "gen"], "left_semi")
         (
-            spark.read.parquet(p)
-            .repartitionByRange(n_out, "token", "doc")
+            rows.repartitionByRange(n_out, "token", "doc")
             .sortWithinPartitions("token", "doc")
             .write.mode("overwrite")
             .parquet(new)
@@ -1199,14 +1573,24 @@ def compact_bm25_store(
     n_out_d = max(1, floor, -(-size_d // target_bytes))
 
     def write_docstats(new: str) -> None:
+        rows = spark.read.parquet(d)
+        if mutated:
+            rows = _bm_live_docstats(rows)
         (
-            spark.read.parquet(d)
-            .repartition(n_out_d)
+            rows.repartition(n_out_d)
             .write.mode("overwrite")
             .parquet(new)
         )
 
     rewrite_store(d, write_docstats)
+    if mutated:
+        # both stores now hold live rows only — readers may return to
+        # the fast path.  Crash before this line: flag stays set, the
+        # live filter runs over an all-live store (correct, just not
+        # fast) and a re-run converges.
+        _bm_write_params(
+            spark, store_path, list(prow["fields"]), mutated=False
+        )
     return {
         "postings_files": (len(before_p), len(list_data_files(p))),
         "docstats_files": (len(before_d), len(list_data_files(d))),
@@ -1246,9 +1630,7 @@ def proximity_over_store(
     k = len(terms)
     if k < 1:
         raise ValueError("proximity needs at least one term")
-    postings = read_parquet_if_exists(
-        spark, _bm_postings_path(store_path)
-    )
+    postings, _ds = _read_search_store(spark, store_path)
     if postings is None:
         return spark.createDataFrame([], "doc long, min_span long")
     base = postings.filter(F.col("token").isin(terms))

@@ -8204,3 +8204,192 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "i long, j long, containment double")
+
+
+# --------------------------------------------------------------------
+# Round 9: CDC-maintained search stores — inserts, updates AND deletes
+# flow through to the BM25 index (the reference's whole purpose:
+# src/processor.ts:225-258 routes all three op kinds into ES, deletes
+# at :244-250), pinned against an oracle computing BM25 over the FINAL
+# corpus state (insert ∪ update − delete) from the raw table — i.e.
+# exactly an index rebuilt from scratch.
+# --------------------------------------------------------------------
+
+_CDC_BM25_ORACLE = """
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3
+                    THEN 'updated ' || text ELSE text END AS text
+        FROM documents
+        WHERE NOT (doc_id % 11 = 5 AND doc_id % 7 <> 3)
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM corpus
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('updated', 'spark', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+"""
+
+
+def _cdc_mutated_store(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Fold the corpus, then apply one CDC batch (update docs with
+    doc_id % 7 == 3 to 'updated ' || text; delete doc_id % 11 == 5
+    among the rest) and REPLAY it once — the digest no-op pin."""
+    from .operators.text import (
+        apply_cdc_to_bm25_index,
+        incremental_bm25_index,
+    )
+
+    store = os.path.join(base, "bm")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incremental_bm25_index(spark, docs, store).count()
+    upd = docs.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.lit("u").alias("op"),
+        F.concat(F.lit("updated "), F.col("text")).alias("text"),
+    )
+    dels = docs.filter(
+        (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 7 != 3)
+    ).select(
+        "doc_id", F.lit("d").alias("op"), F.lit(None).cast("string").alias("text")
+    )
+    cdc = upd.unionByName(dels)
+    apply_cdc_to_bm25_index(spark, cdc, store)
+    # at-least-once redelivery: the whole batch must no-op
+    apply_cdc_to_bm25_index(spark, cdc, store)
+    return store
+
+
+@register("search_cdc_upsert", _CDC_BM25_ORACLE)
+def search_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained BM25 store (operators/text.py:
+    apply_cdc_to_bm25_index): the corpus folds in, one CDC batch
+    updates ~1/7 of the docs and deletes ~1/11, the batch REPLAYS once
+    (content-digest no-op), and ``bm25_over_store`` — resolving each
+    doc to its latest generation and dropping tombstones at read time
+    — must score exactly like an index rebuilt from the final corpus
+    state (the oracle computes that rebuild from the raw table).
+    Updates supersede by generation, deletes tombstone; the store is
+    append-only throughout."""
+    import shutil
+    import tempfile
+
+    from .operators.text import bm25_over_store
+
+    base = tempfile.mkdtemp(prefix="bm_cdc_")
+    try:
+        store = _cdc_mutated_store(spark, sf_dir, base)
+        rows = bm25_over_store(
+            spark, store, ["updated", "spark", "table"], top_k=10
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, score double").select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
+@register("search_cdc_compaction", _CDC_BM25_ORACLE)
+def search_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction RECLAIM on a CDC-mutated store: after the update +
+    delete batch, ``compact_bm25_store`` drops superseded generations
+    and tombstoned docs, rewrites token-range-clustered, and resets
+    the mutated flag so readers return to the no-window fast path —
+    and the top-10 must STILL equal the rebuilt-from-scratch oracle
+    (same oracle as ``search_cdc_upsert``; the reclaim may change
+    layout, never results)."""
+    import shutil
+    import tempfile
+
+    from .operators.text import bm25_over_store, compact_bm25_store
+
+    base = tempfile.mkdtemp(prefix="bm_cdc_c_")
+    try:
+        store = _cdc_mutated_store(spark, sf_dir, base)
+        compact_bm25_store(spark, store)
+        rows = bm25_over_store(
+            spark, store, ["updated", "spark", "table"], top_k=10
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, score double").select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
+@register(
+    "search_cdc_facets",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 1
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM corpus
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('spark', 'value')
+    )
+    SELECT lang, count(*) AS n_docs
+    FROM corpus JOIN matched USING (doc_id)
+    GROUP BY lang
+    ORDER BY n_docs DESC, lang ASC
+    """,
+)
+def search_cdc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-values facets on a CDC-mutated store: the corpus folds in
+    with ``lang`` as a stored field, a CDC batch deletes every third
+    doc, and the terms aggregation over the matched set — served
+    entirely from the index — must count exactly the SURVIVING docs
+    (tombstoned docstats rows drop at read time; the oracle counts
+    from the raw table minus the deletes)."""
+    import shutil
+    import tempfile
+
+    from .operators.text import (
+        apply_cdc_to_bm25_index,
+        facets_over_store,
+        incremental_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    base = tempfile.mkdtemp(prefix="bm_cdc_f_")
+    try:
+        store = os.path.join(base, "bm")
+        incremental_bm25_index(
+            spark, docs, store, field_cols=["lang"]
+        ).count()
+        dels = docs.filter(F.col("doc_id") % 3 == 1).select(
+            "doc_id",
+            F.lit("d").alias("op"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        apply_cdc_to_bm25_index(
+            spark, dels, store, field_cols=["lang"]
+        )
+        rows = facets_over_store(
+            spark, store, ["spark", "value"], "lang"
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "lang string, n_docs long")

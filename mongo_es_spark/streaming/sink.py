@@ -88,6 +88,66 @@ class ParquetIndexSink:
         os.replace(tmp, self._pointer())
 
 
+class SearchIndexedSink:
+    """Sink decorator closing the loop the reference exists for: keep
+    a SEARCH index in sync with a mutating collection
+    (src/processor.ts:225-258 routes inserts, updates AND deletes into
+    Elasticsearch; delete actions :244-250).  Every IR micro-batch
+    first applies to the wrapped keyed sink (the document store), then
+    folds into the incremental BM25 postings store via
+    :func:`~mongo_es_spark.operators.text.apply_cdc_to_bm25_index` —
+    updates supersede their old postings by generation, deletes
+    tombstone, and at-least-once redelivery no-ops on the content
+    digest, so the search index converges to exactly the documents the
+    sink holds.
+
+    ``text_field`` / ``field_cols`` name fields INSIDE the IR ``data``
+    struct (the task's mapped target paths).  Both writes happen in
+    the foreachBatch scope: a crash between them replays the batch,
+    the versioned sink rewrites its version, the index fold skips
+    already-applied docs — the same idempotence argument as each sink
+    alone."""
+
+    def __init__(
+        self,
+        inner,
+        store_path: str,
+        text_field: str,
+        field_cols: tuple = (),
+    ):
+        self.inner = inner
+        self.store_path = store_path
+        self.text_field = text_field
+        self.field_cols = tuple(field_cols)
+
+    def read_state(
+        self, spark: SparkSession, ids: Optional[DataFrame] = None
+    ) -> Optional[DataFrame]:
+        if hasattr(self.inner, "read_state"):
+            return self.inner.read_state(spark, ids=ids)
+        return None
+
+    def apply(self, spark: SparkSession, irs: DataFrame, batch_id: int) -> None:
+        from ..operators.text import apply_cdc_to_bm25_index
+
+        irs = irs.localCheckpoint(eager=True)  # both writes, one plan
+        self.inner.apply(spark, irs, batch_id)
+        batch = irs.select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("action") == "delete", F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+            F.col(f"data.`{self.text_field}`").alias("text"),
+            *[F.col(f"data.`{c}`").alias(c) for c in self.field_cols],
+        )
+        apply_cdc_to_bm25_index(
+            spark,
+            batch,
+            self.store_path,
+            field_cols=self.field_cols,
+        )
+
+
 class BulkItemError(RuntimeError):
     """One or more items of an Elasticsearch ``_bulk`` call failed."""
 
