@@ -93,6 +93,42 @@ def main() -> int:
         "shuffle": round(canary_shuffle, 3),
     }
 
+    # Drift factor vs the most recent recorded round WITH a canary:
+    # canary_now / canary_prev on identical fixed code IS the host-
+    # speed ratio, so per-query deltas divide by it before being read
+    # as regressions (the r8 VERDICT had to re-run four "regressions"
+    # by hand to identify scheduler noise — this is that adjudication,
+    # automated).  Shuffle tracks the bench workload best; cpu is the
+    # cross-check.
+    drift = None
+    try:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prev_rounds = []
+        for pth in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", pth)
+            if not m:
+                continue
+            with open(pth) as fh:
+                rec = json.load(fh)
+            parsed = rec.get("parsed", rec)
+            c = (parsed or {}).get("canary")
+            if c:
+                prev_rounds.append((int(m.group(1)), c))
+        if prev_rounds:
+            rnd, prev = max(prev_rounds)
+            drift = {
+                "vs_round": rnd,
+                "cpu": round(canary["cpu"] / max(prev["cpu"], 1e-9), 2),
+                "shuffle": round(
+                    canary["shuffle"] / max(prev["shuffle"], 1e-9), 2
+                ),
+            }
+    except Exception as exc:  # drift is advisory — never fail the run
+        print(f"bench: canary drift unavailable: {exc}", file=sys.stderr)
+
     # min of N repeats: single-run numbers on a shared VM carry several
     # seconds of scheduler/GC noise; the minimum is the real cost
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
@@ -185,8 +221,11 @@ def main() -> int:
         "throughput": throughput,
         "sf": sf,
         # fixed micro-op timings for cross-round host-drift
-        # normalization (see canary block above)
+        # normalization (see canary block above), plus the computed
+        # factor vs the last recorded round — divide per-query deltas
+        # by it before reading them as regressions
         "canary": canary,
+        **({"canary_drift": drift} if drift else {}),
         # self-labeling contention flag (NOTES.md bench protocol:
         # never time two Spark sessions at once) — false means the
         # totals are contention-skewed and bench_result.json from an

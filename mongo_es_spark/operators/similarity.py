@@ -432,6 +432,11 @@ def materialize_ivf_index(
     )
     (
         staged.drop("__res")
+        # gen 0 throughout: generation numbers only matter once
+        # apply_cdc_to_ivf_index supersedes rows (liveness = gen above
+        # the id's dead-watermark); a freshly materialized index has
+        # no dead store and every row live
+        .withColumn("gen", F.lit(0).cast("long"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
@@ -475,6 +480,36 @@ def _write_ivf_params(spark, path: str, stats_cover: int, cur_gen: int) -> None:
         F.lit(int(stats_cover)).cast("int").alias("stats_cover"),
         F.lit(int(cur_gen)).cast("long").alias("cur_gen"),
     ).coalesce(1).write.mode("overwrite").parquet(_ivf_params_path(path))
+
+
+def _ivf_dead_path(path: str) -> str:
+    return f"{path.rstrip('/')}/dead"
+
+
+def _ivf_live_vectors(spark, path: str, vecs: DataFrame) -> DataFrame:
+    """Filter a vectors scan down to LIVE rows: a row is dead when the
+    id's dead-watermark (``dead/ (id, upto)`` — appended by
+    :func:`apply_cdc_to_ivf_index` for updates and deletes) reaches
+    its generation.  Legacy stores (no ``gen`` column) and stores
+    never mutated (no ``dead/``) pass through untouched — zero cost on
+    the insert-only path.  The dead store is bounded by the mutation
+    count since the last :func:`recluster_ivf_store`, so the join's
+    build side stays small (AQE broadcasts it); the cell-prune filter
+    still reaches the scan below the join."""
+    from ..storeio import read_parquet_if_exists
+
+    if "gen" not in vecs.columns:
+        return vecs
+    dead = read_parquet_if_exists(spark, _ivf_dead_path(path))
+    if dead is None:
+        return vecs
+    id_col = [c for c in dead.columns if c != "upto"][0]
+    dmax = dead.groupBy(id_col).agg(F.max("upto").alias("__upto"))
+    return (
+        vecs.join(dmax, id_col, "left")
+        .filter(F.col("gen") > F.coalesce(F.col("__upto"), F.lit(-1)))
+        .drop("__upto")
+    )
 
 
 def _write_cellstats(staged: DataFrame, path: str, mode: str) -> None:
@@ -523,7 +558,8 @@ def append_to_ivf_index(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    existing = spark.read.parquet(f"{path}/vectors").select(id_col)
+    existing_df = spark.read.parquet(f"{path}/vectors")
+    existing = existing_df.select(id_col)
     fresh = vecs.join(existing, id_col, "left_anti")
 
     assign = pandas_udf(
@@ -552,10 +588,218 @@ def append_to_ivf_index(
         # certificate.  Readers take max(radius)/sum(n) per cell, so
         # the merge is read-time and the store never rewrites.
         _write_cellstats(staged, f"{path}/cellstats", mode="append")
-        staged.drop("__res").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(f"{path}/vectors")
+        out = staged.drop("__res")
+        if "gen" in existing_df.columns:
+            # inserts live at generation 0 like materialize's rows —
+            # an inserted id has no dead-watermark, so any gen works;
+            # matching the store schema keeps one parquet footer shape
+            out = out.withColumn("gen", F.lit(0).cast("long"))
+        out.write.mode("append").partitionBy("cell").parquet(
+            f"{path}/vectors"
+        )
     return n
+
+
+def apply_cdc_to_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Index maintenance under MUTATION for the IVF store: apply a CDC
+    batch of vector upserts and deletes, the dense-retrieval analog of
+    :func:`~mongo_es_spark.operators.text.apply_cdc_to_bm25_index`
+    (the reference keeps a search index in sync with a mutating
+    collection — src/processor.ts:225-258).
+
+    Layout: vector rows carry a generation; ``dead/ (id, upto)``
+    appends a WATERMARK killing every generation ≤ ``upto`` of that
+    id.  An update appends the new vector at generation ``g`` plus a
+    watermark at ``g-1``; a delete appends only the watermark.  Every
+    reader filters ``gen > max(upto)`` per id
+    (:func:`_ivf_live_vectors`) — never-mutated stores skip it (no
+    ``dead/``), and :func:`recluster_ivf_store` reclaims.
+
+    Replay handling is CONTENT-BASED: an upsert whose live vector
+    already equals the new one skips, a delete of an absent/dead id
+    skips — so at-least-once delivery converges and a fully-replayed
+    batch writes nothing.
+
+    Write order is params(gen counter) → cellstats → dead → vectors,
+    chosen so every crash point either re-runs identically or only
+    UNDER-serves (an update crashed between its watermark and its new
+    vector is invisible until the retry lands — never stale, never
+    duplicated): bumping the generation counter first means a retry
+    re-applies at a FRESH generation, so half-written rows of the
+    crashed attempt can never collide with or outlive the retry's;
+    cellstats-before-vectors keeps radii over-covering (the
+    append_to_ivf_index argument).  Exactness of
+    :func:`ivf_exact_topk` over the mutated store is pinned against
+    brute force over the live rows in tests.
+
+    Returns the APPLIED rows ``(id, op, gen)`` — empty on full replay.
+    """
+    spark = batch.sparkSession
+    from ..storeio import read_parquet_if_exists
+
+    params = _read_ivf_params(spark, path)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if params is None or "gen" not in vectors.columns:
+        raise ValueError(
+            f"IVF store at {path} predates CDC support (no params "
+            "marker / generation column) — re-materialize it"
+        )
+    b = batch.select(
+        F.col(id_col),
+        F.lower(F.col(op_col)).alias("__op"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    agg = b.agg(
+        F.count("*").alias("n"), F.countDistinct(id_col).alias("nd")
+    ).head()
+    if agg["n"] != agg["nd"]:
+        raise ValueError(
+            "apply_cdc_to_ivf_index: duplicate ids in the batch — "
+            "pre-compact to one op per id"
+        )
+    live = _ivf_live_vectors(
+        spark,
+        path,
+        vectors.join(F.broadcast(b.select(id_col)), id_col, "left_semi"),
+    ).select(
+        F.col(id_col),
+        F.col("v").alias("__live_v"),
+        F.lit(True).alias("__live"),
+    )
+    st = b.join(F.broadcast(live), id_col, "left")
+    applies = F.when(
+        F.col("__op") == "d", F.col("__live").eqNullSafe(F.lit(True))
+    ).otherwise(
+        ~(
+            F.col("__live").eqNullSafe(F.lit(True))
+            & F.col("__live_v").eqNullSafe(F.col("v"))
+        )
+    )
+    applied = st.filter(applies).localCheckpoint(eager=True)
+    if applied.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, op string, gen long"
+        )
+    g = int(params["cur_gen"]) + 1
+    # 1. generation counter first (see docstring crash argument)
+    _write_ivf_params(
+        spark, path, stats_cover=int(params["stats_cover"]), cur_gen=g
+    )
+
+    ups = applied.filter(F.col("__op") != "d")
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(rows), len(rows[0]["centroid"])))
+    for r in rows:
+        C[r["cell"]] = r["centroid"]
+    assign = pandas_udf(
+        _assign_residual_kernel(C), "struct<cell:int,residual:double>"
+    )
+    staged = (
+        ups.withColumn("__ar", assign(F.col("v")))
+        .select(
+            F.col(id_col),
+            "v",
+            F.col("__ar.cell").alias("cell"),
+            F.col("__ar.residual").alias("__res"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # 2. cellstats (over-covering on retry — conservative)
+    if staged.limit(1).count() > 0:
+        _write_cellstats(staged, f"{path}/cellstats", mode="append")
+    # 3. dead watermarks: deletes, and updates superseding a live row
+    watermarks = (
+        applied.filter(
+            (F.col("__op") == "d")
+            | F.col("__live").eqNullSafe(F.lit(True))
+        )
+        .select(
+            F.col(id_col), F.lit(g - 1).cast("long").alias("upto")
+        )
+    )
+    watermarks.write.mode("append").parquet(_ivf_dead_path(path))
+    # 4. vectors at generation g (anti-join: a crashed attempt at this
+    # same g could not exist — g was consumed up front — but a crashed
+    # RETRY of this very call could have landed them)
+    already = (
+        vectors.filter(F.col("gen") == g)
+        .join(F.broadcast(staged.select(id_col)), id_col, "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    (
+        staged.drop("__res")
+        .join(F.broadcast(already), id_col, "left_anti")
+        .withColumn("gen", F.lit(g).cast("long"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    return applied.select(
+        F.col(id_col),
+        F.col("__op").alias("op"),
+        F.lit(g).cast("long").alias("gen"),
+    )
+
+
+def recluster_ivf_store(
+    spark,
+    path: str,
+    id_col: str,
+    n_cells: int | None = None,
+    seed: int = 7,
+    train_sample: int = 100_000,
+) -> dict:
+    """Re-centering compaction for the IVF store — the vacuum +
+    re-train pass.  Two forces degrade a long-lived index:
+    :func:`apply_cdc_to_ivf_index` leaves dead generations that every
+    scan filters, and appended/updated vectors drift away from the
+    original centroids, inflating cellstats radii until
+    :func:`ivf_exact_topk`'s pruning decays toward the documented
+    full-sweep worst case.  This pass reads the LIVE rows, re-trains
+    the coarse quantizer on them, reassigns every vector, and rewrites
+    the whole index directory (vectors at generation 0, fresh
+    centroids/cellstats/params, no ``dead/``) via the crash-aware swap
+    (:func:`mongo_es_spark.storeio.rewrite_store` on the index root —
+    single-writer maintenance op, re-runs self-heal).
+
+    QUERY results are EXACTLY unchanged (the live set is unchanged;
+    exactness is geometry-independent) — pinned in tests — while
+    pruning is restored to fresh-index quality.  Returns row/cell
+    counts."""
+    from ..storeio import rewrite_store
+
+    if n_cells is None:
+        n_cells = spark.read.parquet(f"{path}/centroids").count()
+    before = spark.read.parquet(f"{path}/vectors")
+    n_before = before.count()
+
+    def write_new(new: str) -> None:
+        live = _ivf_live_vectors(
+            spark, path, spark.read.parquet(f"{path}/vectors")
+        ).select(id_col, "v")
+        materialize_ivf_index(
+            live,
+            id_col,
+            "v",
+            new,
+            n_cells=n_cells,
+            seed=seed,
+            train_sample=train_sample,
+        )
+
+    rewrite_store(path, write_new)
+    after = spark.read.parquet(f"{path}/vectors")
+    return {
+        "rows": (n_before, after.count()),
+        "cells": int(n_cells),
+    }
 
 
 def ann_ivf_search(
@@ -578,8 +822,12 @@ def ann_ivf_search(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(c) for c in np.argsort(-(C @ qn))[:n_probe]]
 
-    vectors = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("cell").isin(probes)
+    vectors = _ivf_live_vectors(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/vectors").filter(
+            F.col("cell").isin(probes)
+        ),
     )
     q_df = spark.createDataFrame(
         [([float(x) for x in q],)], "qv array<double>"
@@ -685,8 +933,12 @@ def ivf_exact_topk(
     order = sorted(ub, key=lambda c: (-ub[c], c))
 
     def _scan(cells):
-        vecs = spark.read.parquet(f"{path}/vectors").filter(
-            F.col("cell").isin(list(cells))
+        vecs = _ivf_live_vectors(
+            spark,
+            path,
+            spark.read.parquet(f"{path}/vectors").filter(
+                F.col("cell").isin(list(cells))
+            ),
         )
         if exclude_id is not None:
             vecs = vecs.filter(F.col(id_col) != exclude_id)
@@ -849,14 +1101,16 @@ def ivf_exact_batch_topk(
                     }
                 )
 
-        scan = (
-            spark.read.parquet(f"{path}/vectors")
-            .filter(F.col("cell").isin([int(c) for c in cells]))
-            .select(
-                F.col(id_col).cast("long").alias("doc"),
-                "v",
-                F.col("cell").cast("long").alias("cell"),
-            )
+        scan = _ivf_live_vectors(
+            spark,
+            path,
+            spark.read.parquet(f"{path}/vectors").filter(
+                F.col("cell").isin([int(c) for c in cells])
+            ),
+        ).select(
+            F.col(id_col).cast("long").alias("doc"),
+            "v",
+            F.col("cell").cast("long").alias("cell"),
         )
         return scan.mapInPandas(
             gen, "q_id long, __doc long, score double"

