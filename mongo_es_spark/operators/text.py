@@ -1040,11 +1040,29 @@ def bm25_over_store(
     The exclusion list is model-sized (a handful of seed ids), applied
     as a NOT IN the scans push down.
     """
-    from ..storeio import read_parquet_if_exists
+    scored = _bm25_scored(spark, store_path, terms, k1, b, exclude_docs)
+    if scored is None:
+        return spark.createDataFrame([], "doc long, score double")
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    ).limit(top_k)
 
+
+def _bm25_scored(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    k1: float,
+    b: float,
+    exclude_docs: Sequence | None = None,
+):
+    """The UNRANKED (doc, score) frame behind :func:`bm25_over_store`
+    — shared with :func:`bm25_page_over_store`, whose cursor predicate
+    must apply before any top-k, not after a bounded one.  Returns
+    None when the store is missing."""
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
-        return spark.createDataFrame([], "doc long, score double")
+        return None
     if exclude_docs:
         excl = list(exclude_docs)
         postings = postings.filter(~F.col("doc").isin(excl))
@@ -1074,8 +1092,6 @@ def bm25_over_store(
         scored.withColumn("w", w)
         .groupBy("doc")
         .agg(F.round(F.sum("w"), 6).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc").asc())
-        .limit(top_k)
     )
 
 
@@ -1414,6 +1430,280 @@ def expand_fuzzy_terms(
     return sorted(
         r["token"] for r in vocab.filter(cond).collect()
     )
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """ES ``wildcard`` pattern -> anchored regex: ``*`` matches any
+    run (including empty), ``?`` exactly one character, everything
+    else literal.  The produced regex stays inside the portable
+    subset (escaped literals, ``.*``, ``.``) so the SAME string runs
+    under Java regex (Spark ``rlike``) and RE2/DuckDB — the oracle
+    replays it verbatim."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """The literal run before the first wildcard metacharacter —
+    the scannable prefix ES's wildcard rewriting also exploits."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def expand_wildcard_terms(
+    spark,
+    store_path: str,
+    pattern: str,
+    max_terms: int = 1024,
+) -> list[str]:
+    """ES ``wildcard`` query term expansion against the INDEX
+    VOCABULARY: every distinct stored token matching the pattern
+    (``*`` = any run, ``?`` = one char), returned sorted as
+    driver-side model state for :func:`bm25_over_store` /
+    :func:`bool_search_over_store` — the same shape as
+    :func:`expand_fuzzy_terms`.
+
+    Scale shape: when the pattern has a LITERAL PREFIX before its
+    first wildcard, the half-open token range ``[prefix, next)``
+    pushes into the postings scan exactly like
+    :func:`prefix_search_over_store` — the vocabulary distinct runs
+    over the pruned files only.  A LEADING wildcard (``*foo``) cannot
+    prune and sweeps the whole vocabulary, the same cost cliff ES
+    documents for its wildcard query; it stays correct, just
+    index-vocabulary-sized.  ``max_terms`` guards the driver-side
+    expansion (ES's ``indices.query.bool.max_clause_count``): raise
+    rather than silently truncate — a truncated expansion returns
+    silently WRONG results."""
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return []
+    prefix = _wildcard_literal_prefix(pattern)
+    if prefix:
+        cond = F.col("token").startswith(prefix)
+        hi = _prefix_upper_bound(prefix)
+        if hi is not None:
+            cond = cond & (F.col("token") >= prefix) & (F.col("token") < hi)
+        postings = postings.filter(cond)
+    vocab = postings.select("token").distinct()
+    rows = (
+        vocab.filter(F.col("token").rlike(wildcard_to_regex(pattern)))
+        .limit(max_terms + 1)
+        .collect()
+    )
+    if len(rows) > max_terms:
+        raise ValueError(
+            f"wildcard {pattern!r} expands past max_terms={max_terms} "
+            "— narrow the pattern (a truncated expansion would score "
+            "silently wrong)"
+        )
+    return sorted(r["token"] for r in rows)
+
+
+def expand_regexp_terms(
+    spark,
+    store_path: str,
+    regex: str,
+    max_terms: int = 1024,
+) -> list[str]:
+    """ES ``regexp`` query term expansion: every distinct stored token
+    whose ENTIRE text matches ``regex`` (ES anchors implicitly; so
+    does this — the pattern is wrapped ``^(?:...)$``).  Keep the
+    pattern inside the Java-regex/RE2 common subset so the DuckDB
+    oracle can run the identical expression.  Whole-vocabulary sweep
+    by design (a general regex has no scannable prefix); the
+    vocabulary frame is index-metadata-sized and ``max_terms`` guards
+    the driver-side expansion."""
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return []
+    vocab = postings.select("token").distinct()
+    rows = (
+        vocab.filter(F.col("token").rlike(f"^(?:{regex})$"))
+        .limit(max_terms + 1)
+        .collect()
+    )
+    if len(rows) > max_terms:
+        raise ValueError(
+            f"regexp {regex!r} expands past max_terms={max_terms} — "
+            "narrow the pattern"
+        )
+    return sorted(r["token"] for r in rows)
+
+
+def filtered_bm25_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    filters: Sequence[tuple],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES bool FILTER CONTEXT over the store: BM25 top-k over
+    ``terms`` restricted to documents whose STORED FIELDS satisfy
+    every filter — range-filtered retrieval served entirely from the
+    index (the ``field_cols`` doc-values mechanism;
+    :func:`facets_over_store` proves the read path, this adds the
+    query shape).
+
+    ``filters`` is a list of ``(column, op, value)`` with op in
+    ``= != > >= < <=``; conjunctive (ES filter clauses AND).  ES
+    semantics preserved: filters gate MEMBERSHIP but never scoring —
+    idf/avgdl/n_docs stay whole-index statistics, so a document's
+    score is identical with or without unrelated filters (the
+    filter-context-is-non-scoring contract).
+
+    Scale shape: the postings scan pushes ``In(token, …)``; the
+    docstats scan pushes the field predicates (doc-values pushdown —
+    ``PushedFilters`` on the stored columns); the corpus is never
+    touched.  Everything after the scans is query-terms-sized except
+    the doc-keyed docstats join the unfiltered query already pays.
+    Output: ``(doc, score)`` top-k.
+    """
+    _OPS = {
+        "=": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+    }
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "doc long, score double")
+    for col, op, _v in filters:
+        if col not in docstats.columns:
+            raise ValueError(
+                f"field {col!r} is not stored in the index — fold "
+                f"batches with field_cols=[{col!r}]"
+            )
+        if op not in _OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+    # whole-index statistics (ES filter context never rescales idf)
+    stats = docstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = postings.filter(F.col("token").isin(*list(terms)))
+    n_t = tf.groupBy("token").agg(F.countDistinct("doc").alias("df_t"))
+    gated = docstats
+    for col, op, v in filters:
+        gated = gated.filter(_OPS[op](F.col(col), F.lit(v)))
+    scored = (
+        tf.join(gated.select("doc", "dl"), "doc")  # gate + length norm
+        .join(F.broadcast(n_t), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+        + 1.0
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.withColumn("w", w)
+        .groupBy("doc")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
+def histogram_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    interval: float,
+) -> DataFrame:
+    """ES ``histogram`` aggregation over the search hit set, served
+    ENTIRELY from the index: bucket the documents matching ANY of
+    ``terms`` by ``floor(field / interval) * interval`` over a STORED
+    numeric field (the doc-values mechanism — ``field_cols`` at index
+    time).  ES computes aggregations over the FULL matched set, not
+    the top-k page — same here; empty buckets are omitted (ES
+    ``min_doc_count=1`` behavior).
+
+    Scale shape: one token-pruned postings scan for the matched ids,
+    one semi-join against docstats (∝ matched docs), one bucket-keyed
+    count.  The corpus is never touched.  Output: ``(bucket,
+    n_docs)``, bucket asc."""
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "bucket double, n_docs long")
+    if field not in docstats.columns:
+        raise ValueError(
+            f"field {field!r} is not stored in the index — fold "
+            f"batches with field_cols=[{field!r}]"
+        )
+    if interval <= 0:
+        raise ValueError("histogram interval must be positive")
+    matched = (
+        postings.filter(F.col("token").isin(*list(terms)))
+        .select("doc")
+        .distinct()
+    )
+    return (
+        docstats.join(matched, "doc", "left_semi")
+        .filter(F.col(field).isNotNull())
+        .groupBy(
+            (
+                F.floor(F.col(field) / F.lit(float(interval)))
+                * F.lit(float(interval))
+            ).alias("bucket")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def bm25_page_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    page_size: int = 10,
+    search_after: tuple | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``search_after`` pagination over the store: the next
+    ``page_size`` hits strictly after the cursor ``(score, doc)`` in
+    the total order (score desc, doc asc) — the deep-pagination shape
+    ES recommends over from+size, because each page is a top-k with a
+    predicate instead of a skip-scan.
+
+    The cursor predicate applies AFTER scoring (scores are
+    page-invariant: same statistics every page), so page N+1 costs
+    the same one token-pruned scan as page 1 — no offset
+    materialization, no state between calls beyond the last row's
+    sort values.  Concatenating pages equals the single deep top-k
+    (pinned in tests and by the registry oracle).  Output: ``(doc,
+    score)``."""
+    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    if scored is None:
+        return spark.createDataFrame([], "doc long, score double")
+    if search_after is not None:
+        s, d = float(search_after[0]), search_after[1]
+        scored = scored.filter(
+            (F.col("score") < s)
+            | ((F.col("score") == s) & (F.col("doc") > d))
+        )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    ).limit(page_size)
 
 
 def phrase_over_store(

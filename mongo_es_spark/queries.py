@@ -2755,10 +2755,11 @@ def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
 
     def build(path: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
-        # lang rides docstats as a stored field (ES doc values) so the
-        # facet query serves from the index alone
+        # lang + n_chars ride docstats as stored fields (ES doc
+        # values) so the facet AND range-filtered queries serve from
+        # the index alone
         incremental_bm25_index(
-            spark, docs, path, field_cols=["lang"]
+            spark, docs, path, field_cols=["lang", "n_chars"]
         ).count()
 
     return _shared_store("bm25", sf_dir, build)
@@ -8556,3 +8557,241 @@ def search_dense_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "vec_id long, score double")
+
+
+# --------------------------------------------------------------------
+# Round 9: ES query-DSL long tail over the postings store — filtered
+# retrieval on stored fields, wildcard and regexp term expansion.
+# --------------------------------------------------------------------
+
+
+@register(
+    "search_filtered_range",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT t.doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN documents d ON d.doc_id = t.doc_id
+    JOIN n_t USING (token) JOIN dl ON dl.doc_id = t.doc_id, stats
+    WHERE d.lang = 'en' AND d.n_chars >= 120 AND d.n_chars < 900
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_filtered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool FILTER CONTEXT served from the index
+    (operators/text.py:filtered_bm25_over_store): BM25 over
+    [spark, table] restricted to lang = 'en' AND n_chars in
+    [120, 900) — both predicates evaluated on docstats STORED FIELDS
+    (doc values), pushed into that scan, never touching the corpus.
+    ES semantics pinned by the oracle: filters gate membership but
+    idf/avgdl/n_docs stay whole-index statistics (filter context is
+    non-scoring)."""
+    from .operators.text import filtered_bm25_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return filtered_bm25_over_store(
+        spark,
+        store,
+        ["spark", "table"],
+        [("lang", "=", "en"), ("n_chars", ">=", 120), ("n_chars", "<", 900)],
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_wildcard",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT DISTINCT token FROM toks),
+    expanded AS (
+        SELECT token FROM vocab WHERE regexp_matches(token, '^s.*am$')
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN (SELECT token FROM expanded)
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``wildcard`` query over the postings store
+    (operators/text.py:expand_wildcard_terms): the pattern ``s*am``
+    expands against the index vocabulary — the literal prefix ``s``
+    prunes the scan as a token range before the regex runs, the ES
+    wildcard-rewrite optimization — then plain BM25 serves the
+    expanded terms.  The oracle replays the identical anchored regex
+    (the wildcard translation stays in the Java-regex/RE2 common
+    subset) + scoring from the raw text."""
+    from .operators.text import bm25_over_store, expand_wildcard_terms
+
+    store = _shared_bm25_store(spark, sf_dir)
+    expanded = expand_wildcard_terms(spark, store, "s*am")
+    return bm25_over_store(spark, store, expanded, top_k=10).select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
+@register(
+    "search_regexp",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT DISTINCT token FROM toks),
+    expanded AS (
+        SELECT token FROM vocab
+        WHERE regexp_matches(token, '^(?:[rt]ab?les?)$')
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN (SELECT token FROM expanded)
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``regexp`` query over the postings store
+    (operators/text.py:expand_regexp_terms): ``[rt]ab?les?`` matches
+    the whole token (ES's implicit anchoring, reproduced with
+    ``^(?:...)$``) against the index vocabulary, then BM25 serves the
+    expansion.  The oracle runs the IDENTICAL pattern under RE2 —
+    the expansion contract keeps patterns inside the Java/RE2 common
+    subset so both engines see one language."""
+    from .operators.text import bm25_over_store, expand_regexp_terms
+
+    store = _shared_bm25_store(spark, sf_dir)
+    expanded = expand_regexp_terms(spark, store, "[rt]ab?les?")
+    return bm25_over_store(spark, store, expanded, top_k=10).select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
+@register(
+    "search_histogram",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('spark', 'value')
+    )
+    SELECT floor(n_chars / 200.0) * 200.0 AS bucket,
+           count(*) AS n_docs
+    FROM documents JOIN matched USING (doc_id)
+    WHERE n_chars IS NOT NULL
+    GROUP BY 1
+    ORDER BY bucket ASC
+    """,
+)
+def search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation served from the index
+    (operators/text.py:histogram_over_store): documents matching ANY
+    query term bucketed by floor(n_chars/200)*200 over the STORED
+    numeric field — matched ids from one token-pruned postings scan,
+    buckets from docstats doc values, the corpus never read.  ES
+    aggregates over the FULL matched set (not the top-k page) and
+    omits empty buckets (min_doc_count=1) — both pinned by the
+    oracle."""
+    from .operators.text import histogram_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return histogram_over_store(
+        spark, store, ["spark", "value"], "n_chars", interval=200.0
+    )
+
+
+@register(
+    "search_page2",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 5 OFFSET 5
+    """,
+)
+def search_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after deep pagination
+    (operators/text.py:bm25_page_over_store): page 1's last (score,
+    doc) sort values become the cursor, page 2 is a top-k with the
+    strictly-after predicate — no offset materialization, each page
+    one token-pruned scan.  The oracle is the textbook LIMIT/OFFSET
+    over the full ranking: page 2 by cursor must equal rows 6-10 of
+    the deep sort exactly."""
+    from .operators.text import bm25_page_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    terms = ["spark", "table", "stream"]
+    page1 = bm25_page_over_store(
+        spark, store, terms, page_size=5
+    ).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc"])
+    return bm25_page_over_store(
+        spark, store, terms, page_size=5, search_after=cursor
+    ).select(F.col("doc").alias("doc_id"), "score")

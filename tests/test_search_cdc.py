@@ -76,9 +76,11 @@ def _all_queries(spark, store):
     """One tuple exercising every store reader."""
     from mongo_es_spark.operators.text import (
         bm25_batch_over_store,
+        bm25_page_over_store,
         bool_search_over_store,
         expand_fuzzy_terms,
         facets_over_store,
+        histogram_over_store,
         phrase_over_store,
         prefix_search_over_store,
         proximity_over_store,
@@ -117,6 +119,21 @@ def _all_queries(spark, store):
             tuple(r)
             for r in proximity_over_store(
                 spark, store, ["rows", "updated"]
+            ).collect()
+        ),
+        sorted(
+            tuple(r)
+            for r in bm25_page_over_store(
+                spark, store, ["spark", "tables"], page_size=3,
+                search_after=None,
+            ).collect()
+        ),
+        # histogram over the doc-length core column: deleted docs must
+        # vanish from buckets, updated docs bucket by their NEW dl
+        sorted(
+            tuple(r)
+            for r in histogram_over_store(
+                spark, store, ["spark", "rows"], "dl", interval=2.0
             ).collect()
         ),
     )

@@ -399,3 +399,197 @@ def test_prefix_upper_bound_edge_cases(spark, tmp_path):
         ).collect()
     }
     assert hits4 == {5}
+
+
+def test_filtered_retrieval_gates_without_rescoring(spark, tmp_path):
+    """ES filter context: membership gated on stored fields, scoring
+    untouched (idf/avgdl/n_docs stay whole-index) — a surviving doc's
+    score must BYTE-match its unfiltered score; and both predicates
+    push into the docstats scan (doc-values pushdown), the token In
+    into the postings scan."""
+    import re as _re
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        filtered_bm25_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "spark streams tables", "en", 120),
+        (2, "spark spark batch", "en", 80),
+        (3, "spark tables rows", "fr", 300),
+        (4, "tables of spark", "en", 500),
+        (5, "spark spark spark", "en", 2000),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang", "n_chars"]
+    ).count()
+
+    flt = filtered_bm25_over_store(
+        spark,
+        store,
+        ["spark", "tables"],
+        [("lang", "=", "en"), ("n_chars", ">=", 100), ("n_chars", "<", 1000)],
+    )
+    got = {r["doc"]: r["score"] for r in flt.collect()}
+    assert set(got) == {1, 4}  # 2: n_chars too small, 3: fr, 5: too big
+    unfiltered = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(
+            spark, store, ["spark", "tables"], top_k=10
+        ).collect()
+    }
+    for d, s in got.items():
+        assert s == unfiltered[d]  # non-scoring filter context
+
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PushedFilters: \[.*In\(token", plan)
+    assert _re.search(r"EqualTo\(lang,en\)", plan)
+    assert _re.search(r"GreaterThanOrEqual\(n_chars,100\)", plan)
+    import pytest
+
+    with pytest.raises(ValueError, match="not stored"):
+        filtered_bm25_over_store(
+            spark, store, ["spark"], [("missing", "=", 1)]
+        )
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        filtered_bm25_over_store(
+            spark, store, ["spark"], [("lang", "~", "en")]
+        )
+
+
+def test_wildcard_and_regexp_expansion(spark, tmp_path):
+    """Wildcard/regexp term expansion over the vocabulary: ES
+    anchoring semantics, prefix-range pruning for non-leading
+    wildcards, leading-wildcard correctness, max_terms guard."""
+    import re as _re
+
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        expand_regexp_terms,
+        expand_wildcard_terms,
+        incremental_bm25_index,
+        wildcard_to_regex,
+    )
+
+    assert wildcard_to_regex("s*am") == "^s.*am$"
+    assert wildcard_to_regex("ro?s") == "^ro.s$"
+    assert wildcard_to_regex("a.b") == "^a\\.b$"  # literal dot escaped
+
+    rows = [
+        (1, "stream steam scam sam slam"),
+        (2, "rows ross table tables"),
+        (3, "spam exam team upstream"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+
+    # non-leading wildcard: anchored both ends, '*' spans the empty
+    # run ('sam' matches), 'upstream' excluded
+    assert expand_wildcard_terms(spark, store, "s*am") == [
+        "sam", "scam", "slam", "spam", "steam", "stream",
+    ]
+    # ? = exactly one char
+    assert expand_wildcard_terms(spark, store, "s?am") == [
+        "scam", "slam", "spam",
+    ]
+    # leading wildcard: full-vocabulary sweep, still correct
+    assert expand_wildcard_terms(spark, store, "*eam") == [
+        "steam", "stream", "team", "upstream",
+    ]
+    # regexp: ES whole-token anchoring
+    assert expand_regexp_terms(spark, store, "[rt]ab?les?") == [
+        "table", "tables",
+    ]
+    assert expand_regexp_terms(spark, store, "ro.s") == ["ross", "rows"]
+    with pytest.raises(ValueError, match="max_terms"):
+        expand_wildcard_terms(spark, store, "*", max_terms=3)
+
+    # the prefix-range accelerator reaches the scan for a non-leading
+    # wildcard (same pushdown contract as prefix_search_over_store)
+    from mongo_es_spark.operators.text import _read_search_store
+
+    postings, _ = _read_search_store(spark, store)
+    pruned = postings.filter(
+        (F.col("token").startswith("s"))
+        & (F.col("token") >= "s")
+        & (F.col("token") < "t")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"GreaterThanOrEqual\(token,s\)", plan)
+
+
+def test_search_after_pages_tile_the_deep_topk(spark, tmp_path):
+    """Concatenated search_after pages must equal the single deep
+    top-k exactly — including across a tied-score boundary (the
+    cursor is (score, doc), so ties split correctly by doc id)."""
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        bm25_page_over_store,
+        incremental_bm25_index,
+    )
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    terms = ["spark", "table", "stream"]
+    deep = [
+        (r["doc"], r["score"])
+        for r in bm25_over_store(spark, store, terms, top_k=15).collect()
+    ]
+    pages, cursor = [], None
+    for _ in range(3):
+        page = [
+            (r["doc"], r["score"])
+            for r in bm25_page_over_store(
+                spark, store, terms, page_size=5, search_after=cursor
+            ).collect()
+        ]
+        if not page:
+            break
+        pages += page
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == deep
+
+
+def test_histogram_over_store_matches_matched_set(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        histogram_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "spark a", "en", 100),
+        (2, "spark b", "en", 250),
+        (3, "spark c", "fr", 260),
+        (4, "other words", "en", 450),   # unmatched -> no bucket
+        (5, "spark d", "de", 460),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang", "n_chars"]
+    ).count()
+    got = [
+        (r["bucket"], r["n_docs"])
+        for r in histogram_over_store(
+            spark, store, ["spark"], "n_chars", interval=200.0
+        ).collect()
+    ]
+    assert got == [(0.0, 1), (200.0, 2), (400.0, 1)]
+    import pytest
+
+    with pytest.raises(ValueError, match="not stored"):
+        histogram_over_store(spark, store, ["spark"], "missing", 10.0)
+    with pytest.raises(ValueError, match="positive"):
+        histogram_over_store(spark, store, ["spark"], "n_chars", 0.0)
