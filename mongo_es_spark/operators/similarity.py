@@ -389,6 +389,7 @@ def materialize_ivf_index(
     n_cells: int = 16,
     seed: int = 7,
     train_sample: int = 100_000,
+    train_order: str = "id",
 ) -> None:
     """Persist an IVF index: vectors written partitioned by their
     k-means cell (``<path>/vectors/cell=N/...``) plus the centroid
@@ -403,13 +404,26 @@ def materialize_ivf_index(
     )
     # Arrow path: toPandas ships the sample as columnar batches —
     # a 100k x 64 collect() serializes row-by-row through py4j and
-    # measured ~10x slower
+    # measured ~10x slower.
+    # Deterministic sample order (limit().toPandas() row order is
+    # partition-order sensitive and k-means init indexes rows —
+    # unsorted, the trained cells vary run to run on identical data):
+    # "id" keeps the original contract; "hash" (deterministic id-hash
+    # order) draws the sample UNIFORMLY across the id space — what
+    # recluster_ivf_store needs, because appended/updated rows carry
+    # HIGH ids an id-sorted prefix never samples, silently re-training
+    # the quantizer on only the pre-drift population.
+    if train_order == "hash":
+        order_cols = [F.xxhash64(F.col(id_col)), F.col(id_col)]
+    elif train_order == "id":
+        order_cols = [F.col(id_col)]
+    else:
+        raise ValueError(
+            f"train_order must be 'id' or 'hash', got {train_order!r}"
+        )
     sample = (  # nulls masked: one missing vector must not ragged-array training
         vecs.filter(F.col("v").isNotNull())
-        # id-sorted: limit().toPandas() row order is partition-order
-        # sensitive and k-means init indexes rows — unsorted, the
-        # trained cells vary run to run on identical data
-        .orderBy(id_col).select("v").limit(train_sample).toPandas()
+        .orderBy(*order_cols).select("v").limit(train_sample).toPandas()
     )
     X = np.asarray(sample["v"].tolist(), dtype=np.float64)
     C = _kmeans_fit(X, n_cells, seed)
@@ -792,6 +806,10 @@ def recluster_ivf_store(
             n_cells=n_cells,
             seed=seed,
             train_sample=train_sample,
+            # hash-ordered sample: appended/updated rows carry high
+            # ids, and an id-sorted prefix would re-train on only the
+            # pre-drift population — the very drift this pass repairs
+            train_order="hash",
         )
 
     rewrite_store(path, write_new)

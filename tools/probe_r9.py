@@ -86,20 +86,37 @@ def main() -> int:
         q()
         post_s, rows_post = t(q)
         assert rows_live == rows_post  # reclaim never moves results
+        # the parallelism lever: the default byte-sized recluster can
+        # concentrate a heavy token's postings into one file on a
+        # small-vocabulary corpus (pruning up, per-query parallelism
+        # down) — min_files spreads the (token, doc) ranges back out
+        comp2_s, _ = t(
+            lambda: compact_bm25_store(spark, store, min_files=256)
+        )
+        q()
+        post2_s, rows_post2 = t(q)
+        assert rows_post2 == rows_live
         print(
             f"BM25-CDC @ {n_docs} docs: fold {fold_s:.1f}s; "
             f"CDC batch {applied} ops in {cdc_s:.1f}s; "
             f"live query fast-path {fast_s:.2f}s -> mutated "
-            f"{live_s:.2f}s -> post-compact {post_s:.2f}s; "
+            f"{live_s:.2f}s -> post-compact {post_s:.2f}s -> "
+            f"post-compact(min_files=256) {post2_s:.2f}s; "
             f"docstats rows {ds_rows_before} -> {ds_rows_after}; "
-            f"compact {comp_s:.1f}s {comp}"
+            f"compact {comp_s:.1f}s {comp}; recompact {comp2_s:.1f}s"
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
     # ---------------- probe 2: IVF drift + recluster ----------------
-    import numpy as np
-
+    # Synthetic CLUSTERED corpus (the replica embeddings are
+    # unclustered — the honest negative already on record: exact IVF
+    # degrades to a layout-pruned sweep there, drift or not).  2M unit
+    # 2-D vectors on 64 tight arcs covering [0°,180°); the drifted
+    # append adds 2M more on 64 arcs covering [180°,360°) — every
+    # drifted vector is far from every trained centroid, so cellstats
+    # radii inflate until pruning dies; recluster re-trains on a
+    # hash-ordered (drift-covering) sample and restores it.
     from mongo_es_spark.operators.similarity import (
         append_to_ivf_index,
         ivf_exact_topk,
@@ -107,37 +124,42 @@ def main() -> int:
         recluster_ivf_store,
     )
 
-    emb = spark.read.parquet(os.path.join(rep, "embeddings.parquet"))
-    n_vec = emb.count()
+    n_half = 2_000_000
+
+    def arcs(base_deg: float, id_offset: int):
+        ang = (
+            F.radians(
+                F.lit(base_deg)
+                + (F.col("id") % 64) * 2.8125
+                + ((F.col("id") / 64).cast("long") % 1000) * 0.0005
+            )
+        )
+        return spark.range(n_half).select(
+            (F.col("id") + id_offset).alias("vec_id"),
+            F.array(F.cos(ang), F.sin(ang)).alias("v"),
+        )
+
+    base_v = arcs(0.0, 0)
+    drift_v = arcs(180.0, 1_000_000_000_000)  # disjoint id space
     base2 = tempfile.mkdtemp(prefix="probe_ivf_drift_")
     path = os.path.join(base2, "ivf")
     try:
         mat_s, _ = t(
             lambda: materialize_ivf_index(
-                emb, "vec_id", "embedding", path, n_cells=64
+                base_v, "vec_id", "v", path, n_cells=64,
+                train_sample=200_000,
             )
         )
-        # maximal drift: the negated corpus (opposite hemisphere, ids
-        # shifted) — every appended vector is far from every trained
-        # centroid, so its residual inflates whichever cell it joins
-        drifted = emb.select(
-            (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
-            F.transform(
-                F.col("embedding").cast("array<double>"), lambda x: -x
-            ).alias("embedding"),
-        )
         app_s, n_app = t(
-            lambda: append_to_ivf_index(drifted, "vec_id", "embedding", path)
+            lambda: append_to_ivf_index(drift_v, "vec_id", "v", path)
         )
+        assert n_app == n_half, n_app
+
+        import math
 
         qvs = [
-            r["embedding"]
-            for r in emb.filter(F.col("vec_id").isin([0, 17, 4242]))
-            .orderBy("vec_id")
-            .collect()
-        ] + [
-            [-float(x) for x in r["embedding"]]
-            for r in emb.filter(F.col("vec_id") == 99).collect()
+            [math.cos(math.radians(a)), math.sin(math.radians(a))]
+            for a in (10.0, 95.0, 200.0, 310.0)
         ]
 
         def panel():
@@ -168,20 +190,24 @@ def main() -> int:
         panel()  # warm
         t_drift, read_drift, res_drift = panel()
         rec_s, rec = t(
-            lambda: recluster_ivf_store(spark, path, "vec_id", n_cells=64)
+            lambda: recluster_ivf_store(
+                spark, path, "vec_id", n_cells=128,
+                train_sample=200_000,
+            )
         )
         t_post, read_post, res_post = panel()
         assert res_drift == res_post  # exactness is geometry-free
-        total = 2 * n_vec
+        total = 2 * n_half
         print(
-            f"IVF drift @ {n_vec}+{n_app} vectors, 64 cells: "
-            f"materialize {mat_s:.1f}s, drifted append {app_s:.1f}s; "
-            f"4-query exact panel reads {read_drift}/{total} rows "
+            f"IVF drift @ {n_half}+{n_app} clustered 2-D vectors: "
+            f"materialize 64 cells {mat_s:.1f}s, drifted append "
+            f"{app_s:.1f}s; 4-query exact panel reads "
+            f"{read_drift} rows "
             f"({100 * read_drift / (len(qvs) * total):.0f}%/query) in "
-            f"{t_drift:.1f}s drifted -> {read_post}/{total} rows "
-            f"({100 * read_post / (len(qvs) * total):.0f}%/query) in "
-            f"{t_post:.1f}s after recluster ({rec_s:.1f}s, {rec}); "
-            f"results identical"
+            f"{t_drift:.1f}s drifted -> {read_post} rows "
+            f"({100 * read_post / (len(qvs) * total):.1f}%/query) in "
+            f"{t_post:.1f}s after recluster to 128 cells "
+            f"({rec_s:.1f}s, {rec}); results identical"
         )
     finally:
         shutil.rmtree(base2, ignore_errors=True)
