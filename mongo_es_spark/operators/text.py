@@ -1670,6 +1670,238 @@ def histogram_over_store(
     )
 
 
+def date_histogram_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    interval: str = "month",
+) -> DataFrame:
+    """ES ``date_histogram`` aggregation over the search hit set,
+    served ENTIRELY from the index: bucket the documents matching ANY
+    of ``terms`` by calendar interval (``day``/``week``/``month``/
+    ``quarter``/``year``) over a STORED date field (doc values —
+    ``field_cols`` at index time).  ES aggregates over the FULL
+    matched set, omits empty buckets (``min_doc_count=1``) and drops
+    docs with no value (default ``missing`` behavior) — all three
+    pinned by the registry oracle.
+
+    Scale shape: identical to :func:`histogram_over_store` — one
+    token-pruned postings scan for the matched ids (``PushedFilters:
+    In(token, …)``), one doc-keyed semi-join against docstats
+    (∝ matched docs), one bucket-keyed count; the corpus is never
+    touched.  Output: ``(bucket, n_docs)``, bucket asc."""
+    allowed = {"day", "week", "month", "quarter", "year"}
+    if interval not in allowed:
+        raise ValueError(
+            f"calendar interval must be one of {sorted(allowed)}"
+        )
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "bucket date, n_docs long")
+    if field not in docstats.columns:
+        raise ValueError(
+            f"field {field!r} is not stored in the index — fold "
+            f"batches with field_cols=[{field!r}]"
+        )
+    matched = (
+        postings.filter(F.col("token").isin(*list(terms)))
+        .select("doc")
+        .distinct()
+    )
+    if interval == "day":
+        bucket = F.col(field).cast("date")
+    else:
+        bucket = F.trunc(F.col(field), interval)
+    return (
+        docstats.join(matched, "doc", "left_semi")
+        .filter(F.col(field).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def function_score_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    modifier: str = "log1p",
+    weight: float = 1.0,
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` + ``field_value_factor``: re-rank the
+    BM25 relevance by a function of a STORED numeric field —
+    ``factor = weight * modifier(coalesce(field, missing))`` combined
+    with the query score per ``boost_mode`` (``multiply`` or ``sum``).
+    Modifiers follow ES semantics exactly: ``log1p`` is the COMMON
+    (base-10) log of ``value + 1``, ``ln1p`` the natural one;
+    ``missing`` substitutes before the modifier applies.
+
+    Scale shape: the scored frame is :func:`bm25_over_store`'s
+    token-pruned plan (∝ matching docs), plus ONE doc-keyed join
+    against a column-pruned docstats projection for the boost field —
+    the corpus is never read, and the factor math is a pure JVM
+    projection.  Output: ``(doc, score)`` top-k, score desc / doc asc.
+    """
+    mods = {
+        "none": lambda v: v,
+        "log1p": lambda v: F.log10(v + F.lit(1.0)),
+        "ln1p": lambda v: F.log(v + F.lit(1.0)),
+        "sqrt": F.sqrt,
+        "square": lambda v: v * v,
+        "reciprocal": lambda v: F.lit(1.0) / v,
+    }
+    if modifier not in mods:
+        raise ValueError(
+            f"field_value_factor modifier must be one of {sorted(mods)}"
+        )
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError("boost_mode must be 'multiply' or 'sum'")
+    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    if scored is None:
+        return spark.createDataFrame([], "doc long, score double")
+    _postings, docstats = _read_search_store(spark, store_path)
+    if field not in docstats.columns:
+        raise ValueError(
+            f"field {field!r} is not stored in the index — fold "
+            f"batches with field_cols=[{field!r}]"
+        )
+    val = F.coalesce(
+        F.col(field).cast("double"), F.lit(float(missing))
+    )
+    factor = F.lit(float(weight)) * mods[modifier](val)
+    combined = (
+        F.col("score") * factor
+        if boost_mode == "multiply"
+        else F.col("score") + factor
+    )
+    return (
+        scored.join(docstats.select("doc", field), "doc")
+        .select("doc", F.round(combined, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
+def significant_terms_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    size: int = 10,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation served from the index:
+    for the FOREGROUND set (documents matching ANY of ``terms``),
+    find the tokens whose foreground document frequency is unusually
+    high vs the whole-index BACKGROUND, scored by JLH —
+    ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` with
+    ``fg_rate = fg_df / n_fg`` and ``bg_rate = bg_df / n_bg`` — the
+    ES superset counting (the background includes the foreground).
+    Only terms with ``fg_rate > bg_rate`` qualify, per ES.
+
+    Scale shape: the foreground leg is the usual token-pruned scan +
+    a postings semi-join (∝ foreground postings); the background
+    document frequencies are ONE full postings aggregate producing a
+    VOCABULARY-sized frame — the one index-wide pass the statistic
+    inherently needs (ES pays the same via per-shard frequencies;
+    at true scale, maintain df as a store-level rollup folded per
+    append, the same mergeable-stats shape as the IVF cellstats).
+    All arithmetic exact then rounded, so the score is value-pinnable
+    cross-engine.  Output: ``(token, fg_df, bg_df, score)``, score
+    desc / token asc, top ``size``."""
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame(
+            [], "token string, fg_df long, bg_df long, score double"
+        )
+    matched = (
+        postings.filter(F.col("token").isin(*list(terms)))
+        .select("doc")
+        .distinct()
+    )
+    sizes = matched.agg(
+        F.count("*").alias("n_fg")
+    ).crossJoin(
+        F.broadcast(docstats.agg(F.count("*").alias("n_bg")))
+    )
+    fg = (
+        postings.join(matched, "doc", "left_semi")
+        .groupBy("token")
+        .agg(F.countDistinct("doc").alias("fg_df"))
+    )
+    bg = postings.groupBy("token").agg(
+        F.countDistinct("doc").alias("bg_df")
+    )
+    fg_rate = F.col("fg_df") / F.col("n_fg")
+    bg_rate = F.col("bg_df") / F.col("n_bg")
+    jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    return (
+        fg.join(bg, "token")
+        .crossJoin(F.broadcast(sizes))
+        .filter(fg_rate > bg_rate)
+        .select(
+            "token",
+            "fg_df",
+            "bg_df",
+            F.round(jlh, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("token").asc())
+        .limit(size)
+    )
+
+
+def top_hits_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    group_col: str,
+    per_group: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``terms`` aggregation + ``top_hits``: the best ``per_group``
+    documents BY RELEVANCE within each value of a stored field —
+    "top 3 hits per language" — served from the index alone.
+
+    Scale shape: the scored frame is the token-pruned BM25 plan
+    (∝ matching docs); the per-bucket top-k is one window partitioned
+    by the stored field — every partition is the bucket's slice of
+    the MATCHED set (never the corpus), so the window is matched-set
+    sized and parallel across buckets.  Docs with no value for the
+    field drop (ES's missing-bucket default).  Output: ``(group,
+    doc, score, rnk)``, group asc / rnk asc."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    if scored is None:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, doc long, score double, rnk int",
+        )
+    _postings, docstats = _read_search_store(spark, store_path)
+    if group_col not in docstats.columns:
+        raise ValueError(
+            f"field {group_col!r} is not stored in the index — fold "
+            f"batches with field_cols=[{group_col!r}]"
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.join(docstats.select("doc", group_col), "doc")
+        .filter(F.col(group_col).isNotNull())
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= per_group)
+        .select(group_col, "doc", "score", "rnk")
+        .orderBy(F.col(group_col).asc(), F.col("rnk").asc())
+    )
+
+
 def bm25_page_over_store(
     spark,
     store_path: str,

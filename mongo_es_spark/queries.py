@@ -2754,12 +2754,22 @@ def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
     from .operators.text import incremental_bm25_index
 
     def build(path: str) -> None:
-        docs = load_table(spark, sf_dir, "documents")
-        # lang + n_chars ride docstats as stored fields (ES doc
-        # values) so the facet AND range-filtered queries serve from
-        # the index alone
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            # a deterministic per-doc date (the fixture has no date
+            # column) so the date_histogram query exercises the
+            # calendar-interval doc-values path; the oracle derives
+            # the identical date in SQL
+            "day",
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("doc_id") % 365).cast("int"),
+            ),
+        )
+        # lang + n_chars + day ride docstats as stored fields (ES doc
+        # values) so the facet, range-filter, histogram and
+        # date-histogram queries serve from the index alone
         incremental_bm25_index(
-            spark, docs, path, field_cols=["lang", "n_chars"]
+            spark, docs, path, field_cols=["lang", "n_chars", "day"]
         ).count()
 
     return _shared_store("bm25", sf_dir, build)
@@ -8795,3 +8805,200 @@ def search_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_page_over_store(
         spark, store, terms, page_size=5, search_after=cursor
     ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_function_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS s
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(s * log10(1.0 + coalesce(n_chars, 1.0)), 6) AS score
+    FROM bm JOIN documents USING (doc_id)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score + field_value_factor
+    (operators/text.py:function_score_over_store): BM25 relevance
+    multiplied by log10(1 + n_chars) over the STORED numeric field —
+    the "boost long documents" re-rank, served from the index alone
+    (the boost is one doc-keyed join against a column-pruned docstats
+    projection; the corpus is never read).  ES 'log1p' is the COMMON
+    log of value+1 and 'missing' substitutes before the modifier —
+    both pinned by the oracle."""
+    from .operators.text import function_score_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return function_score_over_store(
+        spark,
+        store,
+        ["spark", "table", "stream"],
+        "n_chars",
+        modifier="log1p",
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_significant",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id FROM toks GROUP BY doc_id),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('stream', 'window')
+    ),
+    sizes AS (
+        SELECT (SELECT count(*) FROM dl) AS n_bg,
+               (SELECT count(*) FROM matched) AS n_fg
+    ),
+    fg AS (
+        SELECT token, count(*) AS fg_df
+        FROM toks JOIN matched USING (doc_id) GROUP BY token
+    ),
+    bg AS (SELECT token, count(*) AS bg_df FROM toks GROUP BY token)
+    SELECT token, fg_df, bg_df,
+           round(((fg_df * 1.0 / n_fg) - (bg_df * 1.0 / n_bg))
+                 * ((fg_df * 1.0 / n_fg) / (bg_df * 1.0 / n_bg)),
+                 6) AS score
+    FROM fg JOIN bg USING (token), sizes
+    WHERE fg_df * 1.0 / n_fg > bg_df * 1.0 / n_bg
+    ORDER BY score DESC, token ASC
+    LIMIT 10
+    """,
+)
+def search_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation
+    (operators/text.py:significant_terms_over_store): the tokens
+    OVER-represented in the docs matching the query vs the whole
+    index, JLH-scored with ES's superset counting (background
+    includes foreground).  The foreground leg is token-pruned +
+    semi-joined; the background document frequencies are the one
+    vocabulary-sized index aggregate the statistic inherently needs."""
+    from .operators.text import significant_terms_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return significant_terms_over_store(
+        spark, store, ["stream", "window"], size=10
+    )
+
+
+@register(
+    "search_top_hits",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'value')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT d.lang, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY score DESC, doc_id ASC
+               ) AS rnk
+        FROM bm JOIN documents d USING (doc_id)
+        WHERE d.lang IS NOT NULL
+    )
+    SELECT lang, doc_id, score, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY lang ASC, rnk ASC
+    """,
+)
+def search_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation + top_hits
+    (operators/text.py:top_hits_over_store): the 3 most relevant
+    matching docs PER LANGUAGE — the BM25 plan plus one window
+    partitioned by the stored field, every partition the bucket's
+    slice of the MATCHED set (never the corpus)."""
+    from .operators.text import top_hits_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return top_hits_over_store(
+        spark, store, ["spark", "value"], "lang", per_group=3
+    ).select(
+        "lang", F.col("doc").alias("doc_id"), "score", "rnk"
+    )
+
+
+@register(
+    "search_date_histogram",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'batch')
+    ),
+    days AS (
+        SELECT doc_id,
+               DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS day
+        FROM documents
+    )
+    SELECT CAST(date_trunc('month', day) AS DATE) AS bucket,
+           count(*) AS n_docs
+    FROM days JOIN matched USING (doc_id)
+    GROUP BY 1
+    ORDER BY bucket ASC
+    """,
+)
+def search_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram aggregation served from the index
+    (operators/text.py:date_histogram_over_store): documents matching
+    ANY query term bucketed by calendar month over the STORED date
+    field (derived deterministically from doc_id at index build —
+    the fixture has no date column; the oracle derives the identical
+    date in SQL).  Matched ids from one token-pruned postings scan,
+    buckets from docstats doc values, the corpus never read; empty
+    buckets omitted (min_doc_count=1)."""
+    from .operators.text import date_histogram_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return date_histogram_over_store(
+        spark, store, ["spark", "batch"], "day", interval="month"
+    )

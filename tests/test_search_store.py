@@ -593,3 +593,263 @@ def test_histogram_over_store_matches_matched_set(spark, tmp_path):
         histogram_over_store(spark, store, ["spark"], "missing", 10.0)
     with pytest.raises(ValueError, match="positive"):
         histogram_over_store(spark, store, ["spark"], "n_chars", 0.0)
+
+
+def test_date_histogram_over_store(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        date_histogram_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "spark a", datetime.date(2024, 1, 5)),
+        (2, "spark b", datetime.date(2024, 1, 20)),
+        (3, "spark c", datetime.date(2024, 2, 10)),
+        (4, "other words", datetime.date(2024, 3, 1)),  # unmatched
+        (5, "spark d", None),  # no value -> dropped (ES missing)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, day date"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["day"]
+    ).count()
+    got = [
+        (r["bucket"], r["n_docs"])
+        for r in date_histogram_over_store(
+            spark, store, ["spark"], "day", interval="month"
+        ).collect()
+    ]
+    assert got == [
+        (datetime.date(2024, 1, 1), 2),
+        (datetime.date(2024, 2, 1), 1),
+    ]
+    # day interval: identity buckets
+    got_d = [
+        (r["bucket"], r["n_docs"])
+        for r in date_histogram_over_store(
+            spark, store, ["spark"], "day", interval="day"
+        ).collect()
+    ]
+    assert got_d == [
+        (datetime.date(2024, 1, 5), 1),
+        (datetime.date(2024, 1, 20), 1),
+        (datetime.date(2024, 2, 10), 1),
+    ]
+    with pytest.raises(ValueError, match="calendar interval"):
+        date_histogram_over_store(spark, store, ["spark"], "day", "hour")
+    with pytest.raises(ValueError, match="not stored"):
+        date_histogram_over_store(spark, store, ["spark"], "missing")
+
+
+def test_function_score_modifiers_and_boost_modes(spark, tmp_path):
+    import math
+
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        function_score_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        # doc 1 scores higher on BM25 ("spark" twice) but doc 2's
+        # much larger boost field must flip the final order
+        (1, "spark spark table", 10),
+        (2, "spark other words", 100_000),
+        (3, "unrelated text here", 50),
+        (4, "spark null field", None),  # missing -> substitute 1.0
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["n_chars"]
+    ).count()
+    base = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(spark, store, ["spark"], top_k=10).collect()
+    }
+    vals = {1: 10.0, 2: 100_000.0, 4: 1.0}  # 4: missing=1.0
+    got = {
+        r["doc"]: r["score"]
+        for r in function_score_over_store(
+            spark, store, ["spark"], "n_chars", modifier="log1p"
+        ).collect()
+    }
+    for d, s in got.items():
+        want = round(base[d] * math.log10(1.0 + vals[d]), 6)
+        assert abs(s - want) < 1e-9, (d, s, want)
+    # the boost flipped the BM25 order: 2 outranks 1 now
+    order = [
+        r["doc"]
+        for r in function_score_over_store(
+            spark, store, ["spark"], "n_chars", modifier="log1p"
+        ).collect()
+    ]
+    assert order.index(2) < order.index(1)
+    assert base[1] > base[2]
+    # sum mode with none modifier and weight
+    got_sum = {
+        r["doc"]: r["score"]
+        for r in function_score_over_store(
+            spark,
+            store,
+            ["spark"],
+            "n_chars",
+            modifier="none",
+            weight=2.0,
+            boost_mode="sum",
+        ).collect()
+    }
+    for d, s in got_sum.items():
+        assert abs(s - round(base[d] + 2.0 * vals[d], 6)) < 1e-9
+    with pytest.raises(ValueError, match="modifier"):
+        function_score_over_store(
+            spark, store, ["spark"], "n_chars", modifier="cube"
+        )
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score_over_store(
+            spark, store, ["spark"], "n_chars", boost_mode="max"
+        )
+    with pytest.raises(ValueError, match="not stored"):
+        function_score_over_store(spark, store, ["spark"], "missing")
+
+
+def test_significant_terms_jlh(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        significant_terms_over_store,
+    )
+
+    rows = [
+        (1, "q alpha beta"),
+        (2, "q alpha"),
+        (3, "alpha gamma"),
+        (4, "delta gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    got = [
+        (r["token"], r["fg_df"], r["bg_df"], r["score"])
+        for r in significant_terms_over_store(
+            spark, store, ["q"], size=10
+        ).collect()
+    ]
+    # n_fg=2 (docs 1,2), n_bg=4; JLH = (fg%-bg%)*(fg%/bg%)
+    # q:     fg 2/2=1.0  bg 2/4=0.5  -> 0.5*2       = 1.0
+    # beta:  fg 1/2=0.5  bg 1/4=0.25 -> 0.25*2      = 0.5
+    # alpha: fg 2/2=1.0  bg 3/4=0.75 -> 0.25*1.3333 = 0.333333
+    # gamma/delta: fg 0 -> excluded (fg% must exceed bg%)
+    assert got == [
+        ("q", 2, 2, 1.0),
+        ("beta", 1, 1, 0.5),
+        ("alpha", 2, 3, 0.333333),
+    ]
+    # size bounds the output
+    assert (
+        significant_terms_over_store(spark, store, ["q"], size=1).count()
+        == 1
+    )
+
+
+def test_top_hits_per_group(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        top_hits_over_store,
+    )
+
+    rows = [
+        (1, "spark spark spark", "en"),
+        (2, "spark spark other", "en"),
+        (3, "spark words here", "en"),
+        (4, "spark more words", "en"),  # en has 4 matches; top-2 cuts
+        (5, "spark alone", "fr"),
+        (6, "no match at all", "fr"),
+        (7, "spark orphan", None),  # null group -> dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang"]
+    ).count()
+    got = [
+        (r["lang"], r["doc"], r["rnk"])
+        for r in top_hits_over_store(
+            spark, store, ["spark"], "lang", per_group=2
+        ).collect()
+    ]
+    langs = [g[0] for g in got]
+    assert langs == sorted(langs)
+    by_lang = {}
+    for lang, doc, rnk in got:
+        by_lang.setdefault(lang, []).append((rnk, doc))
+    # en: docs 1 (tf 3) and 2 (tf 2) outscore 3/4; fr: only doc 5
+    assert [d for _r, d in sorted(by_lang["en"])] == [1, 2]
+    assert [d for _r, d in sorted(by_lang["fr"])] == [5]
+    assert None not in by_lang
+    with pytest.raises(ValueError, match="not stored"):
+        top_hits_over_store(spark, store, ["spark"], "missing")
+
+
+def test_new_dsl_ops_keep_token_pushdown(spark, tmp_path):
+    import datetime
+
+    from mongo_es_spark.operators.text import (
+        date_histogram_over_store,
+        function_score_over_store,
+        incremental_bm25_index,
+        significant_terms_over_store,
+        top_hits_over_store,
+    )
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .withColumn(
+            "day",
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("doc_id") % 365).cast("int"),
+            ),
+        )
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang", "n_chars", "day"]
+    ).count()
+    terms = ["spark", "value"]  # >= 2 so isin compiles to In(token,…)
+    frames = [
+        function_score_over_store(spark, store, terms, "n_chars"),
+        top_hits_over_store(spark, store, terms, "lang"),
+        date_histogram_over_store(spark, store, terms, "day"),
+    ]
+    for df in frames:
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert re.search(r"PushedFilters: \[.*In\(token", plan), plan
+        assert "CartesianProduct" not in plan
+    # significant_terms: the FOREGROUND leg pushes the filter; the
+    # background df aggregate is the one index-wide pass by design
+    plan = (
+        significant_terms_over_store(spark, store, terms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PushedFilters: \[.*In\(token", plan)
+    assert "CartesianProduct" not in plan
