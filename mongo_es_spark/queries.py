@@ -9002,3 +9002,115 @@ def search_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_histogram_over_store(
         spark, store, ["spark", "batch"], "day", interval="month"
     )
+
+
+@register("streaming_search_cdc", _CDC_BM25_ORACLE)
+def streaming_search_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 centerpiece END-TO-END: a search index kept in sync
+    with a mutating collection through the ACTUAL tail pipeline —
+    ``run_tail`` drains a file oplog feed (inserts for the whole
+    corpus, then full-replace updates for ~1/7 of the docs, then
+    deletes for ~1/11 plus a REDELIVERY of the update batch) through
+    ``SearchIndexedSink``, which chains the keyed document sink with
+    :func:`~mongo_es_spark.operators.text.apply_cdc_to_bm25_index`
+    (streaming/sink.py:SearchIndexedSink) — the reference's whole
+    reason to exist, src/processor.ts:225-258 routing inserts, updates
+    AND deletes into ES.  ``bm25_over_store`` must then score exactly
+    like an index rebuilt from the final collection state (the shared
+    ``_CDC_BM25_ORACLE`` computes that rebuild from the raw table):
+    updates supersede by generation, deletes tombstone, the replayed
+    batch no-ops on the content digest.  Same oracle as
+    ``search_cdc_upsert`` — the fold arriving via micro-batches with
+    at-least-once redelivery must change NOTHING."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .config import Controls, Task
+    from .core import make_ts
+    from .operators.text import bm25_over_store
+    from .sources.cdc import file_oplog_stream
+    from .streaming.sink import ParquetIndexSink, SearchIndexedSink
+    from .streaming.tail import run_tail
+
+    def build_feed(feed: str) -> None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+        ins = [("i", r["doc_id"], {"text": r["text"]}) for r in docs]
+        upd = [
+            ("u", r["doc_id"], {"text": "updated " + r["text"]})
+            for r in docs
+            if r["doc_id"] % 7 == 3
+        ]
+        dels = [
+            ("d", r["doc_id"], {})
+            for r in docs
+            if r["doc_id"] % 11 == 5 and r["doc_id"] % 7 != 3
+        ]
+        # batch 3 = deletes + a REPLAY of the whole update batch: the
+        # content digest must no-op it (at-least-once -> exactly-once)
+        batches = [ins, upd, dels + upd]
+        os.makedirs(feed, exist_ok=True)
+        seq = 0
+        for i, batch in enumerate(batches):
+            path = os.path.join(feed, f"b{i}.json")
+            with open(path, "w") as fh:
+                for op, did, doc in batch:
+                    seq += 1
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "ts": make_ts(seq),
+                                "ns": "lib.docs",
+                                "op": op,
+                                "id": str(did),
+                                "doc": _json.dumps(doc),
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(path, (1_600_000_000 + i * 60,) * 2)
+
+    feed = _shared_stream_feed(spark, sf_dir, "cdc_oplog_feed", build_feed)
+    task = Task(
+        {
+            "from": {"phase": "tail"},
+            "extract": {"db": "lib", "collection": "docs"},
+            "transform": {"mapping": {"text": "text"}},
+            "load": {"index": "docs", "type": "doc"},
+        }
+    )
+    base = tempfile.mkdtemp(prefix="search_cdc_stream_")
+    try:
+        store = os.path.join(base, "bm")
+        sink = SearchIndexedSink(
+            ParquetIndexSink(os.path.join(base, "sink")),
+            store,
+            text_field="text",
+        )
+        stream = file_oplog_stream(
+            spark, feed, task, max_files_per_trigger=1
+        )
+        q = run_tail(
+            spark,
+            task,
+            Controls(),
+            stream,
+            sink,
+            hints={"text": "string"},
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        rows = bm25_over_store(
+            spark, store, ["updated", "spark", "table"], top_k=10
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["doc"]), float(r["score"])) for r in rows],
+        "doc_id long, score double",
+    )
