@@ -1789,6 +1789,121 @@ def function_score_over_store(
     )
 
 
+def stats_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    cardinality_col: str | None = None,
+) -> DataFrame:
+    """ES ``stats`` aggregation (+ optional ``cardinality``) over the
+    search hit set, served from the index: count / min / max / avg /
+    sum of a STORED numeric field across ALL documents matching any of
+    ``terms``, plus the distinct-value count of ``cardinality_col``.
+    ES's cardinality is an HLL approximation; this serves the EXACT
+    count (the approximate path exists as the HLL profile store in
+    operators/profile.py — at true scale swap in
+    ``approx_count_distinct`` for the ES-faithful trade).
+
+    Scale shape: one token-pruned postings scan for the matched ids,
+    one docstats semi-join (∝ matched docs), one global aggregate —
+    the corpus is never read.  Output: one row ``(n_docs, min_v,
+    max_v, avg_v, sum_v[, n_distinct])``."""
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame(
+            [],
+            "n_docs long, min_v double, max_v double, avg_v double,"
+            " sum_v double",
+        )
+    for c in filter(None, (field, cardinality_col)):
+        if c not in docstats.columns:
+            raise ValueError(
+                f"field {c!r} is not stored in the index — fold "
+                f"batches with field_cols=[{c!r}]"
+            )
+    matched = (
+        postings.filter(F.col("token").isin(*list(terms)))
+        .select("doc")
+        .distinct()
+    )
+    hits = docstats.join(matched, "doc", "left_semi")
+    v = F.col(field).cast("double")
+    aggs = [
+        F.count(v).alias("n_docs"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.round(F.avg(v), 6).alias("avg_v"),
+        F.round(F.sum(v), 6).alias("sum_v"),
+    ]
+    if cardinality_col:
+        aggs.append(
+            F.countDistinct(F.col(cardinality_col)).alias("n_distinct")
+        )
+    return hits.agg(*aggs)
+
+
+def decay_score_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    origin: str,
+    scale_days: float,
+    offset_days: float = 0.0,
+    decay: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` with a ``gauss`` DATE decay: BM25
+    relevance multiplied by ``exp(-d'^2 * ln(1/decay) / scale^2)``
+    where ``d' = max(0, |days(field - origin)| - offset)`` — the
+    recency-boost shape ("full score within ``offset`` of ``origin``,
+    decayed to ``decay`` at ``scale`` days out").  The constant
+    follows ES's definition: the multiplier equals ``decay`` exactly
+    at ``offset + scale``.  Docs with no value keep their query score
+    (factor 1 — ES treats missing as origin-distance 0).
+
+    Scale shape: the BM25 plan (token-pruned) plus one doc-keyed join
+    against a column-pruned docstats projection; the decay is a pure
+    JVM projection.  Output: ``(doc, score)`` top-k."""
+    import math
+
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if scale_days <= 0:
+        raise ValueError("scale must be positive")
+    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    if scored is None:
+        return spark.createDataFrame([], "doc long, score double")
+    _postings, docstats = _read_search_store(spark, store_path)
+    if field not in docstats.columns:
+        raise ValueError(
+            f"field {field!r} is not stored in the index — fold "
+            f"batches with field_cols=[{field!r}]"
+        )
+    c = math.log(1.0 / decay) / float(scale_days) ** 2
+    d = F.greatest(
+        F.lit(0.0),
+        F.abs(
+            F.datediff(F.col(field), F.lit(origin).cast("date"))
+        ).cast("double")
+        - F.lit(float(offset_days)),
+    )
+    factor = F.coalesce(
+        F.exp(F.lit(-c) * d * d), F.lit(1.0)
+    )
+    return (
+        scored.join(docstats.select("doc", field), "doc")
+        .select(
+            "doc", F.round(F.col("score") * factor, 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
 def significant_terms_over_store(
     spark,
     store_path: str,

@@ -9114,3 +9114,105 @@ def streaming_search_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r["doc"]), float(r["score"])) for r in rows],
         "doc_id long, score double",
     )
+
+
+@register(
+    "search_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'stream')
+    )
+    SELECT count(n_chars) AS n_docs,
+           CAST(min(n_chars) AS DOUBLE) AS min_v,
+           CAST(max(n_chars) AS DOUBLE) AS max_v,
+           round(avg(n_chars), 6) AS avg_v,
+           round(CAST(sum(n_chars) AS DOUBLE), 6) AS sum_v,
+           count(DISTINCT lang) AS n_distinct
+    FROM documents JOIN matched USING (doc_id)
+    """,
+)
+def search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats + cardinality aggregations served from the index
+    (operators/text.py:stats_over_store): count/min/max/avg/sum of the
+    stored n_chars doc value plus the distinct-language count across
+    the FULL matched set — one token-pruned postings scan, one
+    docstats semi-join, one global aggregate; the corpus never read.
+    Cardinality is served exact here (ES uses HLL — the approximate
+    swap is operators/profile.py's sketch store)."""
+    from .operators.text import stats_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return stats_over_store(
+        spark,
+        store,
+        ["spark", "stream"],
+        "n_chars",
+        cardinality_col="lang",
+    )
+
+
+@register(
+    "search_decay",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS s
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    days AS (
+        SELECT doc_id,
+               CAST(abs(date_diff('day', DATE '2024-06-01',
+                    DATE '2024-01-01' + CAST(doc_id % 365 AS INT)))
+                    AS DOUBLE) AS d
+        FROM documents
+    )
+    SELECT doc_id,
+           round(s * exp(-0.0007701635339554948 * d * d), 6) AS score
+    FROM bm JOIN days USING (doc_id)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score gauss DATE decay
+    (operators/text.py:decay_score_over_store): BM25 multiplied by a
+    Gaussian of the day-distance from 2024-06-01 over the STORED date
+    field — half score at 30 days out (decay=0.5, so the constant is
+    ln(2)/30^2, inlined as its exact double repr in the oracle).  The
+    recency-boost shape, one doc-keyed join past the token-pruned
+    BM25 plan."""
+    from .operators.text import decay_score_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return decay_score_over_store(
+        spark,
+        store,
+        ["spark", "table"],
+        "day",
+        origin="2024-06-01",
+        scale_days=30.0,
+        decay=0.5,
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")

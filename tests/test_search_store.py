@@ -853,3 +853,131 @@ def test_new_dsl_ops_keep_token_pushdown(spark, tmp_path):
     )
     assert re.search(r"PushedFilters: \[.*In\(token", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_stats_over_store(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        stats_over_store,
+    )
+
+    rows = [
+        (1, "spark a", "en", 100),
+        (2, "spark b", "en", 300),
+        (3, "spark c", "fr", None),  # null field: out of count/sum
+        (4, "no match", "de", 999),  # unmatched: excluded entirely
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang", "n_chars"]
+    ).count()
+    r = stats_over_store(
+        spark, store, ["spark"], "n_chars", cardinality_col="lang"
+    ).collect()[0]
+    assert (
+        r["n_docs"],
+        r["min_v"],
+        r["max_v"],
+        r["avg_v"],
+        r["sum_v"],
+        r["n_distinct"],
+    ) == (2, 100.0, 300.0, 200.0, 400.0, 2)
+    with pytest.raises(ValueError, match="not stored"):
+        stats_over_store(spark, store, ["spark"], "missing")
+
+
+def test_decay_score_gauss_dates(spark, tmp_path):
+    import datetime
+    import math
+
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        decay_score_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "spark a", datetime.date(2024, 6, 1)),   # at origin: x1
+        (2, "spark b", datetime.date(2024, 7, 1)),   # 30d: x decay
+        (3, "spark c", datetime.date(2024, 5, 2)),   # -30d: symmetric
+        (4, "spark d", None),                        # missing: x1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, day date"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["day"]
+    ).count()
+    base = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(spark, store, ["spark"], top_k=10).collect()
+    }
+    def r6(x: float) -> float:
+        # Spark's F.round is HALF_UP; Python's round is half-even
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def gauss(d: float) -> float:
+        return math.exp(-math.log(2.0) / 900.0 * d * d)
+
+    got = {
+        r["doc"]: r["score"]
+        for r in decay_score_over_store(
+            spark,
+            store,
+            ["spark"],
+            "day",
+            origin="2024-06-01",
+            scale_days=30.0,
+            decay=0.5,
+        ).collect()
+    }
+    assert abs(got[1] - r6(base[1] * 1.0)) < 1e-9
+    assert abs(got[2] - r6(base[2] * gauss(30.0))) < 1e-9
+    assert abs(got[3] - r6(base[3] * gauss(30.0))) < 1e-9
+    assert abs(got[4] - r6(base[4] * 1.0)) < 1e-9
+    # offset: full score inside the no-decay plateau
+    got_off = {
+        r["doc"]: r["score"]
+        for r in decay_score_over_store(
+            spark,
+            store,
+            ["spark"],
+            "day",
+            origin="2024-06-01",
+            scale_days=30.0,
+            offset_days=30.0,
+            decay=0.5,
+        ).collect()
+    }
+    assert abs(got_off[2] - r6(base[2] * 1.0)) < 1e-9
+    # general point on the curve: 15 days at scale 30 -> 2^(-1/4)
+    got15 = {
+        r["doc"]: r["score"]
+        for r in decay_score_over_store(
+            spark,
+            store,
+            ["spark"],
+            "day",
+            origin="2024-06-16",
+            scale_days=30.0,
+            decay=0.5,
+        ).collect()
+    }
+    want = r6(base[1] * gauss(15.0))
+    assert abs(got15[1] - want) < 1e-9
+    with pytest.raises(ValueError, match="decay"):
+        decay_score_over_store(
+            spark, store, ["spark"], "day", "2024-06-01", 30.0, decay=1.0
+        )
+    with pytest.raises(ValueError, match="scale"):
+        decay_score_over_store(
+            spark, store, ["spark"], "day", "2024-06-01", 0.0
+        )
