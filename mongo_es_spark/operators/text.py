@@ -1944,13 +1944,19 @@ def significant_terms_over_store(
     ).crossJoin(
         F.broadcast(docstats.agg(F.count("*").alias("n_bg")))
     )
+    # postings are UNIQUE per (token, doc) by construction — the fold
+    # aggregates tf per (doc, token) and the MVCC reader resolves each
+    # doc to one generation (pinned in tests/test_search_cdc.py) — so
+    # document frequency is a plain count: partial map-side aggregation
+    # to a vocabulary-sized frame, never a (token, doc) distinct
+    # exchange (measured 32 -> 14 s at 5M docs)
     fg = (
         postings.join(matched, "doc", "left_semi")
         .groupBy("token")
-        .agg(F.countDistinct("doc").alias("fg_df"))
+        .agg(F.count("*").alias("fg_df"))
     )
     bg = postings.groupBy("token").agg(
-        F.countDistinct("doc").alias("bg_df")
+        F.count("*").alias("bg_df")
     )
     fg_rate = F.col("fg_df") / F.col("n_fg")
     bg_rate = F.col("bg_df") / F.col("n_bg")

@@ -439,3 +439,151 @@ def test_tail_pipeline_maintains_search_index(spark, tmp_path):
         for r in facets_over_store(spark, ref, ["spark"], "lang").collect()
     )
     assert gf == wf
+
+
+def test_all_serving_ops_live_resolve_after_cdc(spark, tmp_path):
+    """EVERY store-serving operator must read the MVCC-resolved live
+    rows: a CDC-mutated store (updates that change text AND stored
+    fields, deletes, an insert) serves bit-identically to an index
+    rebuilt from the final collection state — across BM25, msearch,
+    phrase/proximity (positions survive generations), prefix/bool,
+    every doc-values aggregation, both score functions and the
+    vocabulary expansion."""
+    import datetime
+
+    from mongo_es_spark.operators.text import (
+        apply_cdc_to_bm25_index,
+        bm25_batch_over_store,
+        bm25_over_store,
+        bool_search_over_store,
+        date_histogram_over_store,
+        decay_score_over_store,
+        expand_fuzzy_terms,
+        facets_over_store,
+        function_score_over_store,
+        histogram_over_store,
+        incremental_bm25_index,
+        phrase_over_store,
+        prefix_search_over_store,
+        proximity_over_store,
+        significant_terms_over_store,
+        stats_over_store,
+        top_hits_over_store,
+    )
+
+    d = datetime.date
+    schema = (
+        "doc_id long, text string, lang string, n_chars long, day date"
+    )
+    corpus0 = [
+        (1, "alpha beta gamma alpha", "en", 100, d(2024, 1, 10)),
+        (2, "alpha beta", "en", 200, d(2024, 2, 10)),
+        (3, "beta gamma delta", "fr", 300, d(2024, 3, 10)),
+        (4, "alpha delta", "fr", 400, d(2024, 4, 10)),
+        (5, "epsilon zeta", "de", 500, d(2024, 5, 10)),
+        (6, "alpha beta gamma", "de", 600, d(2024, 6, 10)),
+    ]
+    # updates rewrite text AND stored fields; deletes drop 3 and 6;
+    # 7 is a fresh insert
+    cdc = [
+        (2, "u", "beta gamma beta", "es", 250, d(2024, 7, 1)),
+        (5, "u", "alpha alpha zeta", "de", 550, d(2024, 8, 1)),
+        (3, "d", None, None, None, None),
+        (6, "d", None, None, None, None),
+        (7, "u", "gamma delta epsilon", "fr", 700, d(2024, 9, 1)),
+    ]
+    final = [
+        corpus0[0],
+        (2, "beta gamma beta", "es", 250, d(2024, 7, 1)),
+        corpus0[3],
+        (5, "alpha alpha zeta", "de", 550, d(2024, 8, 1)),
+        (7, "gamma delta epsilon", "fr", 700, d(2024, 9, 1)),
+    ]
+    fields = ["lang", "n_chars", "day"]
+    store = str(tmp_path / "mutated")
+    incremental_bm25_index(
+        spark,
+        spark.createDataFrame(corpus0, schema),
+        store,
+        field_cols=fields,
+    ).count()
+    pre = sorted(
+        tuple(r)
+        for r in bm25_over_store(spark, store, ["gamma"]).collect()
+    )
+    apply_cdc_to_bm25_index(
+        spark,
+        spark.createDataFrame(
+            cdc,
+            "doc_id long, op string, text string, lang string,"
+            " n_chars long, day date",
+        ),
+        store,
+        field_cols=fields,
+    )
+    ref = str(tmp_path / "rebuilt")
+    incremental_bm25_index(
+        spark,
+        spark.createDataFrame(final, schema),
+        ref,
+        field_cols=fields,
+    ).count()
+
+    def serve(path):
+        return {
+            "bm25": bm25_over_store(spark, path, ["alpha", "beta"]),
+            "msearch": bm25_batch_over_store(
+                spark, path, [(0, ["alpha"]), (1, ["beta", "gamma"])]
+            ),
+            "phrase": phrase_over_store(spark, path, ["beta", "gamma"]),
+            "proximity": proximity_over_store(
+                spark, path, ["alpha", "gamma"]
+            ),
+            "prefix": prefix_search_over_store(spark, path, "al"),
+            "bool": bool_search_over_store(
+                spark,
+                path,
+                must=["beta"],
+                should=["gamma"],
+                must_not=["zeta"],
+            ),
+            "facets": facets_over_store(spark, path, ["alpha"], "lang"),
+            "histogram": histogram_over_store(
+                spark, path, ["alpha"], "n_chars", 200.0
+            ),
+            "date_histogram": date_histogram_over_store(
+                spark, path, ["alpha", "beta"], "day"
+            ),
+            "function_score": function_score_over_store(
+                spark, path, ["alpha"], "n_chars"
+            ),
+            "top_hits": top_hits_over_store(
+                spark, path, ["alpha", "beta"], "lang", per_group=2
+            ),
+            "stats": stats_over_store(
+                spark, path, ["alpha"], "n_chars", cardinality_col="lang"
+            ),
+            "significant": significant_terms_over_store(
+                spark, path, ["alpha"]
+            ),
+            "decay": decay_score_over_store(
+                spark, path, ["alpha"], "day", "2024-06-01", 30.0
+            ),
+        }
+
+    got = serve(store)
+    want = serve(ref)
+    for name in got:
+        g = sorted(tuple(r) for r in got[name].collect())
+        w = sorted(tuple(r) for r in want[name].collect())
+        assert g == w, (name, g, w)
+        assert len(g) > 0, name
+    assert expand_fuzzy_terms(
+        spark, store, ["alphx"], max_dist=1
+    ) == expand_fuzzy_terms(spark, ref, ["alphx"], max_dist=1)
+    # non-vacuity: the CDC batch really changed this query's answer
+    post = sorted(
+        tuple(r)
+        for r in bm25_over_store(spark, store, ["gamma"]).collect()
+    )
+    assert post != pre
