@@ -2023,6 +2023,156 @@ def top_hits_over_store(
     )
 
 
+def collapse_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    collapse_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES field ``collapse``: the ranked hit list keeps only the BEST
+    document per value of a stored field — "one result per domain" —
+    then the global top-k runs over the collapsed list.  Docs with no
+    value for the field are their own group (ES keeps them
+    uncollapsed; here each NULL doc survives individually).
+
+    Scale shape: the BM25 plan (token-pruned) + one doc-keyed
+    doc-values join + one window per collapse bucket over the MATCHED
+    set, then a global top-k (TakeOrdered, no full sort).  Output:
+    ``(doc, {collapse_col}, score)``, score desc / doc asc."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    if scored is None:
+        return spark.createDataFrame(
+            [], f"doc long, {collapse_col} string, score double"
+        )
+    _postings, docstats = _read_search_store(spark, store_path)
+    if collapse_col not in docstats.columns:
+        raise ValueError(
+            f"field {collapse_col!r} is not stored in the index — "
+            f"fold batches with field_cols=[{collapse_col!r}]"
+        )
+    joined = scored.join(docstats.select("doc", collapse_col), "doc")
+    # NULL group values stay uncollapsed: partition them by their own
+    # doc id so each is a singleton bucket
+    part = F.coalesce(
+        F.col(collapse_col).cast("string"),
+        F.concat(F.lit("__doc_"), F.col("doc").cast("string")),
+    )
+    w = Window.partitionBy(part).orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc", collapse_col, "score")
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
+def boosting_over_store(
+    spark,
+    store_path: str,
+    positive: Sequence[str],
+    negative: Sequence[str],
+    negative_boost: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``boosting`` query: hits score by the POSITIVE terms'
+    BM25, and any hit also matching a NEGATIVE term has its score
+    multiplied by ``negative_boost`` — demotion without exclusion
+    (the must_not alternative when "related but wrong topic" should
+    sink, not vanish).
+
+    Scale shape: ONE postings scan filtered to the union of both
+    clauses' terms; the negative side reduces to a broadcast id set
+    joined left onto the scored frame.  Output: ``(doc, score)``
+    top-k."""
+    if not positive:
+        raise ValueError("boosting query needs positive terms")
+    if not (0.0 <= negative_boost <= 1.0):
+        raise ValueError("negative_boost must be in [0, 1]")
+    scored = _bm25_scored(spark, store_path, positive, k1, b)
+    if scored is None:
+        return spark.createDataFrame([], "doc long, score double")
+    postings, _ds = _read_search_store(spark, store_path)
+    demoted = (
+        postings.filter(F.col("token").isin(*list(negative)))
+        .select("doc")
+        .distinct()
+        .withColumn("__neg", F.lit(True))
+    )
+    return (
+        scored.join(F.broadcast(demoted), "doc", "left")
+        .select(
+            "doc",
+            F.round(
+                F.when(
+                    F.col("__neg").isNotNull(),
+                    F.col("score") * F.lit(float(negative_boost)),
+                ).otherwise(F.col("score")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
+def dis_max_over_store(
+    spark,
+    store_path: str,
+    queries: Sequence[Sequence[str]],
+    tie_breaker: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``dis_max``: each subquery scores independently; a doc's
+    final score is its BEST subquery score plus ``tie_breaker`` times
+    the rest — the "don't double-count synonyms" combinator (at
+    ``tie_breaker=0`` strictly the max; at 1 it degenerates to the
+    bool-should sum).
+
+    Scale shape: one token-pruned scored frame per subquery (the
+    per-leg scans prune independently; a shared-scan msearch form is
+    the amortization if legs grow — ``bm25_batch_over_store``), one
+    union + doc-keyed aggregate.  Each leg's score is the leg's OWN
+    rounded BM25 (identical to ``bm25_over_store`` on its terms), so
+    the combination is value-pinnable.  Output: ``(doc, score)``
+    top-k."""
+    if not queries:
+        raise ValueError("dis_max needs at least one subquery")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+    legs = []
+    for i, terms in enumerate(queries):
+        leg = _bm25_scored(spark, store_path, list(terms), k1, b)
+        if leg is None:
+            return spark.createDataFrame([], "doc long, score double")
+        legs.append(leg.select("doc", F.col("score").alias("__s")))
+    allscores = legs[0]
+    for leg in legs[1:]:
+        allscores = allscores.unionByName(leg)
+    combined = F.round(
+        F.max("__s")
+        + F.lit(float(tie_breaker)) * (F.sum("__s") - F.max("__s")),
+        6,
+    )
+    return (
+        allscores.groupBy("doc")
+        .agg(combined.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
 def bm25_page_over_store(
     spark,
     store_path: str,

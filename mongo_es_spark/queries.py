@@ -9216,3 +9216,177 @@ def search_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         decay=0.5,
         top_k=10,
     ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_collapse",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, d.lang, score,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM bm JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, score
+    FROM ranked WHERE rn = 1
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing (operators/text.py:collapse_over_store):
+    the ranked list keeps the single best hit per language (stored
+    doc value), then the global top-10 — one matched-set window per
+    bucket plus a TakeOrdered, the corpus never read."""
+    from .operators.text import collapse_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return collapse_over_store(
+        spark, store, ["spark", "table"], "lang", top_k=10
+    ).select(F.col("doc").alias("doc_id"), "lang", "score")
+
+
+@register(
+    "search_boosting",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS s
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    neg AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('stream')
+    )
+    SELECT doc_id,
+           round(CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                      THEN s * 0.5 ELSE s END, 6) AS score
+    FROM bm
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query (operators/text.py:boosting_over_store):
+    positive-term BM25 with hits matching the negative term demoted
+    by x0.5 instead of excluded — one postings scan over both
+    clauses' terms, the negative side a broadcast id set."""
+    from .operators.text import boosting_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return boosting_over_store(
+        spark,
+        store,
+        positive=["spark", "table"],
+        negative=["stream"],
+        negative_boost=0.5,
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_dismax",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf1 AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table')
+        GROUP BY doc_id, token
+    ),
+    nt1 AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf1 GROUP BY token),
+    s1 AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS s
+        FROM tf1 JOIN nt1 USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    tf2 AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('stream', 'value')
+        GROUP BY doc_id, token
+    ),
+    nt2 AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf2 GROUP BY token),
+    s2 AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS s
+        FROM tf2 JOIN nt2 USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    SELECT doc_id,
+           round(max(s) + 0.3 * (sum(s) - max(s)), 6) AS score
+    FROM u
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max (operators/text.py:dis_max_over_store): two
+    subqueries score independently (each leg identical to its own
+    bm25_over_store), a doc takes its best leg plus 0.3x the rest —
+    the don't-double-count-synonyms combinator; per-leg token-pruned
+    scans + one doc-keyed aggregate."""
+    from .operators.text import dis_max_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return dis_max_over_store(
+        spark,
+        store,
+        [["spark", "table"], ["stream", "value"]],
+        tie_breaker=0.3,
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")

@@ -981,3 +981,135 @@ def test_decay_score_gauss_dates(spark, tmp_path):
         decay_score_over_store(
             spark, store, ["spark"], "day", "2024-06-01", 0.0
         )
+
+
+def test_collapse_over_store(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        collapse_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "spark spark spark", "en"),   # best en
+        (2, "spark spark other", "en"),   # collapsed away
+        (3, "spark alone", "fr"),         # best fr
+        (4, "spark orphan one", None),    # NULL group: uncollapsed
+        (5, "spark orphan two", None),    # NULL group: uncollapsed
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang"]
+    ).count()
+    got = [
+        (r["doc"], r["lang"])
+        for r in collapse_over_store(
+            spark, store, ["spark"], "lang", top_k=10
+        ).collect()
+    ]
+    docs_out = [d for d, _l in got]
+    assert sorted(docs_out) == [1, 3, 4, 5]  # 2 collapsed under 1
+    assert len(got) == 4
+    # top_k applies AFTER collapsing
+    assert (
+        collapse_over_store(spark, store, ["spark"], "lang", top_k=2).count()
+        == 2
+    )
+    with pytest.raises(ValueError, match="not stored"):
+        collapse_over_store(spark, store, ["spark"], "missing")
+
+
+def test_boosting_demotes_without_excluding(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        boosting_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "spark spark good"),
+        (2, "spark spark spark bad"),  # higher bm25, demoted by 'bad'
+        (3, "other words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    base = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(spark, store, ["spark"]).collect()
+    }
+    assert base[2] > base[1]
+    got = {
+        r["doc"]: r["score"]
+        for r in boosting_over_store(
+            spark, store, ["spark"], ["bad"], negative_boost=0.25
+        ).collect()
+    }
+    assert set(got) == {1, 2}          # demoted, NOT excluded
+    assert got[1] == base[1]           # clean doc untouched
+    assert abs(got[2] - round(base[2] * 0.25, 6)) < 2e-6
+    assert got[1] > got[2]             # the demotion flipped the order
+    with pytest.raises(ValueError, match="positive"):
+        boosting_over_store(spark, store, [], ["bad"])
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_over_store(
+            spark, store, ["spark"], ["bad"], negative_boost=2.0
+        )
+
+
+def test_dis_max_tie_breaker(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        dis_max_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "cat dog"),       # hits both legs
+        (2, "cat cat"),       # leg 1 only
+        (3, "dog dog dog"),   # leg 2 only
+        (4, "bird"),          # neither
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    legs = [["cat"], ["dog"]]
+    s1 = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(spark, store, legs[0]).collect()
+    }
+    s2 = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(spark, store, legs[1]).collect()
+    }
+    got = {
+        r["doc"]: r["score"]
+        for r in dis_max_over_store(
+            spark, store, legs, tie_breaker=0.4
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    both = sorted([s1[1], s2[1]])
+    assert abs(got[1] - round(both[1] + 0.4 * both[0], 6)) < 2e-6
+    assert got[2] == s1[2]  # single-leg docs: their own leg score
+    assert got[3] == s2[3]
+    # tie_breaker=0 is strictly the max
+    got0 = {
+        r["doc"]: r["score"]
+        for r in dis_max_over_store(
+            spark, store, legs, tie_breaker=0.0
+        ).collect()
+    }
+    assert got0[1] == max(s1[1], s2[1])
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dis_max_over_store(spark, store, legs, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="subquery"):
+        dis_max_over_store(spark, store, [])
