@@ -869,6 +869,7 @@ def ivf_exact_topk(
     k: int = 10,
     exclude_id=None,
     probe_log: list | None = None,
+    allow_ids: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT top-k over a materialized IVF index — approximate-index
     speed with a brute-force-equality certificate, the store-backed
@@ -899,9 +900,16 @@ def ivf_exact_topk(
     diameter): correct, never pruned.
 
     ``exclude_id`` drops one id before ranking (the cosine_topk
-    query-row exclusion).  Output: ``(id_col long, score double)``,
-    score desc / id asc, exactly :func:`cosine_topk` over the indexed
-    vectors.
+    query-row exclusion).  ``allow_ids`` restricts ranking to a given
+    id set (one-column DataFrame) — the ES "kNN with filter" shape,
+    the filter evaluated OUTSIDE the vector index and pushed in as a
+    semi-join on the scanned cells.  Exactness is preserved: every
+    cell upper bound over-covers its allowed subset, and when wave 1's
+    filtered scan yields fewer than k rows the provisional k-th score
+    stays −inf, so wave 2 probes every remaining cell (the filter can
+    only widen probing, never skip a qualifying row).  Output:
+    ``(id_col long, score double)``, score desc / id asc, exactly
+    :func:`cosine_topk` over the (filtered) indexed vectors.
     """
     from ..storeio import read_parquet_if_exists
 
@@ -960,6 +968,13 @@ def ivf_exact_topk(
         )
         if exclude_id is not None:
             vecs = vecs.filter(F.col(id_col) != exclude_id)
+        if allow_ids is not None:
+            # join strategy left to Catalyst/AQE: selective filters
+            # broadcast themselves, corpus-sized ones must not
+            allow = allow_ids.select(
+                F.col(allow_ids.columns[0]).cast("long").alias(id_col)
+            ).distinct()
+            vecs = vecs.join(allow, id_col, "left_semi")
         q_df = spark.createDataFrame(
             [([float(x) for x in q],)], "qv array<double>"
         )

@@ -9390,3 +9390,40 @@ def search_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_breaker=0.3,
         top_k=10,
     ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_dense_filtered",
+    """
+    WITH allowed AS (
+        SELECT vec_id, embedding FROM embeddings WHERE label = 1
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round(list_cosine_similarity(
+               a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+               AS score
+    FROM allowed a, q
+    WHERE a.vec_id <> 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def search_dense_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN-with-filter over the IVF store
+    (operators/similarity.py:ivf_exact_topk allow_ids): the filter
+    (label = 1, evaluated OUTSIDE the vector index) pushes into the
+    probed cells as a semi-join, and the exactness certificate holds —
+    cell bounds over-cover the allowed subset, and an under-filled
+    wave 1 forces wave 2 to probe every remaining cell rather than
+    skip a qualifying row.  Oracle: brute-force cosine top-10 over the
+    filtered set."""
+    from .operators.similarity import ivf_exact_topk
+
+    store = _shared_ivf_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    allow = emb.filter(F.col("label") == 1).select("vec_id")
+    return ivf_exact_topk(
+        spark, store, qv, "vec_id", k=10, exclude_id=0, allow_ids=allow
+    ).select("vec_id", "score")

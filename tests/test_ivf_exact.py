@@ -448,3 +448,58 @@ def test_round6_half_up_matches_spark_round():
     assert np.allclose(got, want, atol=1e-12)
     # and np.round would have disagreed on the half-to-even cases
     assert not np.allclose(np.round(xs, 6), want, atol=1e-12)
+
+
+def test_filtered_knn_stays_exact(spark, tmp_path):
+    """allow_ids (the ES kNN-with-filter shape): results must equal
+    brute force over the FILTERED set, including when the filter
+    leaves fewer than k rows in wave 1's cells — the under-filled
+    provisional top-k keeps s_k at -inf so wave 2 probes every
+    remaining cell instead of skipping a qualifying row."""
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    rows = _arc_rows(
+        [i * 0.5 for i in range(20)]            # ids 0..19: near query
+        + [120 + i * 0.5 for i in range(20)]    # ids 20..39
+        + [240 + i * 0.5 for i in range(20)]    # ids 40..59
+    )
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=3)
+    qv = [1.0, 0.0]
+
+    def run(allowed_ids, k=10):
+        allow = spark.createDataFrame(
+            [(i,) for i in allowed_ids], "vec_id long"
+        )
+        log: list = []
+        got = [
+            (r["vec_id"], r["score"])
+            for r in ivf_exact_topk(
+                spark, path, qv, "vec_id", k=k,
+                probe_log=log, allow_ids=allow,
+            ).collect()
+        ]
+        want = _brute_topk(
+            [r for r in rows if r[0] in set(allowed_ids)], qv, k
+        )
+        assert got == want, (got, want)
+        return log[0]
+
+    # filter keeps >= k near the query: pruning still bites
+    log = run(list(range(15)) + [25, 45])
+    assert len(log["wave1"]) == 1 and log["wave2"] == []
+    # filter leaves only 3 rows in the near cell: wave 2 must open up
+    log = run([0, 1, 2] + list(range(20, 60)))
+    assert len(log["wave2"]) > 0
+    # filter excludes the near cell entirely
+    run(list(range(20, 60)))
+    # filter smaller than k
+    run([5, 25, 45], k=10)
+    # empty filter: no rows
+    allow = spark.createDataFrame([], "vec_id long")
+    assert (
+        ivf_exact_topk(
+            spark, path, qv, "vec_id", k=5, allow_ids=allow
+        ).count()
+        == 0
+    )
