@@ -2173,6 +2173,56 @@ def dis_max_over_store(
     )
 
 
+def rescore_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    phrase: Sequence[str],
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``rescore``: re-rank only the top ``window_size`` hits of
+    the cheap query with a more expensive secondary signal — here the
+    EXACT-PHRASE occurrence count from the positional postings
+    (:func:`phrase_over_store`), combined as ES ``score_mode: total``:
+    ``query_weight * bm25 + rescore_weight * n_occurrences``.  ES's
+    own secondary is any relevance query; any ``(doc, score)`` frame
+    plugs into the join the same way — the phrase counter is the
+    deterministic primitive the store already serves.
+
+    Scale shape: the primary is the token-pruned BM25 top-window
+    (TakeOrdered, window-sized from then on); the secondary is the
+    phrase plan (token-pruned scan + per-term doc joins + position
+    intersection) — the whole point of rescoring is that this runs
+    once against the window join, not against every hit.  Output:
+    ``(doc, score)`` top-k over the rescored window."""
+    if top_k > window_size:
+        raise ValueError("top_k cannot exceed the rescore window")
+    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    if scored is None:
+        return spark.createDataFrame([], "doc long, score double")
+    window = scored.orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    ).limit(window_size)
+    sec = phrase_over_store(spark, store_path, list(phrase))
+    combined = F.round(
+        F.lit(float(query_weight)) * F.col("score")
+        + F.lit(float(rescore_weight))
+        * F.coalesce(F.col("n_occurrences").cast("double"), F.lit(0.0)),
+        6,
+    )
+    return (
+        window.join(sec, window["doc"] == sec["doc"], "left")
+        .select(window["doc"], combined.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(top_k)
+    )
+
+
 def bm25_page_over_store(
     spark,
     store_path: str,

@@ -9427,3 +9427,77 @@ def search_dense_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_exact_topk(
         spark, store, qv, "vec_id", k=10, exclude_id=0, allow_ids=allow
     ).select("vec_id", "score")
+
+
+@register(
+    "search_rescore",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('value', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS s
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    win AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+            FROM bm
+        ) WHERE rn <= 50
+    ),
+    t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len([i FOR i IN range(1, len(toks))
+                    IF toks[i] = 'value' AND toks[i+1] = 'table'])
+                   AS n_occ
+        FROM t
+    )
+    SELECT w.doc_id,
+           round(1.0 * s + 0.5 * coalesce(n_occ, 0), 6) AS score
+    FROM win w LEFT JOIN m USING (doc_id)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore window (operators/text.py:rescore_over_store): the
+    top-50 BM25 hits for 'value table' re-ranked by the EXACT-PHRASE
+    occurrence count from the positional postings, score_mode total
+    (1.0 x bm25 + 0.5 x occurrences) — the expensive secondary runs
+    against the window, never the full hit set; oracle replays both
+    stages off the raw text."""
+    from .operators.text import rescore_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return rescore_over_store(
+        spark,
+        store,
+        ["value", "table"],
+        ["value", "table"],
+        window_size=50,
+        rescore_weight=0.5,
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")

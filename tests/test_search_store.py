@@ -1113,3 +1113,55 @@ def test_dis_max_tie_breaker(spark, tmp_path):
         dis_max_over_store(spark, store, legs, tie_breaker=1.5)
     with pytest.raises(ValueError, match="subquery"):
         dis_max_over_store(spark, store, [])
+
+
+def test_rescore_window_semantics(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        incremental_bm25_index,
+        rescore_over_store,
+    )
+
+    rows = [
+        (1, "value value value x"),      # top bm25, NO phrase
+        (2, "value table y"),            # phrase once
+        (3, "value table value table"),  # phrase twice
+        (4, "value z"),
+        (5, "table only here"),
+        (6, "unrelated words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    terms = ["value", "table"]
+    base = {
+        r["doc"]: r["score"]
+        for r in bm25_over_store(spark, store, terms, top_k=10).collect()
+    }
+    got = {
+        r["doc"]: r["score"]
+        for r in rescore_over_store(
+            spark, store, terms, terms, window_size=10,
+            rescore_weight=10.0, top_k=10,
+        ).collect()
+    }
+    # phrase counts lift 3 (x2) above 2 (x1) above the no-phrase docs
+    assert abs(got[3] - round(base[3] + 20.0, 6)) < 2e-6
+    assert abs(got[2] - round(base[2] + 10.0, 6)) < 2e-6
+    assert got[1] == base[1]
+    order = sorted(got, key=lambda d: (-got[d], d))
+    assert order[:2] == [3, 2]
+    # a doc outside the window is NEVER rescored in: window_size=1
+    # keeps only the bm25 winner, whatever the phrase would add
+    top1 = sorted(base, key=lambda d: (-base[d], d))[0]
+    win1 = rescore_over_store(
+        spark, store, terms, terms, window_size=1,
+        rescore_weight=10.0, top_k=1,
+    ).collect()
+    assert [r["doc"] for r in win1] == [top1]
+    with pytest.raises(ValueError, match="window"):
+        rescore_over_store(
+            spark, store, terms, terms, window_size=5, top_k=6
+        )
