@@ -9501,3 +9501,127 @@ def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescore_weight=0.5,
         top_k=10,
     ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register("streaming_dense_cdc", _DENSE_CDC_ORACLE)
+def streaming_dense_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense index kept in sync with a mutating collection
+    END-TO-END (streaming/sink.py:DenseIndexedSink): the scan phase
+    materializes the IVF store from the collection snapshot (the
+    reference's scan-then-tail order — the coarse quantizer needs a
+    training corpus), then ``run_tail`` drains a full-collection
+    upsert REPLAY (content no-op against the scan-built store),
+    vector updates (FP-exact negation), deletes, and an
+    at-least-once redelivery of the update batch through the sink —
+    and EXACT dense top-k over the maintained store must equal
+    brute-force cosine over the final collection state (the shared
+    ``_DENSE_CDC_ORACLE``).  Same oracle as ``search_dense_cdc``:
+    arrival via micro-batches must change nothing."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .config import Controls, Task
+    from .core import make_ts
+    from .operators.similarity import (
+        ivf_exact_topk,
+        materialize_ivf_index,
+    )
+    from .sources.cdc import file_oplog_stream
+    from .streaming.sink import DenseIndexedSink, ParquetIndexSink
+    from .streaming.tail import run_tail
+
+    def build_feed(feed: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ins = [
+            ("u", r["vec_id"], {"embedding": [float(x) for x in r["embedding"]]})
+            for r in rows
+        ]
+        upd = [
+            ("u", r["vec_id"], {"embedding": [-float(x) for x in r["embedding"]]})
+            for r in rows
+            if r["vec_id"] % 7 == 3 and r["vec_id"] % 5 != 2
+        ]
+        dels = [
+            ("d", r["vec_id"], {})
+            for r in rows
+            if r["vec_id"] % 5 == 2
+        ]
+        batches = [ins, upd, dels + upd]  # b2 redelivers the updates
+        os.makedirs(feed, exist_ok=True)
+        seq = 0
+        for i, batch in enumerate(batches):
+            path = os.path.join(feed, f"b{i}.json")
+            with open(path, "w") as fh:
+                for op, vid, doc in batch:
+                    seq += 1
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "ts": make_ts(seq),
+                                "ns": "lib.vecs",
+                                "op": op,
+                                "id": str(vid),
+                                "doc": _json.dumps(doc),
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(path, (1_600_000_000 + i * 60,) * 2)
+
+    feed = _shared_stream_feed(spark, sf_dir, "dense_oplog_feed", build_feed)
+    task = Task(
+        {
+            "from": {"phase": "tail"},
+            "extract": {"db": "lib", "collection": "vecs"},
+            "transform": {"mapping": {"embedding": "embedding"}},
+            "load": {"index": "vecs", "type": "doc"},
+        }
+    )
+    base = tempfile.mkdtemp(prefix="dense_cdc_stream_")
+    try:
+        store = os.path.join(base, "ivf")
+        materialize_ivf_index(
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            store,
+            n_cells=16,
+        )
+        sink = DenseIndexedSink(
+            ParquetIndexSink(os.path.join(base, "sink")),
+            store,
+            vec_field="embedding",
+        )
+        stream = file_oplog_stream(
+            spark, feed, task, max_files_per_trigger=1
+        )
+        q = run_tail(
+            spark,
+            task,
+            Controls(),
+            stream,
+            sink,
+            hints={"embedding": "array<double>"},
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        qv = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .first()["embedding"]
+        )
+        rows = ivf_exact_topk(
+            spark, store, qv, "vec_id", k=10, exclude_id=0
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["vec_id"]), float(r["score"])) for r in rows],
+        "vec_id long, score double",
+    )

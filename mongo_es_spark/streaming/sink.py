@@ -148,6 +148,63 @@ class SearchIndexedSink:
         )
 
 
+class DenseIndexedSink:
+    """The dense-retrieval analog of :class:`SearchIndexedSink`: every
+    IR micro-batch first applies to the wrapped keyed sink, then folds
+    into the IVF vector store via
+    :func:`~mongo_es_spark.operators.similarity.apply_cdc_to_ivf_index`
+    — updates supersede by generation + dead watermark, deletes
+    watermark, and content-based replay detection makes at-least-once
+    delivery exactly-once, so exact dense retrieval
+    (``ivf_exact_topk``) always serves the collection's current
+    vectors (src/processor.ts:225-258 — the reference keeps a search
+    index in sync with a mutating collection; this is that loop for
+    an embedding field).
+
+    The IVF store must be MATERIALIZED before tailing (the coarse
+    quantizer needs a training corpus) — the reference's own
+    scan-then-tail phase order: the scan phase builds the index from
+    the collection snapshot, the tail keeps it in sync.
+    ``vec_field`` names the vector inside the IR ``data`` struct
+    (hint it ``array<double>``); ``id_cast`` converts the string IR
+    id to the store's id type."""
+
+    def __init__(
+        self,
+        inner,
+        store_path: str,
+        vec_field: str,
+        id_cast: str = "long",
+    ):
+        self.inner = inner
+        self.store_path = store_path
+        self.vec_field = vec_field
+        self.id_cast = id_cast
+
+    def read_state(
+        self, spark: SparkSession, ids: Optional[DataFrame] = None
+    ) -> Optional[DataFrame]:
+        if hasattr(self.inner, "read_state"):
+            return self.inner.read_state(spark, ids=ids)
+        return None
+
+    def apply(self, spark: SparkSession, irs: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import apply_cdc_to_ivf_index
+
+        irs = irs.localCheckpoint(eager=True)  # both writes, one plan
+        self.inner.apply(spark, irs, batch_id)
+        batch = irs.select(
+            F.col("id").cast(self.id_cast).alias("vec_id"),
+            F.when(F.col("action") == "delete", F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+            F.col(f"data.`{self.vec_field}`")
+            .cast("array<double>")
+            .alias("v"),
+        )
+        apply_cdc_to_ivf_index(batch, self.store_path, "vec_id", "v")
+
+
 class BulkItemError(RuntimeError):
     """One or more items of an Elasticsearch ``_bulk`` call failed."""
 

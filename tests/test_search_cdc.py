@@ -587,3 +587,118 @@ def test_all_serving_ops_live_resolve_after_cdc(spark, tmp_path):
         for r in bm25_over_store(spark, store, ["gamma"]).collect()
     )
     assert post != pre
+
+
+def test_tail_pipeline_maintains_dense_index(spark, tmp_path):
+    """DenseIndexedSink: drive vector upserts, updates, deletes and a
+    redelivery through the ACTUAL tail pipeline and pin exact dense
+    retrieval over the maintained IVF store equal to brute force over
+    the final collection state; the redelivered batch must write
+    nothing (content no-op)."""
+    import math
+
+    from mongo_es_spark.config import Controls, Task
+    from mongo_es_spark.core import make_ts
+    from mongo_es_spark.operators.similarity import (
+        ivf_exact_topk,
+        materialize_ivf_index,
+    )
+    from mongo_es_spark.sources.cdc import file_oplog_stream
+    from mongo_es_spark.streaming.sink import (
+        DenseIndexedSink,
+        ParquetIndexSink,
+    )
+    from mongo_es_spark.streaming.tail import run_tail
+
+    def vec(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    initial = [(i, vec(i * 7.0)) for i in range(12)]
+    store = str(tmp_path / "ivf")
+    materialize_ivf_index(
+        spark.createDataFrame(initial, "vec_id long, v array<double>"),
+        "vec_id",
+        "v",
+        store,
+        n_cells=2,
+    )
+    # final state: 3 updated (negated), 5 deleted, 12 inserted fresh
+    final = {i: v for i, v in initial}
+    final[3] = [-x for x in final[3]]
+    del final[5]
+    final[12] = vec(33.0)
+    batches = [
+        [("u", 3, {"v": final[3]}), ("u", 12, {"v": final[12]})],
+        [("d", 5, {}), ("u", 3, {"v": final[3]})],  # redelivery of 3
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    seq = 0
+    for i, batch in enumerate(batches):
+        p = feed / f"b{i}.json"
+        with open(p, "w") as fh:
+            for op, vid, doc in batch:
+                seq += 1
+                fh.write(
+                    json.dumps(
+                        {
+                            "ts": make_ts(seq),
+                            "ns": "lib.vecs",
+                            "op": op,
+                            "id": str(vid),
+                            "doc": json.dumps(doc),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+    task = Task(
+        {
+            "from": {"phase": "tail"},
+            "extract": {"db": "lib", "collection": "vecs"},
+            "transform": {"mapping": {"v": "v"}},
+            "load": {"index": "vecs", "type": "doc"},
+        }
+    )
+    sink = DenseIndexedSink(
+        ParquetIndexSink(str(tmp_path / "sink")), store, vec_field="v"
+    )
+    q = run_tail(
+        spark,
+        task,
+        Controls(),
+        file_oplog_stream(spark, str(feed), task, max_files_per_trigger=1),
+        sink,
+        hints={"v": "array<double>"},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    qv = vec(20.0)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(spark, store, qv, "vec_id", k=5).collect()
+    ]
+    # brute force over the final state
+    def cos(a, b):
+        na = math.hypot(*a)
+        nb = math.hypot(*b)
+        return round((a[0] * b[0] + a[1] * b[1]) / (na * nb), 6)
+
+    want = sorted(
+        ((i, cos(v, qv)) for i, v in final.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == want
+    # redelivery no-op: replaying the SECOND batch by hand writes nothing
+    from mongo_es_spark.operators.similarity import apply_cdc_to_ivf_index
+
+    n_before = spark.read.parquet(f"{store}/vectors").count()
+    replay = spark.createDataFrame(
+        [(5, "d", None), (3, "u", final[3])],
+        "vec_id long, op string, v array<double>",
+    )
+    applied = apply_cdc_to_ivf_index(replay, store, "vec_id", "v")
+    assert applied.count() == 0
+    assert spark.read.parquet(f"{store}/vectors").count() == n_before
