@@ -1025,6 +1025,7 @@ def ivf_exact_batch_topk(
     exclude_self: bool = False,
     max_queries: int = 65_536,
     probe_log: list | None = None,
+    allow_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batched EXACT top-k over the IVF store — dense ``msearch``:
     a model-sized batch of ``(q_id, vector)`` queries served with the
@@ -1140,7 +1141,23 @@ def ivf_exact_batch_topk(
             spark.read.parquet(f"{path}/vectors").filter(
                 F.col("cell").isin([int(c) for c in cells])
             ),
-        ).select(
+        )
+        if allow_ids is not None:
+            # the ES kNN-with-filter shape, batched: same semi-join as
+            # ivf_exact_topk (strategy left to AQE); exactness holds
+            # per query — bounds over-cover the allowed subset and an
+            # under-filled wave 1 leaves that query's s_k at -inf, so
+            # its wave 2 opens every remaining cell
+            scan = scan.join(
+                allow_ids.select(
+                    F.col(allow_ids.columns[0])
+                    .cast("long")
+                    .alias(id_col)
+                ).distinct(),
+                id_col,
+                "left_semi",
+            )
+        scan = scan.select(
             F.col(id_col).cast("long").alias("doc"),
             "v",
             F.col("cell").cast("long").alias("cell"),

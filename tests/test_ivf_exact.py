@@ -503,3 +503,44 @@ def test_filtered_knn_stays_exact(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_batch_filtered_equals_per_query(spark, tmp_path):
+    """allow_ids on the batched path: every query's result equals its
+    standalone filtered ivf_exact_topk run (and therefore brute force
+    over the filtered set)."""
+    from mongo_es_spark.operators.similarity import (
+        ivf_exact_batch_topk,
+        ivf_exact_topk,
+    )
+
+    rows = _arc_rows(
+        [i * 0.5 for i in range(20)]
+        + [120 + i * 0.5 for i in range(20)]
+        + [240 + i * 0.5 for i in range(20)]
+    )
+    path = str(tmp_path / "ivf")
+    _mk_index(spark, rows, path, n_cells=3)
+    allowed = [0, 1, 2] + list(range(20, 60))  # near cell almost empty
+    allow = spark.createDataFrame(
+        [(i,) for i in allowed], "vec_id long"
+    )
+    queries = [
+        (100, [1.0, 0.0]),
+        (101, [math.cos(math.radians(125)), math.sin(math.radians(125))]),
+    ]
+    got = [
+        (r["q_id"], r["vec_id"], r["score"])
+        for r in ivf_exact_batch_topk(
+            spark, path, queries, "vec_id", k=7, allow_ids=allow
+        ).collect()
+    ]
+    want = []
+    for q_id, qv in queries:
+        want += [
+            (q_id, r["vec_id"], r["score"])
+            for r in ivf_exact_topk(
+                spark, path, qv, "vec_id", k=7, allow_ids=allow
+            ).collect()
+        ]
+    assert got == want and len(got) == 14
