@@ -2173,6 +2173,144 @@ def dis_max_over_store(
     )
 
 
+def percolate(
+    spark,
+    queries_df: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``percolate`` — the REVERSE search: queries are the stored
+    side, documents stream through and each doc reports which
+    registered queries it matches (the alerting / saved-search shape).
+    ``queries_df`` is ``(q_id, terms array<string>, match_all bool)``:
+    ``match_all`` true requires every term present, false any.
+
+    Scale shape: the registered query set is MODEL-SIZED (ES keeps it
+    in a dedicated percolator index); its exploded ``(q_id, term)``
+    map broadcasts, the doc batch tokenizes once, one equi-join on the
+    term and one ``(doc, q_id)`` aggregate compare distinct matches to
+    the required count — per-doc work ∝ matching terms, never
+    #queries × #docs.  Output: ``(id_col, q_id)``, doc asc / q asc."""
+    qt = (
+        queries_df.select(
+            "q_id",
+            F.size(F.array_distinct("terms")).alias("__need"),
+            "match_all",
+            F.explode(F.array_distinct("terms")).alias("token"),
+        )
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens_col(F.col(text_col)))
+        ).alias("token"),
+    )
+    hits = (
+        toks.join(F.broadcast(qt), "token")
+        .groupBy(id_col, "q_id", "__need", "match_all")
+        .agg(F.countDistinct("token").alias("__got"))
+        .filter(
+            (~F.col("match_all") & (F.col("__got") >= 1))
+            | (F.col("match_all") & (F.col("__got") == F.col("__need")))
+        )
+    )
+    return hits.select(id_col, "q_id").orderBy(
+        F.col(id_col).asc(), F.col("q_id").asc()
+    )
+
+
+def term_vectors_over_store(
+    spark,
+    store_path: str,
+    doc_ids: Sequence,
+) -> DataFrame:
+    """ES ``term_vectors`` API: per-document term statistics straight
+    from the index — each requested doc's tokens with their in-doc
+    ``tf`` and corpus-wide ``df`` (``term_statistics=true``).
+
+    Scale shape: the doc filter pushes into the postings scan
+    (``PushedFilters: In(doc, …)`` — note postings files cluster by
+    (token, doc), so doc-only lookups prune weakly; a serving tier
+    doing heavy term_vectors traffic should keep a doc-clustered
+    postings copy, the classic row/column-store duality); ``df`` joins
+    from the vocabulary-sized per-token aggregate.  Output:
+    ``(doc, token, tf, df)``, doc asc / token asc."""
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return spark.createDataFrame(
+            [], "doc long, token string, tf long, df long"
+        )
+    ids = list(doc_ids)
+    mine = postings.filter(F.col("doc").isin(ids))
+    # postings are unique per (token, doc) — df is a plain count
+    df_t = postings.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        mine.join(df_t, "token")
+        .select("doc", "token", "tf", "df")
+        .orderBy(F.col("doc").asc(), F.col("token").asc())
+    )
+
+
+def suggest_terms(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    max_dist: int = 1,
+    size: int = 3,
+) -> DataFrame:
+    """ES ``term`` suggester (``suggest_mode: missing``): for each
+    input term ABSENT from the index vocabulary, the closest indexed
+    terms within Levenshtein ``max_dist``, ranked the ES way —
+    distance first, then document frequency, then the term itself.
+    Terms already in the vocabulary return no suggestions.
+
+    Scale shape: the vocabulary frame is index-metadata-sized
+    (distinct tokens + their df, one map-side postings aggregate);
+    the distance runs as the JVM ``levenshtein`` against the handful
+    of input terms.  Output: ``(term, suggestion, dist, df)``, term
+    asc / rank asc, ≤ ``size`` per term."""
+    from pyspark.sql import Window
+
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return spark.createDataFrame(
+            [], "term string, suggestion string, dist int, df long"
+        )
+    vocab = postings.groupBy("token").agg(F.count("*").alias("df"))
+    tdf = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(terms)], "term string"
+    )
+    present = {
+        r["term"]
+        for r in tdf.join(
+            vocab, tdf["term"] == vocab["token"], "left_semi"
+        ).collect()
+    }
+    missing = tdf.filter(~F.col("term").isin(*list(present)) if present else F.lit(True))
+    # broadcast nested-loop on the threshold predicate: the small side
+    # is the handful of missing terms, the big side the metadata-sized
+    # vocabulary — never a materialized cross product
+    cand = vocab.join(
+        F.broadcast(missing),
+        F.levenshtein(F.col("term"), F.col("token")) <= max_dist,
+    ).withColumn("dist", F.levenshtein("term", "token"))
+    w = Window.partitionBy("term").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("token").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= size)
+        .select(
+            "term",
+            F.col("token").alias("suggestion"),
+            "dist",
+            "df",
+        )
+        .orderBy(F.col("term").asc(), F.col("__rn").asc())
+    )
+
+
 def rescore_over_store(
     spark,
     store_path: str,

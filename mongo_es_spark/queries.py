@@ -9625,3 +9625,132 @@ def streaming_dense_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r["vec_id"]), float(r["score"])) for r in rows],
         "vec_id long, score double",
     )
+
+
+@register(
+    "search_percolate",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    q(q_id, token, need, match_all) AS (
+        VALUES (1, 'spark', 1, false),
+               (2, 'stream', 2, true), (2, 'value', 2, true),
+               (3, 'window', 1, false), (3, 'sort', 1, false)
+    ),
+    hits AS (
+        SELECT doc_id, q_id, need, match_all,
+               count(DISTINCT t.token) AS got
+        FROM toks t JOIN q USING (token)
+        GROUP BY doc_id, q_id, need, match_all
+    )
+    SELECT doc_id, q_id FROM hits
+    WHERE (NOT match_all AND got >= 1) OR (match_all AND got = need)
+    ORDER BY doc_id ASC, q_id ASC
+    """,
+)
+def search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate — the reverse search
+    (operators/text.py:percolate): three registered queries (one
+    match-any, one match-ALL, one two-term any) stored as the small
+    side; the document batch streams through once and each doc
+    reports which saved searches it triggers.  The query map
+    broadcasts; per-doc work ∝ matching terms."""
+    from .operators.text import percolate
+
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark"], False),
+            (2, ["stream", "value"], True),
+            (3, ["window", "sort"], False),
+        ],
+        "q_id long, terms array<string>, match_all boolean",
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    return percolate(spark, qdf, docs)
+
+
+@register(
+    "search_termvectors",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        GROUP BY token
+    )
+    SELECT doc_id, token, tf, df
+    FROM tf JOIN df USING (token)
+    WHERE doc_id IN (0, 1, 2)
+    ORDER BY doc_id ASC, token ASC
+    """,
+)
+def search_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term_vectors API (term_statistics=true)
+    (operators/text.py:term_vectors_over_store): per-doc term stats
+    straight from the index — requested docs' tokens with in-doc tf
+    and corpus-wide df; the doc filter pushes into the postings scan,
+    df rides the vocabulary-sized aggregate."""
+    from .operators.text import term_vectors_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return term_vectors_over_store(spark, store, [0, 1, 2]).select(
+        F.col("doc").alias("doc_id"), "token", "tf", "df"
+    )
+
+
+@register(
+    "search_suggest",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    inp(term) AS (VALUES ('strean'), ('tabel'), ('spark')),
+    missing AS (
+        SELECT term FROM inp
+        WHERE term NOT IN (SELECT token FROM vocab)
+    ),
+    cand AS (
+        SELECT m.term, v.token AS suggestion,
+               levenshtein(m.term, v.token) AS dist, v.df
+        FROM missing m, vocab v
+        WHERE levenshtein(m.term, v.token) <= 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY term
+            ORDER BY dist ASC, df DESC, suggestion ASC
+        ) AS rn
+        FROM cand
+    )
+    SELECT term, suggestion, dist, df
+    FROM ranked WHERE rn <= 3
+    ORDER BY term ASC, rn ASC
+    """,
+)
+def search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester, suggest_mode=missing
+    (operators/text.py:suggest_terms): misspelled inputs get the
+    closest indexed terms ranked distance-then-frequency; terms
+    already in the vocabulary ('spark') return nothing.  The
+    vocabulary+df frame is index-metadata-sized; the threshold join
+    broadcasts the input terms."""
+    from .operators.text import suggest_terms
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return suggest_terms(
+        spark, store, ["strean", "tabel", "spark"], max_dist=2, size=3
+    )

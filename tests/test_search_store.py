@@ -1165,3 +1165,99 @@ def test_rescore_window_semantics(spark, tmp_path):
         rescore_over_store(
             spark, store, terms, terms, window_size=5, top_k=6
         )
+
+
+def test_percolate_reverse_search(spark):
+    from mongo_es_spark.operators.text import percolate
+
+    qdf = spark.createDataFrame(
+        [
+            (1, ["cat"], False),              # any
+            (2, ["cat", "dog"], True),        # all
+            (3, ["cat", "cat", "dog"], True), # dup terms collapse
+            (4, ["bird", "fish"], False),     # any-of-two
+        ],
+        "q_id long, terms array<string>, match_all boolean",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "cat sat"),
+            (2, "cat dog day"),
+            (3, "dog only"),
+            (4, "fish tank"),
+            (5, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["q_id"])
+        for r in percolate(spark, qdf, docs).collect()
+    ]
+    assert got == [
+        (1, 1),
+        (2, 1), (2, 2), (2, 3),
+        (4, 4),
+    ]
+
+
+def test_term_vectors_over_store(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        term_vectors_over_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "cat fish"),
+            (3, "dog dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    got = [
+        tuple(r)
+        for r in term_vectors_over_store(spark, store, [1, 3]).collect()
+    ]
+    assert got == [
+        (1, "cat", 2, 2),   # tf 2 in doc 1; df 2 (docs 1, 2)
+        (1, "dog", 1, 2),
+        (3, "dog", 3, 2),
+    ]
+
+
+def test_suggest_terms_ranking(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        suggest_terms,
+    )
+
+    # 'cart' df 3 and 'cast' df 1 are both dist-1 of 'caet';
+    # frequency breaks the tie the ES way
+    docs = spark.createDataFrame(
+        [
+            (1, "cart cast"),
+            (2, "cart"),
+            (3, "cart"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    got = [
+        tuple(r)
+        for r in suggest_terms(
+            spark, store, ["caet", "cart"], max_dist=1, size=2
+        ).collect()
+    ]
+    # 'cart' is present in the vocabulary -> no suggestions for it
+    assert got == [
+        ("caet", "cart", 1, 3),
+        ("caet", "cast", 1, 1),
+    ]
+    # size bounds per-term output
+    assert (
+        suggest_terms(spark, store, ["caet"], max_dist=1, size=1).count()
+        == 1
+    )
