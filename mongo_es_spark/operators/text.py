@@ -1722,6 +1722,39 @@ def date_histogram_over_store(
     )
 
 
+def date_histogram_pipeline_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    interval: str = "month",
+) -> DataFrame:
+    """ES PIPELINE aggregations over the date_histogram buckets:
+    ``cumulative_sum`` (running total of matched docs) and
+    ``derivative`` (bucket-over-bucket delta, NULL for the first
+    bucket, per ES) computed as second-pass windows over the bucket
+    frame — the parent histogram runs the usual token-pruned scan +
+    doc-values semi-join; the pipeline stage operates on the
+    BUCKET-COUNT-sized result (a calendar axis, bounded by the time
+    range, never the corpus), so its single-partition window is
+    model-sized by construction.  Output: ``(bucket, n_docs,
+    cum_docs, delta_docs)``, bucket asc."""
+    from pyspark.sql import Window
+
+    hist = date_histogram_over_store(
+        spark, store_path, terms, field, interval
+    )
+    w = Window.orderBy(F.col("bucket").asc())
+    return hist.select(
+        "bucket",
+        "n_docs",
+        F.sum("n_docs")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_docs"),
+        (F.col("n_docs") - F.lag("n_docs").over(w)).alias("delta_docs"),
+    ).orderBy(F.col("bucket").asc())
+
+
 def function_score_over_store(
     spark,
     store_path: str,
@@ -2191,7 +2224,13 @@ def percolate(
     map broadcasts, the doc batch tokenizes once, one equi-join on the
     term and one ``(doc, q_id)`` aggregate compare distinct matches to
     the required count — per-doc work ∝ matching terms, never
-    #queries × #docs.  Output: ``(id_col, q_id)``, doc asc / q asc."""
+    #queries × #docs.  Output: ``(id_col, q_id)`` match pairs,
+    UNORDERED — the result is match-pair-sized (on a dense
+    query/vocabulary overlap that is #docs × #queries), and a global
+    sort of it would dwarf the matching itself (measured 10x+ the
+    match cost at 5M docs x 100 dense queries); the driver-gate
+    comparison is order-insensitive, and callers paging results
+    should sort their own bounded slice."""
     qt = (
         queries_df.select(
             "q_id",
@@ -2206,18 +2245,21 @@ def percolate(
             F.array_distinct(tokens_col(F.col(text_col)))
         ).alias("token"),
     )
+    # doc tokens and query terms are BOTH deduped before the join, so
+    # (doc, q_id) groups hold unique tokens — a plain count avoids the
+    # (doc, q_id, token) distinct exchange (the significant_terms
+    # lesson; measured unusable at 5M docs x 100 dense queries with
+    # countDistinct)
     hits = (
         toks.join(F.broadcast(qt), "token")
         .groupBy(id_col, "q_id", "__need", "match_all")
-        .agg(F.countDistinct("token").alias("__got"))
+        .agg(F.count("*").alias("__got"))
         .filter(
             (~F.col("match_all") & (F.col("__got") >= 1))
             | (F.col("match_all") & (F.col("__got") == F.col("__need")))
         )
     )
-    return hits.select(id_col, "q_id").orderBy(
-        F.col(id_col).asc(), F.col("q_id").asc()
-    )
+    return hits.select(id_col, "q_id")
 
 
 def term_vectors_over_store(

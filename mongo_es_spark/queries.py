@@ -9754,3 +9754,49 @@ def search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms(
         spark, store, ["strean", "tabel", "spark"], max_dist=2, size=3
     )
+
+
+@register(
+    "search_pipeline_agg",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'batch')
+    ),
+    days AS (
+        SELECT doc_id,
+               DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS day
+        FROM documents
+    ),
+    hist AS (
+        SELECT CAST(date_trunc('month', day) AS DATE) AS bucket,
+               count(*) AS n_docs
+        FROM days JOIN matched USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT bucket, n_docs,
+           sum(n_docs) OVER (ORDER BY bucket ASC
+               ROWS UNBOUNDED PRECEDING) AS cum_docs,
+           n_docs - lag(n_docs) OVER (ORDER BY bucket ASC)
+               AS delta_docs
+    FROM hist
+    ORDER BY bucket ASC
+    """,
+)
+def search_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations
+    (operators/text.py:date_histogram_pipeline_over_store):
+    cumulative_sum and derivative over the monthly date_histogram
+    buckets — the second-pass stage runs on the bucket-count-sized
+    frame (a calendar axis), never the corpus; derivative is NULL on
+    the first bucket per ES."""
+    from .operators.text import date_histogram_pipeline_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return date_histogram_pipeline_over_store(
+        spark, store, ["spark", "batch"], "day", interval="month"
+    )

@@ -1189,10 +1189,10 @@ def test_percolate_reverse_search(spark):
         ],
         "doc_id long, text string",
     )
-    got = [
+    got = sorted(
         (r["doc_id"], r["q_id"])
         for r in percolate(spark, qdf, docs).collect()
-    ]
+    )
     assert got == [
         (1, 1),
         (2, 1), (2, 2), (2, 3),
@@ -1261,3 +1261,37 @@ def test_suggest_terms_ranking(spark, tmp_path):
         suggest_terms(spark, store, ["caet"], max_dist=1, size=1).count()
         == 1
     )
+
+
+def test_date_histogram_pipeline_aggs(spark, tmp_path):
+    import datetime
+
+    from mongo_es_spark.operators.text import (
+        date_histogram_pipeline_over_store,
+        incremental_bm25_index,
+    )
+
+    d = datetime.date
+    docs = spark.createDataFrame(
+        [
+            (1, "spark a", d(2024, 1, 5)),
+            (2, "spark b", d(2024, 1, 6)),
+            (3, "spark c", d(2024, 2, 1)),
+            (4, "spark d", d(2024, 4, 9)),
+            (5, "no match", d(2024, 3, 1)),
+        ],
+        "doc_id long, text string, day date",
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store, field_cols=["day"]).count()
+    got = [
+        (r["bucket"], r["n_docs"], r["cum_docs"], r["delta_docs"])
+        for r in date_histogram_pipeline_over_store(
+            spark, store, ["spark"], "day"
+        ).collect()
+    ]
+    assert got == [
+        (d(2024, 1, 1), 2, 2, None),   # derivative NULL on bucket 1
+        (d(2024, 2, 1), 1, 3, -1),
+        (d(2024, 4, 1), 1, 4, 0),      # empty March omitted, per ES
+    ]
