@@ -9,7 +9,7 @@ DuckDB-SQL twin in the query registry.
 from __future__ import annotations
 
 import os
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1753,6 +1753,130 @@ def date_histogram_pipeline_over_store(
         .alias("cum_docs"),
         (F.col("n_docs") - F.lag("n_docs").over(w)).alias("delta_docs"),
     ).orderBy(F.col("bucket").asc())
+
+
+def composite_agg_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    sources: Sequence[tuple],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation — the scalable paginated agg:
+    multi-source buckets ``(value_1, …, value_n)`` in source order,
+    ``size`` at a time, resumed with the ``after`` key (the last
+    returned bucket) as a strictly-greater lexicographic cursor.
+    ``sources`` is ``[(col, kind, param), …]`` with kind ``terms``
+    (param ignored) or ``histogram`` (param = interval).  Docs missing
+    any source value are omitted (ES default).  Concatenated pages
+    tile the full ordered bucket list exactly (pinned by the registry
+    oracle's LIMIT/OFFSET twin).
+
+    Scale shape: the reason ES recommends composite over deep terms
+    aggs — each page is one token-pruned scan + doc-values semi-join +
+    bucket aggregate + a TakeOrdered of ``size`` buckets; the cursor
+    is a predicate, so page N+1 costs the same as page 1 and no
+    offset materializes.  Output: source columns + ``n_docs``."""
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "n_docs long")
+    keys = []
+    hits = docstats.join(
+        postings.filter(F.col("token").isin(*list(terms)))
+        .select("doc")
+        .distinct(),
+        "doc",
+        "left_semi",
+    )
+    for col, kind, param in sources:
+        if col not in docstats.columns:
+            raise ValueError(
+                f"field {col!r} is not stored in the index — fold "
+                f"batches with field_cols=[{col!r}]"
+            )
+        if kind == "terms":
+            keys.append(F.col(col).alias(col))
+        elif kind == "histogram":
+            if not param or float(param) <= 0:
+                raise ValueError("histogram source needs an interval")
+            keys.append(
+                (
+                    F.floor(F.col(col) / F.lit(float(param)))
+                    * F.lit(float(param))
+                ).alias(col)
+            )
+        else:
+            raise ValueError(f"unknown composite source kind {kind!r}")
+        hits = hits.filter(F.col(col).isNotNull())
+    names = [c[0] for c in sources]
+    buckets = hits.groupBy(*keys).agg(F.count("*").alias("n_docs"))
+    if after is not None:
+        if len(after) != len(names):
+            raise ValueError("after key must match the source count")
+        # strictly-greater lexicographic cursor
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for name, a in zip(names, after):
+            pred = pred | (eq & (F.col(name) > F.lit(a)))
+            eq = eq & (F.col(name) == F.lit(a))
+        buckets = buckets.filter(pred)
+    order = [F.col(n).asc() for n in names]
+    return buckets.orderBy(*order).limit(size)
+
+
+def adjacency_matrix_over_store(
+    spark,
+    store_path: str,
+    filters: Mapping[str, Sequence[str]],
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named term filters, and
+    the document counts of every filter AND every pairwise
+    intersection — the co-occurrence matrix behind "users who matched
+    A also matched B" dashboards.  Intersection keys join the two
+    names with ``&`` in sorted order, per ES.
+
+    Scale shape: ONE postings scan filtered to the union of all
+    filters' terms produces a ``(doc, filter)`` membership frame
+    (deduped map-side); the self-join for pairs runs on THAT frame —
+    ∝ matching docs × their filter count, never the corpus — and the
+    named-filter count is bounded by ES's own ``index.max_adjacency_
+    matrix_filters``-style small N.  Output: ``(key, n_docs)``, key
+    asc."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return spark.createDataFrame([], "key string, n_docs long")
+    all_terms = sorted({t for ts in filters.values() for t in ts})
+    tok = postings.filter(F.col("token").isin(all_terms)).select(
+        "doc", "token"
+    )
+    mapping = [
+        (name, t) for name, ts in filters.items() for t in set(ts)
+    ]
+    mdf = spark.createDataFrame(mapping, "name string, token string")
+    membership = (
+        tok.join(F.broadcast(mdf), "token").select("doc", "name").distinct()
+    )
+    singles = membership.groupBy("name").agg(
+        F.count("*").alias("n_docs")
+    ).select(F.col("name").alias("key"), "n_docs")
+    a = membership.alias("a")
+    b = membership.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc") == F.col("b.doc"))
+        .filter(F.col("a.name") < F.col("b.name"))
+        .groupBy("a.name", "b.name")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.concat_ws("&", F.col("a.name"), F.col("b.name")).alias(
+                "key"
+            ),
+            "n_docs",
+        )
+    )
+    return singles.unionByName(pairs).orderBy(F.col("key").asc())
 
 
 def function_score_over_store(

@@ -9800,3 +9800,93 @@ def search_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_histogram_pipeline_over_store(
         spark, store, ["spark", "batch"], "day", interval="month"
     )
+
+
+@register(
+    "search_composite",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'value')
+    ),
+    b AS (
+        SELECT lang, floor(n_chars / 200.0) * 200.0 AS n_chars,
+               count(*) AS n_docs
+        FROM documents JOIN matched USING (doc_id)
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT lang, n_chars, n_docs FROM b
+    ORDER BY lang ASC, n_chars ASC
+    LIMIT 5 OFFSET 5
+    """,
+)
+def search_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation — paginated multi-source buckets
+    (operators/text.py:composite_agg_over_store): (lang terms,
+    n_chars histogram-200) buckets five at a time; page 1's last
+    bucket becomes the strictly-greater lexicographic after-cursor
+    for page 2, which must equal rows 6-10 of the full ordered bucket
+    list (the LIMIT/OFFSET oracle) — no offset materialization, each
+    page one token-pruned scan + bucket TakeOrdered."""
+    from .operators.text import composite_agg_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    sources = [("lang", "terms", None), ("n_chars", "histogram", 200.0)]
+    page1 = composite_agg_over_store(
+        spark, store, ["spark", "value"], sources, size=5
+    ).collect()
+    after = (page1[-1]["lang"], page1[-1]["n_chars"])
+    return composite_agg_over_store(
+        spark, store, ["spark", "value"], sources, size=5, after=after
+    )
+
+
+@register(
+    "search_adjacency",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    m(name, token) AS (
+        VALUES ('a', 'spark'), ('b', 'stream'),
+               ('c', 'window'), ('c', 'sort')
+    ),
+    mem AS (
+        SELECT DISTINCT doc_id, name FROM toks JOIN m USING (token)
+    ),
+    singles AS (
+        SELECT name AS key, count(*) AS n_docs FROM mem GROUP BY name
+    ),
+    pairs AS (
+        SELECT x.name || '&' || y.name AS key, count(*) AS n_docs
+        FROM mem x JOIN mem y USING (doc_id)
+        WHERE x.name < y.name
+        GROUP BY 1
+    )
+    SELECT key, n_docs
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    ORDER BY key ASC
+    """,
+)
+def search_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation
+    (operators/text.py:adjacency_matrix_over_store): three named term
+    filters and every pairwise intersection count — one token-pruned
+    scan builds the (doc, filter) membership frame, the pair join runs
+    on that frame (∝ matching docs x filters), intersection keys
+    'x&y' in sorted order per ES."""
+    from .operators.text import adjacency_matrix_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return adjacency_matrix_over_store(
+        spark,
+        store,
+        {"a": ["spark"], "b": ["stream"], "c": ["window", "sort"]},
+    )

@@ -1295,3 +1295,106 @@ def test_date_histogram_pipeline_aggs(spark, tmp_path):
         (d(2024, 2, 1), 1, 3, -1),
         (d(2024, 4, 1), 1, 4, 0),      # empty March omitted, per ES
     ]
+
+
+def test_composite_agg_pages_tile(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        composite_agg_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "q a", "en", 10),
+        (2, "q b", "en", 210),
+        (3, "q c", "en", 215),
+        (4, "q d", "fr", 10),
+        (5, "q e", "fr", 410),
+        (6, "q f", "de", 10),
+        (7, "q g", None, 10),    # null source -> omitted
+        (8, "skip", "en", 10),   # unmatched
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang", "n_chars"]
+    ).count()
+    sources = [("lang", "terms", None), ("n_chars", "histogram", 200.0)]
+    full = [
+        tuple(r)
+        for r in composite_agg_over_store(
+            spark, store, ["q"], sources, size=100
+        ).collect()
+    ]
+    assert full == [
+        ("de", 0.0, 1),
+        ("en", 0.0, 1),
+        ("en", 200.0, 2),
+        ("fr", 0.0, 1),
+        ("fr", 400.0, 1),
+    ]
+    # pages tile: size=2 with after-cursors reproduces the full list
+    pages, after = [], None
+    while True:
+        page = [
+            tuple(r)
+            for r in composite_agg_over_store(
+                spark, store, ["q"], sources, size=2, after=after
+            ).collect()
+        ]
+        if not page:
+            break
+        pages += page
+        after = page[-1][:2]
+    assert pages == full
+    with pytest.raises(ValueError, match="interval"):
+        composite_agg_over_store(
+            spark, store, ["q"], [("n_chars", "histogram", 0)],
+        )
+    with pytest.raises(ValueError, match="source count"):
+        composite_agg_over_store(
+            spark, store, ["q"], sources, after=("en",)
+        )
+    with pytest.raises(ValueError, match="not stored"):
+        composite_agg_over_store(
+            spark, store, ["q"], [("missing", "terms", None)]
+        )
+
+
+def test_adjacency_matrix_counts(spark, tmp_path):
+    import pytest
+
+    from mongo_es_spark.operators.text import (
+        adjacency_matrix_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "cat dog"),        # a & b
+        (2, "cat"),            # a
+        (3, "dog fish"),       # b & c
+        (4, "cat dog fish"),   # a & b & c
+        (5, "none of those"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(spark, docs, store).count()
+    got = [
+        tuple(r)
+        for r in adjacency_matrix_over_store(
+            spark, store, {"a": ["cat"], "b": ["dog"], "c": ["fish"]}
+        ).collect()
+    ]
+    assert got == [
+        ("a", 3),
+        ("a&b", 2),
+        ("a&c", 1),
+        ("b", 3),
+        ("b&c", 2),
+        ("c", 2),
+    ]
+    with pytest.raises(ValueError, match="at least one"):
+        adjacency_matrix_over_store(spark, store, {})
