@@ -526,6 +526,36 @@ def _ivf_live_vectors(spark, path: str, vecs: DataFrame) -> DataFrame:
     )
 
 
+def describe_ivf_store(spark, path: str) -> dict:
+    """Ops observability for the IVF store — cells, total vs live
+    vector rows, dead-watermark count, generation counter and the
+    cellstats coverage marker; every figure a metadata-sized
+    aggregate.  The live/total ratio is the recluster trigger
+    (:func:`recluster_ivf_store` reclaims dead rows AND repairs
+    drift-inflated radii)."""
+    from ..storeio import read_parquet_if_exists
+
+    out: dict = {"store": path}
+    vecs = read_parquet_if_exists(spark, f"{path}/vectors")
+    cent = read_parquet_if_exists(spark, f"{path}/centroids")
+    if vecs is None or cent is None:
+        out["exists"] = False
+        return out
+    out["exists"] = True
+    out["n_cells"] = cent.count()
+    out["vector_rows"] = vecs.count()
+    out["live_rows"] = _ivf_live_vectors(spark, path, vecs).count()
+    dead = read_parquet_if_exists(spark, _ivf_dead_path(path))
+    out["dead_watermarks"] = 0 if dead is None else dead.count()
+    params = _read_ivf_params(spark, path)
+    if params is not None:
+        out["cur_gen"] = int(params["cur_gen"])
+        out["stats_cover"] = int(params["stats_cover"])
+    stats = read_parquet_if_exists(spark, f"{path}/cellstats")
+    out["cellstats_rows"] = 0 if stats is None else stats.count()
+    return out
+
+
 def _write_cellstats(staged: DataFrame, path: str, mode: str) -> None:
     """Append-only mergeable per-cell pruning stats: ``radius`` is the
     max member residual (max is mergeable — read-time ``max`` over the

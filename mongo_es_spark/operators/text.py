@@ -2621,6 +2621,69 @@ def phrase_over_store(
     )
 
 
+def describe_bm25_store(spark, store_path: str) -> dict:
+    """Ops observability for the search store — the ``_cat/indices``
+    / ``_stats`` shape: file and row counts per component, live vs
+    tombstoned vs superseded docs, generation depth, vocabulary size,
+    stored fields and the mutated flag.  Every figure is one
+    metadata-sized aggregate; the postings vocabulary count is the
+    only index-wide pass (map-side to a scalar).  Use it to decide
+    when :func:`compact_bm25_store` is worth running (dead ratio,
+    file growth)."""
+    import glob as _glob
+
+    from ..storeio import read_parquet_if_exists
+
+    out: dict = {"store": store_path}
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    if postings is None or docstats is None:
+        out["exists"] = False
+        return out
+    out["exists"] = True
+    for comp, path in (
+        ("postings", _bm_postings_path(store_path)),
+        ("docstats", _bm_docstats_path(store_path)),
+    ):
+        out[f"{comp}_files"] = len(
+            _glob.glob(os.path.join(path, "*.parquet"))
+        )
+    out["postings_rows"] = postings.count()
+    out["vocab_size"] = postings.select("token").distinct().count()
+    if params is not None:
+        p = params.head().asDict()
+        out["mutated"] = bool(p.get("mutated"))
+        out["scheme"] = p.get("scheme")
+        out["stored_fields"] = p.get("fields")
+    if "gen" in docstats.columns:
+        live = _bm_live_docstats(docstats)
+        total = docstats.count()
+        n_live = live.count()
+        agg = docstats.agg(
+            F.max("gen").alias("max_gen"),
+            F.sum(F.col("deleted").cast("long")).alias("tombstones"),
+        ).head()
+        out.update(
+            docstats_rows=total,
+            live_docs=n_live,
+            tombstones=int(agg["tombstones"] or 0),
+            superseded_rows=total - n_live - int(agg["tombstones"] or 0),
+            max_generation=int(agg["max_gen"] or 0),
+        )
+    else:
+        n = docstats.count()
+        out.update(
+            docstats_rows=n, live_docs=n, tombstones=0,
+            superseded_rows=0, max_generation=0,
+        )
+    return out
+
+
 def compact_bm25_store(
     spark,
     store_path: str,

@@ -702,3 +702,72 @@ def test_tail_pipeline_maintains_dense_index(spark, tmp_path):
     applied = apply_cdc_to_ivf_index(replay, store, "vec_id", "v")
     assert applied.count() == 0
     assert spark.read.parquet(f"{store}/vectors").count() == n_before
+
+
+def test_describe_stores_track_mutation_and_reclaim(spark, tmp_path):
+    """Observability: the describe ops report live/dead decomposition
+    on a CDC-mutated store and show compaction reclaiming it."""
+    from mongo_es_spark.operators.text import (
+        apply_cdc_to_bm25_index,
+        compact_bm25_store,
+        describe_bm25_store,
+    )
+
+    store = _build(spark, tmp_path, "bm", DOCS)
+    d0 = describe_bm25_store(spark, store)
+    assert d0["exists"] and d0["live_docs"] == len(DOCS)
+    assert d0["tombstones"] == 0 and d0["superseded_rows"] == 0
+    assert not d0["mutated"] and d0["stored_fields"] == ["lang"]
+
+    apply_cdc_to_bm25_index(
+        spark,
+        spark.createDataFrame(CDC, CDC_SCHEMA),
+        store,
+        field_cols=["lang"],
+    )
+    d1 = describe_bm25_store(spark, store)
+    assert d1["mutated"] and d1["live_docs"] == len(FINAL)
+    assert d1["tombstones"] == 1          # doc 3 deleted
+    # docs 2 and 5's old rows, plus deleted doc 3's pre-delete row
+    assert d1["superseded_rows"] == 3
+    assert d1["max_generation"] == 1
+
+    compact_bm25_store(spark, store, min_files=2)
+    d2 = describe_bm25_store(spark, store)
+    assert not d2["mutated"]
+    assert d2["docstats_rows"] == d2["live_docs"] == len(FINAL)
+    assert d2["tombstones"] == 0 and d2["superseded_rows"] == 0
+
+    # missing store
+    assert not describe_bm25_store(spark, str(tmp_path / "nope"))["exists"]
+
+
+def test_describe_ivf_store(spark, tmp_path):
+    from mongo_es_spark.operators.similarity import (
+        apply_cdc_to_ivf_index,
+        describe_ivf_store,
+        materialize_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), float(i % 5 + 1)]) for i in range(20)],
+        "vec_id long, v array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, "vec_id", "v", path, n_cells=2)
+    d0 = describe_ivf_store(spark, path)
+    assert d0["exists"] and d0["n_cells"] == 2
+    assert d0["vector_rows"] == d0["live_rows"] == 20
+    assert d0["dead_watermarks"] == 0 and d0["stats_cover"] == 1
+
+    cdc = spark.createDataFrame(
+        [(1, "u", [9.0, 9.0]), (2, "d", None)],
+        "vec_id long, op string, v array<double>",
+    )
+    apply_cdc_to_ivf_index(cdc, path, "vec_id", "v")
+    d1 = describe_ivf_store(spark, path)
+    assert d1["vector_rows"] == 21      # the new generation of 1
+    assert d1["live_rows"] == 19        # 2 deleted, old 1 superseded
+    assert d1["dead_watermarks"] == 2
+    assert d1["cur_gen"] >= 1
+    assert not describe_ivf_store(spark, str(tmp_path / "nope"))["exists"]
