@@ -993,10 +993,11 @@ def _read_search_store(spark, store_path: str):
     if "gen" not in docstats.columns:
         return postings, docstats
     params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    p_row = params.head() if params is not None else None
     mutated = (
-        params is not None
+        p_row is not None
         and "mutated" in params.columns
-        and bool(params.head()["mutated"])
+        and bool(p_row["mutated"])
     )
     if not mutated:
         return (
@@ -1055,12 +1056,20 @@ def _bm25_scored(
     k1: float,
     b: float,
     exclude_docs: Sequence | None = None,
+    resolved: tuple | None = None,
 ):
     """The UNRANKED (doc, score) frame behind :func:`bm25_over_store`
     — shared with :func:`bm25_page_over_store`, whose cursor predicate
     must apply before any top-k, not after a bounded one.  Returns
-    None when the store is missing."""
-    postings, docstats = _read_search_store(spark, store_path)
+    None when the store is missing.  ``resolved`` reuses an already
+    MVCC-resolved ``(postings, docstats)`` pair so callers that also
+    need docstats (the doc-values score functions) pay one store
+    resolution, not two."""
+    postings, docstats = (
+        resolved
+        if resolved is not None
+        else _read_search_store(spark, store_path)
+    )
     if postings is None or docstats is None:
         return None
     if exclude_docs:
@@ -1780,7 +1789,12 @@ def composite_agg_over_store(
     offset materializes.  Output: source columns + ``n_docs``."""
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
-        return spark.createDataFrame([], "n_docs long")
+        # keep the documented output shape on a missing store (source
+        # columns type as string — no store to consult for real types)
+        cols = ", ".join(f"`{c}` string" for c, _k, _p in sources)
+        return spark.createDataFrame(
+            [], f"{cols}, n_docs long" if sources else "n_docs long"
+        )
     keys = []
     hits = docstats.join(
         postings.filter(F.col("token").isin(*list(terms)))
@@ -1920,10 +1934,13 @@ def function_score_over_store(
         )
     if boost_mode not in ("multiply", "sum"):
         raise ValueError("boost_mode must be 'multiply' or 'sum'")
-    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    resolved = _read_search_store(spark, store_path)
+    scored = _bm25_scored(
+        spark, store_path, terms, k1, b, resolved=resolved
+    )
     if scored is None:
         return spark.createDataFrame([], "doc long, score double")
-    _postings, docstats = _read_search_store(spark, store_path)
+    docstats = resolved[1]
     if field not in docstats.columns:
         raise ValueError(
             f"field {field!r} is not stored in the index — fold "
@@ -1968,11 +1985,13 @@ def stats_over_store(
     max_v, avg_v, sum_v[, n_distinct])``."""
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
-        return spark.createDataFrame(
-            [],
+        schema = (
             "n_docs long, min_v double, max_v double, avg_v double,"
-            " sum_v double",
+            " sum_v double"
         )
+        if cardinality_col:
+            schema += ", n_distinct long"
+        return spark.createDataFrame([], schema)
     for c in filter(None, (field, cardinality_col)):
         if c not in docstats.columns:
             raise ValueError(
@@ -2031,10 +2050,22 @@ def decay_score_over_store(
         raise ValueError("decay must be in (0, 1)")
     if scale_days <= 0:
         raise ValueError("scale must be positive")
-    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    import datetime as _dt
+
+    # parse driver-side: under ANSI-off a malformed origin would cast
+    # to NULL and silently return UNDECAYED BM25 for every doc
+    origin_d = (
+        origin
+        if isinstance(origin, _dt.date)
+        else _dt.date.fromisoformat(str(origin))
+    )
+    resolved = _read_search_store(spark, store_path)
+    scored = _bm25_scored(
+        spark, store_path, terms, k1, b, resolved=resolved
+    )
     if scored is None:
         return spark.createDataFrame([], "doc long, score double")
-    _postings, docstats = _read_search_store(spark, store_path)
+    docstats = resolved[1]
     if field not in docstats.columns:
         raise ValueError(
             f"field {field!r} is not stored in the index — fold "
@@ -2044,7 +2075,7 @@ def decay_score_over_store(
     d = F.greatest(
         F.lit(0.0),
         F.abs(
-            F.datediff(F.col(field), F.lit(origin).cast("date"))
+            F.datediff(F.col(field), F.lit(origin_d))
         ).cast("double")
         - F.lit(float(offset_days)),
     )
@@ -2155,13 +2186,18 @@ def top_hits_over_store(
     doc, score, rnk)``, group asc / rnk asc."""
     from pyspark.sql import Window
 
-    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    resolved = _read_search_store(spark, store_path)
+    scored = _bm25_scored(
+        spark, store_path, terms, k1, b, resolved=resolved
+    )
     if scored is None:
+        # NOTE: the group column types as string here — the store (and
+        # its real type) does not exist to consult
         return spark.createDataFrame(
             [],
             f"{group_col} string, doc long, score double, rnk int",
         )
-    _postings, docstats = _read_search_store(spark, store_path)
+    docstats = resolved[1]
     if group_col not in docstats.columns:
         raise ValueError(
             f"field {group_col!r} is not stored in the index — fold "
@@ -2201,12 +2237,16 @@ def collapse_over_store(
     ``(doc, {collapse_col}, score)``, score desc / doc asc."""
     from pyspark.sql import Window
 
-    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    resolved = _read_search_store(spark, store_path)
+    scored = _bm25_scored(
+        spark, store_path, terms, k1, b, resolved=resolved
+    )
     if scored is None:
+        # NOTE: collapse_col types as string — no store to consult
         return spark.createDataFrame(
             [], f"doc long, {collapse_col} string, score double"
         )
-    _postings, docstats = _read_search_store(spark, store_path)
+    docstats = resolved[1]
     if collapse_col not in docstats.columns:
         raise ValueError(
             f"field {collapse_col!r} is not stored in the index — "
@@ -2255,10 +2295,15 @@ def boosting_over_store(
         raise ValueError("boosting query needs positive terms")
     if not (0.0 <= negative_boost <= 1.0):
         raise ValueError("negative_boost must be in [0, 1]")
-    scored = _bm25_scored(spark, store_path, positive, k1, b)
+    resolved = _read_search_store(spark, store_path)
+    scored = _bm25_scored(
+        spark, store_path, positive, k1, b, resolved=resolved
+    )
     if scored is None:
         return spark.createDataFrame([], "doc long, score double")
-    postings, _ds = _read_search_store(spark, store_path)
+    postings = resolved[0]
+    # join strategy left to AQE: a selective negative clause broadcasts
+    # itself, a stopword-like one (corpus-scale matches) must not
     demoted = (
         postings.filter(F.col("token").isin(*list(negative)))
         .select("doc")
@@ -2266,7 +2311,7 @@ def boosting_over_store(
         .withColumn("__neg", F.lit(True))
     )
     return (
-        scored.join(F.broadcast(demoted), "doc", "left")
+        scored.join(demoted, "doc", "left")
         .select(
             "doc",
             F.round(
@@ -2630,8 +2675,6 @@ def describe_bm25_store(spark, store_path: str) -> dict:
     only index-wide pass (map-side to a scalar).  Use it to decide
     when :func:`compact_bm25_store` is worth running (dead ratio,
     file growth)."""
-    import glob as _glob
-
     from ..storeio import read_parquet_if_exists
 
     out: dict = {"store": store_path}
@@ -2646,17 +2689,18 @@ def describe_bm25_store(spark, store_path: str) -> dict:
         out["exists"] = False
         return out
     out["exists"] = True
-    for comp, path in (
-        ("postings", _bm_postings_path(store_path)),
-        ("docstats", _bm_docstats_path(store_path)),
-    ):
-        out[f"{comp}_files"] = len(
-            _glob.glob(os.path.join(path, "*.parquet"))
-        )
+    # inputFiles() is filesystem-agnostic (hdfs://, s3a://, file://) —
+    # a local glob would silently report 0 for any non-local store
+    out["postings_files"] = len(postings.inputFiles())
+    out["docstats_files"] = len(docstats.inputFiles())
     out["postings_rows"] = postings.count()
     out["vocab_size"] = postings.select("token").distinct().count()
-    if params is not None:
-        p = params.head().asDict()
+    # (9) guard the zero-row params edge (a crash between creating the
+    # component and committing its row): head() is None there, and the
+    # observability call must not crash on the store it describes
+    p_row = params.head() if params is not None else None
+    if p_row is not None:
+        p = p_row.asDict()
         out["mutated"] = bool(p.get("mutated"))
         out["scheme"] = p.get("scheme")
         out["stored_fields"] = p.get("fields")

@@ -9246,7 +9246,7 @@ def search_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT doc_id, d.lang, score,
                row_number() OVER (
-                   PARTITION BY d.lang
+                   PARTITION BY coalesce(d.lang, '__doc_' || doc_id)
                    ORDER BY score DESC, doc_id ASC
                ) AS rn
         FROM bm JOIN documents d USING (doc_id)

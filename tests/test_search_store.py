@@ -977,6 +977,12 @@ def test_decay_score_gauss_dates(spark, tmp_path):
         decay_score_over_store(
             spark, store, ["spark"], "day", "2024-06-01", 30.0, decay=1.0
         )
+    # malformed origin must RAISE, not silently return undecayed BM25
+    # (ANSI-off casts bad dates to NULL)
+    with pytest.raises(ValueError):
+        decay_score_over_store(
+            spark, store, ["spark"], "day", "2024-13-01", 30.0
+        )
     with pytest.raises(ValueError, match="scale"):
         decay_score_over_store(
             spark, store, ["spark"], "day", "2024-06-01", 0.0
