@@ -1404,3 +1404,41 @@ def test_adjacency_matrix_counts(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="at least one"):
         adjacency_matrix_over_store(spark, store, {})
+
+
+def test_wave5_ops_keep_token_pushdown(spark, tmp_path):
+    import datetime
+
+    from mongo_es_spark.operators.text import (
+        adjacency_matrix_over_store,
+        composite_agg_over_store,
+        incremental_bm25_index,
+        rescore_over_store,
+    )
+    from mongo_es_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang", "n_chars"]
+    ).count()
+    terms = ["spark", "value"]
+    frames = [
+        composite_agg_over_store(
+            spark, store, terms,
+            [("lang", "terms", None), ("n_chars", "histogram", 200.0)],
+        ),
+        adjacency_matrix_over_store(
+            spark, store, {"a": ["spark"], "b": ["value", "table"]}
+        ),
+        rescore_over_store(
+            spark, store, terms, ["value", "table"], window_size=20
+        ),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PushedFilters: \[.*In\(token", plan), plan
+        assert "CartesianProduct" not in plan

@@ -140,6 +140,56 @@ def main() -> int:
                 spark, store, ["stream", "window"], size=10
             ),
         )
+        from mongo_es_spark.operators.text import (
+            adjacency_matrix_over_store,
+            composite_agg_over_store,
+            rescore_over_store,
+            suggest_terms,
+            term_vectors_over_store,
+        )
+
+        run(
+            "composite page (2 sources)",
+            lambda: composite_agg_over_store(
+                spark,
+                store,
+                ["spark", "value"],
+                [
+                    ("lang", "terms", None),
+                    ("n_chars", "histogram", 200.0),
+                ],
+                size=10,
+            ),
+        )
+        run(
+            "adjacency_matrix (3 filters)",
+            lambda: adjacency_matrix_over_store(
+                spark,
+                store,
+                {"a": ["spark"], "b": ["stream"], "c": ["window", "sort"]},
+            ),
+        )
+        run(
+            "rescore window=50 (bm25 + phrase)",
+            lambda: rescore_over_store(
+                spark,
+                store,
+                ["value", "table"],
+                ["value", "table"],
+                window_size=50,
+                rescore_weight=0.5,
+            ),
+        )
+        run(
+            "suggest (vocab levenshtein)",
+            lambda: suggest_terms(
+                spark, store, ["strean", "tabel"], max_dist=2
+            ),
+        )
+        run(
+            "term_vectors (3 docs)",
+            lambda: term_vectors_over_store(spark, store, [0, 1, 2]),
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return 0
