@@ -1567,7 +1567,9 @@ def filtered_bm25_over_store(
     query shape).
 
     ``filters`` is a list of ``(column, op, value)`` with op in
-    ``= != > >= < <=``; conjunctive (ES filter clauses AND).  ES
+    ``= != > >= < <= exists missing`` (the last two ignore ``value``
+    — the ES ``exists`` query and its negation over a stored field);
+    conjunctive (ES filter clauses AND).  ES
     semantics preserved: filters gate MEMBERSHIP but never scoring —
     idf/avgdl/n_docs stay whole-index statistics, so a document's
     score is identical with or without unrelated filters (the
@@ -1587,6 +1589,8 @@ def filtered_bm25_over_store(
         ">=": lambda c, v: c >= v,
         "<": lambda c, v: c < v,
         "<=": lambda c, v: c <= v,
+        "exists": lambda c, v: c.isNotNull(),
+        "missing": lambda c, v: c.isNull(),
     }
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:

@@ -1442,3 +1442,37 @@ def test_wave5_ops_keep_token_pushdown(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert re.search(r"PushedFilters: \[.*In\(token", plan), plan
         assert "CartesianProduct" not in plan
+
+
+def test_filter_context_exists_missing(spark, tmp_path):
+    from mongo_es_spark.operators.text import (
+        filtered_bm25_over_store,
+        incremental_bm25_index,
+    )
+
+    rows = [
+        (1, "spark a", "en"),
+        (2, "spark b", None),   # missing lang
+        (3, "spark c", "fr"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang"]
+    ).count()
+    ex = {
+        r["doc"]
+        for r in filtered_bm25_over_store(
+            spark, store, ["spark"], [("lang", "exists", None)]
+        ).collect()
+    }
+    assert ex == {1, 3}
+    mi = {
+        r["doc"]
+        for r in filtered_bm25_over_store(
+            spark, store, ["spark"], [("lang", "missing", None)]
+        ).collect()
+    }
+    assert mi == {2}
