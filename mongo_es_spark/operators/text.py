@@ -530,7 +530,11 @@ def _bm_params_path(store_path: str) -> str:
 
 
 def _bm_write_params(
-    spark, store_path: str, fields: Sequence[str], mutated: bool
+    spark,
+    store_path: str,
+    fields: Sequence[str],
+    mutated: bool,
+    gen: int = 0,
 ) -> None:
     spark.range(1).select(
         F.lit(_BM_SCHEME).cast("int").alias("scheme"),
@@ -538,6 +542,11 @@ def _bm_write_params(
             "array<string>"
         ).alias("fields"),
         F.lit(bool(mutated)).alias("mutated"),
+        # generation COUNTER (mirrors the IVF store's cur_gen): the
+        # highest generation ever allocated, kept here so a CDC fold
+        # never has to scan corpus-sized docstats metadata for
+        # max(gen) — params is one row, docstats is ≥1 row per doc
+        F.lit(int(gen)).cast("long").alias("gen"),
     ).coalesce(1).write.mode("overwrite").parquet(
         _bm_params_path(store_path)
     )
@@ -784,14 +793,19 @@ def apply_cdc_to_bm25_index(
     * delete of a live doc applies; delete of an absent or
       already-deleted doc is a replay → skipped.
 
-    Crash ordering: params(mutated)-first (a reader must never take
-    the fast path while multi-generation rows exist), postings second
-    (anti-joined on ``(doc, gen)`` so a retry never duplicates),
-    docstats last — every crash point re-runs into convergence
-    because ``g`` recomputes identically until docstats lands, and a
-    full replay after success skips via the digest check.  Per-batch
-    work ∝ batch tokens + a batch-keyed probe of docstats; the store
-    is never rewritten.
+    Crash ordering: params-first — the mutated flag (a reader must
+    never take the fast path while multi-generation rows exist) AND
+    the bumped generation counter (the IVF design: a retry re-reads
+    params and applies at a FRESH generation, so the crashed attempt's
+    half-written rows can never collide with the retry's and stay
+    invisible — postings resolve through the live ``(doc, gen)``
+    pairs, and orphans are reclaimed by compaction) — postings second
+    (anti-joined on ``(doc, gen)`` belt-and-braces against partially
+    visible appends), docstats last (once it lands, a full replay
+    skips via the digest check).  Per-batch work ∝ batch tokens + a
+    batch-keyed probe of docstats; neither the store nor its metadata
+    is ever scanned corpus-wide (the generation counter lives in the
+    one-row ``_bm_params``).
 
     Returns the APPLIED rows ``(doc, op, gen)`` — empty when the whole
     batch was a replay (in which case nothing was written at all).
@@ -799,7 +813,7 @@ def apply_cdc_to_bm25_index(
     from ..storeio import read_parquet_if_exists
 
     fields = [c for c in field_cols if c not in (id_col, text_col)]
-    _bm_check_params(spark, store_path, fields)
+    p_row = _bm_check_params(spark, store_path, fields)
     docstats = read_parquet_if_exists(
         spark, _bm_docstats_path(store_path)
     )
@@ -821,25 +835,18 @@ def apply_cdc_to_bm25_index(
             .drop("__rn", "__seq")
         )
     else:
-        agg = b.agg(
-            F.count("*").alias("n"),
-            F.countDistinct("doc").alias("nd"),
-        ).head()
-        if agg["n"] != agg["nd"]:
-            raise ValueError(
-                "apply_cdc_to_bm25_index: duplicate doc ids in the "
-                "batch and no seq_col to order them — pre-compact "
-                "(mergeOplogs) or pass seq_col for last-writer-wins"
-            )
+        # duplicate-id detection rides the digest-probe job below as a
+        # batch-keyed window count instead of a separate agg pass
+        b = b.withColumn(
+            "__dup", F.count("*").over(Window.partitionBy("doc"))
+        )
     b = b.withColumn(
         "__sig",
         F.when(
             F.col("__op") != "d", F.xxhash64(F.col("__t"))
         ),  # tombstones carry a NULL digest
     )
-    cur_gen = -1
     if docstats is not None:
-        cur_gen = docstats.agg(F.max("gen")).head()[0]
         w = Window.partitionBy("doc").orderBy(F.col("gen").desc())
         latest = (
             docstats.join(
@@ -858,6 +865,26 @@ def apply_cdc_to_bm25_index(
         b = b.withColumn("__cur_sig", F.lit(None).cast("long")).withColumn(
             "__cur_del", F.lit(None).cast("boolean")
         )
+    # ONE batch-proportional job materializes the probe: batch rows +
+    # their latest stored state (+ the dup count when unordered); every
+    # check below reads the checkpointed blocks, not the store
+    probe = b.localCheckpoint(eager=True)
+    if not seq_col:
+        dups = [
+            r["doc"]
+            for r in probe.filter(F.col("__dup") > 1)
+            .select("doc")
+            .distinct()
+            .limit(5)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"apply_cdc_to_bm25_index: duplicate doc ids {dups} in "
+                "the batch and no seq_col to order them — pre-compact "
+                "(mergeOplogs) or pass seq_col for last-writer-wins"
+            )
+        probe = probe.drop("__dup")
     # replay filter: an upsert applies unless the LIVE row carries the
     # same digest; a delete applies only to a live row
     applies = F.when(
@@ -868,22 +895,30 @@ def apply_cdc_to_bm25_index(
             & F.col("__cur_sig").eqNullSafe(F.col("__sig"))
         )
     )
-    applied = (
-        b.filter(applies)
-        .drop("__cur_sig", "__cur_del")
-        .localCheckpoint(eager=True)
-    )
+    applied = probe.filter(applies).drop("__cur_sig", "__cur_del")
     if applied.limit(1).count() == 0:
         return spark.createDataFrame([], "doc long, op string, gen long")
-    g = int(cur_gen) + 1 if cur_gen is not None else 0
+    # generation counter lives in params (one row), mirroring the IVF
+    # store — never recomputed from corpus-sized docstats metadata.
+    # Legacy params rows predating the counter fall back to one
+    # docstats scan, after which the write below persists it.
+    if docstats is None:
+        g = 0
+    elif p_row is not None and "gen" in p_row.asDict():
+        g = int(p_row["gen"]) + 1
+    else:
+        g = int(docstats.agg(F.max("gen")).head()[0]) + 1
 
-    # mutated flag FIRST: from the moment any generation-g row is
-    # visible, readers must take the live-filtering path (the fast
-    # path over multi-generation rows double-counts docs).  A fresh
-    # store (no docstats yet) stays on the fast path — generation-0
-    # inserts are exactly a fold.
+    # params FIRST — both the mutated flag (from the moment any
+    # generation-g row is visible, readers must take the live-filtering
+    # path; the fast path over multi-generation rows double-counts
+    # docs) and the bumped counter (a crashed attempt's retry then
+    # re-applies at a FRESH generation, so its half-written rows never
+    # collide with the retry's and stay invisible to the live join).
+    # A fresh store (no docstats yet) stays on the fast path —
+    # generation-0 inserts are exactly a fold.
     if docstats is not None:
-        _bm_write_params(spark, store_path, fields, mutated=True)
+        _bm_write_params(spark, store_path, fields, mutated=True, gen=g)
 
     ups = applied.filter(F.col("__op") != "d")
     toks = ups.select(
@@ -2845,9 +2880,22 @@ def compact_bm25_store(
         # both stores now hold live rows only — readers may return to
         # the fast path.  Crash before this line: flag stays set, the
         # live filter runs over an all-live store (correct, just not
-        # fast) and a re-run converges.
+        # fast) and a re-run converges.  The generation COUNTER is
+        # preserved (surviving rows keep their gen numbers, so a later
+        # CDC fold must still allocate above them).
+        prev_gen = (
+            int(prow["gen"])
+            if "gen" in params.columns and prow["gen"] is not None
+            else int(
+                spark.read.parquet(d).agg(F.max("gen")).head()[0] or 0
+            )
+        )
         _bm_write_params(
-            spark, store_path, list(prow["fields"]), mutated=False
+            spark,
+            store_path,
+            list(prow["fields"]),
+            mutated=False,
+            gen=prev_gen,
         )
     return {
         "postings_files": (len(before_p), len(list_data_files(p))),
@@ -4568,7 +4616,9 @@ def _substring_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("__id"),
         tokens_col(F.col(text_col)).alias("__toks"),
-        token_count_col(F.col(text_col)).alias("n_tokens"),
+        # long, matching the oracle's BIGINT (DuckDB len()) so the
+        # driver's dtype-aware hash agrees
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
     )
 
 

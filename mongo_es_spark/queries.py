@@ -7689,7 +7689,7 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "doc_id long, n_tokens int, dup_tokens long, keep_frac double, "
+        "doc_id long, n_tokens long, dup_tokens long, keep_frac double, "
         "clean_text string",
     )
 
@@ -8943,7 +8943,7 @@ def search_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bm JOIN documents d USING (doc_id)
         WHERE d.lang IS NOT NULL
     )
-    SELECT lang, doc_id, score, rnk
+    SELECT lang, doc_id, score, CAST(rnk AS INTEGER) AS rnk
     FROM ranked WHERE rnk <= 3
     ORDER BY lang ASC, rnk ASC
     """,
@@ -9646,7 +9646,7 @@ def streaming_dense_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks t JOIN q USING (token)
         GROUP BY doc_id, q_id, need, match_all
     )
-    SELECT doc_id, q_id FROM hits
+    SELECT doc_id, CAST(q_id AS BIGINT) AS q_id FROM hits
     WHERE (NOT match_all AND got >= 1) OR (match_all AND got = need)
     ORDER BY doc_id ASC, q_id ASC
     """,
@@ -9736,7 +9736,7 @@ def search_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS rn
         FROM cand
     )
-    SELECT term, suggestion, dist, df
+    SELECT term, suggestion, CAST(dist AS INTEGER) AS dist, df
     FROM ranked WHERE rn <= 3
     ORDER BY term ASC, rn ASC
     """,
@@ -9779,8 +9779,8 @@ def search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT bucket, n_docs,
-           sum(n_docs) OVER (ORDER BY bucket ASC
-               ROWS UNBOUNDED PRECEDING) AS cum_docs,
+           CAST(sum(n_docs) OVER (ORDER BY bucket ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
            n_docs - lag(n_docs) OVER (ORDER BY bucket ASC)
                AS delta_docs
     FROM hist
