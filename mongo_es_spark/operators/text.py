@@ -529,6 +529,36 @@ def _bm_params_path(store_path: str) -> str:
     return store_path.rstrip("/") + "/_bm_params"
 
 
+def _bm_tokenstats_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/tokenstats"
+
+
+def _bm_append_tokenstats(
+    spark, store_path: str, tf_rows: DataFrame, n_new_docs: int
+) -> None:
+    """Append one fold's document-frequency deltas to the store-level
+    df rollup: ``(token, df)`` rows plus ONE ``token IS NULL`` row
+    carrying the fold's live-doc count.  The whole delta lands as a
+    SINGLE coalesced file, so it is visible all-or-nothing — readers
+    verify trust by comparing the rollup's summed doc count against
+    the live docstats count (a number they need anyway), and any
+    missed delta (crash between the docstats commit and this append)
+    makes the counts diverge, flipping them to the exact
+    postings-wide fallback until :func:`compact_bm25_store` rebuilds
+    the rollup.  Per-fold cost: one batch-vocabulary-sized aggregate
+    and a tiny append — never an index-wide pass."""
+    delta = tf_rows.groupBy("token").agg(F.count("*").alias("df"))
+    delta = delta.unionByName(
+        spark.range(1).select(
+            F.lit(None).cast("string").alias("token"),
+            F.lit(int(n_new_docs)).cast("long").alias("df"),
+        )
+    )
+    delta.coalesce(1).write.mode("append").parquet(
+        _bm_tokenstats_path(store_path)
+    )
+
+
 def _bm_write_params(
     spark,
     store_path: str,
@@ -631,7 +661,7 @@ def incremental_bm25_index(
     from ..storeio import read_parquet_if_exists
 
     fields = [c for c in field_cols if c not in (id_col, text_col)]
-    _bm_check_params(spark, store_path, fields)
+    p_row = _bm_check_params(spark, store_path, fields)
     # RAW frames, not the live view: the fold's guards need every
     # generation's sig/deleted state, and its crash-repair anti-join
     # needs the orphaned postings a previous attempt left behind
@@ -720,6 +750,11 @@ def incremental_bm25_index(
         # (one row per doc), so facet/filter aggregations serve from
         # the index without touching the corpus
         dl_rows = dl_rows.join(new.select("doc", *fields), "doc")
+    # the df-rollup delta counts ALL new docs' postings — including
+    # docs whose postings landed in a crashed earlier attempt (the
+    # anti-join below drops them from the WRITE only); tokenstats must
+    # mirror what the postings store holds, not what this call appends
+    tf_all = tf_rows
     if postings is not None:
         already = (
             postings.join(
@@ -744,6 +779,14 @@ def incremental_bm25_index(
     )
     dl_rows = dl_rows.localCheckpoint(eager=True)
     dl_rows.write.mode("append").parquet(_bm_docstats_path(store_path))
+    # df-rollup delta LAST (docstats is the commit point — a crash
+    # before this line leaves the rollup short, which readers detect
+    # by doc-count mismatch and fall back; a CDC-mutated store's
+    # rollup is untrusted anyway until compaction rebuilds it)
+    if p_row is None or not bool(p_row["mutated"]):
+        n_new = dl_rows.count()
+        if n_new:
+            _bm_append_tokenstats(spark, store_path, tf_all, n_new)
     # legacy return shape: the newly indexed (doc, dl [, fields]) rows
     return dl_rows.drop("sig", "gen", "deleted")
 
@@ -2148,14 +2191,21 @@ def significant_terms_over_store(
 
     Scale shape: the foreground leg is the usual token-pruned scan +
     a postings semi-join (∝ foreground postings); the background
-    document frequencies are ONE full postings aggregate producing a
-    VOCABULARY-sized frame — the one index-wide pass the statistic
-    inherently needs (ES pays the same via per-shard frequencies;
-    at true scale, maintain df as a store-level rollup folded per
-    append, the same mergeable-stats shape as the IVF cellstats).
-    All arithmetic exact then rounded, so the score is value-pinnable
-    cross-engine.  Output: ``(token, fg_df, bg_df, score)``, score
-    desc / token asc, top ``size``."""
+    document frequencies serve from the store-level ``tokenstats``
+    df ROLLUP (a vocabulary-sized sidecar maintained per fold and
+    rebuilt by :func:`compact_bm25_store` — the IVF-cellstats
+    mergeable-stats shape) whenever it is provably in sync: the
+    rollup's summed doc count must equal the live docstats count (a
+    number this query needs anyway for ``bg_rate``), and the store
+    must not be CDC-mutated since its last compaction.  Otherwise —
+    mutated store, missed delta after a crash, legacy store — the bg
+    leg falls back to the exact one-pass postings-wide aggregate
+    (which is what the rollup itself folds toward).  All arithmetic
+    exact then rounded, so the score is value-pinnable cross-engine.
+    Output: ``(token, fg_df, bg_df, score)``, score desc / token asc,
+    top ``size``."""
+    from ..storeio import read_parquet_if_exists
+
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame(
@@ -2166,11 +2216,12 @@ def significant_terms_over_store(
         .select("doc")
         .distinct()
     )
-    sizes = matched.agg(
-        F.count("*").alias("n_fg")
-    ).crossJoin(
-        F.broadcast(docstats.agg(F.count("*").alias("n_bg")))
-    )
+    # set sizes, eager: n_bg is both the JLH denominator and the
+    # rollup trust check (for an unmutated store it is a parquet
+    # footer-metadata count, not a scan); n_fg eager keeps `matched`'s
+    # token-pruned postings scan out of the plan a second time
+    n_bg_val = docstats.count()
+    n_fg_val = matched.count()
     # postings are UNIQUE per (token, doc) by construction — the fold
     # aggregates tf per (doc, token) and the MVCC reader resolves each
     # doc to one generation (pinned in tests/test_search_cdc.py) — so
@@ -2182,15 +2233,31 @@ def significant_terms_over_store(
         .groupBy("token")
         .agg(F.count("*").alias("fg_df"))
     )
-    bg = postings.groupBy("token").agg(
-        F.count("*").alias("bg_df")
+    bg = None
+    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    p_row = params.head() if params is not None else None
+    unmutated = p_row is not None and not bool(p_row["mutated"])
+    tokenstats = (
+        read_parquet_if_exists(spark, _bm_tokenstats_path(store_path))
+        if unmutated
+        else None
     )
-    fg_rate = F.col("fg_df") / F.col("n_fg")
-    bg_rate = F.col("bg_df") / F.col("n_bg")
+    if tokenstats is not None:
+        rollup = tokenstats.groupBy("token").agg(
+            F.sum("df").alias("bg_df")
+        )
+        marker = rollup.filter(F.col("token").isNull()).head()
+        if marker is not None and int(marker["bg_df"]) == int(n_bg_val):
+            bg = rollup.filter(F.col("token").isNotNull())
+    if bg is None:
+        bg = postings.groupBy("token").agg(
+            F.count("*").alias("bg_df")
+        )
+    fg_rate = F.col("fg_df") / F.lit(int(n_fg_val)).cast("long")
+    bg_rate = F.col("bg_df") / F.lit(int(n_bg_val)).cast("long")
     jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
     return (
         fg.join(bg, "token")
-        .crossJoin(F.broadcast(sizes))
         .filter(fg_rate > bg_rate)
         .select(
             "token",
@@ -2876,6 +2943,40 @@ def compact_bm25_store(
         )
 
     rewrite_store(d, write_docstats)
+
+    # rebuild the df rollup from the now-live-only stores: ONE
+    # postings pass amortized into the vacuum that already rewrote
+    # them.  This is what re-validates the rollup after CDC mutation
+    # (folds freeze it the moment the mutated flag sets) and what
+    # backfills it for stores predating the sidecar.  Ordered BEFORE
+    # the params reset: a reader may only trust the rollup once it is
+    # provably in sync, and the doc-count verification would otherwise
+    # accept a stale-but-count-equal copy after an unlucky crash.
+    ts = _bm_tokenstats_path(store_path)
+
+    def write_tokenstats(new: str) -> None:
+        post = spark.read.parquet(p)
+        ds = spark.read.parquet(d)
+        if "deleted" in ds.columns:
+            ds = ds.filter(~F.col("deleted"))
+        n_docs = ds.count()
+        delta = post.groupBy("token").agg(F.count("*").alias("df"))
+        delta = delta.unionByName(
+            spark.range(1).select(
+                F.lit(None).cast("string").alias("token"),
+                F.lit(int(n_docs)).cast("long").alias("df"),
+            )
+        )
+        # vocabulary-sized: a handful of files keeps the (always
+        # full-read) rollup scan parallel without small-file litter
+        delta.repartition(max(1, floor // 8)).write.mode(
+            "overwrite"
+        ).parquet(new)
+
+    if os.path.isdir(ts):
+        rewrite_store(ts, write_tokenstats)
+    else:
+        write_tokenstats(ts)
     if mutated:
         # both stores now hold live rows only — readers may return to
         # the fast path.  Crash before this line: flag stays set, the

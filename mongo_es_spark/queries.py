@@ -9087,7 +9087,7 @@ def streaming_search_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = os.path.join(base, "bm")
         sink = SearchIndexedSink(
-            ParquetIndexSink(os.path.join(base, "sink")),
+            ParquetIndexSink(os.path.join(base, "sink"), mode="merge"),
             store,
             text_field="text",
         )
@@ -9593,7 +9593,7 @@ def streaming_dense_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_cells=16,
         )
         sink = DenseIndexedSink(
-            ParquetIndexSink(os.path.join(base, "sink")),
+            ParquetIndexSink(os.path.join(base, "sink"), mode="merge"),
             store,
             vec_field="embedding",
         )

@@ -33,14 +33,38 @@ IR_COLUMNS = ("action", "id", "parent", "data", "timestamp")
 
 
 class ParquetIndexSink:
-    """Keyed upsert/delete state over versioned parquet directories."""
+    """Keyed upsert/delete state over parquet, in one of two modes:
 
-    def __init__(self, path: str):
+    * ``mode="rewrite"`` (default) — versioned full-state rewrite per
+      batch: new state is ``(old state anti-join batch keys) union
+      upserts`` under a fresh ``v{batch_id}`` directory + ``_CURRENT``
+      pointer flip.  Exact and simple, but per-trigger cost grows with
+      STATE size — keep it for small tests.
+    * ``mode="merge"`` — merge-on-read, the same MVCC pattern as the
+      BM25/IVF search stores: each batch APPENDS its IR rows (upserts
+      and delete tombstones) stamped with the batch id to ``log/``;
+      readers resolve latest-batch-wins per key and drop tombstones.
+      Per-trigger cost ∝ batch size, flat in state size — the
+      scale-honest emulation of Elasticsearch's upsert-by-key.
+      Replays are idempotent by CONTENT: a replayed batch re-appends
+      byte-identical rows at the same batch id, and latest-wins
+      resolution is indifferent to which copy it picks.
+      :meth:`compact` folds the log back to one row per live key
+      (crash-aware directory swap), bounding read-time resolution.
+    """
+
+    def __init__(self, path: str, mode: str = "rewrite"):
+        if mode not in ("rewrite", "merge"):
+            raise ValueError(f"unknown ParquetIndexSink mode {mode!r}")
         self.path = path
+        self.mode = mode
         os.makedirs(path, exist_ok=True)
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
+
+    def _log(self) -> str:
+        return os.path.join(self.path, "log")
 
     def current_version(self) -> Optional[str]:
         try:
@@ -54,10 +78,32 @@ class ParquetIndexSink:
     ) -> Optional[DataFrame]:
         """Current index state: ``(_id, _parent, data)`` or None.
 
-        ``ids`` (a one-column ``id`` frame of the batch's keys) is
-        accepted for interface parity with :class:`EsBulkSink` and
-        ignored — the state is served whole and the downstream join
-        prunes it."""
+        ``ids`` (a one-column ``id`` frame of the batch's keys) prunes
+        the merge-mode resolution to the batch's keys (a broadcast
+        semi-join below the window — the point-lookup shape); rewrite
+        mode serves the state whole and the downstream join prunes."""
+        if self.mode == "merge":
+            from ..storeio import read_parquet_if_exists
+
+            log = read_parquet_if_exists(spark, self._log())
+            if log is None:
+                return None
+            if ids is not None:
+                log = log.join(
+                    F.broadcast(
+                        ids.select(F.col("id").cast("string").alias("_id"))
+                    ),
+                    "_id",
+                    "left_semi",
+                )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_id").orderBy(F.col("__batch").desc())
+            return (
+                log.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & (~F.col("__del")))
+                .select("_id", "_parent", "data")
+            )
         version = self.current_version()
         if version is None:
             return None
@@ -66,7 +112,21 @@ class ParquetIndexSink:
     def apply(self, spark: SparkSession, irs: DataFrame, batch_id: int) -> None:
         """L1: apply one compacted IR batch. Compaction guarantees at
         most one IR per id, so ordering within the batch is moot —
-        the invariant that makes this safe across partitions."""
+        the invariant that makes this safe across partitions (and
+        makes the merge log's batch id a total order per key)."""
+        if self.mode == "merge":
+            (
+                irs.select(
+                    F.col("id").cast("string").alias("_id"),
+                    F.col("parent").alias("_parent"),
+                    F.col("data"),
+                    (F.col("action") == "delete").alias("__del"),
+                )
+                .withColumn("__batch", F.lit(int(batch_id)).cast("long"))
+                .write.mode("append")
+                .parquet(self._log())
+            )
+            return
         upserts = irs.filter(F.col("action") == "upsert").select(
             F.col("id").alias("_id"),
             F.col("parent").alias("_parent"),
@@ -86,6 +146,34 @@ class ParquetIndexSink:
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(version)
         os.replace(tmp, self._pointer())
+
+    def compact(self, spark: SparkSession) -> None:
+        """Merge mode's vacuum: fold the append log to one latest-wins
+        row per LIVE key (tombstones and superseded rows reclaimed),
+        keeping each survivor's batch stamp so later batches still
+        order above it.  Crash-aware directory swap; replays converge.
+        """
+        if self.mode != "merge":
+            return
+        from ..storeio import read_parquet_if_exists, rewrite_store
+
+        if read_parquet_if_exists(spark, self._log()) is None:
+            return
+
+        def write_new(new: str) -> None:
+            from pyspark.sql import Window
+
+            log = spark.read.parquet(self._log())
+            w = Window.partitionBy("_id").orderBy(F.col("__batch").desc())
+            (
+                log.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & (~F.col("__del")))
+                .drop("__rn")
+                .write.mode("overwrite")
+                .parquet(new)
+            )
+
+        rewrite_store(self._log(), write_new)
 
 
 class SearchIndexedSink:

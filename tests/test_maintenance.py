@@ -1,0 +1,135 @@
+"""The maintenance policy loop: CDC batches accumulate dead weight,
+``maintain_if_needed`` fires the vacuum pass exactly once when the
+threshold trips (never before, never twice), and serving results are
+bit-identical across the fire."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SCHEMA = "doc_id long, text string"
+CDC_SCHEMA = "doc_id long, op string, text string"
+
+DOCS = [(i, f"spark doc number {i} tokens value") for i in range(1, 11)]
+
+
+def _bm25(spark, store):
+    from mongo_es_spark.operators.text import bm25_over_store
+
+    return sorted(
+        (r["doc"], r["score"])
+        for r in bm25_over_store(spark, store, ["spark"], top_k=20).collect()
+    )
+
+
+def test_bm25_policy_fires_once_at_threshold(spark, tmp_path):
+    from mongo_es_spark.operators.maintenance import maintain_if_needed
+    from mongo_es_spark.operators.text import (
+        apply_cdc_to_bm25_index,
+        incremental_bm25_index,
+    )
+
+    store = str(tmp_path / "bm25")
+    incremental_bm25_index(
+        spark, spark.createDataFrame(DOCS, SCHEMA), store
+    ).count()
+
+    kw = dict(max_dead_ratio=0.3, max_files_per_cpu=None, min_files=2)
+    # fresh store: nothing dead, policy must not fire
+    assert maintain_if_needed(spark, store, **kw)["action"] == "none"
+
+    # update 2/10 docs -> 2 superseded of 12 rows = 0.17 < 0.3
+    apply_cdc_to_bm25_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "u", "updated spark one"), (2, "u", "updated spark two")],
+            CDC_SCHEMA,
+        ),
+        store,
+    ).count()
+    r = maintain_if_needed(spark, store, **kw)
+    assert r["action"] == "none" and r["reasons"] == []
+    before = _bm25(spark, store)
+
+    # update 3 more + delete 1 -> dead 2+3+1(tomb)+1(superseded by
+    # tombstone) of 16 rows > 0.3: fires
+    apply_cdc_to_bm25_index(
+        spark,
+        spark.createDataFrame(
+            [
+                (3, "u", "updated spark three"),
+                (4, "u", "updated spark four"),
+                (5, "u", "updated spark five"),
+                (6, "d", None),
+            ],
+            CDC_SCHEMA,
+        ),
+        store,
+    ).count()
+    served_pre = _bm25(spark, store)
+    fired = maintain_if_needed(spark, store, **kw)
+    assert fired["action"] == "compact"
+    assert any("dead_ratio" in s for s in fired["reasons"])
+    # serving equality across the fire
+    assert _bm25(spark, store) == served_pre != before
+
+    # idempotent: counters read clear right after the pass
+    again = maintain_if_needed(spark, store, **kw)
+    assert again["action"] == "none"
+    assert (again["describe"]["tombstones"]
+            + again["describe"]["superseded_rows"]) == 0
+
+
+def test_ivf_policy_fires_once_at_threshold(spark, tmp_path):
+    import numpy as np
+
+    from mongo_es_spark.operators.maintenance import maintain_if_needed
+    from mongo_es_spark.operators.similarity import (
+        apply_cdc_to_ivf_index,
+        ivf_exact_topk,
+        materialize_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(df, "vec_id", "v", path, n_cells=4)
+
+    kw = dict(id_col="vec_id", max_dead_ratio=0.3, n_cells=4,
+              train_sample=1000)
+    assert maintain_if_needed(spark, path, **kw)["action"] == "none"
+
+    # update 10/60 -> dead 10 of 70 rows = 0.14: under threshold
+    upd1 = spark.createDataFrame(
+        [(i, "u", rng.normal(size=8).tolist()) for i in range(10)],
+        "vec_id long, op string, v array<double>",
+    )
+    apply_cdc_to_ivf_index(upd1, path, "vec_id", "v").count()
+    assert maintain_if_needed(spark, path, **kw)["action"] == "none"
+
+    # update 20 more -> dead 30 of 90 = 0.33: fires
+    upd2 = spark.createDataFrame(
+        [(i, "u", rng.normal(size=8).tolist()) for i in range(10, 30)],
+        "vec_id long, op string, v array<double>",
+    )
+    apply_cdc_to_ivf_index(upd2, path, "vec_id", "v").count()
+
+    q = rng.normal(size=8).tolist()
+    pre = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(spark, path, q, "vec_id", k=5).collect()
+    ]
+    fired = maintain_if_needed(spark, path, **kw)
+    assert fired["action"] == "recluster"
+    post = [
+        (r["vec_id"], r["score"])
+        for r in ivf_exact_topk(spark, path, q, "vec_id", k=5).collect()
+    ]
+    assert post == pre
+
+    again = maintain_if_needed(spark, path, **kw)
+    assert again["action"] == "none"
+    assert again["describe"]["vector_rows"] == again["describe"]["live_rows"]

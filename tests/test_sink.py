@@ -65,3 +65,62 @@ def test_parquet_sink_upsert_delete_and_idempotent_replay(spark, tmp_path):
     # to the same state, not duplicate or resurrect anything
     _apply(spark, sink, batch2, 1)
     assert _state(spark, sink) == {"A": "a2", "C": "c1"}
+
+
+def test_merge_sink_matches_rewrite_semantics(spark, tmp_path):
+    """Merge-on-read mode: same observable state as the rewrite mode
+    through upserts, deletes, key-pruned lookups, replay, and
+    compaction — only the write shape differs (append ∝ batch, never
+    a state-sized rewrite)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sink = ParquetIndexSink(str(tmp_path / "idx"), mode="merge")
+    assert sink.read_state(spark) is None
+    _apply(
+        spark,
+        sink,
+        [("upsert", "A", None, ("a1",), 1), ("upsert", "B", None, ("b1",), 1)],
+        0,
+    )
+    assert _state(spark, sink) == {"A": "a1", "B": "b1"}
+
+    batch2 = [
+        ("upsert", "A", None, ("a2",), 2),
+        ("delete", "B", None, None, 2),
+        ("upsert", "C", None, ("c1",), 2),
+    ]
+    _apply(spark, sink, batch2, 1)
+    assert _state(spark, sink) == {"A": "a2", "C": "c1"}
+
+    # replay: appends identical rows at the same batch id; latest-wins
+    # resolution is indifferent to which copy it picks
+    _apply(spark, sink, batch2, 1)
+    assert _state(spark, sink) == {"A": "a2", "C": "c1"}
+
+    # key-pruned lookup (the point-lookup shape run_tail uses)
+    ids = spark.createDataFrame([("A",), ("B",)], "id string")
+    got = {
+        r["_id"]: r["data"]["name"]
+        for r in sink.read_state(spark, ids=ids).collect()
+    }
+    assert got == {"A": "a2"}
+
+    # per-trigger write cost is flat in state size: each apply appends
+    # batch-sized rows, it never rewrites the log
+    log = str(tmp_path / "idx" / "log")
+    rows_before = spark.read.parquet(log).count()
+    _apply(spark, sink, [("upsert", "D", None, ("d1",), 3)], 2)
+    assert spark.read.parquet(log).count() == rows_before + 1
+
+    # compaction reclaims tombstones + superseded rows, state unchanged
+    sink.compact(spark)
+    assert spark.read.parquet(log).count() == 3  # A, C, D live
+    assert spark.read.parquet(log).filter(F.col("__del")).count() == 0
+    assert _state(spark, sink) == {"A": "a2", "C": "c1", "D": "d1"}
+
+    # later batches still order above compacted survivors
+    _apply(spark, sink, [("delete", "A", None, None, 4)], 3)
+    assert _state(spark, sink) == {"C": "c1", "D": "d1"}
+    assert not os.path.exists(str(tmp_path / "idx" / "_CURRENT"))
