@@ -2487,6 +2487,7 @@ def percolate(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "broadcast",
 ) -> DataFrame:
     """ES ``percolate`` — the REVERSE search: queries are the stored
     side, documents stream through and each doc reports which
@@ -2494,18 +2495,41 @@ def percolate(
     ``queries_df`` is ``(q_id, terms array<string>, match_all bool)``:
     ``match_all`` true requires every term present, false any.
 
-    Scale shape: the registered query set is MODEL-SIZED (ES keeps it
-    in a dedicated percolator index); its exploded ``(q_id, term)``
-    map broadcasts, the doc batch tokenizes once, one equi-join on the
-    term and one ``(doc, q_id)`` aggregate compare distinct matches to
-    the required count — per-doc work ∝ matching terms, never
-    #queries × #docs.  Output: ``(id_col, q_id)`` match pairs,
-    UNORDERED — the result is match-pair-sized (on a dense
-    query/vocabulary overlap that is #docs × #queries), and a global
-    sort of it would dwarf the matching itself (measured 10x+ the
-    match cost at 5M docs x 100 dense queries); the driver-gate
-    comparison is order-insensitive, and callers paging results
-    should sort their own bounded slice."""
+    Two plans, selected by ``mode``:
+
+    * ``"broadcast"`` — the registered query set is MODEL-SIZED (ES
+      keeps it in a dedicated percolator index); its exploded
+      ``(q_id, term)`` map broadcasts, the doc batch tokenizes once,
+      one equi-join on the term and one ``(doc, q_id)`` aggregate
+      compare distinct matches to the required count — per-doc work
+      ∝ matching terms, never #queries × #docs.  Right for FEW or
+      DENSE queries, where most joined pairs are output anyway.
+    * ``"indexed"`` — the ES percolator's query-index trick for the
+      realistic alerting shape (thousands of NARROW conjunctive
+      queries each matching a sliver): a ``match_all`` query's
+      candidates are generated from its single RAREST required term
+      (rarest in this doc batch — one vocabulary-sized df aggregate
+      picks it), then only candidates are verified against the full
+      term set.  A doc containing every required term certainly
+      contains the designated one, so candidate generation has no
+      false negatives and verification is exact; a conjunction with
+      one selective term among common ones costs ∝ docs holding the
+      RARE term, not ∝ docs holding "the".  ``match_any`` queries
+      keep the direct join (every hit is an output).  The whole plan
+      derives from ONE vocabulary-filtered per-doc token-set frame,
+      so the corpus is tokenized once and Spark's exchange reuse
+      shares the shuffle across the legs.
+
+    Output: ``(id_col, q_id)`` match pairs, UNORDERED — the result is
+    match-pair-sized (on a dense query/vocabulary overlap that is
+    #docs × #queries), and a global sort of it would dwarf the
+    matching itself (measured 10x+ the match cost at 5M docs x 100
+    dense queries); the driver-gate comparison is order-insensitive,
+    and callers paging results should sort their own bounded slice."""
+    if mode == "indexed":
+        return _percolate_indexed(spark, queries_df, docs, id_col, text_col)
+    if mode != "broadcast":
+        raise ValueError(f"unknown percolate mode {mode!r}")
     qt = (
         queries_df.select(
             "q_id",
@@ -2535,6 +2559,80 @@ def percolate(
         )
     )
     return hits.select(id_col, "q_id")
+
+
+def _percolate_indexed(
+    spark, queries_df, docs, id_col: str, text_col: str
+) -> DataFrame:
+    """The query-indexed percolate plan (see :func:`percolate`,
+    ``mode="indexed"``)."""
+    q = queries_df.select(
+        "q_id",
+        F.array_distinct("terms").alias("terms"),
+        "match_all",
+    )
+    qt = q.select("q_id", "match_all", F.explode("terms").alias("token"))
+    # ONE corpus pass: each doc's tokens restricted to the union query
+    # vocabulary, collected to a set.  Every leg below derives from
+    # this frame (df stats, any-hits, candidates, verification), so
+    # identical-subplan exchange reuse shares the shuffle.
+    doc_sets = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(tokens_col(F.col(text_col)))
+            ).alias("token"),
+        )
+        .join(
+            F.broadcast(qt.select("token").distinct()), "token", "left_semi"
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("token").alias("__tset"))
+    )
+    hit_toks = doc_sets.select(
+        id_col, F.explode("__tset").alias("token")
+    )
+    # match_any: every (doc, term-of-query) hit is an output row
+    any_hits = (
+        hit_toks.join(
+            F.broadcast(
+                qt.filter(~F.col("match_all")).select("token", "q_id")
+            ),
+            "token",
+        )
+        .select(id_col, "q_id")
+        .distinct()
+    )
+    # match_all: designate each query's batch-rarest required term
+    # (a term absent from the batch has df 0 — min-by picks it and the
+    # query correctly generates zero candidates)
+    dfb = hit_toks.groupBy("token").agg(F.count("*").alias("__df"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__df").asc(), F.col("token").asc()
+    )
+    desig = (
+        qt.filter(F.col("match_all"))
+        .join(dfb, "token", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select("token", "q_id")
+    )
+    all_hits = (
+        hit_toks.join(F.broadcast(desig), "token")
+        .join(doc_sets, id_col)
+        .join(
+            F.broadcast(q.filter(F.col("match_all")).select("q_id", "terms")),
+            "q_id",
+        )
+        .filter(
+            F.forall(
+                "terms", lambda t: F.array_contains(F.col("__tset"), t)
+            )
+        )
+        .select(id_col, "q_id")
+    )
+    return any_hits.unionByName(all_hits)
 
 
 def term_vectors_over_store(
