@@ -48,6 +48,12 @@ def maintain_bm25_if_needed(
       range-clustered only within itself, so file-level token pruning
       decays as per-batch files pile up (each spans the full token
       alphabet); the global recluster restores it.
+    * ``rollup_desync`` — the store is UNMUTATED yet its tokenstats
+      df rollup fails the trust check (a crash dropped a fold's
+      delta, or the store predates the rollup): significant_terms is
+      paying the postings-wide fallback on every query for no reason;
+      compaction rebuilds the rollup.  A mutated store's stale rollup
+      is expected (priced into ``dead_ratio``) and does NOT trigger.
 
     Returns ``{"action": "compact"|"none", "reasons": [...],
     "describe": <counters>, "result": <compact stats or None>}``.
@@ -73,6 +79,11 @@ def maintain_bm25_if_needed(
             reasons.append(
                 f"file_pressure {d['postings_files']} > {cap:.0f}"
             )
+    if not d.get("mutated") and not d.get("tokenstats_synced") and total:
+        reasons.append(
+            f"rollup_desync docs={d.get('tokenstats_docs')} "
+            f"live={d.get('live_docs')}"
+        )
     if not reasons:
         return {"action": "none", "reasons": [], "describe": d,
                 "result": None}

@@ -1401,6 +1401,202 @@ def facets_over_store(
     )
 
 
+def _matched_docstats(spark, store_path: str, terms: Sequence[str]):
+    """Shared head of every doc-values aggregation over the hit set:
+    the docstats rows of documents matching ANY of ``terms`` — one
+    token-pruned postings scan (``PushedFilters: In(token, …)``) and
+    a doc-keyed semi-join, ∝ matched docs.  Returns None when the
+    store is missing."""
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return None
+    matched = (
+        postings.filter(F.col("token").isin(*list(terms)))
+        .select("doc")
+        .distinct()
+    )
+    return docstats.join(matched, "doc", "left_semi")
+
+
+def range_agg_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    ranges: Sequence[tuple],
+) -> DataFrame:
+    """ES ``range`` aggregation over the hit set, served from the
+    index: each range is independent (ES buckets may overlap),
+    ``from`` inclusive / ``to`` exclusive, ``None`` open, and EMPTY
+    buckets are returned at zero like ES does.
+
+    Scale shape: the matched docstats frame cross-joins the
+    MODEL-SIZED broadcast range list (a handful of rows), so each doc
+    tests each range map-side — ∝ matched docs × #ranges, no extra
+    exchange beyond the bucket-count-sized final aggregate.  Output:
+    ``(key, n_docs)`` in the given range order."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame([], "key string, n_docs long")
+
+    def key_of(lo, hi):
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+    rdf = spark.createDataFrame(
+        [
+            (i, key_of(lo, hi), float("-inf") if lo is None else float(lo),
+             float("inf") if hi is None else float(hi))
+            for i, (lo, hi) in enumerate(ranges)
+        ],
+        "ord int, key string, lo double, hi double",
+    )
+    counts = (
+        stats.select(F.col(field).cast("double").alias("__v"))
+        .crossJoin(F.broadcast(rdf))
+        .filter((F.col("__v") >= F.col("lo")) & (F.col("__v") < F.col("hi")))
+        .groupBy("ord", "key")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        rdf.join(counts, ["ord", "key"], "left")
+        .select(
+            "key",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+def filters_agg_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    filters: "dict[str, Column]",
+) -> DataFrame:
+    """ES ``filters`` aggregation: named predicate buckets over the
+    hit set, each counted independently, served from the stored
+    doc-values fields.
+
+    Scale shape: ONE pass over the matched docstats frame computing
+    every bucket as a conditional sum (map-side partial aggregation
+    to a single row), then the bucket-count-sized result frame is
+    built from that row — the filter set is model-sized by
+    definition.  Output: ``(filter_name, n_docs)``, name asc."""
+    stats = _matched_docstats(spark, store_path, terms)
+    names = sorted(filters)
+    if stats is None:
+        return spark.createDataFrame(
+            [], "filter_name string, n_docs long"
+        )
+    row = stats.agg(
+        *[
+            F.sum(F.when(filters[n], 1).otherwise(0)).alias(n)
+            for n in names
+        ]
+    ).head()
+    return spark.createDataFrame(
+        [(n, int(row[n] or 0)) for n in names],
+        "filter_name string, n_docs long",
+    )
+
+
+def multi_terms_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    fields: Sequence[str],
+    size: int = 10,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by the VALUE
+    TUPLE of several stored fields over the hit set (the composite
+    group-by ES runs shard-local then merges — here one distributed
+    aggregate).  Docs null in ANY keyed field drop, per ES.  Output:
+    ``(*fields, n_docs)``, count desc then fields asc, top ``size``."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame(
+            [], ", ".join(f"{f} string" for f in fields) + ", n_docs long"
+        )
+    out = stats
+    for f_ in fields:
+        out = out.filter(F.col(f_).isNotNull())
+    return (
+        out.groupBy(*fields)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(
+            F.col("n_docs").desc(), *[F.col(f_).asc() for f_ in fields]
+        )
+        .limit(size)
+    )
+
+
+def rare_terms_over_store(
+    spark,
+    store_path: str,
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail terms — every
+    token whose index-wide document frequency is ≤ ``max_doc_count``
+    (the inverse of ``terms``' most-common ordering; ES implements it
+    with a CuckooFilter sweep for the same reason a naive terms agg
+    with ascending sort would have to visit every bucket).
+
+    Scale shape: served from the same live-df source as
+    significant_terms' background (:func:`_background_df`) — the
+    tokenstats ROLLUP when provably in sync (vocabulary-sized sidecar
+    read, no postings touch), the exact postings-wide aggregate
+    otherwise.  Output: ``(token, df)``, df asc then token asc."""
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame([], "token string, df long")
+    n_live = docstats.count()
+    bg = _background_df(spark, store_path, postings, n_live)
+    return (
+        bg.filter(F.col("bg_df") <= int(max_doc_count))
+        .select("token", F.col("bg_df").alias("df"))
+        .orderBy(F.col("df").asc(), F.col("token").asc())
+    )
+
+
+def percentiles_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    percents: Sequence[float] = (25.0, 50.0, 75.0, 95.0),
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over a stored field of the hit
+    set.  EXACT linear-interpolation percentiles (Spark's
+    ``percentile``, the ``quantile_cont`` semantics) rather than ES's
+    t-digest approximation — cross-engine value-pinnable, and the
+    matched set a percentile query aggregates is the search hit set,
+    not the corpus.  At true scale swap in ``percentile_approx``
+    (ES's own accuracy class) if the hit set itself is corpus-sized.
+    Output: ``(pct, value)`` in the given percent order."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame([], "pct double, value double")
+    pcts = [float(p) for p in percents]
+    row = stats.agg(
+        F.percentile(
+            F.col(field).cast("double"),
+            F.array(*[F.lit(p / 100.0) for p in pcts]),
+        ).alias("q")
+    ).head()
+    vals = row["q"] or [None] * len(pcts)
+    return spark.createDataFrame(
+        [
+            (p, None if v is None else round(float(v), 6))
+            for p, v in zip(pcts, vals)
+        ],
+        "pct double, value double",
+    )
+
+
 def bool_search_over_store(
     spark,
     store_path: str,
@@ -2174,6 +2370,43 @@ def decay_score_over_store(
     )
 
 
+def _background_df(spark, store_path: str, postings, n_live: int):
+    """``(token, bg_df)`` over the LIVE index — the per-token document
+    frequency every index-wide statistic needs (significant_terms'
+    background, rare_terms' rarity cut).  Serves from the store-level
+    ``tokenstats`` rollup when it is provably in sync (unmutated store
+    AND the rollup's doc marker equals ``n_live``, the live docstats
+    count the caller already has); otherwise the exact one-pass
+    postings-wide aggregate.  Postings are unique per (token, doc) by
+    construction, so df is a plain count either way."""
+    from ..storeio import read_parquet_if_exists
+
+    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    p_row = params.head() if params is not None else None
+    unmutated = p_row is not None and not bool(p_row["mutated"])
+    tokenstats = (
+        read_parquet_if_exists(spark, _bm_tokenstats_path(store_path))
+        if unmutated
+        else None
+    )
+    if tokenstats is not None:
+        # the trust probe reads ONLY the doc-marker rows (IsNull
+        # pushes into the sidecar scan); the vocabulary aggregate
+        # stays lazy inside the caller's main plan
+        marker = (
+            tokenstats.filter(F.col("token").isNull())
+            .agg(F.sum("df"))
+            .head()[0]
+        )
+        if marker is not None and int(marker) == int(n_live):
+            return (
+                tokenstats.filter(F.col("token").isNotNull())
+                .groupBy("token")
+                .agg(F.sum("df").alias("bg_df"))
+            )
+    return postings.groupBy("token").agg(F.count("*").alias("bg_df"))
+
+
 def significant_terms_over_store(
     spark,
     store_path: str,
@@ -2233,26 +2466,7 @@ def significant_terms_over_store(
         .groupBy("token")
         .agg(F.count("*").alias("fg_df"))
     )
-    bg = None
-    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
-    p_row = params.head() if params is not None else None
-    unmutated = p_row is not None and not bool(p_row["mutated"])
-    tokenstats = (
-        read_parquet_if_exists(spark, _bm_tokenstats_path(store_path))
-        if unmutated
-        else None
-    )
-    if tokenstats is not None:
-        rollup = tokenstats.groupBy("token").agg(
-            F.sum("df").alias("bg_df")
-        )
-        marker = rollup.filter(F.col("token").isNull()).head()
-        if marker is not None and int(marker["bg_df"]) == int(n_bg_val):
-            bg = rollup.filter(F.col("token").isNotNull())
-    if bg is None:
-        bg = postings.groupBy("token").agg(
-            F.count("*").alias("bg_df")
-        )
+    bg = _background_df(spark, store_path, postings, n_bg_val)
     fg_rate = F.col("fg_df") / F.lit(int(n_fg_val)).cast("long")
     bg_rate = F.col("bg_df") / F.lit(int(n_bg_val)).cast("long")
     jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
@@ -2870,6 +3084,97 @@ def phrase_over_store(
     )
 
 
+def match_phrase_prefix_over_store(
+    spark,
+    store_path: str,
+    phrase: Sequence[str],
+    prefix: str,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the search-as-you-type query —
+    ``phrase``'s tokens at consecutive positions followed by ANY
+    indexed term starting with ``prefix`` at the next position.  An
+    occurrence at start p needs term i at ``p + i`` and a
+    prefix-matching token at ``p + len(phrase)``.
+
+    Scale shape: the exact legs are the :func:`phrase_over_store`
+    plan (``In(token, …)`` pruned scans + shifted-position array
+    intersection); the prefix leg is the half-open token RANGE scan
+    :func:`prefix_search_over_store` uses (file-level pruning on the
+    token-range-clustered postings), its positions unioned per doc
+    across the expanded terms.  The expansion is capped at
+    ``max_expansions`` TERMS in index order (the ES semantics and its
+    result-set truncation caveat alike) via a vocabulary-bounded
+    limit collect — the same guarded materialization the
+    wildcard/regexp/fuzzy expansions use.  Output: ``(doc,
+    n_occurrences)``, occurrence-count desc then doc asc."""
+    from ..storeio import read_parquet_if_exists
+
+    if not prefix:
+        raise ValueError("empty prefix would scan the whole index")
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return spark.createDataFrame(
+            [], "doc long, n_occurrences long"
+        )
+    hi = _prefix_upper_bound(prefix)
+    cond = F.col("token").startswith(prefix)
+    if hi is not None:
+        cond = cond & (F.col("token") >= prefix) & (F.col("token") < hi)
+    exp_terms = [
+        r["token"]
+        for r in postings.filter(cond)
+        .select("token")
+        .distinct()
+        .orderBy("token")
+        .limit(int(max_expansions))
+        .collect()
+    ]
+    if not exp_terms:
+        return spark.createDataFrame(
+            [], "doc long, n_occurrences long"
+        )
+
+    def _shifted(offset: int):
+        return F.transform("pos", lambda x: x - F.lit(offset))
+
+    n = len(phrase)
+    pleg = (
+        postings.filter(F.col("token").isin(exp_terms))
+        .select("doc", _shifted(n).alias("__pp"))
+        .groupBy("doc")
+        .agg(
+            F.array_distinct(
+                F.flatten(F.collect_list("__pp"))
+            ).alias("__pp")
+        )
+    )
+    if n == 0:
+        joined, starts = pleg, F.col("__pp")
+    else:
+        base = postings.filter(
+            F.col("token").isin(*list(dict.fromkeys(phrase)))
+        )
+        joined = None
+        for i, term in enumerate(phrase):
+            leg = base.filter(F.col("token") == term).select(
+                "doc", _shifted(i).alias(f"__p{i}")
+            )
+            joined = leg if joined is None else joined.join(leg, "doc")
+        joined = joined.join(pleg, "doc")
+        starts = F.col("__p0")
+        for i in range(1, n):
+            starts = F.array_intersect(starts, F.col(f"__p{i}"))
+        starts = F.array_intersect(starts, F.col("__pp"))
+    return (
+        joined.select(
+            "doc", F.size(starts).cast("long").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc").asc())
+    )
+
+
 def describe_bm25_store(spark, store_path: str) -> dict:
     """Ops observability for the search store — the ``_cat/indices``
     / ``_stats`` shape: file and row counts per component, live vs
@@ -2928,6 +3233,26 @@ def describe_bm25_store(spark, store_path: str) -> dict:
         out.update(
             docstats_rows=n, live_docs=n, tombstones=0,
             superseded_rows=0, max_generation=0,
+        )
+    # df-rollup health: files/doc-marker plus the same trust predicate
+    # significant_terms applies (unmutated AND marker == live count) —
+    # false on a mutated store (compaction revalidates) or after a
+    # crash dropped a fold's delta
+    tokenstats = read_parquet_if_exists(
+        spark, _bm_tokenstats_path(store_path)
+    )
+    if tokenstats is None:
+        out.update(tokenstats_files=0, tokenstats_docs=0,
+                   tokenstats_synced=False)
+    else:
+        marker = tokenstats.filter(F.col("token").isNull()).agg(
+            F.sum("df")
+        ).head()[0]
+        out["tokenstats_files"] = len(tokenstats.inputFiles())
+        out["tokenstats_docs"] = int(marker or 0)
+        out["tokenstats_synced"] = (
+            not out.get("mutated", False)
+            and out["tokenstats_docs"] == out["live_docs"]
         )
     return out
 

@@ -2566,6 +2566,44 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_phrase_prefix",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len([i FOR i IN range(1, len(toks))
+                    IF toks[i] = 'big' AND starts_with(toks[i+1], 's')])
+                   AS n_occurrences
+        FROM t
+    )
+    SELECT doc_id, n_occurrences::BIGINT AS n_occurrences
+    FROM m WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id ASC
+    """,
+)
+def search_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix — search-as-you-type
+    (operators/text.py:match_phrase_prefix_over_store): the exact
+    term 'big' followed by any indexed term starting 's' at the next
+    position; exact legs are the phrase plan, the prefix leg a
+    half-open token-range scan whose per-doc positions union across
+    the (max_expansions-capped, uncapped here) expanded terms.  The
+    oracle counts straight off the token lists."""
+    from .operators.text import match_phrase_prefix_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return match_phrase_prefix_over_store(
+        spark, store, ["big"], "s", max_expansions=50
+    ).select(F.col("doc").alias("doc_id"), "n_occurrences")
+
+
+@register(
     "search_proximity",
     """
     WITH t AS (
@@ -9746,6 +9784,181 @@ def search_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return percolate(spark, qdf, docs, mode="indexed")
+
+
+_MATCHED_CTE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'value')
+    )
+"""
+
+
+@register(
+    "search_range_agg",
+    _MATCHED_CTE
+    + """
+    , r(ord, key, lo, hi) AS (
+        VALUES (0, '*-200', NULL, 200),
+               (1, '200-400', 200, 400),
+               (2, '400-*', 400, NULL)
+    ),
+    m AS (
+        SELECT n_chars FROM documents JOIN matched USING (doc_id)
+    ),
+    c AS (
+        SELECT ord, count(*) AS n
+        FROM r JOIN m
+          ON (r.lo IS NULL OR m.n_chars >= r.lo)
+         AND (r.hi IS NULL OR m.n_chars < r.hi)
+        GROUP BY ord
+    )
+    SELECT r.key, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+    FROM r LEFT JOIN c USING (ord)
+    ORDER BY r.ord
+    """,
+)
+def search_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation (operators/text.py:range_agg_over_store):
+    independent from-inclusive/to-exclusive buckets over the stored
+    n_chars of the hit set, empty buckets returned at zero — each doc
+    tests the broadcast model-sized range list map-side."""
+    from .operators.text import range_agg_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return range_agg_over_store(
+        spark, store, ["spark", "value"], "n_chars",
+        [(None, 200), (200, 400), (400, None)],
+    )
+
+
+@register(
+    "search_filters_agg",
+    _MATCHED_CTE
+    + """
+    , m AS (
+        SELECT lang, n_chars FROM documents JOIN matched USING (doc_id)
+    )
+    SELECT 'english' AS filter_name,
+           count(*) FILTER (WHERE lang = 'en') AS n_docs FROM m
+    UNION ALL
+    SELECT 'long_docs', count(*) FILTER (WHERE n_chars >= 300) FROM m
+    UNION ALL
+    SELECT 'short_fr',
+           count(*) FILTER (WHERE lang = 'fr' AND n_chars < 250) FROM m
+    ORDER BY filter_name ASC
+    """,
+)
+def search_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation (operators/text.py:
+    filters_agg_over_store): named predicate buckets counted
+    independently over the hit set in ONE map-side conditional-sum
+    pass over the matched docstats frame."""
+    from .operators.text import filters_agg_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return filters_agg_over_store(
+        spark, store, ["spark", "value"],
+        {
+            "english": F.col("lang") == "en",
+            "long_docs": F.col("n_chars") >= 300,
+            "short_fr": (F.col("lang") == "fr") & (F.col("n_chars") < 250),
+        },
+    )
+
+
+@register(
+    "search_multi_terms",
+    _MATCHED_CTE
+    + """
+    , m AS (
+        SELECT d.lang,
+               DATE '2024-01-01' + CAST(d.doc_id % 365 AS INT) AS day
+        FROM documents d JOIN matched USING (doc_id)
+        WHERE d.lang IS NOT NULL
+    )
+    SELECT lang, day, count(*) AS n_docs
+    FROM m GROUP BY lang, day
+    ORDER BY n_docs DESC, lang ASC, day ASC
+    LIMIT 8
+    """,
+)
+def search_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation (operators/text.py:
+    multi_terms_over_store): buckets keyed by the (lang, day) stored
+    field TUPLE over the hit set — one distributed composite
+    aggregate, null-keyed docs dropped per ES."""
+    from .operators.text import multi_terms_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return multi_terms_over_store(
+        spark, store, ["spark", "value"], ["lang", "day"], size=8
+    )
+
+
+@register(
+    "search_rare_terms",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df
+    FROM toks GROUP BY token
+    HAVING count(*) <= 30
+    ORDER BY df ASC, token ASC
+    """,
+)
+def search_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation (operators/text.py:
+    rare_terms_over_store): the index's long-tail tokens (df <= 30),
+    served from the tokenstats df ROLLUP when provably in sync — a
+    vocabulary-sized sidecar read, no postings touch — else the exact
+    postings-wide aggregate."""
+    from .operators.text import rare_terms_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return rare_terms_over_store(spark, store, max_doc_count=30)
+
+
+@register(
+    "search_percentiles",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'spark'
+    ),
+    m AS (
+        SELECT n_chars FROM documents JOIN matched USING (doc_id)
+    )
+    SELECT pct, round(value, 6) AS value FROM (
+        SELECT unnest(CAST([25.0, 50.0, 75.0, 95.0] AS DOUBLE[])) AS pct,
+               unnest(quantile_cont(n_chars,
+                      [0.25, 0.50, 0.75, 0.95])) AS value
+        FROM m
+    )
+    ORDER BY pct ASC
+    """,
+)
+def search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (operators/text.py:
+    percentiles_over_store): exact linear-interpolation percentiles
+    of the stored n_chars over the hit set (quantile_cont semantics —
+    value-pinnable cross-engine where ES would t-digest)."""
+    from .operators.text import percentiles_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return percentiles_over_store(
+        spark, store, ["spark"], "n_chars", (25.0, 50.0, 75.0, 95.0)
+    )
 
 
 @register(

@@ -82,6 +82,42 @@ def test_bm25_policy_fires_once_at_threshold(spark, tmp_path):
             + again["describe"]["superseded_rows"]) == 0
 
 
+def test_bm25_policy_repairs_rollup_desync(spark, tmp_path):
+    import os
+    import shutil
+
+    from mongo_es_spark.operators.maintenance import maintain_if_needed
+    from mongo_es_spark.operators.text import (
+        describe_bm25_store,
+        incremental_bm25_index,
+    )
+
+    store = str(tmp_path / "bm25")
+    incremental_bm25_index(
+        spark, spark.createDataFrame(DOCS[:5], SCHEMA), store
+    ).count()
+    ts = os.path.join(store, "tokenstats")
+    before = set(os.listdir(ts))
+    incremental_bm25_index(
+        spark, spark.createDataFrame(DOCS[5:], SCHEMA), store
+    ).count()
+    assert describe_bm25_store(spark, store)["tokenstats_synced"]
+
+    # crash simulation: the second fold's delta file vanishes
+    for f in set(os.listdir(ts)) - before:
+        p = os.path.join(ts, f)
+        (os.remove if os.path.isfile(p) else shutil.rmtree)(p)
+    assert not describe_bm25_store(spark, store)["tokenstats_synced"]
+
+    kw = dict(max_dead_ratio=0.3, max_files_per_cpu=None, min_files=2)
+    fired = maintain_if_needed(spark, store, **kw)
+    assert fired["action"] == "compact"
+    assert any("rollup_desync" in s for s in fired["reasons"])
+    d = describe_bm25_store(spark, store)
+    assert d["tokenstats_synced"] and d["tokenstats_docs"] == 10
+    assert maintain_if_needed(spark, store, **kw)["action"] == "none"
+
+
 def test_ivf_policy_fires_once_at_threshold(spark, tmp_path):
     import numpy as np
 

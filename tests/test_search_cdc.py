@@ -80,10 +80,16 @@ def _all_queries(spark, store):
         bool_search_over_store,
         expand_fuzzy_terms,
         facets_over_store,
+        filters_agg_over_store,
         histogram_over_store,
+        match_phrase_prefix_over_store,
+        multi_terms_over_store,
+        percentiles_over_store,
         phrase_over_store,
         prefix_search_over_store,
         proximity_over_store,
+        range_agg_over_store,
+        rare_terms_over_store,
     )
 
     return (
@@ -134,6 +140,46 @@ def _all_queries(spark, store):
             tuple(r)
             for r in histogram_over_store(
                 spark, store, ["spark", "rows"], "dl", interval=2.0
+            ).collect()
+        ),
+        # round-10 serving ops: doc-values aggs + rare_terms (MVCC
+        # live-df background) + phrase_prefix (positional + range leg)
+        [
+            tuple(r)
+            for r in range_agg_over_store(
+                spark, store, ["spark", "rows"], "dl",
+                [(None, 3), (3, None)],
+            ).collect()
+        ],
+        sorted(
+            tuple(r)
+            for r in filters_agg_over_store(
+                spark, store, ["spark", "rows"],
+                {"en": F.col("lang") == "en", "short": F.col("dl") <= 3},
+            ).collect()
+        ),
+        sorted(
+            tuple(r)
+            for r in multi_terms_over_store(
+                spark, store, ["spark", "rows"], ["lang"], size=10
+            ).collect()
+        ),
+        sorted(
+            tuple(r)
+            for r in rare_terms_over_store(
+                spark, store, max_doc_count=1
+            ).collect()
+        ),
+        [
+            tuple(r)
+            for r in percentiles_over_store(
+                spark, store, ["spark", "rows"], "dl", (50.0, 95.0)
+            ).collect()
+        ],
+        sorted(
+            tuple(r)
+            for r in match_phrase_prefix_over_store(
+                spark, store, ["updated"], "s"
             ).collect()
         ),
     )

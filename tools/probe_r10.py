@@ -112,6 +112,14 @@ def probe_significant(spark):
         incremental_bm25_index(
             spark, docs_5m(spark), store
         ).count()
+    from mongo_es_spark.operators.text import bm25_over_store
+
+    # serving floor FIRST — it doubles as JVM/codegen warmup so the
+    # two significant_terms timings compare like for like
+    sec, n = t(
+        lambda: bm25_over_store(spark, store, ["dup"], top_k=10).count()
+    )
+    print(f"bm25 serving floor              : {sec:6.1f} s rows={n}")
     sec, n = t(
         lambda: significant_terms_over_store(
             spark, store, ["dup"], size=10
@@ -130,12 +138,6 @@ def probe_significant(spark):
         print(f"significant_terms postings-wide : {sec:6.1f} s rows={n}")
     finally:
         shutil.move(saved, ts)
-    from mongo_es_spark.operators.text import bm25_over_store
-
-    sec, n = t(
-        lambda: bm25_over_store(spark, store, ["dup"], top_k=10).count()
-    )
-    print(f"bm25 serving floor              : {sec:6.1f} s rows={n}")
 
 
 def probe_merge_sink(spark):
