@@ -1597,6 +1597,138 @@ def percentiles_over_store(
     )
 
 
+def geo_distance_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    lat: float,
+    lon: float,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 10,
+) -> DataFrame:
+    """ES ``geo_distance`` query + distance sort over the hit set:
+    documents matching ``terms`` whose stored point lies within
+    ``radius_km`` (haversine, mean earth radius 6371 km), nearest
+    first — the "coffee shops near me matching 'wifi'" shape.
+
+    Scale shape: the distance is whole-stage-codegen trig over the
+    matched docstats frame (∝ matched docs), the filter cuts before
+    the top-k TakeOrdered — no index-wide work beyond the token-pruned
+    match.  (A geo-heavy deployment would add a geohash/S2 cell
+    column and range-prune cells before the exact test — the same
+    cellstats pattern as the IVF store; documented, not built, since
+    the fixture's point set is corpus-small.)  Output: ``(doc,
+    dist_km)`` rounded 6dp, distance asc then doc asc, top ``k``."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame([], "doc long, dist_km double")
+    phi1, phi2 = F.radians(F.lit(float(lat))), F.radians(F.col(lat_col))
+    dphi = F.radians(F.col(lat_col) - F.lit(float(lat)))
+    dlam = F.radians(F.col(lon_col) - F.lit(float(lon)))
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(phi1) * F.cos(phi2) * F.pow(F.sin(dlam / 2), 2)
+    )
+    dist = F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
+    return (
+        stats.select("doc", F.round(dist, 6).alias("dist_km"))
+        .filter(F.col("dist_km") <= float(radius_km))
+        .orderBy(F.col("dist_km").asc(), F.col("doc").asc())
+        .limit(int(k))
+    )
+
+
+def geo_bbox_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES ``geo_bounding_box`` filter over the hit set: matched docs
+    whose stored point falls inside the box (edges inclusive, per
+    ES).  Pure comparisons over the matched docstats frame — the box
+    is a pushdown-friendly conjunction, no trig.  Output: ``(doc,
+    lat, lon)``, doc asc."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame(
+            [], "doc long, lat double, lon double"
+        )
+    return (
+        stats.filter(
+            (F.col(lat_col) >= float(lat_min))
+            & (F.col(lat_col) <= float(lat_max))
+            & (F.col(lon_col) >= float(lon_min))
+            & (F.col(lon_col) <= float(lon_max))
+        )
+        .select("doc", lat_col, lon_col)
+        .orderBy(F.col("doc").asc())
+    )
+
+
+def terms_set_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    min_match: int,
+) -> DataFrame:
+    """ES ``terms_set`` query: documents containing at least
+    ``min_match`` DISTINCT terms of the given set — the
+    minimum_should_match generalization between OR (1) and AND
+    (len(terms)).
+
+    Scale shape: one token-pruned postings scan; postings are unique
+    per (token, doc) so the per-doc matched-term count is a plain
+    count, no distinct exchange.  Output: ``(doc, n_matched)``,
+    n desc then doc asc."""
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return spark.createDataFrame([], "doc long, n_matched long")
+    return (
+        postings.filter(
+            F.col("token").isin(*list(dict.fromkeys(terms)))
+        )
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= int(min_match))
+        .orderBy(F.col("n_matched").desc(), F.col("doc").asc())
+    )
+
+
+def span_first_over_store(
+    spark,
+    store_path: str,
+    term: str,
+    end: int,
+) -> DataFrame:
+    """ES ``span_first`` query: documents where ``term`` occurs
+    within the first ``end`` positions (0-based: position < end) —
+    the "title-ish match" heuristic over a positional index.
+
+    Scale shape: one single-token pruned postings scan; the position
+    test is an array predicate over the stored position list, no
+    explode.  Output: ``(doc, first_pos)`` — the earliest qualifying
+    position — doc asc."""
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return spark.createDataFrame([], "doc long, first_pos long")
+    qualifying = F.filter("pos", lambda p: p < F.lit(int(end)))
+    return (
+        postings.filter(F.col("token") == term)
+        .select("doc", F.array_min(qualifying).alias("first_pos"))
+        .filter(F.col("first_pos").isNotNull())
+        .select("doc", F.col("first_pos").cast("long").alias("first_pos"))
+        .orderBy(F.col("doc").asc())
+    )
+
+
 def bool_search_over_store(
     spark,
     store_path: str,

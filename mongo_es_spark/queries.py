@@ -2802,12 +2802,24 @@ def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
                 F.lit("2024-01-01").cast("date"),
                 (F.col("doc_id") % 365).cast("int"),
             ),
+        ).withColumn(
+            # deterministic per-doc geo point (the fixture has no geo
+            # columns) for the geo_distance / bounding-box queries;
+            # integer-derived so the oracle reproduces it exactly
+            "lat",
+            ((F.col("doc_id") % 180) - 90 + F.lit(0.5)).cast("double"),
+        ).withColumn(
+            "lon",
+            ((F.col("doc_id") * 7 % 360) - 180 + F.lit(0.5)).cast(
+                "double"
+            ),
         )
-        # lang + n_chars + day ride docstats as stored fields (ES doc
-        # values) so the facet, range-filter, histogram and
-        # date-histogram queries serve from the index alone
+        # lang + n_chars + day + geo ride docstats as stored fields
+        # (ES doc values) so the facet, range-filter, histogram,
+        # date-histogram and geo queries serve from the index alone
         incremental_bm25_index(
-            spark, docs, path, field_cols=["lang", "n_chars", "day"]
+            spark, docs, path,
+            field_cols=["lang", "n_chars", "day", "lat", "lon"],
         ).count()
 
     return _shared_store("bm25", sf_dir, build)
@@ -9958,6 +9970,144 @@ def search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _shared_bm25_store(spark, sf_dir)
     return percentiles_over_store(
         spark, store, ["spark"], "n_chars", (25.0, 50.0, 75.0, 95.0)
+    )
+
+
+@register(
+    "search_geo_distance",
+    _MATCHED_CTE
+    + """
+    , g AS (
+        SELECT doc_id,
+               CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+               CAST((doc_id * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+        FROM documents JOIN matched USING (doc_id)
+    ),
+    d AS (
+        SELECT doc_id,
+               round(2 * 6371 * asin(sqrt(
+                   pow(sin(radians(lat - 10.5) / 2), 2)
+                   + cos(radians(10.5)) * cos(radians(lat))
+                     * pow(sin(radians(lon - 20.5) / 2), 2))), 6)
+                   AS dist_km
+        FROM g
+    )
+    SELECT doc_id, dist_km FROM d
+    WHERE dist_km <= 3000
+    ORDER BY dist_km ASC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance + distance sort
+    (operators/text.py:geo_distance_over_store): matched docs within
+    3000 km of (10.5, 20.5) by haversine over the stored lat/lon doc
+    values, nearest first — codegen trig over the matched set, the
+    oracle mirrors the formula term for term."""
+    from .operators.text import geo_distance_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return geo_distance_over_store(
+        spark, store, ["spark", "value"], 10.5, 20.5, 3000.0, k=10
+    ).select(F.col("doc").alias("doc_id"), "dist_km")
+
+
+@register(
+    "search_geo_bbox",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'table')
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+               CAST((doc_id * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+        FROM documents JOIN matched USING (doc_id)
+    )
+    SELECT doc_id, lat, lon FROM g
+    WHERE lat BETWEEN -20 AND 40 AND lon BETWEEN -60 AND 60
+    ORDER BY doc_id ASC
+    """,
+)
+def search_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box (operators/text.py:geo_bbox_over_store):
+    matched docs inside the box, edges inclusive — pure comparisons
+    over stored doc values, no trig."""
+    from .operators.text import geo_bbox_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return geo_bbox_over_store(
+        spark, store, ["spark", "table"], -20.0, 40.0, -60.0, 60.0
+    ).select(F.col("doc").alias("doc_id"), "lat", "lon")
+
+
+@register(
+    "search_terms_set",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT doc_id, count(*) AS n_matched
+    FROM toks
+    WHERE token IN ('spark', 'value', 'table', 'stream')
+    GROUP BY doc_id
+    HAVING count(*) >= 3
+    ORDER BY n_matched DESC, doc_id ASC
+    """,
+)
+def search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query (operators/text.py:terms_set_over_store):
+    docs holding at least 3 distinct terms of a 4-term set — the
+    minimum_should_match middle ground between OR and AND; one
+    token-pruned scan, df is a plain count on the unique-(token,doc)
+    postings."""
+    from .operators.text import terms_set_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return terms_set_over_store(
+        spark, store, ["spark", "value", "table", "stream"], 3
+    ).select(F.col("doc").alias("doc_id"), "n_matched")
+
+
+@register(
+    "search_span_first",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\\s+')
+               END AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               list_min([i FOR i IN range(1, len(toks) + 1)
+                         IF toks[i] = 'spark' AND i <= 3]) - 1
+                   AS first_pos
+        FROM t
+    )
+    SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos
+    FROM m WHERE first_pos IS NOT NULL
+    ORDER BY doc_id ASC
+    """,
+)
+def search_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_first query (operators/text.py:span_first_over_store):
+    docs where 'spark' occurs within the first 3 positions, with the
+    earliest qualifying position — an array predicate over the
+    positional postings, single-token pruned scan, no explode."""
+    from .operators.text import span_first_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return span_first_over_store(spark, store, "spark", 3).select(
+        F.col("doc").alias("doc_id"), "first_pos"
     )
 
 

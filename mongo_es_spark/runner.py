@@ -117,7 +117,8 @@ def run(
             )
         else:
             sink = ParquetIndexSink(
-                os.path.join(work_dir, "index", task.name())
+                os.path.join(work_dir, "index", task.name()),
+                mode=config.controls.parquet_sink_mode,
             )
 
         source_df = None

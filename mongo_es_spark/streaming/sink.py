@@ -202,11 +202,20 @@ class SearchIndexedSink:
         store_path: str,
         text_field: str,
         field_cols: tuple = (),
+        maintain: Optional[dict] = None,
     ):
         self.inner = inner
         self.store_path = store_path
         self.text_field = text_field
         self.field_cols = tuple(field_cols)
+        # closed-loop maintenance: when set, every fold is followed by
+        # maintain_bm25_if_needed(**maintain) — the policy reads the
+        # store's own counters and compacts only past its thresholds,
+        # so a long-running tail never needs an operator to notice the
+        # dead-row ratio (ES segment-merge behavior).  Safe inside
+        # foreachBatch: the micro-batch engine serializes batches, and
+        # compaction is result-identical by contract.
+        self.maintain = dict(maintain) if maintain else None
 
     def read_state(
         self, spark: SparkSession, ids: Optional[DataFrame] = None
@@ -234,6 +243,10 @@ class SearchIndexedSink:
             self.store_path,
             field_cols=self.field_cols,
         )
+        if self.maintain is not None:
+            from ..operators.maintenance import maintain_bm25_if_needed
+
+            maintain_bm25_if_needed(spark, self.store_path, **self.maintain)
 
 
 class DenseIndexedSink:
@@ -263,11 +276,15 @@ class DenseIndexedSink:
         store_path: str,
         vec_field: str,
         id_cast: str = "long",
+        maintain: Optional[dict] = None,
     ):
         self.inner = inner
         self.store_path = store_path
         self.vec_field = vec_field
         self.id_cast = id_cast
+        # see SearchIndexedSink: per-fold maintain_ivf_if_needed kwargs
+        # (id_col is supplied by this sink)
+        self.maintain = dict(maintain) if maintain else None
 
     def read_state(
         self, spark: SparkSession, ids: Optional[DataFrame] = None
@@ -291,6 +308,12 @@ class DenseIndexedSink:
             .alias("v"),
         )
         apply_cdc_to_ivf_index(batch, self.store_path, "vec_id", "v")
+        if self.maintain is not None:
+            from ..operators.maintenance import maintain_ivf_if_needed
+
+            maintain_ivf_if_needed(
+                spark, self.store_path, id_col="vec_id", **self.maintain
+            )
 
 
 class BulkItemError(RuntimeError):

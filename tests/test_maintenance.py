@@ -118,6 +118,76 @@ def test_bm25_policy_repairs_rollup_desync(spark, tmp_path):
     assert maintain_if_needed(spark, store, **kw)["action"] == "none"
 
 
+def test_indexed_sink_runs_policy_per_fold(spark, tmp_path):
+    """The closed loop in the streaming path: SearchIndexedSink with a
+    maintain= policy compacts the store mid-stream once the CDC folds
+    push the dead ratio past threshold — no operator in the loop —
+    and serving stays equal to a rebuild from the final state."""
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        _bm_params_path,
+    )
+    from mongo_es_spark.streaming.sink import (
+        ParquetIndexSink,
+        SearchIndexedSink,
+    )
+
+    # the tail pipeline keys docs by the STRING IR id — the initial
+    # scan-phase fold must use the same key type
+    docs0 = spark.createDataFrame(
+        [(str(d[0]), d[1]) for d in DOCS],
+        "doc_id string, text string",
+    )
+    store = str(tmp_path / "bm25")
+    incremental_bm25_index(spark, docs0, store).count()
+    sink = SearchIndexedSink(
+        ParquetIndexSink(str(tmp_path / "sink"), mode="merge"),
+        store,
+        text_field="text",
+        maintain=dict(max_dead_ratio=0.3, max_files_per_cpu=None,
+                      min_files=2),
+    )
+
+    def ir(rows, batch_id):
+        df = spark.createDataFrame(
+            rows, "action string, id string, data struct<text:string>"
+        ).select(
+            "action", "id",
+            F.lit(None).cast("string").alias("parent"),
+            "data", F.lit(0).cast("long").alias("timestamp"),
+        )
+        sink.apply(spark, df, batch_id)
+
+    # batch 1: update 2/10 -> dead 2/12, under threshold: no compact
+    ir([("upsert", "1", ("updated spark one",)),
+        ("upsert", "2", ("updated spark two",))], 0)
+    p = spark.read.parquet(_bm_params_path(store)).head()
+    assert p["mutated"]  # policy saw ratio under threshold, left it
+
+    # batch 2: update 4 more -> past threshold: policy compacts inline
+    ir([("upsert", "3", ("updated spark three",)),
+        ("upsert", "4", ("updated spark four",)),
+        ("upsert", "5", ("updated spark five",)),
+        ("delete", "6", None)], 1)
+    p = spark.read.parquet(_bm_params_path(store)).head()
+    assert not p["mutated"]  # compaction fired and reset the flag
+
+    rebuilt = str(tmp_path / "rebuilt")
+    final = [("1", "updated spark one"), ("2", "updated spark two"),
+             ("3", "updated spark three"), ("4", "updated spark four"),
+             ("5", "updated spark five")] + [
+        (str(d[0]), d[1]) for d in DOCS[6:]
+    ]
+    incremental_bm25_index(
+        spark,
+        spark.createDataFrame(final, "doc_id string, text string"),
+        rebuilt,
+    ).count()
+    assert _bm25(spark, store) == _bm25(spark, rebuilt)
+
+
 def test_ivf_policy_fires_once_at_threshold(spark, tmp_path):
     import numpy as np
 

@@ -60,6 +60,52 @@ def test_two_tasks_isolated_sinks_and_checkpoints(spark, tmp_path):
         assert got == want, (coll, got)
 
 
+def test_runner_merge_sink_mode(spark, tmp_path):
+    """parquetSinkMode=merge routes the CLI runner onto the
+    merge-on-read sink: scan-then-tail produce the same observable
+    state as rewrite mode (insert via scan, insert + delete via
+    tail), with the append log in place of versioned rewrites."""
+    root = tmp_path / "mongo"
+    (root / "oplog").mkdir(parents=True)
+    spark.createDataFrame(
+        [("A1", "x"), ("A2", "y")], "_id string, name string"
+    ).write.parquet(str(root / "db.a.parquet"))
+    feed = root / "oplog" / "b0.json"
+    feed.write_text(
+        json.dumps({"ts": make_ts(10), "ns": "db.a", "op": "i", "id": "A3",
+                    "doc": json.dumps({"name": "z"})}) + "\n"
+        + json.dumps({"ts": make_ts(11), "ns": "db.a", "op": "d", "id": "A1",
+                      "doc": json.dumps({})}) + "\n"
+    )
+    os.utime(feed, (1_700_000_000, 1_700_000_000))
+
+    cfg = Config(json.dumps({
+        "mongodb": {"url": f"file://{root}"},
+        "elasticsearch": {"options": {}},
+        "controls": {"parquetSinkMode": "merge"},
+        "tasks": [{
+            "from": {"phase": "scan"},
+            "extract": {"db": "db", "collection": "a"},
+            "transform": {"mapping": {"name": "name"}},
+            "load": {"index": "a", "type": "doc"},
+            "hints": {"name": "string"},
+        }],
+    }))
+    work = str(tmp_path / "work")
+    run(cfg, spark=spark, work_dir=work, available_now=True)
+
+    path = os.path.join(work, "index", "db.a___a.doc")
+    sink = ParquetIndexSink(path, mode="merge")
+    got = {
+        r["_id"]: r["data"]["name"]
+        for r in sink.read_state(spark).collect()
+    }
+    assert got == {"A2": "y", "A3": "z"}
+    # merge mode appended a log, never wrote versioned dirs
+    assert os.path.isdir(os.path.join(path, "log"))
+    assert not os.path.exists(os.path.join(path, "_CURRENT"))
+
+
 def test_checkpoint_hooks_skip_completed_scan(spark, tmp_path):
     from mongo_es_spark.config import Task
 

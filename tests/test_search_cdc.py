@@ -90,6 +90,8 @@ def _all_queries(spark, store):
         proximity_over_store,
         range_agg_over_store,
         rare_terms_over_store,
+        span_first_over_store,
+        terms_set_over_store,
     )
 
     return (
@@ -180,6 +182,18 @@ def _all_queries(spark, store):
             tuple(r)
             for r in match_phrase_prefix_over_store(
                 spark, store, ["updated"], "s"
+            ).collect()
+        ),
+        sorted(
+            tuple(r)
+            for r in terms_set_over_store(
+                spark, store, ["spark", "tables", "updated", "rows"], 2
+            ).collect()
+        ),
+        sorted(
+            tuple(r)
+            for r in span_first_over_store(
+                spark, store, "spark", 2
             ).collect()
         ),
     )
