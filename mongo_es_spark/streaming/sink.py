@@ -175,6 +175,46 @@ class ParquetIndexSink:
 
         rewrite_store(self._log(), write_new)
 
+    def describe(self, spark: SparkSession) -> dict:
+        """Merge-mode counters (the ``describe_*_store`` shape): log
+        rows vs live keys, tombstones, file count — everything the
+        compaction decision needs, each one metadata-sized."""
+        out: dict = {"path": self.path, "mode": self.mode}
+        if self.mode != "merge":
+            out["exists"] = self.current_version() is not None
+            return out
+        from ..storeio import read_parquet_if_exists
+
+        log = read_parquet_if_exists(spark, self._log())
+        if log is None:
+            out["exists"] = False
+            return out
+        out["exists"] = True
+        out["log_rows"] = log.count()
+        out["log_files"] = len(log.inputFiles())
+        state = self.read_state(spark)
+        out["live_keys"] = state.count() if state is not None else 0
+        out["tombstones"] = log.filter(F.col("__del")).count()
+        return out
+
+    def maintain_if_needed(
+        self, spark: SparkSession, max_log_ratio: float = 3.0
+    ) -> dict:
+        """Compact the merge log iff it holds more than
+        ``max_log_ratio`` rows per live key — the same closed-loop
+        policy shape as the search stores' ``maintain_if_needed``.
+        No-op (action "none") in rewrite mode or under threshold."""
+        d = self.describe(spark)
+        if (
+            self.mode != "merge"
+            or not d.get("exists")
+            or not d.get("live_keys")
+            or d["log_rows"] / d["live_keys"] <= max_log_ratio
+        ):
+            return {"action": "none", "describe": d}
+        self.compact(spark)
+        return {"action": "compact", "describe": d}
+
 
 class SearchIndexedSink:
     """Sink decorator closing the loop the reference exists for: keep

@@ -124,3 +124,19 @@ def test_merge_sink_matches_rewrite_semantics(spark, tmp_path):
     _apply(spark, sink, [("delete", "A", None, None, 4)], 3)
     assert _state(spark, sink) == {"C": "c1", "D": "d1"}
     assert not os.path.exists(str(tmp_path / "idx" / "_CURRENT"))
+
+
+def test_merge_sink_policy_compacts_at_ratio(spark, tmp_path):
+    sink = ParquetIndexSink(str(tmp_path / "idx"), mode="merge")
+    _apply(spark, sink, [("upsert", "A", None, ("a1",), 1)], 0)
+    assert sink.maintain_if_needed(spark)["action"] == "none"
+    # churn the same key: 5 log rows / 1 live key > 3.0 -> compacts
+    for b in range(1, 5):
+        _apply(spark, sink, [("upsert", "A", None, (f"a{b+1}",), 1)], b)
+    d = sink.describe(spark)
+    assert d["log_rows"] == 5 and d["live_keys"] == 1
+    fired = sink.maintain_if_needed(spark)
+    assert fired["action"] == "compact"
+    assert sink.describe(spark)["log_rows"] == 1
+    assert _state(spark, sink) == {"A": "a5"}
+    assert sink.maintain_if_needed(spark)["action"] == "none"
