@@ -55,20 +55,33 @@ def maintain_bm25_if_needed(
       compaction rebuilds the rollup.  A mutated store's stale rollup
       is expected (priced into ``dead_ratio``) and does NOT trigger.
 
-    Returns ``{"action": "compact"|"none", "reasons": [...],
-    "describe": <counters>, "result": <compact stats or None>}``.
-    Idempotent: right after a compaction both triggers read clear, so
-    a second call is a no-op.
-    """
-    from .text import compact_bm25_store, describe_bm25_store
+    Returns ``{"action": "compact"|"rebuild_rollup"|"none",
+    "reasons": [...], "describe": <counters>, "result": <stats or
+    None>}``.  Idempotent: right after a pass the triggers read
+    clear, so a second call is a no-op.
 
-    d = describe_bm25_store(spark, store_path)
+    Cost: the decision reads ``describe_bm25_store(full=False)`` —
+    parquet footer counts, file listings, the one-row params (whose
+    ``dead`` counter the CDC folds maintain batch-side) and the
+    tokenstats marker — NEVER an index-wide pass, so wiring this
+    after every micro-batch (``SearchIndexedSink(maintain=...)``)
+    keeps the per-trigger cost batch-proportional.  A desync-only
+    trip repairs just the vocabulary-sized rollup
+    (:func:`rebuild_bm25_tokenstats`), not the whole index.
+    """
+    from .text import (
+        compact_bm25_store,
+        describe_bm25_store,
+        rebuild_bm25_tokenstats,
+    )
+
+    d = describe_bm25_store(spark, store_path, full=False)
     if not d.get("exists"):
         return {"action": "none", "reasons": ["missing"], "describe": d,
                 "result": None}
     reasons = []
     total = d.get("docstats_rows") or 0
-    dead = (d.get("tombstones") or 0) + (d.get("superseded_rows") or 0)
+    dead = d.get("dead_rows") or 0
     if total > 0 and dead / total > max_dead_ratio:
         reasons.append(
             f"dead_ratio {dead}/{total} > {max_dead_ratio}"
@@ -79,7 +92,10 @@ def maintain_bm25_if_needed(
             reasons.append(
                 f"file_pressure {d['postings_files']} > {cap:.0f}"
             )
-    if not d.get("mutated") and not d.get("tokenstats_synced") and total:
+    desync = (
+        not d.get("mutated") and not d.get("tokenstats_synced") and total
+    )
+    if desync:
         reasons.append(
             f"rollup_desync docs={d.get('tokenstats_docs')} "
             f"live={d.get('live_docs')}"
@@ -87,6 +103,11 @@ def maintain_bm25_if_needed(
     if not reasons:
         return {"action": "none", "reasons": [], "describe": d,
                 "result": None}
+    if desync and len(reasons) == 1:
+        # the index itself is healthy — refresh only the sidecar
+        rebuild_bm25_tokenstats(spark, store_path, assume_live=True)
+        return {"action": "rebuild_rollup", "reasons": reasons,
+                "describe": d, "result": None}
     result = compact_bm25_store(
         spark, store_path, target_bytes=target_bytes, min_files=min_files
     )
@@ -112,15 +133,28 @@ def maintain_ivf_if_needed(
 
     Returns the same shape as :func:`maintain_bm25_if_needed` with
     ``action: "recluster"`` on fire.
-    """
-    from .similarity import describe_ivf_store, recluster_ivf_store
 
-    d = describe_ivf_store(spark, path)
-    if not d.get("exists"):
+    Cost: two parquet footer counts — total vector rows and dead
+    WATERMARK rows (each CDC mutation appends exactly one watermark
+    and kills exactly one live row, so the watermark count estimates
+    dead rows; re-deliveries are skipped before writing, and the
+    estimate can only drift high on multi-generation kills, vacuuming
+    early).  Never the vectors-wide live-resolution join the full
+    :func:`describe_ivf_store` pays — safe to run per micro-batch.
+    """
+    from ..storeio import read_parquet_if_exists
+    from .similarity import recluster_ivf_store
+
+    vecs = read_parquet_if_exists(spark, f"{path}/vectors")
+    if vecs is None:
+        d = {"store": path, "exists": False}
         return {"action": "none", "reasons": ["missing"], "describe": d,
                 "result": None}
-    total = d.get("vector_rows") or 0
-    dead = total - (d.get("live_rows") or 0)
+    dead_df = read_parquet_if_exists(spark, f"{path}/dead")
+    total = vecs.count()  # parquet footer metadata
+    dead = dead_df.count() if dead_df is not None else 0
+    d = {"store": path, "exists": True, "vector_rows": total,
+         "dead_watermarks": dead}
     if not (total > 0 and dead / total > max_dead_ratio):
         return {"action": "none", "reasons": [], "describe": d,
                 "result": None}

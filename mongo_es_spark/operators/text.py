@@ -565,6 +565,7 @@ def _bm_write_params(
     fields: Sequence[str],
     mutated: bool,
     gen: int = 0,
+    dead: int = 0,
 ) -> None:
     spark.range(1).select(
         F.lit(_BM_SCHEME).cast("int").alias("scheme"),
@@ -577,6 +578,15 @@ def _bm_write_params(
         # never has to scan corpus-sized docstats metadata for
         # max(gen) — params is one row, docstats is ≥1 row per doc
         F.lit(int(gen)).cast("long").alias("gen"),
+        # dead-row COUNTER: docstats rows the MVCC reader drops
+        # (superseded generations + latest tombstones), accumulated
+        # batch-side by each CDC fold and reset by compaction — so
+        # the maintenance policy's dead-ratio trigger needs only this
+        # row plus a parquet footer count, never a corpus-wide window.
+        # A crashed fold's retry may re-count its increment (the
+        # counter can only OVER-estimate, firing the vacuum early —
+        # heuristic-safe, and compaction re-zeroes it).
+        F.lit(int(dead)).cast("long").alias("dead"),
     ).coalesce(1).write.mode("overwrite").parquet(
         _bm_params_path(store_path)
     )
@@ -783,7 +793,7 @@ def incremental_bm25_index(
     # before this line leaves the rollup short, which readers detect
     # by doc-count mismatch and fall back; a CDC-mutated store's
     # rollup is untrusted anyway until compaction rebuilds it)
-    if p_row is None or not bool(p_row["mutated"]):
+    if p_row is None or not bool(p_row.asDict().get("mutated", True)):
         n_new = dl_rows.count()
         if n_new:
             _bm_append_tokenstats(spark, store_path, tf_all, n_new)
@@ -938,19 +948,36 @@ def apply_cdc_to_bm25_index(
             & F.col("__cur_sig").eqNullSafe(F.col("__sig"))
         )
     )
-    applied = probe.filter(applies).drop("__cur_sig", "__cur_del")
-    if applied.limit(1).count() == 0:
+    applied_full = probe.filter(applies)
+    # ONE batch-sized aggregate serves both the emptiness check and
+    # the dead-row increment for the params counter: each applied row
+    # kills its doc's previous latest row (when one existed), and a
+    # tombstone row (delete / zero-token upsert) is itself dead
+    is_tomb = (F.col("__op") == "d") | (
+        F.coalesce(F.size(tokens_col(F.col("__t"))), F.lit(0)) == 0
+    )
+    arow = applied_full.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__cur_del").isNotNull().cast("long")).alias(
+            "prior"
+        ),
+        F.sum(is_tomb.cast("long")).alias("tombs"),
+    ).head()
+    if int(arow["n"]) == 0:
         return spark.createDataFrame([], "doc long, op string, gen long")
+    dead_inc = int(arow["prior"] or 0) + int(arow["tombs"] or 0)
+    applied = applied_full.drop("__cur_sig", "__cur_del")
     # generation counter lives in params (one row), mirroring the IVF
     # store — never recomputed from corpus-sized docstats metadata.
     # Legacy params rows predating the counter fall back to one
     # docstats scan, after which the write below persists it.
     if docstats is None:
         g = 0
-    elif p_row is not None and "gen" in p_row.asDict():
+    elif p_row is not None and p_row.asDict().get("gen") is not None:
         g = int(p_row["gen"]) + 1
     else:
-        g = int(docstats.agg(F.max("gen")).head()[0]) + 1
+        mg = docstats.agg(F.max("gen")).head()[0]
+        g = (int(mg) if mg is not None else -1) + 1
 
     # params FIRST — both the mutated flag (from the moment any
     # generation-g row is visible, readers must take the live-filtering
@@ -961,7 +988,15 @@ def apply_cdc_to_bm25_index(
     # A fresh store (no docstats yet) stays on the fast path —
     # generation-0 inserts are exactly a fold.
     if docstats is not None:
-        _bm_write_params(spark, store_path, fields, mutated=True, gen=g)
+        prev_dead = (
+            int(p_row.asDict().get("dead") or 0)
+            if p_row is not None
+            else 0
+        )
+        _bm_write_params(
+            spark, store_path, fields,
+            mutated=True, gen=g, dead=prev_dead + dead_inc,
+        )
 
     ups = applied.filter(F.col("__op") != "d")
     toks = ups.select(
@@ -1028,6 +1063,58 @@ def apply_cdc_to_bm25_index(
     return applied.select(
         "doc", F.col("__op").alias("op"), F.lit(g).cast("long").alias("gen")
     )
+
+
+def rebuild_bm25_tokenstats(
+    spark,
+    store_path: str,
+    assume_live: bool = False,
+    n_files: int = 1,
+) -> None:
+    """Rebuild the df rollup from the store's LIVE rows — one postings
+    pass, crash-aware directory swap when the sidecar already exists.
+    Used by :func:`compact_bm25_store` after its rewrites (where every
+    surviving row is live — pass ``assume_live=True`` to skip the MVCC
+    resolution) and by the maintenance policy's rollup-desync repair,
+    where rewriting the whole index just to refresh a
+    vocabulary-sized sidecar would be absurd I/O (``assume_live=True``
+    is also valid there: the desync trigger only fires on UNMUTATED
+    stores, which hold no multi-generation rows by definition)."""
+    from ..storeio import rewrite_store
+
+    p = _bm_postings_path(store_path)
+    d = _bm_docstats_path(store_path)
+    ts = _bm_tokenstats_path(store_path)
+
+    def write_tokenstats(new: str) -> None:
+        post = spark.read.parquet(p)
+        ds = spark.read.parquet(d)
+        if not assume_live and "gen" in ds.columns:
+            live = _bm_live_docstats(ds)
+            post = post.join(
+                live.select("doc", "gen"), ["doc", "gen"], "left_semi"
+            )
+            ds = live
+        elif "deleted" in ds.columns:
+            ds = ds.filter(~F.col("deleted"))
+        n_docs = ds.count()
+        delta = post.groupBy("token").agg(F.count("*").alias("df"))
+        delta = delta.unionByName(
+            spark.range(1).select(
+                F.lit(None).cast("string").alias("token"),
+                F.lit(int(n_docs)).cast("long").alias("df"),
+            )
+        )
+        # vocabulary-sized: a handful of files keeps the (always
+        # full-read) rollup scan parallel without small-file litter
+        delta.repartition(max(1, int(n_files))).write.mode(
+            "overwrite"
+        ).parquet(new)
+
+    if os.path.isdir(ts):
+        rewrite_store(ts, write_tokenstats)
+    else:
+        write_tokenstats(ts)
 
 
 def _bm_live_docstats(docstats: DataFrame) -> DataFrame:
@@ -1518,6 +1605,9 @@ def multi_terms_over_store(
     ``(*fields, n_docs)``, count desc then fields asc, top ``size``."""
     stats = _matched_docstats(spark, store_path, terms)
     if stats is None:
+        # NOTE: keyed fields type as string here — the store (and the
+        # fields' real types) does not exist to consult (the top_hits
+        # missing-store caveat)
         return spark.createDataFrame(
             [], ", ".join(f"{f} string" for f in fields) + ", n_docs long"
         )
@@ -1581,16 +1671,22 @@ def percentiles_over_store(
     if stats is None:
         return spark.createDataFrame([], "pct double, value double")
     pcts = [float(p) for p in percents]
+    # round IN-PLAN (F.round is half-away-from-zero, matching the
+    # oracle's SQL round) — Python's round() is banker's and would
+    # silently break the cross-engine value pin on .5e-6 boundaries
     row = stats.agg(
-        F.percentile(
-            F.col(field).cast("double"),
-            F.array(*[F.lit(p / 100.0) for p in pcts]),
+        F.transform(
+            F.percentile(
+                F.col(field).cast("double"),
+                F.array(*[F.lit(p / 100.0) for p in pcts]),
+            ),
+            lambda x: F.round(x, 6),
         ).alias("q")
     ).head()
     vals = row["q"] or [None] * len(pcts)
     return spark.createDataFrame(
         [
-            (p, None if v is None else round(float(v), 6))
+            (p, None if v is None else float(v))
             for p, v in zip(pcts, vals)
         ],
         "pct double, value double",
@@ -2515,7 +2611,9 @@ def _background_df(spark, store_path: str, postings, n_live: int):
 
     params = read_parquet_if_exists(spark, _bm_params_path(store_path))
     p_row = params.head() if params is not None else None
-    unmutated = p_row is not None and not bool(p_row["mutated"])
+    unmutated = p_row is not None and not bool(
+        p_row.asDict().get("mutated", True)
+    )
     tokenstats = (
         read_parquet_if_exists(spark, _bm_tokenstats_path(store_path))
         if unmutated
@@ -2569,8 +2667,6 @@ def significant_terms_over_store(
     exact then rounded, so the score is value-pinnable cross-engine.
     Output: ``(token, fg_df, bg_df, score)``, score desc / token asc,
     top ``size``."""
-    from ..storeio import read_parquet_if_exists
-
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame(
@@ -3271,18 +3367,16 @@ def match_phrase_prefix_over_store(
         return F.transform("pos", lambda x: x - F.lit(offset))
 
     n = len(phrase)
-    pleg = (
-        postings.filter(F.col("token").isin(exp_terms))
-        .select("doc", _shifted(n).alias("__pp"))
-        .groupBy("doc")
-        .agg(
+    exp_rows = postings.filter(F.col("token").isin(exp_terms))
+    if n == 0:
+        joined = exp_rows.select(
+            "doc", _shifted(0).alias("__pp")
+        ).groupBy("doc").agg(
             F.array_distinct(
                 F.flatten(F.collect_list("__pp"))
             ).alias("__pp")
         )
-    )
-    if n == 0:
-        joined, starts = pleg, F.col("__pp")
+        starts = F.col("__pp")
     else:
         base = postings.filter(
             F.col("token").isin(*list(dict.fromkeys(phrase)))
@@ -3293,6 +3387,22 @@ def match_phrase_prefix_over_store(
                 "doc", _shifted(i).alias(f"__p{i}")
             )
             joined = leg if joined is None else joined.join(leg, "doc")
+        # the prefix expansion can cover COMMON terms (a one-letter
+        # prefix over 'st…' hits most of the corpus) — restrict its
+        # position aggregate to the exact legs' candidate docs FIRST,
+        # so the per-doc union is ∝ phrase-matched docs, not
+        # ∝ prefix-matched corpus (measured 15.7 -> ~floor at 5M docs
+        # on a rare-phrase / common-prefix query)
+        pleg = (
+            exp_rows.join(joined.select("doc"), "doc", "left_semi")
+            .select("doc", _shifted(n).alias("__pp"))
+            .groupBy("doc")
+            .agg(
+                F.array_distinct(
+                    F.flatten(F.collect_list("__pp"))
+                ).alias("__pp")
+            )
+        )
         joined = joined.join(pleg, "doc")
         starts = F.col("__p0")
         for i in range(1, n):
@@ -3307,15 +3417,22 @@ def match_phrase_prefix_over_store(
     )
 
 
-def describe_bm25_store(spark, store_path: str) -> dict:
+def describe_bm25_store(spark, store_path: str, full: bool = True) -> dict:
     """Ops observability for the search store — the ``_cat/indices``
     / ``_stats`` shape: file and row counts per component, live vs
     tombstoned vs superseded docs, generation depth, vocabulary size,
-    stored fields and the mutated flag.  Every figure is one
-    metadata-sized aggregate; the postings vocabulary count is the
-    only index-wide pass (map-side to a scalar).  Use it to decide
-    when :func:`compact_bm25_store` is worth running (dead ratio,
-    file growth)."""
+    stored fields and the mutated flag.
+
+    ``full=False`` is the MAINTENANCE-POLICY view: strictly
+    metadata-sized — parquet footer counts, file listings and the
+    one-row params (whose ``dead`` counter the CDC folds maintain
+    batch-side), plus the tokenstats marker rows.  It skips the
+    postings row/vocabulary aggregates AND the docstats MVCC window,
+    so a per-micro-batch policy check never pays an index-wide pass
+    (the counter can only over-estimate dead rows after a crashed
+    fold's retry — see :func:`_bm_write_params` — which at worst
+    vacuums early).  Stores whose params predate the counter fall
+    back to the exact window computation."""
     from ..storeio import read_parquet_if_exists
 
     out: dict = {"store": store_path}
@@ -3334,8 +3451,9 @@ def describe_bm25_store(spark, store_path: str) -> dict:
     # a local glob would silently report 0 for any non-local store
     out["postings_files"] = len(postings.inputFiles())
     out["docstats_files"] = len(docstats.inputFiles())
-    out["postings_rows"] = postings.count()
-    out["vocab_size"] = postings.select("token").distinct().count()
+    if full:
+        out["postings_rows"] = postings.count()
+        out["vocab_size"] = postings.select("token").distinct().count()
     # (9) guard the zero-row params edge (a crash between creating the
     # component and committing its row): head() is None there, and the
     # observability call must not crash on the store it describes
@@ -3345,7 +3463,25 @@ def describe_bm25_store(spark, store_path: str) -> dict:
         out["mutated"] = bool(p.get("mutated"))
         out["scheme"] = p.get("scheme")
         out["stored_fields"] = p.get("fields")
-    if "gen" in docstats.columns:
+    params_dead = (
+        p_row.asDict().get("dead") if p_row is not None else None
+    )
+    if "gen" not in docstats.columns:
+        n = docstats.count()
+        out.update(
+            docstats_rows=n, live_docs=n, dead_rows=0, tombstones=0,
+            superseded_rows=0, max_generation=0,
+        )
+    elif not full and params_dead is not None:
+        total = docstats.count()  # parquet footer metadata
+        dead = int(params_dead)
+        out.update(
+            docstats_rows=total,
+            live_docs=total - dead,
+            dead_rows=dead,
+            max_generation=int(p_row.asDict().get("gen") or 0),
+        )
+    else:
         live = _bm_live_docstats(docstats)
         total = docstats.count()
         n_live = live.count()
@@ -3356,15 +3492,10 @@ def describe_bm25_store(spark, store_path: str) -> dict:
         out.update(
             docstats_rows=total,
             live_docs=n_live,
+            dead_rows=total - n_live,
             tombstones=int(agg["tombstones"] or 0),
             superseded_rows=total - n_live - int(agg["tombstones"] or 0),
             max_generation=int(agg["max_gen"] or 0),
-        )
-    else:
-        n = docstats.count()
-        out.update(
-            docstats_rows=n, live_docs=n, tombstones=0,
-            superseded_rows=0, max_generation=0,
         )
     # df-rollup health: files/doc-marker plus the same trust predicate
     # significant_terms applies (unmutated AND marker == live count) —
@@ -3507,31 +3638,9 @@ def compact_bm25_store(
     # the params reset: a reader may only trust the rollup once it is
     # provably in sync, and the doc-count verification would otherwise
     # accept a stale-but-count-equal copy after an unlucky crash.
-    ts = _bm_tokenstats_path(store_path)
-
-    def write_tokenstats(new: str) -> None:
-        post = spark.read.parquet(p)
-        ds = spark.read.parquet(d)
-        if "deleted" in ds.columns:
-            ds = ds.filter(~F.col("deleted"))
-        n_docs = ds.count()
-        delta = post.groupBy("token").agg(F.count("*").alias("df"))
-        delta = delta.unionByName(
-            spark.range(1).select(
-                F.lit(None).cast("string").alias("token"),
-                F.lit(int(n_docs)).cast("long").alias("df"),
-            )
-        )
-        # vocabulary-sized: a handful of files keeps the (always
-        # full-read) rollup scan parallel without small-file litter
-        delta.repartition(max(1, floor // 8)).write.mode(
-            "overwrite"
-        ).parquet(new)
-
-    if os.path.isdir(ts):
-        rewrite_store(ts, write_tokenstats)
-    else:
-        write_tokenstats(ts)
+    rebuild_bm25_tokenstats(
+        spark, store_path, assume_live=True, n_files=max(1, floor // 8)
+    )
     if mutated:
         # both stores now hold live rows only — readers may return to
         # the fast path.  Crash before this line: flag stays set, the
@@ -3552,6 +3661,7 @@ def compact_bm25_store(
             list(prow["fields"]),
             mutated=False,
             gen=prev_gen,
+            dead=0,  # every surviving row is live after the reclaim
         )
     return {
         "postings_files": (len(before_p), len(list_data_files(p))),

@@ -203,13 +203,16 @@ class ParquetIndexSink:
         """Compact the merge log iff it holds more than
         ``max_log_ratio`` rows per live key — the same closed-loop
         policy shape as the search stores' ``maintain_if_needed``.
-        No-op (action "none") in rewrite mode or under threshold."""
+        A fully-deleted state (zero live keys) compares against ONE
+        key, so a delete-heavy log still reclaims instead of growing
+        unbounded.  No-op (action "none") in rewrite mode or under
+        threshold."""
         d = self.describe(spark)
         if (
             self.mode != "merge"
             or not d.get("exists")
-            or not d.get("live_keys")
-            or d["log_rows"] / d["live_keys"] <= max_log_ratio
+            or d["log_rows"] / max(d.get("live_keys") or 0, 1)
+            <= max_log_ratio
         ):
             return {"action": "none", "describe": d}
         self.compact(spark)

@@ -1444,6 +1444,72 @@ def test_wave5_ops_keep_token_pushdown(spark, tmp_path):
         assert "CartesianProduct" not in plan
 
 
+def test_wave6_ops_keep_token_pushdown(spark, tmp_path):
+    """Round-10 ops: every store query still reaches the postings
+    scan with a token predicate (the file-pruning contract), and no
+    plan degenerates to a cartesian product."""
+    from mongo_es_spark.operators.text import (
+        filters_agg_over_store,
+        geo_bbox_over_store,
+        geo_distance_over_store,
+        incremental_bm25_index,
+        match_phrase_prefix_over_store,
+        multi_terms_over_store,
+        range_agg_over_store,
+        span_first_over_store,
+        terms_set_over_store,
+    )
+    from mongo_es_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .withColumn(
+            "lat",
+            ((F.col("doc_id") % 180) - 90 + F.lit(0.5)).cast("double"),
+        )
+        .withColumn(
+            "lon",
+            ((F.col("doc_id") * 7 % 360) - 180 + F.lit(0.5)).cast(
+                "double"
+            ),
+        )
+    )
+    store = str(tmp_path / "bm")
+    incremental_bm25_index(
+        spark, docs, store,
+        field_cols=["lang", "n_chars", "lat", "lon"],
+    ).count()
+    terms = ["spark", "value"]
+    frames = [
+        range_agg_over_store(
+            spark, store, terms, "n_chars", [(None, 200), (200, None)]
+        ),
+        multi_terms_over_store(spark, store, terms, ["lang"], size=5),
+        geo_distance_over_store(
+            spark, store, terms, 10.5, 20.5, 3000.0
+        ),
+        geo_bbox_over_store(
+            spark, store, terms, -20.0, 40.0, -60.0, 60.0
+        ),
+        terms_set_over_store(spark, store, terms + ["table"], 2),
+        span_first_over_store(spark, store, "spark", 3),
+        match_phrase_prefix_over_store(spark, store, ["spark"], "t"),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PushedFilters: \[.*token", plan), plan
+        assert "CartesianProduct" not in plan
+    # filters_agg materializes a single model-sized row; its matched
+    # frame is the same _matched_docstats plan the others pin — just
+    # assert it computes and is bucket-count-sized
+    got = filters_agg_over_store(
+        spark, store, terms, {"en": F.col("lang") == "en"}
+    )
+    assert got.count() == 1
+
+
 def test_filter_context_exists_missing(spark, tmp_path):
     from mongo_es_spark.operators.text import (
         filtered_bm25_over_store,

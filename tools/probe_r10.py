@@ -181,10 +181,96 @@ def probe_merge_sink(spark):
         )
 
 
+def probe_wave6(spark):
+    """Round-10 serving ops at 5M docs over a stored-fields index:
+    every one should sit at or under the token-pruned serving floor
+    (they share its matched-docs head and add only doc-values work)."""
+    from mongo_es_spark.operators.text import (
+        bm25_over_store,
+        filters_agg_over_store,
+        geo_bbox_over_store,
+        geo_distance_over_store,
+        incremental_bm25_index,
+        match_phrase_prefix_over_store,
+        multi_terms_over_store,
+        percentiles_over_store,
+        range_agg_over_store,
+        rare_terms_over_store,
+        span_first_over_store,
+        terms_set_over_store,
+    )
+
+    store = os.path.join(WORK, "bm5mf")
+    if not os.path.isdir(store):
+        base = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        docs = (
+            base.crossJoin(
+                spark.range(1000).select(F.col("id").alias("__k"))
+            )
+            .select(
+                (F.col("doc_id") + F.col("__k") * 100_000_000).alias(
+                    "doc_id"
+                ),
+                "text", "lang", "n_chars",
+            )
+            .withColumn(
+                "lat",
+                ((F.col("doc_id") % 180) - 90 + F.lit(0.5)).cast(
+                    "double"
+                ),
+            )
+            .withColumn(
+                "lon",
+                ((F.col("doc_id") * 7 % 360) - 180 + F.lit(0.5)).cast(
+                    "double"
+                ),
+            )
+            .repartition(64)
+        )
+        incremental_bm25_index(
+            spark, docs, store,
+            field_cols=["lang", "n_chars", "lat", "lon"],
+        ).count()
+    terms = ["dup", "batch"]
+    runs = [
+        ("bm25 floor", lambda: bm25_over_store(
+            spark, store, terms, top_k=10).count()),
+        ("range_agg", lambda: range_agg_over_store(
+            spark, store, terms, "n_chars",
+            [(None, 200), (200, 400), (400, None)]).count()),
+        ("filters_agg", lambda: filters_agg_over_store(
+            spark, store, terms,
+            {"en": F.col("lang") == "en",
+             "long": F.col("n_chars") >= 300}).count()),
+        ("multi_terms", lambda: multi_terms_over_store(
+            spark, store, terms, ["lang"], size=8).count()),
+        ("rare_terms", lambda: rare_terms_over_store(
+            spark, store, max_doc_count=300_000).count()),
+        ("percentiles", lambda: percentiles_over_store(
+            spark, store, terms, "n_chars").count()),
+        ("geo_distance", lambda: geo_distance_over_store(
+            spark, store, terms, 10.5, 20.5, 3000.0).count()),
+        ("geo_bbox", lambda: geo_bbox_over_store(
+            spark, store, terms, -20.0, 40.0, -60.0, 60.0).count()),
+        ("terms_set", lambda: terms_set_over_store(
+            spark, store, ["dup", "batch", "scan", "data"], 3).count()),
+        ("span_first", lambda: span_first_over_store(
+            spark, store, "dup", 3).count()),
+        ("phrase_prefix", lambda: match_phrase_prefix_over_store(
+            spark, store, ["dup"], "s").count()),
+    ]
+    for name, fn in runs:
+        sec, n = t(fn)
+        print(f"wave6 {name:14s}: {sec:6.1f} s rows={n}")
+
+
 PROBES = {
     "percolate": probe_percolate,
     "significant": probe_significant,
     "sink": probe_merge_sink,
+    "wave6": probe_wave6,
 }
 
 
