@@ -939,13 +939,26 @@ def apply_cdc_to_bm25_index(
             )
         probe = probe.drop("__dup")
     # replay filter: an upsert applies unless the LIVE row carries the
-    # same digest; a delete applies only to a live row
+    # same digest; a delete applies only to a live row; a TOMBSTONING
+    # upsert (null text — the only input that tokenizes to nothing,
+    # since the tokenizer maps even whitespace to one empty token) of
+    # an already-tombstoned doc is also a replay — without that clause
+    # a redelivered null-text upsert appended one tombstone row per
+    # delivery forever (caught by the dead-counter exactness test;
+    # note xxhash64(NULL) is a constant, NOT null, so the digest
+    # comparison alone cannot recognize this case)
     applies = F.when(
         F.col("__op") == "d", F.col("__cur_del").eqNullSafe(F.lit(False))
     ).otherwise(
         ~(
-            (F.col("__cur_del").eqNullSafe(F.lit(False)))
-            & F.col("__cur_sig").eqNullSafe(F.col("__sig"))
+            (
+                F.col("__cur_del").eqNullSafe(F.lit(False))
+                & F.col("__cur_sig").eqNullSafe(F.col("__sig"))
+            )
+            | (
+                F.col("__cur_del").eqNullSafe(F.lit(True))
+                & F.col("__t").isNull()
+            )
         )
     )
     applied_full = probe.filter(applies)

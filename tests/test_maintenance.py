@@ -121,6 +121,58 @@ def test_bm25_policy_repairs_rollup_desync(spark, tmp_path):
     assert maintain_if_needed(spark, store, **kw)["action"] == "none"
 
 
+def test_cheap_describe_dead_counter_is_exact(spark, tmp_path):
+    """The params-resident dead counter (maintained batch-side by the
+    CDC fold) must equal the window-computed truth through mixed
+    batches — updates, deletes, zero-token upserts, inserts, and a
+    replay that must not move it."""
+    from mongo_es_spark.operators.text import (
+        apply_cdc_to_bm25_index,
+        describe_bm25_store,
+        incremental_bm25_index,
+    )
+
+    store = str(tmp_path / "bm25")
+    incremental_bm25_index(
+        spark, spark.createDataFrame(DOCS, SCHEMA), store
+    ).count()
+
+    def check():
+        cheap = describe_bm25_store(spark, store, full=False)
+        exact = describe_bm25_store(spark, store, full=True)
+        assert cheap["dead_rows"] == exact["dead_rows"], (cheap, exact)
+        assert cheap["docstats_rows"] == exact["docstats_rows"]
+        assert cheap["live_docs"] == exact["live_docs"]
+        return cheap["dead_rows"]
+
+    assert check() == 0
+    b1 = spark.createDataFrame(
+        [
+            (1, "u", "updated spark one"),   # prior live -> +1
+            (6, "d", None),                  # prior + tombstone -> +2
+            # whitespace-only text indexes as ONE empty token (the
+            # tokenizer splits the trimmed empty string to [""]) —
+            # a LIVE row superseding its prior, not a tombstone
+            (7, "u", "   "),                 # prior live -> +1
+            (11, "u", None),                 # NEW doc, null text ->
+                                             # tombstone only -> +1
+        ],
+        CDC_SCHEMA,
+    )
+    apply_cdc_to_bm25_index(spark, b1, store).count()
+    assert check() == 5
+    # replay: no-op, counter must not move
+    apply_cdc_to_bm25_index(spark, b1, store).count()
+    assert check() == 5
+    # delete of a live doc: prior + tombstone -> +2
+    apply_cdc_to_bm25_index(
+        spark,
+        spark.createDataFrame([(7, "d", None)], CDC_SCHEMA),
+        store,
+    ).count()
+    assert check() == 7
+
+
 def test_indexed_sink_runs_policy_per_fold(spark, tmp_path):
     """The closed loop in the streaming path: SearchIndexedSink with a
     maintain= policy compacts the store mid-stream once the CDC folds
