@@ -965,10 +965,12 @@ def apply_cdc_to_bm25_index(
     # ONE batch-sized aggregate serves both the emptiness check and
     # the dead-row increment for the params counter: each applied row
     # kills its doc's previous latest row (when one existed), and a
-    # tombstone row (delete / zero-token upsert) is itself dead
-    is_tomb = (F.col("__op") == "d") | (
-        F.coalesce(F.size(tokens_col(F.col("__t"))), F.lit(0)) == 0
-    )
+    # tombstone row is itself dead.  A non-delete row tombstones iff
+    # its text is NULL — the tokenizer maps every non-null string
+    # (even whitespace) to ≥1 token, and only a token-less doc gets a
+    # tombstone below; keying on NULL directly also sidesteps
+    # size(NULL)'s config-dependent -1/NULL semantics
+    is_tomb = (F.col("__op") == "d") | F.col("__t").isNull()
     arow = applied_full.agg(
         F.count("*").alias("n"),
         F.sum(F.col("__cur_del").isNotNull().cast("long")).alias(
