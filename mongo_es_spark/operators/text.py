@@ -964,18 +964,20 @@ def apply_cdc_to_bm25_index(
     applied_full = probe.filter(applies)
     # ONE batch-sized aggregate serves both the emptiness check and
     # the dead-row increment for the params counter: each applied row
-    # kills its doc's previous latest row (when one existed), and a
-    # tombstone row is itself dead.  A non-delete row tombstones iff
-    # its text is NULL — the tokenizer maps every non-null string
-    # (even whitespace) to ≥1 token, and only a token-less doc gets a
-    # tombstone below; keying on NULL directly also sidesteps
-    # size(NULL)'s config-dependent -1/NULL semantics
+    # kills its doc's previous latest LIVE row (a superseded tombstone
+    # was already counted dead when IT was written — counting it again
+    # on resurrection would drift the counter +1 per delete→reinsert
+    # cycle), and a tombstone row is itself dead.  A non-delete row
+    # tombstones iff its text is NULL — the tokenizer maps every
+    # non-null string (even whitespace) to ≥1 token, and only a
+    # token-less doc gets a tombstone below; keying on NULL directly
+    # also sidesteps size(NULL)'s config-dependent -1/NULL semantics
     is_tomb = (F.col("__op") == "d") | F.col("__t").isNull()
     arow = applied_full.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("__cur_del").isNotNull().cast("long")).alias(
-            "prior"
-        ),
+        F.sum(
+            F.col("__cur_del").eqNullSafe(F.lit(False)).cast("long")
+        ).alias("prior"),
         F.sum(is_tomb.cast("long")).alias("tombs"),
     ).head()
     if int(arow["n"]) == 0:
@@ -1001,8 +1003,12 @@ def apply_cdc_to_bm25_index(
     # re-applies at a FRESH generation, so its half-written rows never
     # collide with the retry's and stay invisible to the live join).
     # A fresh store (no docstats yet) stays on the fast path —
-    # generation-0 inserts are exactly a fold.
-    if docstats is not None:
+    # generation-0 inserts are exactly a fold — UNLESS the very first
+    # batch writes a tombstone (null-text upsert of a new doc): the
+    # fast-path reader drops the `deleted` column, so an unflagged
+    # tombstone would serve as a live doc and skew every corpus stat.
+    tombs = int(arow["tombs"] or 0)
+    if docstats is not None or tombs > 0:
         prev_dead = (
             int(p_row.asDict().get("dead") or 0)
             if p_row is not None

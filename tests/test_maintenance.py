@@ -171,6 +171,57 @@ def test_cheap_describe_dead_counter_is_exact(spark, tmp_path):
         store,
     ).count()
     assert check() == 7
+    # RESURRECTION (upsert after delete): the superseded tombstone was
+    # already counted dead when written, the new row is live -> +0
+    apply_cdc_to_bm25_index(
+        spark,
+        spark.createDataFrame([(7, "u", "seven lives again")], CDC_SCHEMA),
+        store,
+    ).count()
+    assert check() == 7
+
+
+def test_fresh_store_tombstone_is_flagged(spark, tmp_path):
+    """A null-text upsert in the very FIRST batch of a new store must
+    flip the mutated flag: the fast-path reader drops the deleted
+    column, so an unflagged tombstone would serve as a live doc."""
+    from mongo_es_spark.operators.text import (
+        apply_cdc_to_bm25_index,
+        bm25_over_store,
+        describe_bm25_store,
+        incremental_bm25_index,
+    )
+
+    store = str(tmp_path / "bm25")
+    apply_cdc_to_bm25_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "u", "spark doc alive"), (2, "u", None)], CDC_SCHEMA
+        ),
+        store,
+    ).count()
+    d = describe_bm25_store(spark, store)
+    assert d["mutated"] and d["dead_rows"] == 1 and d["live_docs"] == 1
+    cheap = describe_bm25_store(spark, store, full=False)
+    assert cheap["dead_rows"] == 1 and cheap["live_docs"] == 1
+    # the tombstone must not reach serving (n_docs=1, one hit)
+    rebuilt = str(tmp_path / "rebuilt")
+    incremental_bm25_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "spark doc alive")], "doc_id long, text string"
+        ),
+        rebuilt,
+    ).count()
+    got = [
+        (r["doc"], r["score"])
+        for r in bm25_over_store(spark, store, ["spark"], top_k=5).collect()
+    ]
+    want = [
+        (r["doc"], r["score"])
+        for r in bm25_over_store(spark, rebuilt, ["spark"], top_k=5).collect()
+    ]
+    assert got == want == [(1, want[0][1])]
 
 
 def test_indexed_sink_runs_policy_per_fold(spark, tmp_path):
