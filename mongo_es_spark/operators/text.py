@@ -566,9 +566,16 @@ def _bm_write_params(
     mutated: bool,
     gen: int = 0,
     dead: int = 0,
+    analyzer: str = "whitespace",
 ) -> None:
     spark.range(1).select(
         F.lit(_BM_SCHEME).cast("int").alias("scheme"),
+        # the store's analysis chain (operators/analysis.py): folds
+        # with a different analyzer never merge, and every query-time
+        # term analysis resolves through this name — the ES mapping's
+        # per-field ``analyzer`` declaration (reference
+        # examples/config.json:64-66) as one store-level knob
+        F.lit(str(analyzer)).alias("analyzer"),
         F.array(*[F.lit(c) for c in fields]).cast(
             "array<string>"
         ).alias("fields"),
@@ -592,20 +599,44 @@ def _bm_write_params(
     )
 
 
-def _bm_check_params(spark, store_path: str, fields: Sequence[str]):
+def _params_analyzer(p_row) -> str:
+    """Analyzer name of a params row; rows predating the column (and
+    a missing row) resolve to the legacy raw-whitespace chain."""
+    if p_row is None:
+        return "whitespace"
+    d = p_row if isinstance(p_row, dict) else p_row.asDict()
+    return d.get("analyzer") or "whitespace"
+
+
+def _bm_check_params(
+    spark,
+    store_path: str,
+    fields: Sequence[str],
+    analyzer: str | None = None,
+):
     """Create-or-validate the store's params row for a write path:
-    raises on tokenizer-scheme drift AND on stored-field drift —
-    folding batches with differing ``field_cols`` would append
-    docstats files with different column sets, and a schema-merge-free
+    raises on tokenizer-scheme drift, on ANALYZER drift (folding
+    batches tokenized by a different analysis chain would mix
+    incompatible postings — "Spark" and "spark" as distinct tokens in
+    one index) AND on stored-field drift — folding batches with
+    differing ``field_cols`` would append docstats files with
+    different column sets, and a schema-merge-free
     ``spark.read.parquet`` then resolves the store from an arbitrary
     footer, silently dropping or nulling stored fields (the facet
     reader would miscount with no error).  Returns the params row, or
-    None when this call created it."""
+    None when this call created it (``analyzer=None`` means "use the
+    store's chain, or whitespace on create")."""
     from ..storeio import read_parquet_if_exists
 
     params = read_parquet_if_exists(spark, _bm_params_path(store_path))
     if params is None:
-        _bm_write_params(spark, store_path, fields, mutated=False)
+        _bm_write_params(
+            spark,
+            store_path,
+            fields,
+            mutated=False,
+            analyzer=analyzer or "whitespace",
+        )
         return None
     row = params.head()
     if row["scheme"] != _BM_SCHEME:
@@ -614,6 +645,13 @@ def _bm_check_params(spark, store_path: str, fields: Sequence[str]):
             f"{row['scheme']}; this build computes scheme "
             f"{_BM_SCHEME} — rebuild the index (mixed tokenizations "
             "score garbage silently)"
+        )
+    if analyzer is not None and _params_analyzer(row) != analyzer:
+        raise ValueError(
+            f"store at {store_path} was built with analyzer "
+            f"{_params_analyzer(row)!r}; this fold passes "
+            f"{analyzer!r} — mixed analysis chains index garbage "
+            "silently; rebuild the store or match the analyzer"
         )
     stored = list(row["fields"]) if "fields" in params.columns else []
     if stored != list(fields):
@@ -634,6 +672,7 @@ def incremental_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     field_cols: Sequence[str] = (),
+    analyzer: str | None = None,
 ) -> DataFrame:
     """Incrementally maintained full-text index: fold a batch of NEW
     documents into persisted BM25 state so search stays fresh as the
@@ -669,9 +708,13 @@ def incremental_bm25_index(
     Returns the newly indexed ``(doc, dl)`` rows — empty on replay.
     """
     from ..storeio import read_parquet_if_exists
+    from .analysis import get_analyzer
 
     fields = [c for c in field_cols if c not in (id_col, text_col)]
-    p_row = _bm_check_params(spark, store_path, fields)
+    p_row = _bm_check_params(spark, store_path, fields, analyzer)
+    an = get_analyzer(
+        analyzer if analyzer is not None else _params_analyzer(p_row)
+    )
     # RAW frames, not the live view: the fold's guards need every
     # generation's sig/deleted state, and its crash-repair anti-join
     # needs the orphaned postings a previous attempt left behind
@@ -736,7 +779,7 @@ def incremental_bm25_index(
     new = batch.localCheckpoint(eager=True)
     toks = new.select(
         "doc",
-        F.posexplode(tokens_col(F.col("__t"))).alias("p", "token"),
+        F.posexplode(an.tokens_col(F.col("__t"))).alias("p", "token"),
     )
     # positional postings: 0-based token offsets, sorted — phrase
     # queries check relative adjacency so the base never matters
@@ -810,6 +853,7 @@ def apply_cdc_to_bm25_index(
     op_col: str = "op",
     field_cols: Sequence[str] = (),
     seq_col: str | None = None,
+    analyzer: str | None = None,
 ) -> DataFrame:
     """Index maintenance under MUTATION: apply a CDC batch of inserts,
     updates and deletes to the incremental BM25 store, so the search
@@ -864,9 +908,13 @@ def apply_cdc_to_bm25_index(
     batch was a replay (in which case nothing was written at all).
     """
     from ..storeio import read_parquet_if_exists
+    from .analysis import get_analyzer
 
     fields = [c for c in field_cols if c not in (id_col, text_col)]
-    p_row = _bm_check_params(spark, store_path, fields)
+    p_row = _bm_check_params(spark, store_path, fields, analyzer)
+    an = get_analyzer(
+        analyzer if analyzer is not None else _params_analyzer(p_row)
+    )
     docstats = read_parquet_if_exists(
         spark, _bm_docstats_path(store_path)
     )
@@ -1017,12 +1065,13 @@ def apply_cdc_to_bm25_index(
         _bm_write_params(
             spark, store_path, fields,
             mutated=True, gen=g, dead=prev_dead + dead_inc,
+            analyzer=an.name,
         )
 
     ups = applied.filter(F.col("__op") != "d")
     toks = ups.select(
         "doc",
-        F.posexplode(tokens_col(F.col("__t"))).alias("p", "token"),
+        F.posexplode(an.tokens_col(F.col("__t"))).alias("p", "token"),
     )
     tf_rows = toks.groupBy("doc", "token").agg(
         F.count("*").alias("tf"),
@@ -1116,8 +1165,20 @@ def rebuild_bm25_tokenstats(
                 live.select("doc", "gen"), ["doc", "gen"], "left_semi"
             )
             ds = live
-        elif "deleted" in ds.columns:
-            ds = ds.filter(~F.col("deleted"))
+        else:
+            if "deleted" in ds.columns:
+                ds = ds.filter(~F.col("deleted"))
+            # drop ORPHAN postings (doc has no docstats row) even when
+            # every docstats row is known live: a fold that crashed
+            # after its postings append leaves orphans, and a rebuild
+            # that counted them would double-count with the crashed
+            # fold's eventual retry delta (the retry deliberately
+            # re-counts its docs' postings) — the doc-count trust
+            # predicate cannot see df inflation, so significant/rare
+            # terms would serve bad backgrounds from a "trusted"
+            # rollup.  One postings∝-sized semi-join, amortized into a
+            # pass that already reads both stores.
+            post = post.join(ds.select("doc"), "doc", "left_semi")
         n_docs = ds.count()
         delta = post.groupBy("token").agg(F.count("*").alias("df"))
         delta = delta.unionByName(
@@ -1151,6 +1212,73 @@ def _bm_live_docstats(docstats: DataFrame) -> DataFrame:
     )
 
 
+_PARAMS_ROW_CACHE: dict = {}
+
+
+def _store_params_row(spark, store_path: str):
+    """The store's one-row ``_bm_params`` as a dict, cached on the
+    params directory's exact file listing (name, size, mtime_ns):
+    every rewrite lands new UUID part-filenames, so any fold /
+    compaction invalidates the entry and a hit never serves stale
+    params.  Serving queries consult params twice (analyzer + mutated
+    flag); without the cache each consult is a full parquet
+    open-footer-read job.  Non-local paths (no ``os.scandir``) fall
+    back to an uncached read."""
+    from ..storeio import read_parquet_if_exists
+
+    path = _bm_params_path(store_path)
+    key = None
+    try:
+        entries = tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+                if e.is_file()
+            )
+        )
+        key = (os.path.abspath(path), entries)
+    except OSError:
+        key = None
+    if key is not None and key in _PARAMS_ROW_CACHE:
+        return _PARAMS_ROW_CACHE[key]
+    params = read_parquet_if_exists(spark, path)
+    row = params.head().asDict() if params is not None else None
+    if key is not None:
+        if len(_PARAMS_ROW_CACHE) > 64:
+            _PARAMS_ROW_CACHE.clear()
+        _PARAMS_ROW_CACHE[key] = row
+    return row
+
+
+def store_analyzer(spark, store_path: str):
+    """The :class:`~.analysis.Analyzer` the store was built with
+    (legacy stores → raw whitespace)."""
+    from .analysis import get_analyzer
+
+    return get_analyzer(
+        _params_analyzer(_store_params_row(spark, store_path))
+    )
+
+
+def analyze_store_terms(
+    spark, store_path: str, terms: Sequence[str]
+) -> list[str]:
+    """Query-time term analysis through the STORE'S OWN chain — the
+    search_analyzer side of the reference's per-field declaration
+    (examples/config.json:64-66).  Every full-text serving op routes
+    its terms here, so "SPARK" finds documents indexed as "spark" on
+    an analyzed store while term-level ops (prefix / wildcard /
+    regexp / fuzzy / suggest) stay raw, mirroring ES's
+    analyzed-vs-term-level query split.  Identity (and one cached
+    dict lookup) on legacy whitespace stores; idempotent, so layered
+    entry points may each call it."""
+    terms = list(terms)
+    an = store_analyzer(spark, store_path)
+    if an.name == "whitespace":
+        return terms
+    return an.analyze_terms(terms)
+
+
 def _read_search_store(spark, store_path: str):
     """Resolve the store to its LIVE rows with the legacy reader
     shape: ``postings (token, doc, tf, pos)`` and ``docstats (doc, dl,
@@ -1178,13 +1306,8 @@ def _read_search_store(spark, store_path: str):
         return None, None
     if "gen" not in docstats.columns:
         return postings, docstats
-    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
-    p_row = params.head() if params is not None else None
-    mutated = (
-        p_row is not None
-        and "mutated" in params.columns
-        and bool(p_row["mutated"])
-    )
+    p_row = _store_params_row(spark, store_path)
+    mutated = bool(p_row.get("mutated")) if p_row is not None else False
     if not mutated:
         return (
             postings.drop("gen"),
@@ -1251,6 +1374,7 @@ def _bm25_scored(
     MVCC-resolved ``(postings, docstats)`` pair so callers that also
     need docstats (the doc-values score functions) pay one store
     resolution, not two."""
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = (
         resolved
         if resolved is not None
@@ -1317,7 +1441,15 @@ def bm25_batch_over_store(
     """
     from ..storeio import read_parquet_if_exists
 
-    qlist = [(int(q), list(dict.fromkeys(terms))) for q, terms in queries]
+    qlist = [
+        (
+            int(q),
+            list(
+                dict.fromkeys(analyze_store_terms(spark, store_path, terms))
+            ),
+        )
+        for q, terms in queries
+    ]
     if len(qlist) > max_queries:
         raise ValueError(
             f"bm25_batch_over_store: > {max_queries} queries — the "
@@ -1486,6 +1618,7 @@ def facets_over_store(
     """
     from ..storeio import read_parquet_if_exists
 
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame(
@@ -1515,6 +1648,7 @@ def _matched_docstats(spark, store_path: str, terms: Sequence[str]):
     token-pruned postings scan (``PushedFilters: In(token, …)``) and
     a doc-keyed semi-join, ∝ matched docs.  Returns None when the
     store is missing."""
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return None
@@ -1873,9 +2007,15 @@ def bool_search_over_store(
     """
     from ..storeio import read_parquet_if_exists
 
-    must = list(dict.fromkeys(must))
-    should = list(dict.fromkeys(should))
-    must_not = list(dict.fromkeys(must_not))
+    must = list(
+        dict.fromkeys(analyze_store_terms(spark, store_path, must))
+    )
+    should = list(
+        dict.fromkeys(analyze_store_terms(spark, store_path, should))
+    )
+    must_not = list(
+        dict.fromkeys(analyze_store_terms(spark, store_path, must_not))
+    )
     if not must and not should:
         raise ValueError("bool query needs at least one must/should term")
     all_terms = sorted(set(must) | set(should) | set(must_not))
@@ -2177,6 +2317,7 @@ def histogram_over_store(
     one semi-join against docstats (∝ matched docs), one bucket-keyed
     count.  The corpus is never touched.  Output: ``(bucket,
     n_docs)``, bucket asc."""
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame([], "bucket double, n_docs long")
@@ -2232,6 +2373,7 @@ def date_histogram_over_store(
         raise ValueError(
             f"calendar interval must be one of {sorted(allowed)}"
         )
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame([], "bucket date, n_docs long")
@@ -2314,6 +2456,7 @@ def composite_agg_over_store(
     bucket aggregate + a TakeOrdered of ``size`` buckets; the cursor
     is a predicate, so page N+1 costs the same as page 1 and no
     offset materializes.  Output: source columns + ``n_docs``."""
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         # keep the documented output shape on a missing store (source
@@ -2386,6 +2529,10 @@ def adjacency_matrix_over_store(
     asc."""
     if not filters:
         raise ValueError("adjacency_matrix needs at least one filter")
+    filters = {
+        k: analyze_store_terms(spark, store_path, ts)
+        for k, ts in filters.items()
+    }
     postings, _ds = _read_search_store(spark, store_path)
     if postings is None:
         return spark.createDataFrame([], "key string, n_docs long")
@@ -2510,6 +2657,7 @@ def stats_over_store(
     one docstats semi-join (∝ matched docs), one global aggregate —
     the corpus is never read.  Output: one row ``(n_docs, min_v,
     max_v, avg_v, sum_v[, n_distinct])``."""
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         schema = (
@@ -2688,6 +2836,7 @@ def significant_terms_over_store(
     exact then rounded, so the score is value-pinnable cross-engine.
     Output: ``(token, fg_df, bg_df, score)``, score desc / token asc,
     top ``size``."""
+    terms = analyze_store_terms(spark, store_path, terms)
     postings, docstats = _read_search_store(spark, store_path)
     if postings is None or docstats is None:
         return spark.createDataFrame(
@@ -2864,6 +3013,7 @@ def boosting_over_store(
         raise ValueError("boosting query needs positive terms")
     if not (0.0 <= negative_boost <= 1.0):
         raise ValueError("negative_boost must be in [0, 1]")
+    negative = analyze_store_terms(spark, store_path, negative)
     resolved = _read_search_store(spark, store_path)
     scored = _bm25_scored(
         spark, store_path, positive, k1, b, resolved=resolved
@@ -2951,6 +3101,7 @@ def percolate(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "broadcast",
+    analyzer: str = "whitespace",
 ) -> DataFrame:
     """ES ``percolate`` — the REVERSE search: queries are the stored
     side, documents stream through and each doc reports which
@@ -2989,8 +3140,13 @@ def percolate(
     matching itself (measured 10x+ the match cost at 5M docs x 100
     dense queries); the driver-gate comparison is order-insensitive,
     and callers paging results should sort their own bounded slice."""
+    from .analysis import get_analyzer
+
+    an = get_analyzer(analyzer)
     if mode == "indexed":
-        return _percolate_indexed(spark, queries_df, docs, id_col, text_col)
+        return _percolate_indexed(
+            spark, queries_df, docs, id_col, text_col, an
+        )
     if mode != "broadcast":
         raise ValueError(f"unknown percolate mode {mode!r}")
     qt = (
@@ -3004,7 +3160,7 @@ def percolate(
     toks = docs.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(tokens_col(F.col(text_col)))
+            F.array_distinct(an.tokens_col(F.col(text_col)))
         ).alias("token"),
     )
     # doc tokens and query terms are BOTH deduped before the join, so
@@ -3025,7 +3181,7 @@ def percolate(
 
 
 def _percolate_indexed(
-    spark, queries_df, docs, id_col: str, text_col: str
+    spark, queries_df, docs, id_col: str, text_col: str, an
 ) -> DataFrame:
     """The query-indexed percolate plan (see :func:`percolate`,
     ``mode="indexed"``)."""
@@ -3043,7 +3199,7 @@ def _percolate_indexed(
         docs.select(
             F.col(id_col),
             F.explode(
-                F.array_distinct(tokens_col(F.col(text_col)))
+                F.array_distinct(an.tokens_col(F.col(text_col)))
             ).alias("token"),
         )
         .join(
@@ -3297,6 +3453,7 @@ def phrase_over_store(
     """
     from ..storeio import read_parquet_if_exists
 
+    phrase = analyze_store_terms(spark, store_path, phrase)
     if len(phrase) < 1:
         raise ValueError("phrase needs at least one term")
     postings, _ds = _read_search_store(spark, store_path)
@@ -3361,6 +3518,13 @@ def match_phrase_prefix_over_store(
 
     if not prefix:
         raise ValueError("empty prefix would scan the whole index")
+    phrase = analyze_store_terms(spark, store_path, phrase)
+    _ptoks = analyze_store_terms(spark, store_path, [prefix])
+    prefix = _ptoks[-1] if _ptoks else prefix
+    if not prefix:
+        raise ValueError(
+            "prefix analyzed to nothing under the store's analyzer"
+        )
     postings, _ds = _read_search_store(spark, store_path)
     if postings is None:
         return spark.createDataFrame(
@@ -3683,6 +3847,7 @@ def compact_bm25_store(
             mutated=False,
             gen=prev_gen,
             dead=0,  # every surviving row is live after the reclaim
+            analyzer=_params_analyzer(prow),
         )
     return {
         "postings_files": (len(before_p), len(list_data_files(p))),
@@ -3719,7 +3884,9 @@ def proximity_over_store(
     """
     from ..storeio import read_parquet_if_exists
 
-    terms = list(dict.fromkeys(terms))
+    terms = list(
+        dict.fromkeys(analyze_store_terms(spark, store_path, terms))
+    )
     k = len(terms)
     if k < 1:
         raise ValueError("proximity needs at least one term")

@@ -649,19 +649,38 @@ def _driver_row_history() -> dict[str, int]:
     return hist
 
 
+# Names whose implementation or oracle changed AFTER their last
+# driver row: forced to the head of the export window until the
+# driver re-hashes them in the given round (or later), then they
+# rejoin normal staleness rotation — the one case pure staleness
+# ordering cannot see (search_pipeline_agg's oracle typing was fixed
+# in r10 but its last driver row is the red r9 one; r11 VERDICT asks
+# for a fresh hash).
+_FORCE_RECHECK = {"search_pipeline_agg": 11}
+
+
 def _export_order() -> list[str]:
     """Driver-facing iteration order, self-rotating staleness-first:
     the driver records correctness rows for only the FIRST 50
     exported queries, so never-driver-checked names export first,
-    then oldest-checked.  Ties (same last-checked round) break to
-    the manual ``_DRIVER_PRIORITY`` curation, then registration
-    order.  Deterministic for a given set of record files."""
+    then oldest-checked — except ``_FORCE_RECHECK`` names still
+    awaiting their post-fix driver row, which outrank everything.
+    Ties (same last-checked round) break to the manual
+    ``_DRIVER_PRIORITY`` curation, then registration order.
+    Deterministic for a given set of record files."""
     hist = _driver_row_history()
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
     reg = {n: i for i, n in enumerate(REGISTRY)}
+
+    def cls(n: str) -> int:
+        want = _FORCE_RECHECK.get(n)
+        if want is not None and hist.get(n, -1) < want:
+            return -2
+        return hist.get(n, -1)
+
     return sorted(
         REGISTRY,
-        key=lambda n: (hist.get(n, -1), prio.get(n, len(prio)), reg[n]),
+        key=lambda n: (cls(n), prio.get(n, len(prio)), reg[n]),
     )
 
 
@@ -2598,9 +2617,176 @@ def search_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import match_phrase_prefix_over_store
 
     store = _shared_bm25_store(spark, sf_dir)
+    # the oracle is UNCAPPED, so the cap must sit above any fixture
+    # vocabulary: at 50 the pair silently diverges the moment a scale
+    # factor grows >50 distinct 's'-tokens (r10 ADVICE); 2^20 terms
+    # is far past any sf while still bounding the guarded collect
     return match_phrase_prefix_over_store(
-        spark, store, ["big"], "s", max_expansions=50
+        spark, store, ["big"], "s", max_expansions=1 << 20
     ).select(F.col("doc").alias("doc_id"), "n_occurrences")
+
+
+# --------------------------------------------------------------------
+# Analyzed search store: the reference's per-field analyzer
+# declaration (examples/config.json:64-66) as a store-level analysis
+# chain shared by index time, query time AND the DuckDB oracle
+# (operators/analysis.py).  The fixture corpus is deliberately messy:
+# every third doc uppercased, every third wrapped in punctuation,
+# every third with '--' separators injected between words — a raw
+# whitespace index would miss most matches; the analyzed index must
+# serve exactly what the oracle's identical chain derives.
+# --------------------------------------------------------------------
+
+# one mixed-text expression, written once for both engines
+_AN_MIXED_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN upper(text) "
+    "WHEN 1 THEN concat('<< ', text, ' !!!') "
+    "ELSE replace(text, ' ', ' -- ') END"
+)
+
+
+def _an_mixed_col() -> F.Column:
+    d = F.col("doc_id") % 3
+    return (
+        F.when(d == 0, F.upper("text"))
+        .when(
+            d == 1, F.concat(F.lit("<< "), F.col("text"), F.lit(" !!!"))
+        )
+        .otherwise(F.regexp_replace(F.col("text"), " ", " -- "))
+    )
+
+
+def _analyzed_toks_sql() -> str:
+    from .operators.analysis import get_analyzer
+
+    return get_analyzer("standard").duckdb_tokens_sql(_AN_MIXED_SQL)
+
+
+# the analyzed-token list expression, rendered once into each oracle
+_ANALYZED_TOKS = _analyzed_toks_sql()
+
+
+def _shared_analyzed_bm25_store(spark: SparkSession, sf_dir: str) -> str:
+    """The mixed-case/punctuated corpus folded once into a
+    standard-analyzed BM25 store (analyzer recorded in _bm_params, so
+    every serving op analyzes its query terms through the same
+    chain)."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _an_mixed_col().alias("text"), "lang"
+        )
+        incremental_bm25_index(
+            spark, docs, path, field_cols=["lang"], analyzer="standard"
+        ).count()
+
+    return _shared_store("bm25_an", sf_dir, build)
+
+
+@register(
+    "search_analyzed",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('value', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """.replace("{TOKS}", _ANALYZED_TOKS),
+)
+def search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/punctuation-insensitive BM25 over the standard-analyzed
+    store (operators/text.py:incremental_bm25_index with
+    analyzer="standard" + analyze_store_terms): the query arrives as
+    the user typed it — "VALUE!", "Table" — and is analyzed through
+    the STORE'S chain before touching postings, matching docs whose
+    raw text was uppercased, punct-wrapped or dash-separated by the
+    fixture.  The oracle runs the byte-identical analysis chain
+    (analysis.py duckdb twin) over the same mixed expression —
+    index-time and query-time analysis provably one pipeline."""
+    from .operators.text import bm25_over_store
+
+    store = _shared_analyzed_bm25_store(spark, sf_dir)
+    return bm25_over_store(
+        spark, store, ["VALUE!", "Table"], top_k=10
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_analyzed_phrase",
+    """
+    WITH t AS (
+        SELECT doc_id, {TOKS} AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len([i FOR i IN range(1, len(toks))
+                    IF toks[i] = 'value' AND toks[i+1] = 'table'])
+                   AS n_occurrences
+        FROM t
+    )
+    SELECT doc_id, n_occurrences::BIGINT AS n_occurrences
+    FROM m WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id ASC
+    """.replace("{TOKS}", _ANALYZED_TOKS),
+)
+def search_analyzed_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase over the analyzed store: the phrase "Value,
+    TABLE" analyzes to ['value', 'table'] and must find consecutive
+    positions in the ANALYZED token stream — including docs where the
+    fixture injected '--' separators between the words (separator
+    runs collapse, so positions stay adjacent).  Same positional
+    plan as search_phrase; the oracle re-derives positions from the
+    analyzed lists."""
+    from .operators.text import phrase_over_store
+
+    store = _shared_analyzed_bm25_store(spark, sf_dir)
+    return phrase_over_store(spark, store, ["Value,", "TABLE"]).select(
+        F.col("doc").alias("doc_id"), "n_occurrences"
+    )
+
+
+@register(
+    "search_analyzed_facets",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, {TOKS} AS toks
+        FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs
+    FROM t WHERE list_contains(toks, 'value')
+    GROUP BY lang
+    ORDER BY n_docs DESC, lang ASC
+    """.replace("{TOKS}", _ANALYZED_TOKS),
+)
+def search_analyzed_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-values facet counts over the analyzed match set: terms
+    aggregation on the stored ``lang`` field for documents matching
+    the query-time-analyzed term "VALUE?" — the agg family
+    (range/histogram/significant/…) all route term analysis through
+    the same _matched_docstats chokepoint this exercises."""
+    from .operators.text import facets_over_store
+
+    store = _shared_analyzed_bm25_store(spark, sf_dir)
+    return facets_over_store(spark, store, ["VALUE?"], "lang")
 
 
 @register(

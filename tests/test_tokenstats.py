@@ -217,3 +217,84 @@ def test_duplicate_ids_without_seq_still_raise(spark, tmp_path):
             store,
             field_cols=["lang"],
         )
+
+
+def test_orphan_rows_never_double_count_in_rollup(spark, tmp_path):
+    """The crash-retry / desync-repair interleaving that could
+    silently inflate the rollup (r10 ADVICE, medium):
+
+    1. fold A (docs 4-5) crashes AFTER its postings append — orphan
+       postings, no docstats rows, rollup untouched (counts still
+       match, nothing detects anything);
+    2. fold B (doc 6) crashes BETWEEN docstats and tokenstats —
+       counts now diverge, the desync repair fires and rebuilds the
+       rollup from postings with ``assume_live=True``;
+    3. fold A retries — skips the postings write (already on disk),
+       appends docstats + its tokenstats delta, which DELIBERATELY
+       covers its docs' already-present postings.
+
+    If step 2's rebuild counted the orphan postings, step 3's delta
+    would cover them a second time while the doc-count trust
+    predicate stays green (it is doc-based, not df-based).  Pinned:
+    after the retry, the TRUSTED rollup equals the exact postings
+    background (same tokenstats-serving plan, identical results to a
+    rollup-free store)."""
+    import glob
+
+    from mongo_es_spark.operators.maintenance import maintain_bm25_if_needed
+
+    store = str(tmp_path / "bm25")
+    _fold(spark, store, DOCS[:3])
+
+    # -- step 1: fold A's postings land, nothing else (orphans) -----
+    orphan_docs = spark.createDataFrame(DOCS[3:5], SCHEMA)
+    toks = orphan_docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("p", "token"),
+    )
+    toks.groupBy("doc", "token").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("p")).alias("pos"),
+    ).select(
+        "token", "doc", "tf", "pos", F.lit(0).cast("long").alias("gen")
+    ).write.mode("append").parquet(os.path.join(store, "postings"))
+
+    # -- step 2: fold B commits docstats but not its rollup delta ---
+    ts = os.path.join(store, "tokenstats")
+    before = set(os.listdir(ts))
+    _fold(spark, store, DOCS[5:])
+    for f in set(os.listdir(ts)) - before:
+        p = os.path.join(ts, f)
+        (os.remove if os.path.isfile(p) else shutil.rmtree)(p)
+    fired = maintain_bm25_if_needed(spark, store)
+    assert any("rollup_desync" in s for s in fired["reasons"])
+
+    # -- step 3: fold A retries and converges -----------------------
+    _fold(spark, store, DOCS[3:5])
+
+    served = _sig(spark, store)
+    # the rollup IS trusted (doc counts match) and serving from it...
+    plan = _plan_of(served)
+    assert "tokenstats" in plan and _postings_scans(plan) == 2
+    got = sorted(map(tuple, served.collect()))
+    # ...equals the exact background of a fresh single-fold store
+    clean = str(tmp_path / "clean")
+    _fold(spark, clean, DOCS)
+    shutil.rmtree(os.path.join(clean, "tokenstats"))
+    assert got == sorted(map(tuple, _sig(spark, clean).collect()))
+    # and the rollup's per-token df is exactly the live postings df
+    roll = (
+        spark.read.parquet(ts)
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+    )
+    exact = (
+        spark.read.parquet(os.path.join(store, "postings"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    diff = roll.join(exact, "token", "full").filter(
+        ~roll["df"].eqNullSafe(exact["df"])
+    )
+    assert diff.count() == 0
