@@ -2975,6 +2975,7 @@ def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
     """The corpus folded once into the incremental BM25 index
     (postings + docstats + positions) — the serving index every
     store-backed lexical query reads."""
+    from .operators.geo import materialize_geo_index
     from .operators.text import incremental_bm25_index
 
     def build(path: str) -> None:
@@ -3007,6 +3008,10 @@ def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
             spark, docs, path,
             field_cols=["lang", "n_chars", "day", "lat", "lon"],
         ).count()
+        # cell-partitioned geo sidecar (operators/geo.py): pure-geo
+        # and geo-filtered queries prune FILES by cell ring instead
+        # of scanning every doc's point — the BKD-tree role
+        materialize_geo_index(spark, path, cell_deg=15.0)
 
     return _shared_store("bm25", sf_dir, build)
 
@@ -10185,16 +10190,19 @@ def search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def search_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES geo_distance + distance sort
-    (operators/text.py:geo_distance_over_store): matched docs within
-    3000 km of (10.5, 20.5) by haversine over the stored lat/lon doc
-    values, nearest first — codegen trig over the matched set, the
-    oracle mirrors the formula term for term."""
-    from .operators.text import geo_distance_over_store
+    """ES geo_distance + distance sort, served from the
+    cell-partitioned geo sidecar (operators/geo.py:
+    geo_distance_pruned): the ring's partitions are the only files
+    read (PartitionFilters on cell), haversine verifies exactly
+    inside, the term match semi-joins — matched docs within 3000 km
+    of (10.5, 20.5), nearest first.  The oracle mirrors the formula
+    term for term; pruning is covered (superset) so results are
+    identical to the linear plan."""
+    from .operators.geo import geo_distance_pruned
 
     store = _shared_bm25_store(spark, sf_dir)
-    return geo_distance_over_store(
-        spark, store, ["spark", "value"], 10.5, 20.5, 3000.0, k=10
+    return geo_distance_pruned(
+        spark, store, 10.5, 20.5, 3000.0, terms=["spark", "value"], k=10
     ).select(F.col("doc").alias("doc_id"), "dist_km")
 
 
@@ -10221,15 +10229,103 @@ def search_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def search_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES geo_bounding_box (operators/text.py:geo_bbox_over_store):
-    matched docs inside the box, edges inclusive — pure comparisons
-    over stored doc values, no trig."""
-    from .operators.text import geo_bbox_over_store
+    """ES geo_bounding_box served from the geo sidecar
+    (operators/geo.py:geo_bbox_pruned): box-covering cells prune the
+    scan at file level, the exact edge-inclusive comparisons verify
+    inside."""
+    from .operators.geo import geo_bbox_pruned
 
     store = _shared_bm25_store(spark, sf_dir)
-    return geo_bbox_over_store(
-        spark, store, ["spark", "table"], -20.0, 40.0, -60.0, 60.0
+    return geo_bbox_pruned(
+        spark, store, -20.0, 40.0, -60.0, 60.0, terms=["spark", "table"]
     ).select(F.col("doc").alias("doc_id"), "lat", "lon")
+
+
+@register(
+    "search_geo_pure",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+               CAST((doc_id * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               round(2 * 6371 * asin(sqrt(
+                   pow(sin(radians(lat - 45.5) / 2), 2)
+                   + cos(radians(45.5)) * cos(radians(lat))
+                     * pow(sin(radians(lon + 100.5) / 2), 2))), 6)
+                   AS dist_km
+        FROM g
+    )
+    SELECT doc_id, dist_km FROM d
+    WHERE dist_km <= 2000
+    ORDER BY dist_km ASC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_geo_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE-geo query — no term companion, the r10 verdict's one
+    named scale-killer: nearest docs within 2000 km of (45.5,
+    -100.5) with NO match leg to pre-prune.  Serves from the
+    cell-partitioned sidecar (operators/geo.py:geo_distance_pruned):
+    only the ring's partition directories are opened
+    (PartitionFilters on cell — plan pinned in tests/test_geo.py),
+    exact haversine verifies inside, so cost is ring-area-, not
+    corpus-, proportional.  The oracle scans everything — results
+    must agree exactly."""
+    from .operators.geo import geo_distance_pruned
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return geo_distance_pruned(
+        spark, store, 45.5, -100.5, 2000.0, k=10
+    ).select(F.col("doc").alias("doc_id"), "dist_km")
+
+
+@register(
+    "search_geo_grid",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value')
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST((doc_id % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+               CAST((doc_id * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+        FROM documents JOIN matched USING (doc_id)
+    ),
+    k AS (
+        SELECT concat('3/',
+                   least(greatest(floor((lon + 180) / 360 * 8), 0), 7)
+                       ::BIGINT::VARCHAR,
+                   '/',
+                   least(greatest(floor((1 - ln(tan(radians(lat))
+                       + 1 / cos(radians(lat))) / pi()) / 2 * 8), 0), 7)
+                       ::BIGINT::VARCHAR) AS key
+        FROM g
+    )
+    SELECT key, count(*)::BIGINT AS n_docs FROM k
+    GROUP BY key ORDER BY n_docs DESC, key ASC
+    """,
+)
+def search_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation (operators/geo.py:
+    geotile_grid_over_store): doc counts per web-mercator tile
+    ("z/x/y" keys, zoom 3) over the matched set — the heat-map query
+    every geo UI issues.  Pure codegen trig over matched doc values;
+    the oracle re-derives the identical tile math (boundaries at
+    multiples of 45 degrees and mercator parallels, never at the
+    fixture's X.5-degree points, so cross-engine floor() cannot
+    disagree)."""
+    from .operators.geo import geotile_grid_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return geotile_grid_over_store(spark, store, ["value"], zoom=3)
 
 
 @register(
