@@ -1,0 +1,194 @@
+"""Recursive bucket→agg composition over the search store — the ES
+aggregation model where ANY bucket aggregation nests any other bucket
+or metric aggregation (terms → date_histogram → stats …), replacing
+the per-shape helpers' duplicated matched-set → group → agg scaffolding
+with one planner over the same primitives.
+
+Execution shape: the ENTIRE tree compiles into ONE pass — the
+token-pruned match (``PushedFilters: In(token, …)``) semi-joins
+docstats once, every bucket level becomes a key expression, the leaf
+metrics become aggregate expressions, and the whole thing is a single
+``groupBy(all level keys)``.  Per-level ``terms`` ``size`` truncation
+(ES keeps the top-N buckets per parent by doc count) applies AFTER
+the aggregate as window ranks over the bucket-cardinality-sized frame
+— corpus-side work never exceeds the one matched scan regardless of
+nesting depth, which is what makes arbitrary client-composed
+aggregation trees safe at 100 TB.
+
+Spec is ES-shaped::
+
+    {"langs": {"terms": {"field": "lang", "size": 3},
+       "aggs": {"months": {"date_histogram": {"field": "day",
+                                              "interval": "month"},
+         "aggs": {"sum_chars": {"sum": {"field": "n_chars"}},
+                  "avg_chars": {"avg": {"field": "n_chars"}}}}}}}
+
+One bucket node per level (a flat DataFrame cannot carry sibling
+bucket forests); metric leaves may have any number of siblings.
+Output: one row per deepest bucket combination — level-key columns
+(named by the spec), ``n_docs`` (leaf count), then metric columns —
+ordered by the level keys ascending.  Docs with a null/out-of-range
+key at any level drop from that level down (the ES default; `missing`
+buckets are opt-in there and out of scope here).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import _matched_docstats
+
+_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range")
+_METRIC_OPS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "value_count": F.count,
+}
+_DATE_INTERVALS = {"day", "week", "month", "quarter", "year"}
+
+
+def _bucket_key(kind: str, body: Mapping):
+    field = body["field"]
+    if kind == "terms":
+        return F.col(field)
+    if kind == "histogram":
+        iv = float(body["interval"])
+        return (F.floor(F.col(field).cast("double") / iv) * iv).cast(
+            "double"
+        )
+    if kind == "date_histogram":
+        interval = body["interval"]
+        if interval not in _DATE_INTERVALS:
+            raise ValueError(
+                f"calendar interval must be one of "
+                f"{sorted(_DATE_INTERVALS)}"
+            )
+        if interval == "day":
+            return F.col(field).cast("date")
+        return F.trunc(F.col(field), interval)
+    if kind == "range":
+        # half-open [lo, hi) buckets keyed "lo-hi" ('*' = unbounded),
+        # the range_agg_over_store convention; non-overlapping as
+        # given, out-of-range docs key to NULL and drop
+        v = F.col(field).cast("double")
+        expr = F.lit(None).cast("string")
+        for lo, hi in reversed(list(body["ranges"])):
+            key = (
+                f"{'*' if lo is None else lo}-"
+                f"{'*' if hi is None else hi}"
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (v >= float(lo))
+            if hi is not None:
+                cond = cond & (v < float(hi))
+            expr = F.when(cond, F.lit(key)).otherwise(expr)
+        return expr
+    raise ValueError(f"unknown bucket kind {kind!r}")
+
+
+def _compile(spec: Mapping, levels: list, metrics: dict) -> None:
+    """Walk the ES-shaped tree: bucket nodes extend ``levels`` and
+    recurse into their ``aggs``; a map of metric-only nodes fills
+    ``metrics`` and terminates."""
+    if not isinstance(spec, Mapping) or not spec:
+        raise ValueError("agg spec must be a non-empty mapping")
+    kinds = {
+        name: [k for k in node if k in _BUCKET_KINDS or k in _METRIC_OPS]
+        for name, node in spec.items()
+    }
+    bucket_nodes = {
+        n: ks[0]
+        for n, ks in kinds.items()
+        if ks and ks[0] in _BUCKET_KINDS
+    }
+    if bucket_nodes:
+        if len(spec) != 1:
+            raise ValueError(
+                "one bucket node per level (sibling bucket forests "
+                "cannot share one flat output frame) — got "
+                f"{sorted(spec)}"
+            )
+        (name,) = spec
+        node = spec[name]
+        (kind,) = [k for k in node if k in _BUCKET_KINDS]
+        body = node[kind]
+        size = body.get("size") if kind == "terms" else None
+        levels.append((name, _bucket_key(kind, body), size))
+        child = node.get("aggs")
+        if child is not None:
+            _compile(child, levels, metrics)
+        return
+    # metric leaves (any number of siblings)
+    for name, node in spec.items():
+        ops = [k for k in node if k in _METRIC_OPS]
+        if len(ops) != 1:
+            raise ValueError(
+                f"leaf {name!r} must hold exactly one metric op of "
+                f"{sorted(_METRIC_OPS)}"
+            )
+        metrics[name] = (ops[0], node[ops[0]]["field"])
+
+
+def agg_tree_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    spec: Mapping,
+) -> DataFrame:
+    """Run a nested aggregation tree over the hit set of ``terms`` —
+    see the module docstring for spec shape, execution plan and
+    output contract."""
+    levels: list = []
+    metrics: dict = {}
+    _compile(spec, levels, metrics)
+    if not levels:
+        raise ValueError("agg spec needs at least one bucket level")
+
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        cols = ", ".join(f"`{n}` string" for n, _c, _s in levels)
+        mcols = "".join(f", `{n}` double" for n in metrics)
+        return spark.createDataFrame(
+            [], f"{cols}, n_docs long{mcols}"
+        )
+
+    key_names = [n for n, _c, _s in levels]
+    keyed = stats.select(
+        *[c.alias(n) for n, c, _s in levels],
+        *{f for _op, f in metrics.values()},
+    )
+    for n in key_names:
+        keyed = keyed.filter(F.col(n).isNotNull())
+    aggs = [F.count("*").alias("n_docs")] + [
+        _METRIC_OPS[op](F.col(f)).alias(name)
+        for name, (op, f) in metrics.items()
+    ]
+    grouped = keyed.groupBy(*key_names).agg(*aggs)
+
+    # per-level terms-size truncation, root → leaf: a level's bucket
+    # count is the sum of leaf counts under it; rank within the
+    # parent prefix by (count desc, key asc), keep the top `size`.
+    # All window work is bucket-cardinality-sized.
+    for i, (name, _c, size) in enumerate(levels):
+        if size is None:
+            continue
+        parent = key_names[:i]
+        pw = Window.partitionBy(*parent, name)
+        grouped = grouped.withColumn(
+            "__lvl_n", F.sum("n_docs").over(pw)
+        )
+        rw = Window.partitionBy(*parent).orderBy(
+            F.col("__lvl_n").desc(), F.col(name).asc()
+        )
+        grouped = (
+            grouped.withColumn("__rk", F.dense_rank().over(rw))
+            .filter(F.col("__rk") <= int(size))
+            .drop("__lvl_n", "__rk")
+        )
+    return grouped.orderBy(*[F.col(n).asc() for n in key_names])

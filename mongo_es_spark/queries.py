@@ -10329,6 +10329,158 @@ def search_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_agg_nested",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value', 'spark')
+    ),
+    d AS (
+        SELECT doc_id, lang, n_chars,
+               DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS day
+        FROM documents JOIN matched USING (doc_id)
+    ),
+    leaf AS (
+        SELECT lang, CAST(date_trunc('month', day) AS DATE) AS month,
+               count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars,
+               avg(n_chars) AS avg_chars
+        FROM d WHERE lang IS NOT NULL AND day IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    lvl AS (SELECT *, sum(n_docs) OVER (PARTITION BY lang) AS lvl_n FROM leaf),
+    rk AS (SELECT *, dense_rank() OVER (ORDER BY lvl_n DESC, lang ASC) AS rk
+           FROM lvl)
+    SELECT lang, month, n_docs, sum_chars, avg_chars
+    FROM rk WHERE rk <= 3
+    ORDER BY lang ASC, month ASC
+    """,
+)
+def search_agg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregation tree (operators/aggs.py:
+    agg_tree_over_store): terms(lang, size=3) → date_histogram(day,
+    month) → {sum, avg}(n_chars) — the ES any-bucket-nests-any-agg
+    model the per-shape helpers could not compose.  The whole tree is
+    ONE pass: token-pruned match, one docstats semi-join, a single
+    groupBy over both level keys; the per-parent top-size truncation
+    runs as windows over the bucket-cardinality-sized frame.  The
+    oracle re-derives the tree as GROUP BY + window rank."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_tree_over_store(
+        spark, store, ["value", "spark"],
+        {"lang": {"terms": {"field": "lang", "size": 3},
+            "aggs": {"month": {
+                "date_histogram": {"field": "day", "interval": "month"},
+                "aggs": {
+                    "sum_chars": {"sum": {"field": "n_chars"}},
+                    "avg_chars": {"avg": {"field": "n_chars"}},
+                }}}}},
+    ).select(
+        "lang", "month", "n_docs",
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        "avg_chars",
+    )
+
+
+@register(
+    "search_agg_range_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('table')
+    ),
+    d AS (
+        SELECT lang, n_chars,
+               CASE WHEN n_chars < 200 THEN '*-200'
+                    WHEN n_chars >= 200 AND n_chars < 500 THEN '200-500'
+                    WHEN n_chars >= 500 THEN '500-*'
+               END AS chars
+        FROM documents JOIN matched USING (doc_id)
+    ),
+    leaf AS (
+        SELECT chars, lang, count(*) AS n_docs,
+               max(n_chars)::BIGINT AS max_chars
+        FROM d WHERE chars IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rk AS (SELECT *, dense_rank() OVER (PARTITION BY chars
+               ORDER BY n_docs DESC, lang ASC) AS rk FROM leaf)
+    SELECT chars, lang, n_docs, max_chars
+    FROM rk WHERE rk <= 2
+    ORDER BY chars ASC, lang ASC
+    """,
+)
+def search_agg_range_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested tree #2: range(n_chars) → terms(lang, size=2) →
+    max(n_chars) — the per-PARENT top-size semantics (ES keeps the
+    top langs within EACH range bucket, not globally), pinned by the
+    oracle's partitioned window rank."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_tree_over_store(
+        spark, store, ["table"],
+        {"chars": {"range": {"field": "n_chars",
+                             "ranges": [(None, 200), (200, 500),
+                                        (500, None)]},
+            "aggs": {"lang": {"terms": {"field": "lang", "size": 2},
+                "aggs": {"max_chars": {"max": {"field": "n_chars"}}}}}}},
+    ).select(
+        "chars", "lang", "n_docs",
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "search_agg_histogram_nested",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('stream')
+    ),
+    d AS (
+        SELECT lang, n_chars,
+               floor(n_chars / 250.0) * 250.0 AS bucket
+        FROM documents JOIN matched USING (doc_id)
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           min(n_chars)::BIGINT AS min_chars
+    FROM d WHERE lang IS NOT NULL AND bucket IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY lang ASC, bucket ASC
+    """,
+)
+def search_agg_histogram_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested tree #3: terms(lang, no size) → histogram(n_chars, 250)
+    → min(n_chars) — numeric histogram composing under a terms
+    parent through the same one-pass planner."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_tree_over_store(
+        spark, store, ["stream"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"bucket": {
+                "histogram": {"field": "n_chars", "interval": 250.0},
+                "aggs": {"min_chars": {"min": {"field": "n_chars"}}}}}}},
+    ).select(
+        "lang", "bucket", "n_docs",
+        F.col("min_chars").cast("long").alias("min_chars"),
+    )
+
+
+@register(
     "search_terms_set",
     """
     WITH toks AS (
