@@ -107,7 +107,12 @@ class ParquetIndexSink:
         version = self.current_version()
         if version is None:
             return None
-        return spark.read.parquet(os.path.join(self.path, version))
+        state = spark.read.parquet(os.path.join(self.path, version))
+        # one sink-state contract across modes: _id is STRING (merge
+        # mode canonicalizes on write; pre-contract rewrite versions
+        # may hold native-typed ids — cast on read so consumers never
+        # depend on implicit cross-type join casts)
+        return state.withColumn("_id", F.col("_id").cast("string"))
 
     def apply(self, spark: SparkSession, irs: DataFrame, batch_id: int) -> None:
         """L1: apply one compacted IR batch. Compaction guarantees at
@@ -128,11 +133,13 @@ class ParquetIndexSink:
             )
             return
         upserts = irs.filter(F.col("action") == "upsert").select(
-            F.col("id").alias("_id"),
+            F.col("id").cast("string").alias("_id"),
             F.col("parent").alias("_parent"),
             F.col("data"),
         )
-        keys = irs.select(F.col("id").alias("_id")).distinct()
+        keys = irs.select(
+            F.col("id").cast("string").alias("_id")
+        ).distinct()
         state = self.read_state(spark)
         if state is None:
             new_state = upserts
@@ -174,11 +181,29 @@ class ParquetIndexSink:
             )
 
         rewrite_store(self._log(), write_new)
+        # survivor count = live keys right now: the cheap maintenance
+        # gate's denominator (footer metadata, the log is all-live)
+        self._write_compact_marker(
+            spark.read.parquet(self._log()).count()
+        )
 
-    def describe(self, spark: SparkSession) -> dict:
-        """Merge-mode counters (the ``describe_*_store`` shape): log
-        rows vs live keys, tombstones, file count — everything the
-        compaction decision needs, each one metadata-sized."""
+    def _compact_marker(self) -> str:
+        return os.path.join(self.path, "_LAST_COMPACT")
+
+    def _last_compact_rows(self) -> Optional[int]:
+        try:
+            with open(self._compact_marker(), encoding="utf-8") as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def describe(self, spark: SparkSession, full: bool = True) -> dict:
+        """Merge-mode counters (the ``describe_*_store`` shape).
+        ``log_rows``/``log_files`` are parquet-footer metadata;
+        ``live_keys``/``tombstones`` (``full=True`` only) run the
+        latest-wins window / a log scan — STATE-sized, exactly the
+        per-batch cost merge mode exists to avoid, so the per-trigger
+        policy path never asks for them (r10 ADVICE)."""
         out: dict = {"path": self.path, "mode": self.mode}
         if self.mode != "merge":
             out["exists"] = self.current_version() is not None
@@ -192,9 +217,11 @@ class ParquetIndexSink:
         out["exists"] = True
         out["log_rows"] = log.count()
         out["log_files"] = len(log.inputFiles())
-        state = self.read_state(spark)
-        out["live_keys"] = state.count() if state is not None else 0
-        out["tombstones"] = log.filter(F.col("__del")).count()
+        out["last_compact_rows"] = self._last_compact_rows()
+        if full:
+            state = self.read_state(spark)
+            out["live_keys"] = state.count() if state is not None else 0
+            out["tombstones"] = log.filter(F.col("__del")).count()
         return out
 
     def maintain_if_needed(
@@ -203,20 +230,51 @@ class ParquetIndexSink:
         """Compact the merge log iff it holds more than
         ``max_log_ratio`` rows per live key — the same closed-loop
         policy shape as the search stores' ``maintain_if_needed``.
-        A fully-deleted state (zero live keys) compares against ONE
-        key, so a delete-heavy log still reclaims instead of growing
-        unbounded.  No-op (action "none") in rewrite mode or under
-        threshold."""
-        d = self.describe(spark)
-        if (
-            self.mode != "merge"
-            or not d.get("exists")
-            or d["log_rows"] / max(d.get("live_keys") or 0, 1)
-            <= max_log_ratio
-        ):
+
+        Two-stage decision so the per-trigger cost stays METADATA-
+        sized: the cheap gate compares the log's footer row count to
+        the survivor count recorded at the last compaction (all rows
+        live right after a compact, so that number IS the live-key
+        count then; before any compaction it is the first batch's
+        size — a lower bound on keys ever seen).  Only when the cheap
+        ratio trips does the exact latest-wins ``live_keys`` count run
+        to confirm, so a wide-key log that merely grew with fresh
+        keys pays one exact check at the threshold, never one per
+        trigger.  Delete-heavy logs shrink live keys below the
+        marker; the cheap ratio then lags the true one, but log_rows
+        keeps growing while the marker stays fixed, so the gate still
+        trips (bounded later than an exact check would), and the
+        exact confirm sees the true smaller live count and compacts.
+        A fully-deleted state compares against ONE key, so such a log
+        still reclaims instead of growing unbounded."""
+        if self.mode != "merge":
+            return {"action": "none", "describe": {"mode": self.mode}}
+        d = self.describe(spark, full=False)
+        if not d.get("exists"):
+            return {"action": "none", "describe": d}
+        baseline = d.get("last_compact_rows")
+        if baseline is None:
+            # never compacted: one exact check establishes the floor
+            baseline = 0
+        if d["log_rows"] / max(baseline, 1) <= max_log_ratio:
+            return {"action": "none", "describe": d}
+        # cheap gate tripped: confirm against the exact live count
+        state = self.read_state(spark)
+        live = state.count() if state is not None else 0
+        d["live_keys"] = live
+        if d["log_rows"] / max(live, 1) <= max_log_ratio:
+            # fresh-key growth, not churn: remember the new floor so
+            # the cheap gate re-arms at the right scale
+            self._write_compact_marker(live)
             return {"action": "none", "describe": d}
         self.compact(spark)
         return {"action": "compact", "describe": d}
+
+    def _write_compact_marker(self, rows: int) -> None:
+        tmp = self._compact_marker() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(int(rows)))
+        os.replace(tmp, self._compact_marker())
 
 
 class SearchIndexedSink:

@@ -140,3 +140,47 @@ def test_merge_sink_policy_compacts_at_ratio(spark, tmp_path):
     assert sink.describe(spark)["log_rows"] == 1
     assert _state(spark, sink) == {"A": "a5"}
     assert sink.maintain_if_needed(spark)["action"] == "none"
+
+
+def test_merge_policy_cheap_gate_skips_window(spark, tmp_path):
+    """The per-trigger maintenance decision must stay metadata-sized:
+    fresh-key growth (no churn) trips the cheap gate at most once —
+    the exact confirm re-arms the marker — and a churned log still
+    compacts (r10 ADVICE: live_keys ran the full latest-wins window
+    every trigger)."""
+    sink = ParquetIndexSink(str(tmp_path / "idx"), mode="merge")
+    # 8 distinct keys across batches, zero churn
+    for b in range(8):
+        _apply(spark, sink, [("upsert", f"K{b}", None, (f"v{b}",), 1)], b)
+    out = sink.maintain_if_needed(spark)
+    assert out["action"] == "none"
+    # exact confirm ran once and recorded the live floor
+    assert sink._last_compact_rows() == 8
+    # next trigger: cheap gate alone (8 rows / floor 8 <= 3), no
+    # live_keys in the describe payload = no window ran
+    out2 = sink.maintain_if_needed(spark)
+    assert out2["action"] == "none" and "live_keys" not in out2["describe"]
+    # churn one key hard: rows grow, floor fixed -> trips and compacts
+    for b in range(8, 33):
+        _apply(spark, sink, [("upsert", "K0", None, (f"v{b}",), 1)], b)
+    fired = sink.maintain_if_needed(spark)
+    assert fired["action"] == "compact"
+    assert sink.describe(spark)["log_rows"] == 8
+    assert sink._last_compact_rows() == 8
+
+
+def test_rewrite_and_merge_share_string_id_contract(spark, tmp_path):
+    """Both sink modes expose _id as STRING (one state schema), even
+    when the IR id arrives typed (r10 ADVICE: rewrite preserved the
+    native type while merge canonicalized)."""
+    for mode in ("rewrite", "merge"):
+        sink = ParquetIndexSink(str(tmp_path / f"idx_{mode}"), mode=mode)
+        irs = spark.createDataFrame(
+            [("upsert", 7, None, ("x",), 1)],
+            "action string, id long, parent string, "
+            "data struct<v:string>, ts long",
+        )
+        sink.apply(spark, irs, 0)
+        state = sink.read_state(spark)
+        assert dict(state.dtypes)["_id"] == "string", mode
+        assert [r["_id"] for r in state.collect()] == ["7"], mode
