@@ -133,6 +133,95 @@ def byte_histogram_features(df: DataFrame, n_bins: int = 32) -> DataFrame:
     return df.mapInPandas(extract, "doc_id long, features array<double>")
 
 
+def _decode_ppm(blob: bytes):
+    """P6 (binary) / P3 (ascii) PPM → HxWx3 uint8 array, or None.
+    Pure stdlib+numpy — the sandbox-safe fixture format."""
+    import numpy as np
+
+    if not blob[:2] in (b"P6", b"P3"):
+        return None
+    try:
+        # header tokens with '#' comments: magic, width, height, maxval
+        toks, i, n = [], 2, len(blob)
+        while len(toks) < 3 and i < n:
+            c = blob[i : i + 1]
+            if c == b"#":
+                while i < n and blob[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < n and not blob[j : j + 1].isspace():
+                    j += 1
+                toks.append(blob[i:j])
+                i = j
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+        i += 1  # the single whitespace after maxval
+        if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
+            return None
+        if blob[:2] == b"P6":
+            raw = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3,
+                                offset=i)
+        else:
+            vals = blob[i:].split()
+            raw = np.array(vals[: w * h * 3], dtype=np.uint8)
+        if raw.size != w * h * 3:
+            return None
+        return raw.reshape(h, w, 3)
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_bmp(blob: bytes):
+    """Uncompressed 24-bit BMP → HxWx3 uint8 (RGB), or None.  BGR
+    byte order, 4-byte row padding, bottom-up unless height < 0 —
+    struct offsets straight from the BITMAPINFOHEADER layout."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM" or len(blob) < 54:
+        return None
+    try:
+        (data_off,) = struct.unpack_from("<I", blob, 10)
+        w, h = struct.unpack_from("<ii", blob, 18)
+        (bpp,) = struct.unpack_from("<H", blob, 28)
+        (comp,) = struct.unpack_from("<I", blob, 30)
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        raw = np.frombuffer(
+            blob, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            raw = raw[::-1]
+        return raw[:, :, ::-1]  # BGR -> RGB
+    except (ValueError, struct.error):
+        return None
+
+
+def _stdlib_decode_image(blob: bytes):
+    arr = _decode_ppm(blob)
+    return arr if arr is not None else _decode_bmp(blob)
+
+
+def _nn_resize(arr, tw: int, th: int):
+    """Nearest-neighbor resample (HxWx3 → thxtwx3) — pure numpy
+    index arithmetic; the fallback's resampling kernel (pillow's
+    default is bicubic, so fallback and fast path agree exactly only
+    on resample-invariant images — solid colors, or target == source
+    size; documented in decode_image)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return arr[ys][:, xs]
+
+
 def _stub(what: str, needs: str):
     """Raise the documented environmental contract.  The decode_*
     functions auto-activate when their optional dependency imports
@@ -176,19 +265,66 @@ def decode_image(df: DataFrame, target_size: tuple[int, int] = (224, 224)):
     height int`` with ``pixels`` row-major RGB in [0, 1] at
     ``target_size`` and width/height the ORIGINAL dimensions.
 
-    Auto-activates when pillow imports (the import check runs on the
-    driver; executors re-import inside the Arrow kernel).  Without
-    pillow the documented ``NotImplementedError`` contract stands —
-    the Spark-side plumbing (schema, mapInPandas batch shape) is the
-    same either way.  Undecodable payloads are dropped, not nulled:
+    Two decode paths behind one contract: pillow where it imports
+    (full PNG/JPEG/… coverage, bicubic resize — the import check runs
+    on the driver; executors re-import inside the Arrow kernel), else
+    a pure stdlib+numpy fallback covering PPM (P6/P3) and
+    uncompressed 24-bit BMP with nearest-neighbor resize — so the
+    operator runs end-to-end in codec-less sandboxes instead of
+    raising, and the Spark-side plumbing (schema, mapInPandas batch
+    shape) is pinned by the same tests on both paths.  The two paths
+    agree exactly on resample-invariant images (solid colors, target
+    == source); beyond the fallback's formats a payload is simply
+    undecodable there.  Undecodable payloads are dropped, not nulled:
     a corrupt blob in a 100 TB crawl is expected volume, not an
     abort condition (count in = count out + rejects is the caller's
     audit, same as ``fake_decode_metadata``).
     """
-    if not _have_pil():
-        _stub("decode_image", "PIL/pillow or opencv")
-
     tw, th = int(target_size[0]), int(target_size[1])
+
+    if not _have_pil():
+
+        def decode_fb(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                ids, px, ws, hs = [], [], [], []
+                for doc_id, payload in zip(
+                    pdf["doc_id"], pdf["payload"]
+                ):
+                    arr = _stdlib_decode_image(bytes(payload))
+                    if arr is None:
+                        continue
+                    h0, w0 = arr.shape[:2]
+                    out = (
+                        _nn_resize(arr, tw, th).astype(np.float32)
+                        / 255.0
+                    )
+                    ids.append(doc_id)
+                    # plain list, not ndarray: Arrow's NumPyConverter
+                    # rejects object columns of numpy vectors for
+                    # list<float>
+                    px.append([float(v) for v in out.reshape(-1)])
+                    ws.append(w0)
+                    hs.append(h0)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        # object dtype: an EMPTY batch otherwise
+                        # infers float64 and Arrow rejects it for
+                        # list<float>
+                        "pixels": pd.Series(px, dtype="object"),
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                    }
+                )
+
+        return df.mapInPandas(
+            decode_fb,
+            "doc_id long, pixels array<float>, width int, height int",
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from io import BytesIO
@@ -219,7 +355,9 @@ def decode_image(df: DataFrame, target_size: tuple[int, int] = (224, 224)):
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "pixels": px,
+                    # object dtype: an all-corrupt batch otherwise
+                    # infers float64 and Arrow rejects list<float>
+                    "pixels": pd.Series(px, dtype="object"),
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
                 }
@@ -235,16 +373,78 @@ def decode_audio(df: DataFrame, sample_rate: int = 16_000):
 
     Output schema: ``doc_id long, pcm array<float>, sample_rate int``.
 
-    Auto-activates when an ``ffmpeg`` binary is on PATH (one decode
-    subprocess per payload inside the Arrow batch — codec-bound work,
-    the pipe overhead is noise next to the decode itself).  Without
-    ffmpeg the documented ``NotImplementedError`` contract stands.
+    Two decode paths behind one contract: ffmpeg where it is on PATH
+    (any container/codec; one decode subprocess per payload inside
+    the Arrow batch — codec-bound work, the pipe overhead is noise
+    next to the decode itself), else a pure stdlib fallback decoding
+    PCM WAV via the ``wave`` module (8/16/32-bit, any channel count
+    mixed to mono, linear-interpolation resample to ``sample_rate``)
+    — so the operator runs end-to-end in codec-less sandboxes.
     Undecodable payloads are dropped (see :func:`decode_image`).
     """
-    if not _have_ffmpeg():
-        _stub("decode_audio", "ffmpeg/torchaudio")
-
     sr = int(sample_rate)
+
+    if not _have_ffmpeg():
+
+        def decode_fb(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import io
+            import wave
+
+            import numpy as np
+
+            for pdf in batches:
+                ids, pcms = [], []
+                for doc_id, payload in zip(
+                    pdf["doc_id"], pdf["payload"]
+                ):
+                    try:
+                        with wave.open(
+                            io.BytesIO(bytes(payload)), "rb"
+                        ) as w:
+                            nch = w.getnchannels()
+                            width = w.getsampwidth()
+                            rate = w.getframerate()
+                            frames = w.readframes(w.getnframes())
+                    except Exception:
+                        continue
+                    if width == 2:
+                        x = np.frombuffer(frames, dtype="<i2")
+                        x = x.astype(np.float32) / 32768.0
+                    elif width == 1:
+                        x = np.frombuffer(frames, dtype=np.uint8)
+                        x = (x.astype(np.float32) - 128.0) / 128.0
+                    elif width == 4:
+                        x = np.frombuffer(frames, dtype="<i4")
+                        x = x.astype(np.float32) / 2147483648.0
+                    else:
+                        continue
+                    if nch > 1:
+                        x = x[: len(x) - len(x) % nch]
+                        x = x.reshape(-1, nch).mean(axis=1)
+                    if rate != sr and len(x) > 1:
+                        n_out = max(1, int(round(len(x) * sr / rate)))
+                        x = np.interp(
+                            np.linspace(0.0, len(x) - 1.0, n_out),
+                            np.arange(len(x), dtype=np.float64),
+                            x,
+                        ).astype(np.float32)
+                    ids.append(doc_id)
+                    pcms.append([float(v) for v in x])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "pcm": pd.Series(pcms, dtype="object"),
+                        "sample_rate": pd.Series(
+                            [sr] * len(ids), dtype="int32"
+                        ),
+                    }
+                )
+
+        return df.mapInPandas(
+            decode_fb, "doc_id long, pcm array<float>, sample_rate int"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import subprocess
@@ -272,7 +472,7 @@ def decode_audio(df: DataFrame, sample_rate: int = 16_000):
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "pcm": pcms,
+                    "pcm": pd.Series(pcms, dtype="object"),
                     "sample_rate": pd.Series(
                         [sr] * len(ids), dtype="int32"
                     ),
@@ -352,7 +552,7 @@ def decode_video_frames(df: DataFrame, fps: float = 1.0):
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "pixels": px,
+                    "pixels": pd.Series(px, dtype="object"),
                 }
             )
 

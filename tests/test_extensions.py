@@ -182,13 +182,10 @@ def test_multimodal_plumbing_roundtrip(docs):
         "n_bytes", F.length("text").alias("chars")
     ).first()
     assert row["n_bytes"] >= row["chars"]  # utf-8 >= char count
-    from mongo_es_spark.operators.multimodal import _have_pil
-
-    if not _have_pil():
-        # the environmental contract: without pillow the decoder
-        # raises with the schema a real implementation must satisfy
-        with pytest.raises(NotImplementedError):
-            decode_image(with_payload)
+    # decode_image always runs (stdlib PPM/BMP fallback where pillow
+    # is absent); text payloads are undecodable on either path and
+    # drop silently — the 100 TB corrupt-blob contract
+    assert decode_image(with_payload).count() == 0
 
 
 def test_ivf_results_are_true_neighbors(emb):
@@ -2478,25 +2475,28 @@ def test_streaming_boilerplate_output_replay_idempotent(
     assert df.select("__batch_id").distinct().count() == 2
 
 
-def test_decode_image_pil_path(spark):
-    # auto-activated decoder: green wherever pillow exists, skipped
-    # where it doesn't (the stub contract test covers that case)
-    from mongo_es_spark.operators.multimodal import _have_pil
+def test_decode_image_both_paths(spark):
+    # one contract, two decode paths: pillow (PNG fixture) where it
+    # imports, the stdlib PPM/BMP fallback everywhere else — a solid
+    # red image decodes identically on both (resample-invariant)
+    from mongo_es_spark.operators.multimodal import (
+        _have_pil,
+        decode_image,
+    )
 
-    if not _have_pil():
-        pytest.skip("pillow not installed")
-    from io import BytesIO
+    if _have_pil():
+        from io import BytesIO
 
-    from PIL import Image
+        from PIL import Image
 
-    from mongo_es_spark.operators.multimodal import decode_image
-
-    buf = BytesIO()
-    Image.new("RGB", (8, 6), (255, 0, 0)).save(buf, format="PNG")
-    good = buf.getvalue()
+        buf = BytesIO()
+        Image.new("RGB", (8, 6), (255, 0, 0)).save(buf, format="PNG")
+        good = buf.getvalue()
+    else:
+        good = b"P6\n8 6\n255\n" + bytes([255, 0, 0] * 48)
     df = spark.createDataFrame(
-        [(1, bytearray(good), "image/png"),
-         (2, bytearray(b"not an image"), "image/png")],
+        [(1, bytearray(good), "image/x"),
+         (2, bytearray(b"not an image"), "image/x")],
         "doc_id long, payload binary, media_type string",
     )
     rows = decode_image(df, target_size=(4, 4)).collect()
@@ -2509,11 +2509,35 @@ def test_decode_image_pil_path(spark):
     assert abs(r["pixels"][1]) < 1e-6
 
 
-def test_decode_audio_ffmpeg_path(spark):
-    from mongo_es_spark.operators.multimodal import _have_ffmpeg
+def test_decode_image_stdlib_bmp(spark):
+    # the BMP leg of the fallback: bottom-up rows, BGR order, 4-byte
+    # padding — a 2-row image with distinct row colors pins the
+    # row-flip and channel swap
+    import struct
 
-    if not _have_ffmpeg():
-        pytest.skip("ffmpeg not on PATH")
+    from mongo_es_spark.operators.multimodal import _stdlib_decode_image
+
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3
+    red_bgr = bytes([0, 0, 255] * w) + b"\x00" * (stride - w * 3)
+    blue_bgr = bytes([255, 0, 0] * w) + b"\x00" * (stride - w * 3)
+    body = red_bgr + blue_bgr  # bottom row first on disk
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+        )
+    )
+    arr = _stdlib_decode_image(hdr + body)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [0, 0, 255]  # top row = blue (flip)
+    assert arr[1, 0].tolist() == [255, 0, 0]  # bottom row = red
+
+
+def test_decode_audio_both_paths(spark):
+    # ffmpeg where present, the stdlib `wave` fallback everywhere
+    # else — the PCM16 mono fixture decodes identically on both
     import io
     import struct
     import wave
@@ -2539,6 +2563,38 @@ def test_decode_audio_ffmpeg_path(spark):
     # 0.1 s at 8 kHz -> ~800 samples of amplitude 1000/32768
     assert abs(len(rows[0]["pcm"]) - 800) <= 8
     assert abs(rows[0]["pcm"][10] - 1000 / 32768) < 1e-3
+
+
+def test_decode_audio_stereo_resample(spark):
+    # channel mixdown + resample through the public operator: a
+    # stereo 16 kHz fixture decoded at 8 kHz halves the sample count
+    # and averages the channels (ffmpeg and the fallback agree within
+    # resampler tolerance on a constant signal)
+    import io
+    import struct
+    import wave
+
+    from mongo_es_spark.operators.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(
+            b"".join(
+                struct.pack("<hh", 2000, 1000) for _ in range(1600)
+            )
+        )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = decode_audio(df, sample_rate=8000).collect()
+    assert len(rows) == 1
+    pcm = rows[0]["pcm"]
+    assert abs(len(pcm) - 800) <= 8
+    assert abs(pcm[50] - 1500 / 32768) < 2e-3  # mean of the channels
 
 
 def test_streaming_ivf_maintenance(spark, tmp_path):
