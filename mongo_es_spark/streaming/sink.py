@@ -603,6 +603,76 @@ class EsBulkSink:
         )
 
 
+def cutover_alias(
+    hosts: str,
+    alias: str,
+    new_index: str,
+    min_docs: int = 0,
+) -> dict:
+    """Blue-green CUTOVER — the atomic alias flip that completes the
+    ``indexNameSuffix`` versioning story the reference starts
+    (src/indices.ts:22,29 creates ``index + suffix``; nothing there
+    retargets readers).  One ``POST /_aliases`` call carries both the
+    remove-from-every-current-index and add-to-new actions, which ES
+    applies atomically — readers never observe an alias with zero or
+    two targets.
+
+    Readiness gate: the new index must hold at least ``min_docs``
+    documents (``GET /<new>/_count``) or the swap refuses and the
+    alias keeps serving the old generation — flipping to a
+    half-backfilled index silently serves partial results.
+
+    Idempotent: an alias already pointing at exactly ``new_index``
+    no-ops (re-running a crashed cutover converges).  Returns
+    ``{"action": "swap"|"noop", "removed": [...], "added": ...}``.
+    """
+    import urllib.error
+    import urllib.request
+
+    root = hosts.rstrip("/")
+
+    def get_json(url: str):
+        try:
+            with urllib.request.urlopen(
+                urllib.request.Request(url), timeout=30
+            ) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as err:
+            if err.code == 404:
+                return None
+            raise
+
+    n = get_json(f"{root}/{new_index}/_count")
+    n_docs = int((n or {}).get("count", 0))
+    if n_docs < int(min_docs):
+        raise ValueError(
+            f"cutover_alias: {new_index} holds {n_docs} docs, "
+            f"readiness requires >= {min_docs} — refusing to retarget "
+            f"alias {alias!r} at a half-backfilled index"
+        )
+    current = get_json(f"{root}/_alias/{alias}") or {}
+    holders = sorted(current)
+    if holders == [new_index]:
+        return {"action": "noop", "removed": [], "added": new_index}
+    actions = [
+        {"remove": {"index": idx, "alias": alias}}
+        for idx in holders
+        if idx != new_index
+    ] + [{"add": {"index": new_index, "alias": alias}}]
+    req = urllib.request.Request(
+        f"{root}/_aliases",
+        data=json.dumps({"actions": actions}).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    urllib.request.urlopen(req, timeout=30).read()
+    return {
+        "action": "swap",
+        "removed": [i for i in holders if i != new_index],
+        "added": new_index,
+    }
+
+
 def init_indices(
     hosts: str, indices: list[dict], suffix: str = "", tasks=None
 ) -> None:

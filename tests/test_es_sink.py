@@ -32,6 +32,8 @@ class StubES:
         self.search_calls = 0
         self.head_calls = 0
         self.put_calls = 0
+        self.aliases: dict[str, set] = {}
+        self.alias_posts: list = []
 
         stub = self
 
@@ -80,9 +82,39 @@ class StubES:
                     self._reply(stub.mget(json.loads(body)))
                 elif self.path.endswith("/_search"):
                     self._reply(stub.search(json.loads(body)))
+                elif self.path.rstrip("/").endswith("/_aliases"):
+                    self._reply(stub.apply_aliases(json.loads(body)))
                 else:
                     self.send_response(404)
                     self.end_headers()
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                with stub.lock:
+                    if len(parts) == 2 and parts[0] == "_alias":
+                        holders = {
+                            idx: {"aliases": {parts[1]: {}}}
+                            for idx, als in stub.aliases.items()
+                            if parts[1] in als
+                        }
+                        if not holders:
+                            self.send_response(404)
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                        self._reply(holders)
+                    elif len(parts) == 2 and parts[1] == "_count":
+                        if parts[0] not in stub.indices:
+                            self.send_response(404)
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                        self._reply(
+                            {"count": stub.counts.get(parts[0], 0)}
+                        )
+                    else:
+                        self.send_response(404)
+                        self.end_headers()
 
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.thread = threading.Thread(
@@ -94,6 +126,25 @@ class StubES:
     def close(self):
         self.server.shutdown()
         self.server.server_close()
+
+    def apply_aliases(self, body: dict) -> dict:
+        # ES semantics: the whole actions list applies atomically
+        with self.lock:
+            self.alias_posts.append(body)
+            for action in body["actions"]:
+                (kind, spec), = action.items()
+                idx, alias = spec["index"], spec["alias"]
+                if kind == "add":
+                    self.aliases.setdefault(idx, set()).add(alias)
+                elif kind == "remove":
+                    self.aliases.get(idx, set()).discard(alias)
+        return {"acknowledged": True}
+
+    @property
+    def counts(self) -> dict:
+        # per-index doc counts for the readiness probe; tests set
+        # _counts directly (the flat stub state is not per-index)
+        return getattr(self, "_counts", {})
 
     def bulk(self, body: str) -> dict:
         lines = [json.loads(ln) for ln in body.strip().split("\n")]
@@ -428,3 +479,52 @@ def test_parent_routed_delete_replay_is_noop(spark, stub_es):
     assert stub_es.search_calls > searches_before  # lookup DID run
     assert stub_es.state == {"C2": {"text": "yo"}}
     assert stub_es.parents == {"C2": "P9"}
+
+
+def test_alias_cutover_atomic_and_idempotent(stub_es):
+    """Blue-green completion (r10 VERDICT #5): after init_indices
+    creates the suffixed index, ONE `_aliases` call atomically
+    removes the alias from the old generation and adds the new
+    (reference indices.ts:22,29 starts the pattern; this finishes
+    it); a re-run no-ops without touching the API."""
+    from mongo_es_spark.streaming.sink import cutover_alias, init_indices
+
+    init_indices(stub_es.url, [{"index": "banner", "body": {}}], suffix="_v1")
+    stub_es._counts = {"banner_v1": 5}
+    out = cutover_alias(stub_es.url, "banner", "banner_v1", min_docs=1)
+    assert out == {"action": "swap", "removed": [], "added": "banner_v1"}
+    assert stub_es.aliases == {"banner_v1": {"banner"}}
+    assert len(stub_es.alias_posts) == 1
+
+    # new generation: create v2, backfill, swap — one call carries
+    # BOTH the remove and the add (the atomicity contract)
+    init_indices(stub_es.url, [{"index": "banner", "body": {}}], suffix="_v2")
+    stub_es._counts["banner_v2"] = 7
+    out2 = cutover_alias(stub_es.url, "banner", "banner_v2", min_docs=1)
+    assert out2["action"] == "swap" and out2["removed"] == ["banner_v1"]
+    actions = stub_es.alias_posts[-1]["actions"]
+    assert {"remove": {"index": "banner_v1", "alias": "banner"}} in actions
+    assert {"add": {"index": "banner_v2", "alias": "banner"}} in actions
+    assert stub_es.aliases["banner_v1"] == set()
+    assert stub_es.aliases["banner_v2"] == {"banner"}
+
+    # idempotent re-run: alias already on v2, no API write
+    n_posts = len(stub_es.alias_posts)
+    assert cutover_alias(stub_es.url, "banner", "banner_v2")["action"] == "noop"
+    assert len(stub_es.alias_posts) == n_posts
+
+
+def test_alias_cutover_readiness_gate(stub_es):
+    """A half-backfilled index never takes the alias: the count probe
+    gates the swap and the old generation keeps serving."""
+    import pytest as _pytest
+
+    from mongo_es_spark.streaming.sink import cutover_alias, init_indices
+
+    init_indices(stub_es.url, [{"index": "banner", "body": {}}], suffix="_v1")
+    init_indices(stub_es.url, [{"index": "banner", "body": {}}], suffix="_v2")
+    stub_es._counts = {"banner_v1": 5, "banner_v2": 0}
+    cutover_alias(stub_es.url, "banner", "banner_v1", min_docs=1)
+    with _pytest.raises(ValueError, match="readiness"):
+        cutover_alias(stub_es.url, "banner", "banner_v2", min_docs=1)
+    assert stub_es.aliases["banner_v1"] == {"banner"}  # untouched
