@@ -979,7 +979,15 @@ def incremental_minhash_pairs(
     )
     all_sigs = old.unionByName(new_sigs)
 
-    banded_new = _band_frame(new_sigs, num_hashes, bands).alias("a")
+    # BROADCAST the batch side explicitly: the store side must stay a
+    # scan-only probe (no exchange) — statistics usually pick this
+    # plan on their own for small checkpointed batches, but a larger
+    # trigger crossing the auto-broadcast threshold would silently
+    # flip the STORE into a corpus-sized shuffle per batch, the exact
+    # cost this incremental path exists to avoid
+    banded_new = F.broadcast(
+        _band_frame(new_sigs, num_hashes, bands)
+    ).alias("a")
     banded_all = _band_frame(all_sigs, num_hashes, bands).alias("b")
     cands = (
         banded_new.join(
