@@ -41,7 +41,9 @@ from pyspark.sql import functions as F
 
 from .text import _matched_docstats
 
-_BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range")
+_BUCKET_KINDS = (
+    "terms", "histogram", "date_histogram", "range", "geotile"
+)
 _METRIC_OPS = {
     "sum": F.sum,
     "avg": F.avg,
@@ -53,6 +55,18 @@ _DATE_INTERVALS = {"day", "week", "month", "quarter", "year"}
 
 
 def _bucket_key(kind: str, body: Mapping):
+    if kind == "geotile":
+        # ES geotile_grid as a NESTABLE bucket source: "z/x/y" keys
+        # from the stored point columns (geo.geotile_key_cols) — e.g.
+        # terms(lang) → geotile(zoom 3) → stats composes the heat-map
+        # breakdown no flat helper offered
+        from .geo import geotile_key_cols
+
+        return geotile_key_cols(
+            int(body.get("zoom", 3)),
+            body.get("lat_field", "lat"),
+            body.get("lon_field", "lon"),
+        )
     field = body["field"]
     if kind == "terms":
         return F.col(field)

@@ -66,13 +66,15 @@ def maintain_bm25_if_needed(
     tokenstats marker — NEVER an index-wide pass, so wiring this
     after every micro-batch (``SearchIndexedSink(maintain=...)``)
     keeps the per-trigger cost batch-proportional.  A desync-only
-    trip repairs just the vocabulary-sized rollup
-    (:func:`rebuild_bm25_tokenstats`), not the whole index.
+    trip heals the rollup at missing-fold cost via the counted-docs
+    sidecar (:func:`repair_bm25_tokenstats`), falling back to the
+    vocabulary-sized rebuild only on a torn sidecar pair — never the
+    whole index.
     """
     from .text import (
         compact_bm25_store,
         describe_bm25_store,
-        rebuild_bm25_tokenstats,
+        repair_bm25_tokenstats,
     )
 
     d = describe_bm25_store(spark, store_path, full=False)
@@ -104,10 +106,12 @@ def maintain_bm25_if_needed(
         return {"action": "none", "reasons": [], "describe": d,
                 "result": None}
     if desync and len(reasons) == 1:
-        # the index itself is healthy — refresh only the sidecar
-        rebuild_bm25_tokenstats(spark, store_path, assume_live=True)
+        # the index itself is healthy — heal only the sidecar, at
+        # missing-fold cost when the counted-docs log can name the
+        # gap, postings-wide rebuild only as the torn-pair fallback
+        rep = repair_bm25_tokenstats(spark, store_path)
         return {"action": "rebuild_rollup", "reasons": reasons,
-                "describe": d, "result": None}
+                "describe": d, "result": rep}
     result = compact_bm25_store(
         spark, store_path, target_bytes=target_bytes, min_files=min_files
     )

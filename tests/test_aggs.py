@@ -148,3 +148,38 @@ def test_spec_validation(spark, agg_store):
             {"d": {"date_histogram": {"field": "day",
                                       "interval": "minute"}}},
         )
+
+
+def test_geotile_bucket_nests(spark, tmp_path):
+    """geotile as a planner bucket source: terms(lang) → geotile —
+    the heat-map-per-language composition."""
+    from mongo_es_spark.operators.geo import geotile_key_cols
+
+    store = str(tmp_path / "bmgeo")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("point").alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+        ((F.col("id") % 180) - 90 + F.lit(0.5)).cast("double").alias("lat"),
+        ((F.col("id") * 7 % 360) - 180 + F.lit(0.5)).cast("double").alias("lon"),
+    )
+    incremental_bm25_index(
+        spark, df, store, field_cols=["lang", "lat", "lon"]
+    ).count()
+    got = agg_tree_over_store(
+        spark, store, ["point"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"tile": {"geotile": {"zoom": 2}}}}},
+    ).collect()
+    assert sum(r["n_docs"] for r in got) == 100
+    # brute force from doc values
+    want = (
+        spark.read.parquet(store + "/docstats")
+        .select("lang", geotile_key_cols(2, "lat", "lon").alias("tile"))
+        .groupBy("lang", "tile")
+        .count()
+        .collect()
+    )
+    assert sorted((r["lang"], r["tile"], r["n_docs"]) for r in got) == sorted(
+        (r["lang"], r["tile"], r["count"]) for r in want
+    )

@@ -298,3 +298,60 @@ def test_orphan_rows_never_double_count_in_rollup(spark, tmp_path):
         ~roll["df"].eqNullSafe(exact["df"])
     )
     assert diff.count() == 0
+
+
+EXTRA = [
+    (7, "fresh spark doc", "de"),
+    (8, "novel tables stream", "en"),
+]
+
+
+def test_desync_repair_crash_point_matrix(spark, tmp_path):
+    """Crash-point coverage of the fold's sidecar writes (r10 VERDICT
+    #8): the counted-docs log turns the desync repair into a
+    missing-fold-sized append wherever it can name the gap, and a
+    TORN docs-vs-delta pair (the one unnameable state) falls back to
+    the full rebuild — every boundary converges to the exact rollup
+    and the policy re-arms to a no-op."""
+    from mongo_es_spark.operators.maintenance import maintain_bm25_if_needed
+
+    store = str(tmp_path / "bm25")
+    ts = os.path.join(store, "tokenstats")
+    td = os.path.join(store, "tokenstats_docs")
+    _fold(spark, store, DOCS[:3])
+
+    # -- boundary: crash AFTER docstats, BEFORE docs+delta ----------
+    b_ts, b_td = set(os.listdir(ts)), set(os.listdir(td))
+    _fold(spark, store, DOCS[3:])
+    for d_, before in ((ts, b_ts), (td, b_td)):
+        for f in set(os.listdir(d_)) - before:
+            os.remove(os.path.join(d_, f))
+    fired = maintain_bm25_if_needed(spark, store)
+    assert fired["action"] == "rebuild_rollup"
+    assert fired["result"]["mode"] == "incremental"
+    assert fired["result"]["added_docs"] == 3
+    plan = _plan_of(_sig(spark, store))
+    assert "tokenstats" in plan and _postings_scans(plan) == 2
+    clean = str(tmp_path / "clean6")
+    _fold(spark, clean, DOCS)
+    assert sorted(map(tuple, _sig(spark, store).collect())) == sorted(
+        map(tuple, _sig(spark, clean).collect())
+    )
+    assert maintain_bm25_if_needed(spark, store)["action"] == "none"
+
+    # -- boundary: crash AFTER the docs sidecar, BEFORE the delta ---
+    b_ts = set(os.listdir(ts))
+    _fold(spark, store, EXTRA)
+    for f in set(os.listdir(ts)) - b_ts:
+        os.remove(os.path.join(ts, f))  # delta gone, docs row kept
+    fired2 = maintain_bm25_if_needed(spark, store)
+    assert fired2["action"] == "rebuild_rollup"
+    assert fired2["result"]["mode"] == "rebuild"  # torn pair -> full
+    clean8 = str(tmp_path / "clean8")
+    _fold(spark, clean8, DOCS + EXTRA)
+    assert sorted(map(tuple, _sig(spark, store).collect())) == sorted(
+        map(tuple, _sig(spark, clean8).collect())
+    )
+    assert maintain_bm25_if_needed(spark, store)["action"] == "none"
+    # the rebuild refreshed the sidecar: counted == live == 8
+    assert spark.read.parquet(td).count() == 8
