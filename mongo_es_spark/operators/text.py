@@ -1525,6 +1525,34 @@ def _bm25_scored(
     )
 
 
+def match_over_store(
+    spark,
+    store_path: str,
+    query_text: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """ES ``match`` — the workhorse full-text query: FREE TEXT in,
+    analyzed through the STORE'S OWN chain (the search_analyzer side
+    of the reference's per-field declaration), BM25-scored union of
+    the resulting terms out.  ``bm25_over_store`` with the analysis
+    applied to one string instead of a pre-split term list; a query
+    that analyzes to nothing returns the empty frame (the ES
+    zero-terms NONE behavior)."""
+    terms = analyze_store_terms(spark, store_path, [query_text])
+    # raw-whitespace stores: the string still needs splitting (the
+    # analyzer is identity there, not a tokenizer)
+    if len(terms) == 1 and terms[0] == query_text:
+        terms = query_text.split()
+    terms = [t for t in dict.fromkeys(terms) if t]
+    if not terms:
+        return spark.createDataFrame([], "doc long, score double")
+    return bm25_over_store(
+        spark, store_path, terms, k1=k1, b=b, top_k=top_k
+    )
+
+
 def bm25_batch_over_store(
     spark,
     store_path: str,

@@ -10329,6 +10329,49 @@ def search_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_match_freetext",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """.replace("{TOKS}", _ANALYZED_TOKS),
+)
+def search_match_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match — free text in, analyzed scoring out
+    (operators/text.py:match_over_store): the user's raw string
+    "Spark, table & STREAM!" analyzes through the store's chain to
+    ['spark', 'table', 'stream'] and BM25-scores their union over
+    the analyzed index.  The oracle hardcodes the analyzed terms the
+    Python twin derives — pinning that query-string analysis and
+    index-time analysis land on the same tokens."""
+    from .operators.text import match_over_store
+
+    store = _shared_analyzed_bm25_store(spark, sf_dir)
+    return match_over_store(
+        spark, store, "Spark, table & STREAM!", top_k=10
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
     "search_agg_nested",
     """
     WITH toks AS (

@@ -253,3 +253,31 @@ def test_duckdb_twin_matches_store_postings(spark, tmp_path):
     ).fetch_df()
     assert list(got["token"]) == list(want["token"])
     assert list(got["tf"]) == list(want["tf"])
+
+
+def test_match_over_store_free_text(spark, tmp_path):
+    """ES match: free text analyzed through the store's chain; raw
+    whitespace stores still split the string; a query analyzing to
+    nothing returns empty (the zero-terms NONE behavior)."""
+    from mongo_es_spark.operators.text import match_over_store
+
+    an_store = str(tmp_path / "an")
+    incremental_bm25_index(
+        spark, _mixed_docs(spark), an_store, analyzer="standard"
+    ).count()
+    hits = {
+        r["doc"]
+        for r in match_over_store(
+            spark, an_store, "SPARK engine!!"
+        ).collect()
+    }
+    assert hits == {1, 2}  # both terms analyze and match docs 1, 2
+    ws_store = str(tmp_path / "ws")
+    incremental_bm25_index(spark, _mixed_docs(spark), ws_store).count()
+    ws_hits = {
+        r["doc"]
+        for r in match_over_store(spark, ws_store, "spark engine").collect()
+    }
+    # raw store stays case-sensitive: only doc 2 has lowercase 'engine'
+    assert ws_hits == {2}
+    assert match_over_store(spark, an_store, "!!! ???").count() == 0
