@@ -30,6 +30,25 @@ Output: one row per deepest bucket combination — level-key columns
 ordered by the level keys ascending.  Docs with a null/out-of-range
 key at any level drop from that level down (the ES default; `missing`
 buckets are opt-in there and out of scope here).
+
+PIPELINE leaves (ES parent-pipeline aggregations) may sit beside the
+metric leaves: ``cumulative_sum`` / ``derivative`` / ``moving_fn``
+compute window functions over the DEEPEST bucket level ordered by its
+key within the parent prefix, ``bucket_selector`` prunes buckets by a
+bound on an already-computed column, and ``bucket_sort`` keeps the
+per-parent top ``size`` buckets by a sort key.  All of them run over
+the bucket-cardinality-sized frame — zero additional corpus work, the
+property that makes client-composed pipeline trees safe at 100 TB.
+Pipelines apply IN SPEC ORDER (a ``derivative`` declared after a
+``bucket_selector`` sees the pruned bucket sequence; declared before,
+the full one — ES resolves the same ambiguity by dependency order,
+which spec order subsumes for the linear chains a flat frame can
+carry).  ``moving_fn`` follows ES's default ``shift=0`` window — the
+``window`` buckets strictly BEFORE the current one — and an empty
+window yields NULL.  ``bucket_sort`` truncates per parent (ties break
+by bucket key ascending, pinned for determinism) but the output frame
+stays ordered by the level keys — the flat-frame contract — rather
+than re-ordered by the sort key.
 """
 
 from __future__ import annotations
@@ -50,6 +69,24 @@ _METRIC_OPS = {
     "min": F.min,
     "max": F.max,
     "value_count": F.count,
+    # ES serves cardinality as an HLL approximation; the planner
+    # serves the EXACT distinct count (same one-pass shape — Spark's
+    # partial-aggregate distinct — and the honest oracle target).
+    "cardinality": F.countDistinct,
+}
+_PIPELINE_KINDS = (
+    "cumulative_sum",
+    "derivative",
+    "moving_fn",
+    "bucket_selector",
+    "bucket_sort",
+)
+_MOVING_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+_SELECTOR_OPS = {
+    "gte": lambda c, v: c >= v,
+    "gt": lambda c, v: c > v,
+    "lte": lambda c, v: c <= v,
+    "lt": lambda c, v: c < v,
 }
 _DATE_INTERVALS = {"day", "week", "month", "quarter", "year"}
 
@@ -106,10 +143,13 @@ def _bucket_key(kind: str, body: Mapping):
     raise ValueError(f"unknown bucket kind {kind!r}")
 
 
-def _compile(spec: Mapping, levels: list, metrics: dict) -> None:
+def _compile(
+    spec: Mapping, levels: list, metrics: dict, pipelines: list
+) -> None:
     """Walk the ES-shaped tree: bucket nodes extend ``levels`` and
-    recurse into their ``aggs``; a map of metric-only nodes fills
-    ``metrics`` and terminates."""
+    recurse into their ``aggs``; a map of metric / pipeline leaves
+    fills ``metrics`` and ``pipelines`` (in spec order) and
+    terminates."""
     if not isinstance(spec, Mapping) or not spec:
         raise ValueError("agg spec must be a non-empty mapping")
     kinds = {
@@ -136,10 +176,19 @@ def _compile(spec: Mapping, levels: list, metrics: dict) -> None:
         levels.append((name, _bucket_key(kind, body), size))
         child = node.get("aggs")
         if child is not None:
-            _compile(child, levels, metrics)
+            _compile(child, levels, metrics, pipelines)
         return
-    # metric leaves (any number of siblings)
+    # metric / pipeline leaves (any number of siblings)
     for name, node in spec.items():
+        pipes = [k for k in node if k in _PIPELINE_KINDS]
+        if pipes:
+            if len(pipes) != 1 or len(node) != 1:
+                raise ValueError(
+                    f"pipeline leaf {name!r} must hold exactly one of "
+                    f"{sorted(_PIPELINE_KINDS)}"
+                )
+            pipelines.append((name, pipes[0], node[pipes[0]]))
+            continue
         ops = [k for k in node if k in _METRIC_OPS]
         if len(ops) != 1:
             raise ValueError(
@@ -160,7 +209,8 @@ def agg_tree_over_store(
     output contract."""
     levels: list = []
     metrics: dict = {}
-    _compile(spec, levels, metrics)
+    pipelines: list = []
+    _compile(spec, levels, metrics, pipelines)
     if not levels:
         raise ValueError("agg spec needs at least one bucket level")
 
@@ -205,4 +255,76 @@ def agg_tree_over_store(
             .filter(F.col("__rk") <= int(size))
             .drop("__lvl_n", "__rk")
         )
+
+    # pipeline leaves, spec order, over the bucket-cardinality frame:
+    # windows partition by the parent prefix and walk the DEEPEST
+    # level's buckets by key ascending (the ES bucket order)
+    if pipelines:
+        parent, leaf_key = key_names[:-1], key_names[-1]
+        seq = Window.partitionBy(*parent).orderBy(F.col(leaf_key).asc())
+
+        def path_col(body, ctx: str):
+            p = body["buckets_path"]
+            if p not in grouped.columns:
+                raise ValueError(
+                    f"{ctx}: buckets_path {p!r} is not a computed "
+                    f"column (have {grouped.columns})"
+                )
+            return F.col(p)
+
+        for name, kind, body in pipelines:
+            if kind == "cumulative_sum":
+                grouped = grouped.withColumn(
+                    name,
+                    F.sum(path_col(body, name)).over(
+                        seq.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
+            elif kind == "derivative":
+                c = path_col(body, name)
+                grouped = grouped.withColumn(
+                    name, c - F.lag(c, 1).over(seq)
+                )
+            elif kind == "moving_fn":
+                n = int(body.get("window", 5))
+                shift = int(body.get("shift", 0))
+                fn = _MOVING_FNS.get(body.get("fn", "avg"))
+                if fn is None or n < 1:
+                    raise ValueError(
+                        f"moving_fn {name!r}: fn must be one of "
+                        f"{sorted(_MOVING_FNS)} and window >= 1"
+                    )
+                grouped = grouped.withColumn(
+                    name,
+                    fn(path_col(body, name)).over(
+                        seq.rowsBetween(shift - n, shift - 1)
+                    ),
+                )
+            elif kind == "bucket_selector":
+                bounds = [k for k in body if k in _SELECTOR_OPS]
+                if not bounds:
+                    raise ValueError(
+                        f"bucket_selector {name!r} needs a bound of "
+                        f"{sorted(_SELECTOR_OPS)}"
+                    )
+                c = path_col(body, name)
+                for k in bounds:
+                    grouped = grouped.filter(
+                        _SELECTOR_OPS[k](c, F.lit(body[k]))
+                    )
+            elif kind == "bucket_sort":
+                order = (
+                    path_col(body, name).asc()
+                    if body.get("order", "desc") == "asc"
+                    else path_col(body, name).desc()
+                )
+                rw = Window.partitionBy(*parent).orderBy(
+                    order, F.col(leaf_key).asc()
+                )
+                grouped = (
+                    grouped.withColumn("__bs", F.row_number().over(rw))
+                    .filter(F.col("__bs") <= int(body["size"]))
+                    .drop("__bs")
+                )
+
     return grouped.orderBy(*[F.col(n).asc() for n in key_names])

@@ -10524,6 +10524,139 @@ def search_agg_histogram_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_agg_pipeline_tree",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value', 'spark')
+    ),
+    d AS (
+        SELECT lang, n_chars,
+               CAST(date_trunc('month',
+                    DATE '2024-01-01' + CAST(doc_id % 365 AS INT))
+                    AS DATE) AS month
+        FROM documents JOIN matched USING (doc_id)
+    ),
+    leaf AS (
+        SELECT lang, month, count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM d WHERE lang IS NOT NULL AND month IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT lang, month, n_docs, sum_chars,
+           (sum(n_docs) OVER (PARTITION BY lang ORDER BY month ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS cum_docs,
+           n_docs - lag(n_docs) OVER (PARTITION BY lang
+                ORDER BY month ASC) AS dlt_docs
+    FROM leaf
+    ORDER BY lang ASC, month ASC
+    """,
+)
+def search_agg_pipeline_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent-pipeline aggregations through the recursive planner
+    (operators/aggs.py): terms(lang) → date_histogram(month) →
+    {sum(n_chars), cumulative_sum(n_docs), derivative(n_docs)} — the
+    running total and bucket-over-bucket delta ES computes in the
+    reduce phase.  The pipelines are windows over the
+    bucket-cardinality-sized frame partitioned by the parent prefix
+    (lang) and ordered by the leaf key (month): zero additional
+    corpus work beyond the one matched scan.  The oracle re-derives
+    both as SQL window functions."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_tree_over_store(
+        spark, store, ["value", "spark"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"month": {
+                "date_histogram": {"field": "day", "interval": "month"},
+                "aggs": {
+                    "sum_chars": {"sum": {"field": "n_chars"}},
+                    "cum_docs": {"cumulative_sum": {
+                        "buckets_path": "n_docs"}},
+                    "dlt_docs": {"derivative": {
+                        "buckets_path": "n_docs"}},
+                }}}}},
+    ).select(
+        "lang", "month", "n_docs",
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        F.col("cum_docs").cast("long").alias("cum_docs"),
+        F.col("dlt_docs").cast("long").alias("dlt_docs"),
+    )
+
+
+@register(
+    "search_agg_bucket_sort",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('table')
+    ),
+    d AS (
+        SELECT lang, n_chars,
+               floor(n_chars / 100.0) * 100.0 AS bucket
+        FROM documents JOIN matched USING (doc_id)
+    ),
+    leaf AS (
+        SELECT bucket, count(*) AS n_docs,
+               avg(n_chars) AS avg_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM d WHERE bucket IS NOT NULL
+        GROUP BY 1
+    ),
+    kept AS (SELECT * FROM leaf WHERE n_docs >= 5),
+    ma AS (
+        SELECT *, avg(n_docs) OVER (ORDER BY bucket ASC
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ma_docs
+        FROM kept
+    ),
+    rk AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC,
+                bucket ASC) AS rn FROM ma)
+    SELECT bucket, n_docs, avg_chars, n_langs, ma_docs
+    FROM rk WHERE rn <= 5
+    ORDER BY bucket ASC
+    """,
+)
+def search_agg_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_selector + moving_fn + bucket_sort through the planner
+    (operators/aggs.py): histogram(n_chars, 100) buckets with an
+    exact cardinality(lang) metric, pruned to >= 5 docs
+    (bucket_selector), a trailing 3-bucket moving average over the
+    PRUNED sequence (moving_fn, ES shift=0: strictly-before window,
+    first bucket NULL), then the per-parent top-5 buckets by doc
+    count (bucket_sort, key-ascending tiebreak).  Spec order IS
+    application order; the oracle mirrors it as filter → window →
+    rank CTEs."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_tree_over_store(
+        spark, store, ["table"],
+        {"bucket": {"histogram": {"field": "n_chars",
+                                  "interval": 100.0},
+            "aggs": {
+                "avg_chars": {"avg": {"field": "n_chars"}},
+                "n_langs": {"cardinality": {"field": "lang"}},
+                "keep": {"bucket_selector": {
+                    "buckets_path": "n_docs", "gte": 5}},
+                "ma_docs": {"moving_fn": {
+                    "buckets_path": "n_docs", "window": 3}},
+                "top": {"bucket_sort": {
+                    "buckets_path": "n_docs", "size": 5}},
+            }}},
+    ).select(
+        "bucket", "n_docs", "avg_chars", "n_langs", "ma_docs"
+    )
+
+
+@register(
     "search_terms_set",
     """
     WITH toks AS (

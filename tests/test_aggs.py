@@ -150,6 +150,151 @@ def test_spec_validation(spark, agg_store):
         )
 
 
+def _leaf_counts(spark, agg_store):
+    """Brute-force (lang, bucket100) -> count from docstats."""
+    docstats = spark.read.parquet(agg_store + "/docstats")
+    out = {}
+    for r in (
+        docstats.filter(F.col("lang").isNotNull())
+        .select("lang", (F.floor(F.col("n_chars") / 100) * 100).alias("b"))
+        .groupBy("lang", "b")
+        .count()
+        .collect()
+    ):
+        out[(r["lang"], float(r["b"]))] = r["count"]
+    return out
+
+
+def test_pipeline_cumsum_derivative(spark, agg_store):
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"b": {
+                "histogram": {"field": "n_chars", "interval": 100.0},
+                "aggs": {
+                    "cum": {"cumulative_sum": {"buckets_path": "n_docs"}},
+                    "dlt": {"derivative": {"buckets_path": "n_docs"}},
+                }}}}},
+    ).collect()
+    want = _leaf_counts(spark, agg_store)
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows = sorted(rows, key=lambda r: r["b"])
+        run, prev = 0, None
+        for r in rows:
+            assert r["n_docs"] == want[(lang, r["b"])]
+            run += r["n_docs"]
+            assert r["cum"] == run
+            if prev is None:
+                assert r["dlt"] is None
+            else:
+                assert r["dlt"] == r["n_docs"] - prev
+            prev = r["n_docs"]
+
+
+def test_moving_fn_window_excludes_current(spark, agg_store):
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0},
+            "aggs": {"ma": {"moving_fn": {
+                "buckets_path": "n_docs", "window": 2}}}}},
+    ).collect()
+    rows = sorted(got, key=lambda r: r["b"])
+    hist = [r["n_docs"] for r in rows]
+    for i, r in enumerate(rows):
+        prev = hist[max(0, i - 2):i]  # ES shift=0: strictly before
+        if not prev:
+            assert r["ma"] is None
+        else:
+            assert abs(r["ma"] - sum(prev) / len(prev)) < 1e-9
+
+
+def test_bucket_selector_then_sort(spark, agg_store):
+    # selector prunes < 10-doc buckets, THEN derivative walks the
+    # pruned sequence (spec order), THEN bucket_sort keeps top-2
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0},
+            "aggs": {
+                "keep": {"bucket_selector": {
+                    "buckets_path": "n_docs", "gte": 10}},
+                "dlt": {"derivative": {"buckets_path": "n_docs"}},
+                "top": {"bucket_sort": {
+                    "buckets_path": "n_docs", "size": 2}},
+            }}},
+    ).collect()
+    base = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0}}},
+    ).collect()
+    kept = sorted(
+        [(r["b"], r["n_docs"]) for r in base if r["n_docs"] >= 10],
+        key=lambda t: t[0],
+    )
+    top2 = sorted(kept, key=lambda t: (-t[1], t[0]))[:2]
+    assert sorted((r["b"], r["n_docs"]) for r in got) == sorted(top2)
+    # derivative over the PRUNED sequence: check one surviving row
+    # whose pruned-predecessor differs from its unpruned predecessor
+    seq = {b: n for b, n in kept}
+    for r in got:
+        idx = [b for b, _n in kept].index(r["b"])
+        if idx == 0:
+            assert r["dlt"] is None
+        else:
+            assert r["dlt"] == r["n_docs"] - kept[idx - 1][1]
+
+
+def test_cardinality_metric(spark, agg_store):
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"range": {"field": "n_chars",
+                         "ranges": [(None, 300), (300, None)]},
+            "aggs": {"nl": {"cardinality": {"field": "lang"}}}}},
+    ).collect()
+    docstats = spark.read.parquet(agg_store + "/docstats")
+    want = {
+        r["c"]: r["nl"]
+        for r in docstats.select(
+            F.when(F.col("n_chars") < 300, "*-300")
+            .otherwise("300-*")
+            .alias("c"),
+            "lang",
+        )
+        .groupBy("c")
+        .agg(F.countDistinct("lang").alias("nl"))
+        .collect()
+    }
+    assert {r["b"]: r["nl"] for r in got} == want
+
+
+def test_pipeline_validation(spark, agg_store):
+    with pytest.raises(ValueError, match="buckets_path"):
+        agg_tree_over_store(
+            spark, agg_store, ["alpha"],
+            {"b": {"histogram": {"field": "n_chars", "interval": 100.0},
+                "aggs": {"c": {"cumulative_sum": {
+                    "buckets_path": "nope"}}}}},
+        )
+    with pytest.raises(ValueError, match="needs a bound"):
+        agg_tree_over_store(
+            spark, agg_store, ["alpha"],
+            {"b": {"histogram": {"field": "n_chars", "interval": 100.0},
+                "aggs": {"c": {"bucket_selector": {
+                    "buckets_path": "n_docs"}}}}},
+        )
+    with pytest.raises(ValueError, match="exactly one of"):
+        agg_tree_over_store(
+            spark, agg_store, ["alpha"],
+            {"b": {"histogram": {"field": "n_chars", "interval": 100.0},
+                "aggs": {"c": {
+                    "cumulative_sum": {"buckets_path": "n_docs"},
+                    "derivative": {"buckets_path": "n_docs"},
+                }}}},
+        )
+
+
 def test_geotile_bucket_nests(spark, tmp_path):
     """geotile as a planner bucket source: terms(lang) → geotile —
     the heat-map-per-language composition."""
