@@ -718,6 +718,9 @@ def incremental_bm25_index(
     ids check against the store's live state (BROADCAST batch keys, a
     map-side scan), and an already-present id is silently dropped
     ONLY when its content digest matches the stored one (a replay).
+    The same rule holds WITHIN a batch: duplicate (id, digest) rows
+    collapse silently, but one id carrying two different texts raises
+    at materialization — there is no defensible winner.
     An id arriving with DIFFERENT text — or one the store has
     tombstoned — raises: silently no-op'ing a changed document would
     leave the index serving stale postings forever with no error
@@ -752,8 +755,30 @@ def incremental_bm25_index(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("__t"),
         *[F.col(c) for c in fields],
-    ).dropDuplicates(["doc"]).withColumn(
-        "__sig", F.xxhash64(F.col("__t"))
+    ).withColumn("__sig", F.xxhash64(F.col("__t")))
+    # intra-batch identity mirrors the cross-batch contract below:
+    # same-digest duplicates drop silently (replays), but one id
+    # carrying CONFLICTING content raises — dropDuplicates(["doc"])
+    # alone would index an arbitrary winner, silent data loss.  The
+    # guard is a raise_error expression, so it costs zero extra jobs:
+    # it fires during the localCheckpoint materialization.
+    batch = batch.dropDuplicates(["doc", "__sig"]).withColumn(
+        "__t",
+        F.when(
+            F.count("*").over(Window.partitionBy("doc")) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("incremental_bm25_index: doc id "),
+                    F.col("doc"),
+                    F.lit(
+                        " appears in one batch with conflicting "
+                        "content — ambiguous which text to index; "
+                        "dedupe upstream or route ordered mutations "
+                        "through apply_cdc_to_bm25_index(seq_col=…)"
+                    ),
+                )
+            ),
+        ).otherwise(F.col("__t")),
     )
     if docstats is not None:
         # latest stored state per batch doc (store scan against the
@@ -911,8 +936,10 @@ def apply_cdc_to_bm25_index(
     raise):
 
     * upsert of UNCHANGED content (live row with the same xxhash64
-      digest) is a replay → skipped, so at-least-once delivery
-      composes to exactly-once index state;
+      text digest AND the same stored-field values — the ES noop
+      comparison covers the whole doc) is a replay → skipped, so
+      at-least-once delivery composes to exactly-once index state; a
+      fields-only change (the update_by_query case) applies;
     * upsert of changed/new/previously-deleted content applies;
     * delete of a live doc applies; delete of an absent or
       already-deleted doc is a replay → skipped.
@@ -986,6 +1013,11 @@ def apply_cdc_to_bm25_index(
                 "doc",
                 F.col("sig").alias("__cur_sig"),
                 F.col("deleted").alias("__cur_del"),
+                # stored-field values ride the probe so the replay
+                # check can see a fields-only change (the ES
+                # update_by_query noop comparison covers the whole
+                # doc, not just the text)
+                *[F.col(f).alias(f"__cur_fld_{f}") for f in fields],
             )
         )
         b = b.join(F.broadcast(latest), "doc", "left")
@@ -993,6 +1025,8 @@ def apply_cdc_to_bm25_index(
         b = b.withColumn("__cur_sig", F.lit(None).cast("long")).withColumn(
             "__cur_del", F.lit(None).cast("boolean")
         )
+        for f in fields:
+            b = b.withColumn(f"__cur_fld_{f}", F.col(f))
     # ONE batch-proportional job materializes the probe: batch rows +
     # their latest stored state (+ the dup count when unordered); every
     # check below reads the checkpointed blocks, not the store
@@ -1022,6 +1056,11 @@ def apply_cdc_to_bm25_index(
     # delivery forever (caught by the dead-counter exactness test;
     # note xxhash64(NULL) is a constant, NOT null, so the digest
     # comparison alone cannot recognize this case)
+    same_fields = F.lit(True)
+    for f in fields:
+        same_fields = same_fields & F.col(f"__cur_fld_{f}").eqNullSafe(
+            F.col(f)
+        )
     applies = F.when(
         F.col("__op") == "d", F.col("__cur_del").eqNullSafe(F.lit(False))
     ).otherwise(
@@ -1029,6 +1068,7 @@ def apply_cdc_to_bm25_index(
             (
                 F.col("__cur_del").eqNullSafe(F.lit(False))
                 & F.col("__cur_sig").eqNullSafe(F.col("__sig"))
+                & same_fields
             )
             | (
                 F.col("__cur_del").eqNullSafe(F.lit(True))
@@ -1058,7 +1098,10 @@ def apply_cdc_to_bm25_index(
     if int(arow["n"]) == 0:
         return spark.createDataFrame([], "doc long, op string, gen long")
     dead_inc = int(arow["prior"] or 0) + int(arow["tombs"] or 0)
-    applied = applied_full.drop("__cur_sig", "__cur_del")
+    applied = applied_full.drop(
+        "__cur_sig", "__cur_del",
+        *[f"__cur_fld_{f}" for f in fields],
+    )
     # generation counter lives in params (one row), mirroring the IVF
     # store — never recomputed from corpus-sized docstats metadata.
     # Legacy params rows predating the counter fall back to one

@@ -2666,6 +2666,18 @@ def _analyzed_toks_sql() -> str:
 _ANALYZED_TOKS = _analyzed_toks_sql()
 
 
+def _raw_standard_toks_sql() -> str:
+    """Standard chain over the RAW text column (the search_reindex
+    oracle: the re-analyzed destination store tokenizes the plain
+    corpus, not the mixed-case fixture expression)."""
+    from .operators.analysis import get_analyzer
+
+    return get_analyzer("standard").duckdb_tokens_sql("text")
+
+
+_RAW_STANDARD_TOKS = _raw_standard_toks_sql()
+
+
 def _shared_analyzed_bm25_store(spark: SparkSession, sf_dir: str) -> str:
     """The mixed-case/punctuated corpus folded once into a
     standard-analyzed BM25 store (analyzer recorded in _bm_params, so
@@ -3029,6 +3041,123 @@ def _shared_ivf_store(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return _shared_store("ivf", sf_dir, build)
+
+
+def _shared_pc_store(spark: SparkSession, sf_dir: str) -> str:
+    """Parent-child (ES join-field) index: orders as parent docs,
+    lineitems as child docs, ONE store carrying ``join_name`` +
+    ``parent_id`` stored fields — the ES ``join`` mapping type.  Text
+    is synthesized deterministically from the categorical columns
+    (the fixture has no comment text), so every token maps 1:1 to a
+    generating column the oracle can match on."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        line = load_table(spark, sf_dir, "lineitem")
+        parents = orders.select(
+            F.concat(F.lit("O"), F.col("o_orderkey")).alias("doc_id"),
+            F.concat(
+                F.lit("order "), F.col("o_orderpriority"),
+                F.lit(" st_"), F.col("o_orderstatus"),
+            ).alias("text"),
+            F.lit("parent").alias("join_name"),
+            F.lit(None).cast("string").alias("parent_id"),
+            F.col("o_totalprice").alias("price"),
+        )
+        from pyspark.sql.window import Window
+
+        # (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        # child ids number rows within the order by a total column
+        # order both engines reproduce (full-duplicate rows tie, but
+        # then either numbering yields the same output multiset)
+        ln = F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy(
+                "l_linenumber", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice",
+            )
+        )
+        children = line.select(
+            F.concat(
+                F.lit("L"), F.col("l_orderkey"), F.lit("-"), ln
+            ).alias("doc_id"),
+            F.concat(
+                F.lit("line rf_"), F.col("l_returnflag"),
+                F.lit(" ls_"), F.col("l_linestatus"),
+            ).alias("text"),
+            F.lit("child").alias("join_name"),
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("parent_id"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        incremental_bm25_index(
+            spark, parents.unionByName(children), path,
+            field_cols=["join_name", "parent_id", "price"],
+        ).count()
+
+    return _shared_store("pcstore", sf_dir, build)
+
+
+def _shared_nested_store(spark: SparkSession, sf_dir: str) -> str:
+    """Orders indexed with their lineitems as an ES ``nested`` field:
+    an ``array<struct>`` stored field where per-element query
+    conditions must hold on the SAME element."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        line = load_table(spark, sf_dir, "lineitem")
+        items = line.groupBy("l_orderkey").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_returnflag").alias("rflag"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            ).alias("items")
+        )
+        docs = (
+            orders.join(
+                items,
+                orders["o_orderkey"] == items["l_orderkey"],
+                "left",
+            )
+            .select(
+                F.col("o_orderkey").cast("string").alias("doc_id"),
+                F.concat(
+                    F.lit("order "), F.col("o_orderpriority"),
+                    F.lit(" st_"), F.col("o_orderstatus"),
+                ).alias("text"),
+                # a parent with no lineitems keeps a NULL array:
+                # filter(NULL) -> NULL -> n_hits NULL -> not matched,
+                # exactly the ES no-nested-docs behavior
+                F.col("items"),
+            )
+        )
+        incremental_bm25_index(
+            spark, docs, path, field_cols=["items"]
+        ).count()
+
+    return _shared_store("nestedstore", sf_dir, build)
+
+
+def _shared_src_store(spark: SparkSession, sf_dir: str) -> str:
+    """documents folded with the text duplicated into a ``_source``
+    stored field — the ES _source convention that makes the
+    query-driven mutations (update_by_query / delete_by_query /
+    reindex) possible: there is stored source to re-index from."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars",
+            F.col("text").alias("_source"),
+        )
+        incremental_bm25_index(
+            spark, docs, path,
+            field_cols=["lang", "n_chars", "_source"],
+        ).count()
+
+    return _shared_store("srcstore", sf_dir, build)
 
 
 def _shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10654,6 +10783,242 @@ def search_agg_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "bucket", "n_docs", "avg_chars", "n_langs", "ma_docs"
     )
+
+
+@register(
+    "search_nested_query",
+    """
+    WITH matched AS (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(o_orderkey AS VARCHAR) AS doc,
+           count(*)::BIGINT AS n_hits
+    FROM matched JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def search_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query (operators/nested.py:nested_query_over_store):
+    orders indexed with their lineitems as an array<struct> nested
+    field, matching ``bool(match(st_F), nested(qty >= 45 AND rflag =
+    'R'))`` — BOTH conditions must hold on the SAME array element
+    (the reason ES nested mappings exist; a flattened object mapping
+    would wrongly match any order holding some heavy item and some
+    other returned item).  The token-pruned match runs first, the
+    per-element predicate is a higher-order filter/size over the
+    stored array (codegen, no explode), ``n_hits`` is the
+    inner_hits cardinality.  The oracle re-derives same-element
+    semantics as a relational join on the child table."""
+    from .operators.nested import nested_query_over_store
+
+    store = _shared_nested_store(spark, sf_dir)
+    return nested_query_over_store(
+        spark, store, ["st_F"], "items",
+        [("qty", "gte", 45.0), ("rflag", "eq", "R")],
+    )
+
+
+@register(
+    "search_has_child",
+    """
+    SELECT 'O' || l_orderkey AS doc,
+           any_value(o_totalprice) AS price,
+           count(*)::BIGINT AS n_children
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1
+    HAVING count(*) >= 3
+    ORDER BY 1
+    """,
+)
+def search_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child query (operators/nested.py:has_child_over_store):
+    orders (parent docs) with at least 3 lineitem children matching
+    the child term ``rf_R`` — parents and children live in ONE index
+    carrying the ES join-field pattern (``join_name`` +
+    ``parent_id`` stored fields).  One token-pruned child match, a
+    parent-keyed count, an equi-join back to parent docstats.  The
+    oracle is the relational parent-child join with HAVING."""
+    from .operators.nested import has_child_over_store
+
+    store = _shared_pc_store(spark, sf_dir)
+    return has_child_over_store(
+        spark, store, ["rf_R"], min_children=3,
+        parent_name="parent",
+    )
+
+
+@register(
+    "search_has_parent",
+    """
+    WITH kids AS (
+        SELECT l_orderkey, l_extendedprice,
+               row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey,
+                            l_quantity, l_extendedprice) AS ln
+        FROM lineitem
+    )
+    SELECT 'L' || l_orderkey || '-' || ln AS doc,
+           'O' || l_orderkey AS parent_id,
+           l_extendedprice AS price
+    FROM kids JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    ORDER BY 1
+    """,
+)
+def search_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent query (operators/nested.py:
+    has_parent_over_store): lineitem child docs whose parent order
+    matches the parent term ``1-URGENT``.  The matched-parent id set
+    is a filtered PARENT subset — explicitly broadcast against the
+    children's ``parent_id``, the ES shard-routing analogue; at
+    cluster scale the store would bucket by ``parent_id`` so the
+    probe never shuffles the child corpus."""
+    from .operators.nested import has_parent_over_store
+
+    store = _shared_pc_store(spark, sf_dir)
+    return has_parent_over_store(
+        spark, store, ["1-URGENT"], parent_name="parent")
+
+
+@register(
+    "search_delete_by_query",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    deleted AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'value'
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'spark'
+    )
+    SELECT d.lang, count(*) AS n_docs
+    FROM documents d JOIN matched USING (doc_id)
+    WHERE doc_id NOT IN (SELECT doc_id FROM deleted)
+    GROUP BY d.lang
+    ORDER BY n_docs DESC, lang ASC
+    """,
+)
+def search_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _delete_by_query (operators/indexops.py:delete_by_query):
+    every doc matching 'value' is tombstoned through the CDC fold
+    (new-generation MVCC tombstones, NOT a corpus rewrite), then the
+    facet aggregation for 'spark' serves from the survivors.  The
+    oracle recomputes post-mutation state relationally: matched minus
+    deleted."""
+    from .operators.indexops import delete_by_query
+    from .operators.text import facets_over_store
+
+    src = _shared_src_store(spark, sf_dir)
+    store = _shared_derived_store(
+        "delbyq", sf_dir, src,
+        lambda p: delete_by_query(spark, p, ["value"]).count(),
+    )
+    return facets_over_store(spark, store, ["spark"], "lang")
+
+
+@register(
+    "search_update_by_query",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    touched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'table'
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'spark'
+    )
+    SELECT CASE WHEN touched.doc_id IS NOT NULL THEN upper(d.lang)
+                ELSE d.lang END AS lang,
+           count(*) AS n_docs
+    FROM documents d
+    JOIN matched USING (doc_id)
+    LEFT JOIN touched ON touched.doc_id = d.doc_id
+    GROUP BY 1
+    ORDER BY n_docs DESC, lang ASC
+    """,
+)
+def search_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _update_by_query (operators/indexops.py:update_by_query):
+    docs matching 'table' get ``lang`` rewritten to uppercase by a
+    script over their stored state — a FIELDS-ONLY update, the case
+    the fold's whole-doc noop comparison exists for (a text-digest
+    replay check alone would silently skip it) — then the 'spark'
+    facet serves mixed pre/post-update languages.  The oracle applies
+    the same script relationally via CASE over the touched set."""
+    from .operators.indexops import update_by_query
+    from .operators.text import facets_over_store
+
+    src = _shared_src_store(spark, sf_dir)
+    store = _shared_derived_store(
+        "updbyq", sf_dir, src,
+        lambda p: update_by_query(
+            spark, p, ["table"], {"lang": F.upper(F.col("lang"))}
+        ).count(),
+    )
+    return facets_over_store(spark, store, ["spark"], "lang")
+
+
+@register(
+    "search_reindex",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('value', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """.replace("{TOKS}", _RAW_STANDARD_TOKS),
+)
+def search_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _reindex (operators/indexops.py:reindex_store): the raw
+    whitespace-analyzed source store re-indexes from its stored
+    ``_source`` into a NEW store declared with the standard analyzer
+    — the canonical reindex motive (re-analyze the corpus under a new
+    chain without touching the source of truth; pair with the
+    alias-swap cutover to retarget readers).  BM25 over the new store
+    then matches the cased/punctuated query "VALUE!"/"Table" that the
+    raw store cannot.  The oracle runs the byte-identical standard
+    chain over the raw text."""
+    from .operators.indexops import reindex_store
+    from .operators.text import bm25_over_store
+
+    src = _shared_src_store(spark, sf_dir)
+
+    def post(p: str) -> None:
+        import shutil
+
+        # the derived-store copy seeds the DESTINATION path — reindex
+        # builds a fresh store there from the source's stored _source
+        shutil.rmtree(p)
+        reindex_store(spark, src, p, analyzer="standard")
+
+    store = _shared_derived_store("reindexed", sf_dir, src, post)
+    return bm25_over_store(
+        spark, store, ["VALUE!", "Table"], top_k=10
+    ).select(F.col("doc").alias("doc_id"), "score")
 
 
 @register(
