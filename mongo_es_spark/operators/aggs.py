@@ -198,6 +198,45 @@ def _compile(
         metrics[name] = (ops[0], node[ops[0]]["field"])
 
 
+def cardinality_certified_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    field: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """ES ``cardinality`` the way ES actually serves it — an HLL
+    sketch (Spark's HyperLogLog++ via ``approx_count_distinct``) —
+    CERTIFIED against the exact distinct count in the same one-row
+    result: ``(n_exact, hll_ok)`` where ``hll_ok`` bounds the sketch's
+    relative error at 3·rsd.  The sketch is the 100 TB path (fixed
+    memory per partition, one partial-aggregated pass, no
+    distinct-shuffle); the exact count is the certificate the oracle
+    can pin cross-engine.  Both ride ONE aggregate over the matched
+    docstats frame."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame(
+            [], "n_exact long, hll_ok boolean"
+        )
+    agg = stats.agg(
+        F.countDistinct(F.col(field)).alias("n_exact"),
+        F.approx_count_distinct(F.col(field), float(rsd)).alias(
+            "__n_hll"
+        ),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("__n_hll") - F.col("n_exact"))
+            <= F.greatest(
+                F.lit(3.0 * float(rsd)) * F.col("n_exact"),
+                F.lit(1.0),
+            )
+        ).alias("hll_ok"),
+    )
+
+
 def agg_tree_over_store(
     spark,
     store_path: str,

@@ -390,6 +390,42 @@ def geotile_key_cols(zoom: int, lat_col, lon_col):
     return F.concat_ws("/", F.lit(int(zoom)), x, y)
 
 
+def geo_bounds_centroid_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations over the hit
+    set in ONE pass: the bounding box (top-left / bottom-right) and
+    the arithmetic centroid of the matched docs' points, plus the
+    point count — served entirely from docstats doc values (∝ matched
+    docs, one partial-aggregated scan, a one-row result).  Docs with
+    a NULL coordinate drop, the ES behavior.  Longitude bounds are
+    min/max (no antimeridian wrapping — ES offers that only for
+    geo_shape)."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame(
+            [],
+            "min_lat double, max_lat double, min_lon double, "
+            "max_lon double, c_lat double, c_lon double, n_points long",
+        )
+    pts = stats.filter(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    )
+    return pts.agg(
+        F.min(lat_col).alias("min_lat"),
+        F.max(lat_col).alias("max_lat"),
+        F.min(lon_col).alias("min_lon"),
+        F.max(lon_col).alias("max_lon"),
+        F.avg(lat_col).alias("c_lat"),
+        F.avg(lon_col).alias("c_lon"),
+        F.count("*").alias("n_points"),
+    )
+
+
 def geotile_grid_over_store(
     spark,
     store_path: str,

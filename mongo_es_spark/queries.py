@@ -10458,6 +10458,71 @@ def search_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_geo_bounds",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('stream')
+    ),
+    d AS (
+        SELECT CAST((doc_id % 180) - 90 AS DOUBLE) + 0.5 AS lat,
+               CAST((doc_id * 7 % 360) - 180 AS DOUBLE) + 0.5 AS lon
+        FROM documents JOIN matched USING (doc_id)
+    )
+    SELECT min(lat) AS min_lat, max(lat) AS max_lat,
+           min(lon) AS min_lon, max(lon) AS max_lon,
+           avg(lat) AS c_lat, avg(lon) AS c_lon,
+           count(*)::BIGINT AS n_points
+    FROM d
+    """,
+)
+def search_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds + geo_centroid aggregations (operators/geo.py:
+    geo_bounds_centroid_over_store): the matched set's bounding box,
+    arithmetic centroid and point count in ONE partial-aggregated
+    pass over doc values — a one-row result regardless of corpus
+    size."""
+    from .operators.geo import geo_bounds_centroid_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return geo_bounds_centroid_over_store(spark, store, ["stream"])
+
+
+@register(
+    "search_cardinality",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value')
+    )
+    SELECT count(DISTINCT n_chars)::BIGINT AS n_exact,
+           TRUE AS hll_ok
+    FROM documents JOIN matched USING (doc_id)
+    """,
+)
+def search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation served the way ES serves it — an
+    HLL sketch (operators/aggs.py:cardinality_certified_over_store,
+    Spark HyperLogLog++) — certified in the same one-row result
+    against the exact distinct count: the sketch is the fixed-memory
+    100 TB path, the exact count is what the oracle pins
+    cross-engine, and ``hll_ok`` asserts the sketch landed within
+    3·rsd."""
+    from .operators.aggs import cardinality_certified_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return cardinality_certified_over_store(
+        spark, store, ["value"], "n_chars", rsd=0.02
+    )
+
+
+@register(
     "search_match_freetext",
     """
     WITH toks AS (

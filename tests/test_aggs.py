@@ -328,3 +328,21 @@ def test_geotile_bucket_nests(spark, tmp_path):
     assert sorted((r["lang"], r["tile"], r["n_docs"]) for r in got) == sorted(
         (r["lang"], r["tile"], r["count"]) for r in want
     )
+
+
+def test_cardinality_certified(spark, agg_store):
+    from mongo_es_spark.operators.aggs import (
+        cardinality_certified_over_store,
+    )
+
+    row = cardinality_certified_over_store(
+        spark, agg_store, ["alpha"], "n_chars", rsd=0.02
+    ).head()
+    exact = (
+        spark.read.parquet(agg_store + "/docstats")
+        .select("n_chars")
+        .distinct()
+        .count()
+    )
+    assert row["n_exact"] == exact
+    assert row["hll_ok"] is True

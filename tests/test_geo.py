@@ -233,3 +233,27 @@ def test_geotile_keys_clamp_and_match_duckdb(spark, geo_store):
     ).fetchall()
     got = [(r["key"], r["n_docs"]) for r in rows]
     assert got == [tuple(w) for w in want]
+
+
+def test_geo_bounds_centroid(spark, geo_store):
+    from mongo_es_spark.operators.geo import (
+        geo_bounds_centroid_over_store,
+    )
+
+    row = geo_bounds_centroid_over_store(
+        spark, geo_store, ["even"]
+    ).head()
+    pts = [
+        (r["lat"], r["lon"])
+        for r in spark.read.parquet(geo_store + "/docstats")
+        .filter(F.col("doc") % 2 == 0)
+        .select("lat", "lon")
+        .collect()
+    ]
+    lats = [p[0] for p in pts]
+    lons = [p[1] for p in pts]
+    assert row["n_points"] == len(pts)
+    assert (row["min_lat"], row["max_lat"]) == (min(lats), max(lats))
+    assert (row["min_lon"], row["max_lon"]) == (min(lons), max(lons))
+    assert abs(row["c_lat"] - sum(lats) / len(lats)) < 1e-9
+    assert abs(row["c_lon"] - sum(lons) / len(lons)) < 1e-9
