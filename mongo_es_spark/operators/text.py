@@ -1824,6 +1824,81 @@ def facets_over_store(
     )
 
 
+def current_generation(spark, store_path: str) -> int:
+    """The store's generation counter (``_bm_params.gen``) — the
+    ES point-in-time id analogue: capture it before a mutation and
+    :func:`read_search_store_at` serves the pre-mutation view.  0 for
+    an insert-only store (folds never bump it; the first CDC batch
+    applies at generation 1)."""
+    p = _store_params_row(spark, store_path)
+    if p is None:
+        raise ValueError(f"no search store at {store_path}")
+    return int(p.get("gen") or 0)
+
+
+def read_search_store_at(spark, store_path: str, gen: int):
+    """ES point-in-time read over the MVCC store: resolve to the
+    state as of generation ``gen`` — docstats rows with ``gen <= g``
+    resolve latest-wins per doc minus tombstones, postings semi-join
+    the snapshot's live ``(doc, gen)`` pairs.  Mutations applied at
+    later generations (updates, deletes, inserts) are invisible, so a
+    search that paginates against the snapshot never sees the index
+    shift under it — exactly what ES opens PITs for.  Same shapes as
+    :func:`_read_search_store`; one docstats-sized window.  The
+    snapshot only exists until :func:`compact_bm25_store` reclaims
+    superseded generations (the ES PIT keep-alive analogue: vacuum
+    invalidates open snapshots — gate it with the maintenance policy).
+
+    Returns ``(None, None)`` when either store is missing; raises on
+    a legacy store with no generation column."""
+    from ..storeio import read_parquet_if_exists
+
+    postings = read_parquet_if_exists(
+        spark, _bm_postings_path(store_path)
+    )
+    docstats = read_parquet_if_exists(
+        spark, _bm_docstats_path(store_path)
+    )
+    if postings is None or docstats is None:
+        return None, None
+    if "gen" not in docstats.columns:
+        raise ValueError(
+            f"store at {store_path} predates generation bookkeeping "
+            "(scheme 2) — point-in-time reads need the MVCC columns; "
+            "rebuild the index"
+        )
+    g = int(gen)
+    snap = _bm_live_docstats(docstats.filter(F.col("gen") <= g))
+    live_postings = postings.filter(F.col("gen") <= g).join(
+        snap.select("doc", "gen"), ["doc", "gen"], "left_semi"
+    ).drop("gen")
+    return live_postings, snap.drop("sig", "gen", "deleted")
+
+
+def bm25_over_store_pit(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    gen: int,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served from the :func:`read_search_store_at`
+    snapshot — scores use the SNAPSHOT's document frequencies and
+    length norms, so a PIT search is byte-identical to what the live
+    query returned before the later mutations landed."""
+    resolved = read_search_store_at(spark, store_path, gen)
+    if resolved[0] is None:
+        return spark.createDataFrame([], "doc long, score double")
+    scored = _bm25_scored(
+        spark, store_path, terms, k1, b, None, resolved=resolved
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    ).limit(int(top_k))
+
+
 def _matched_docstats(spark, store_path: str, terms: Sequence[str]):
     """Shared head of every doc-values aggregation over the hit set:
     the docstats rows of documents matching ANY of ``terms`` — one

@@ -11086,6 +11086,38 @@ def search_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc").alias("doc_id"), "score")
 
 
+@register("search_pit", _BM25_ORACLE)
+def search_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES point-in-time search (operators/text.py:
+    bm25_over_store_pit / read_search_store_at): the store's MVCC
+    generations ARE the PIT — capture the generation counter (0 for
+    the insert-only build), then delete every doc matching 'stream'
+    and rewrite every doc matching 'table', and the PIT read at
+    generation 0 still serves the EXACT pre-mutation top-10 for
+    those very terms, byte-identical to the one-shot corpus BM25 the
+    oracle computes (scores included: snapshot df/avgdl, not live
+    ones).  The snapshot lives until compaction reclaims superseded
+    generations — the ES PIT keep-alive analogue."""
+    from .operators.indexops import delete_by_query, update_by_query
+    from .operators.text import bm25_over_store_pit, current_generation
+
+    src = _shared_src_store(spark, sf_dir)
+
+    def post(p: str) -> None:
+        g0 = current_generation(spark, p)
+        assert g0 == 0, f"insert-only store expected gen 0, got {g0}"
+        delete_by_query(spark, p, ["stream"]).count()
+        update_by_query(
+            spark, p, ["table"],
+            {"_source": F.concat(F.col("_source"), F.lit(" mutated"))},
+        ).count()
+
+    store = _shared_derived_store("pitstore", sf_dir, src, post)
+    return bm25_over_store_pit(
+        spark, store, ["spark", "table", "stream"], gen=0, top_k=10
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
 @register(
     "search_terms_set",
     """

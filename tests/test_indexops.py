@@ -165,3 +165,49 @@ def test_source_required(spark, tmp_path):
         update_by_query(spark, store, ["alpha"], {"lang": F.lit("x")})
     with pytest.raises(ValueError, match="_source"):
         reindex_store(spark, store, str(tmp_path / "d"))
+
+
+def test_pit_generations(spark, tmp_path):
+    """PIT reads resolve to each generation's state; compaction
+    reclaims superseded rows (the keep-alive expiry)."""
+    from mongo_es_spark.operators.text import (
+        bm25_over_store_pit,
+        current_generation,
+    )
+
+    store = str(tmp_path / "s")
+    _build(spark, store)
+    assert current_generation(spark, store) == 0
+
+    # gen 1: delete d3; gen 2: rewrite d2
+    delete_by_query(spark, store, ["beta"]).count()  # d3
+    g1 = current_generation(spark, store)
+    update_by_query(
+        spark, store, ["alpha"],
+        {"_source": F.concat(F.col("_source"), F.lit(" omega"))},
+    ).count()  # d2
+    assert current_generation(spark, store) == g1 + 1
+
+    def hits(term, gen):
+        return {
+            r["doc"]
+            for r in bm25_over_store_pit(
+                spark, store, [term], gen=gen, top_k=10
+            ).collect()
+        }
+
+    # gen 0: everything pre-mutation
+    assert hits("epsilon", 0) == {"d3"}
+    assert hits("omega", 0) == set()
+    # gen 1: d3 dead, d2 not yet rewritten
+    assert hits("epsilon", g1) == set()
+    assert hits("omega", g1) == set()
+    # gen 2 == live
+    assert hits("omega", g1 + 1) == {"d2"}
+
+    # compaction reclaims superseded generations: PIT 0 now equals
+    # the live view (snapshot expired), never a resurrected doc
+    from mongo_es_spark.operators.text import compact_bm25_store
+
+    compact_bm25_store(spark, store)
+    assert hits("epsilon", 0) == set()
