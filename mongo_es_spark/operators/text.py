@@ -3511,6 +3511,86 @@ def _percolate_indexed(
     return any_hits.unionByName(all_hits)
 
 
+def script_fields_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    scripts: "Mapping[str, Column]",
+) -> DataFrame:
+    """ES ``script_fields`` / runtime fields: serve the hit set with
+    COMPUTED columns — each script is a column expression over the
+    doc's stored values (doc values by name; ``dl`` is the indexed
+    token count), evaluated at query time with zero index changes.
+    Pure codegen over the matched docstats frame (∝ matched docs);
+    the scale caveat is ES's own: a runtime field can't be filtered
+    by the index, so pair it with an indexed query leg.  Output:
+    ``doc`` plus one column per script, doc asc."""
+    if not scripts:
+        raise ValueError("script_fields needs at least one script")
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame([], "doc long")
+    return stats.select(
+        "doc", *[expr.alias(name) for name, expr in scripts.items()]
+    ).orderBy("doc")
+
+
+def sampler_facets_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    facet_col: str,
+    shard_size: int = 100,
+    max_docs_per_value: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler`` aggregation: run the
+    child terms aggregation over only the top-``shard_size``
+    BEST-SCORING matched docs instead of the full hit set — the
+    agg-on-a-budget pattern for expensive/noisy corpora.  With
+    ``max_docs_per_value`` the sample first keeps at most that many
+    docs per facet value (the diversified form: one viral value
+    cannot flood the sample).  Deterministic: ranks tie-break by doc
+    ascending, diversification by (score desc, doc asc) within the
+    value.
+
+    Scale shape: scoring is the token-pruned BM25 pass (∝ matched
+    postings); both truncations are window ranks over the scored
+    frame — the downstream agg then touches ``shard_size`` rows, a
+    constant, regardless of corpus size.  Output: ``(facet, n_docs)``
+    count desc then value asc over the SAMPLE."""
+    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    if scored is None:
+        return spark.createDataFrame(
+            [], f"{facet_col} string, n_docs long"
+        )
+    _p, docstats = _read_search_store(spark, store_path)
+    sample = scored.join(
+        docstats.select("doc", facet_col), "doc"
+    )
+    if max_docs_per_value is not None:
+        dw = Window.partitionBy(facet_col).orderBy(
+            F.col("score").desc(), F.col("doc").asc()
+        )
+        sample = (
+            sample.withColumn("__dr", F.row_number().over(dw))
+            .filter(F.col("__dr") <= int(max_docs_per_value))
+            .drop("__dr")
+        )
+    # TakeOrderedAndProject, not a partitionless window: the global
+    # top-shard_size runs as distributed partial top-k + driver merge
+    # of shard_size rows, never a single-partition sort
+    sample = sample.orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    ).limit(int(shard_size))
+    return (
+        sample.groupBy(facet_col)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+    )
+
+
 def term_vectors_over_store(
     spark,
     store_path: str,

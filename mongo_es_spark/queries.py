@@ -11119,6 +11119,105 @@ def search_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_script_fields",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value')
+    )
+    SELECT doc_id,
+           n_chars::DOUBLE / dl AS chars_per_tok,
+           n_chars >= 500 AS is_long
+    FROM documents JOIN matched USING (doc_id) JOIN dl USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def search_script_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_fields / runtime fields (operators/text.py:
+    script_fields_over_store): the hit set served with columns
+    COMPUTED at query time over stored doc values — chars-per-token
+    (n_chars over the indexed token count dl) and a length flag —
+    zero index changes, pure codegen expressions.  The oracle
+    re-derives dl as the token count of the same split."""
+    from .operators.text import script_fields_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return script_fields_over_store(
+        spark, store, ["value"],
+        {
+            "chars_per_tok":
+                F.col("n_chars").cast("double") / F.col("dl"),
+            "is_long": F.col("n_chars") >= 500,
+        },
+    ).select(F.col("doc").alias("doc_id"), "chars_per_tok", "is_long")
+
+
+@register(
+    "search_sampler",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('value', 'spark')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    scored AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    s AS (
+        SELECT scored.doc_id, score, lang
+        FROM scored JOIN documents USING (doc_id)
+    ),
+    div AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id ASC) AS dr
+        FROM s
+    ),
+    top AS (
+        SELECT * FROM div WHERE dr <= 20
+        ORDER BY score DESC, doc_id ASC LIMIT 50
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs
+    FROM top GROUP BY 1
+    ORDER BY n_docs DESC, lang ASC
+    """,
+)
+def search_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler aggregation (operators/text.py:
+    sampler_facets_over_store): the lang facet computed over only the
+    top-50 best-scoring hits, first capped at 20 docs per language
+    (the diversified form — one dominant language cannot flood the
+    sample).  Truncations are deterministic (score desc, doc asc);
+    the global top-50 compiles to TakeOrderedAndProject, never a
+    partitionless window.  The oracle mirrors score → diversify →
+    truncate → count as window CTEs."""
+    from .operators.text import sampler_facets_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return sampler_facets_over_store(
+        spark, store, ["value", "spark"], "lang",
+        shard_size=50, max_docs_per_value=20,
+    )
+
+
+@register(
     "search_terms_set",
     """
     WITH toks AS (
