@@ -260,7 +260,27 @@ def agg_tree_over_store(
         return spark.createDataFrame(
             [], f"{cols}, n_docs long{mcols}"
         )
+    return _apply_tree(stats, levels, metrics, pipelines)
 
+
+def agg_tree_frame(matched_stats: DataFrame, spec: Mapping) -> DataFrame:
+    """Run a compiled aggregation tree over an ALREADY-MATCHED
+    docstats frame — the hook the ``_search`` API executor uses to
+    attach ``aggs`` to an arbitrary compiled query instead of a flat
+    term list.  Same spec shape and output contract as
+    :func:`agg_tree_over_store`."""
+    levels: list = []
+    metrics: dict = {}
+    pipelines: list = []
+    _compile(spec, levels, metrics, pipelines)
+    if not levels:
+        raise ValueError("agg spec needs at least one bucket level")
+    return _apply_tree(matched_stats, levels, metrics, pipelines)
+
+
+def _apply_tree(
+    stats: DataFrame, levels: list, metrics: dict, pipelines: list
+) -> DataFrame:
     key_names = [n for n, _c, _s in levels]
     keyed = stats.select(
         *[c.alias(n) for n, c, _s in levels],

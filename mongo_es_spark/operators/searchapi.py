@@ -1,0 +1,435 @@
+"""The ES ``_search`` API executor: one entry point that takes an
+ES-shaped request body and compiles it onto the store's serving
+primitives — the capstone that lets a reference user run their actual
+search requests instead of calling per-shape helpers::
+
+    search(spark, store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark streaming"}}],
+            "filter": [{"range": {"n_chars": {"gte": 100}}}],
+            "must_not": [{"term": {"text": "deprecated"}}],
+            "should": [{"match_phrase": {"text": "structured streaming"}}],
+        }},
+        "size": 10,
+        "aggs": {"langs": {"terms": {"field": "lang"}}},
+    })
+
+Supported query nodes: ``bool`` (must / filter / should / must_not /
+minimum_should_match, arbitrarily nested), ``term`` / ``terms``
+(exact tokens), ``match`` (analyzed free text, OR by default,
+``"operator": "and"`` supported), ``match_phrase`` (positional),
+``prefix`` / ``wildcard`` / ``fuzzy`` (index-vocabulary expansions,
+constant score 1 per doc — the Lucene multi-term rewrite), ``range``
+/ ``exists`` over stored doc-values fields (constant score in query
+context), ``match_all``.
+
+Scoring follows Lucene's additive model: a doc's score is the sum of
+its matching scoring clauses' BM25 weights; ``filter`` context
+contributes membership but zero score; ``should`` beside a ``must``
+boosts without gating (ES's minimum_should_match=0 default there),
+while a pure-``should`` bool gates at minimum_should_match (default
+1).  ``match_phrase`` gates on the positional occurrence and scores
+by its constituent terms' BM25 on the gated docs (a documented
+simplification of Lucene's phrase-frequency scoring — the oracle pins
+the same definition).  The final score rounds to 6 decimals like
+every other serving op.
+
+Scale shape: ONE postings scan pruned to the union of every scoring
+clause's analyzed tokens feeds a shared per-(doc, token) BM25 weight
+frame (eagerly checkpointed once — clause evaluation then reuses the
+materialized matched-sized blocks instead of rescanning the index
+per leaf); constant-score leaves prune their own postings scan to
+their expanded tokens; doc-values leaves read docstats only.  Every
+combinator is a doc-keyed join of matched-sized frames — AQE
+broadcasts the small sides — and the top-k is TakeOrderedAndProject.
+``aggs`` delegate to the recursive planner over the compiled hit set
+(operators/aggs.py:agg_tree_frame).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import (
+    _read_search_store,
+    analyze_store_terms,
+    expand_fuzzy_terms,
+    expand_wildcard_terms,
+    phrase_over_store,
+)
+
+_LEAVES = (
+    "term", "terms", "match", "match_phrase", "prefix", "wildcard",
+    "fuzzy", "range", "exists", "match_all",
+)
+_RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+
+
+def _node_kind(node: Mapping) -> str:
+    kinds = [k for k in node if k == "bool" or k in _LEAVES]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"query node must hold exactly one of bool/{'/'.join(_LEAVES)}"
+            f" — got {sorted(node)}"
+        )
+    return kinds[0]
+
+
+def _listify(x) -> list:
+    if x is None:
+        return []
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+def _leaf_text(body: Mapping):
+    """``{field: value}`` or ``{field: {...options}}`` — single-text-
+    field stores take the value regardless of the field name."""
+    (_field, v), = body.items()
+    return v
+
+
+class _Ctx:
+    """Per-request compilation state: the live store frames plus the
+    shared scoring-weight frame over every scoring token in the
+    tree."""
+
+    def __init__(self, spark, store_path: str, k1: float, b: float):
+        self.spark = spark
+        self.store = store_path
+        self.k1, self.b = k1, b
+        self.postings, self.docstats = _read_search_store(
+            spark, store_path
+        )
+        self.wtok = None  # (doc, token, w), checkpointed
+
+    def analyze(self, text) -> list:
+        toks = str(text).split() if isinstance(text, str) else list(text)
+        return list(
+            dict.fromkeys(analyze_store_terms(self.spark, self.store, toks))
+        )
+
+    def build_weights(self, tokens: Sequence[str]) -> None:
+        toks = sorted(set(tokens))
+        if not toks or self.postings is None:
+            return
+        tf = self.postings.filter(F.col("token").isin(toks)).select(
+            "doc", "token", "tf"
+        )
+        n_t = tf.groupBy("token").agg(
+            F.countDistinct("doc").alias("df_t")
+        )
+        stats = self.docstats.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        idf = F.log(
+            (F.col("n_docs") - F.col("df_t") + 0.5)
+            / (F.col("df_t") + 0.5)
+            + 1.0
+        )
+        w = idf * (
+            F.col("tf") * (self.k1 + 1)
+            / (
+                F.col("tf")
+                + self.k1
+                * (1 - self.b + self.b * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        self.wtok = (
+            tf.join(F.broadcast(n_t), "token")
+            .join(self.docstats.select("doc", "dl"), "doc")
+            .crossJoin(F.broadcast(stats))
+            .select("doc", "token", w.alias("w"))
+            .localCheckpoint(eager=True)
+        )
+
+    def zero(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc long, score double")
+
+
+def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
+    """Pre-pass: every analyzed token a scoring clause will weigh —
+    the union prunes the one postings scan behind the shared weight
+    frame."""
+    kind = _node_kind(node)
+    if kind == "bool":
+        out = []
+        for sec in ("must", "filter", "should", "must_not"):
+            for child in _listify(node["bool"].get(sec)):
+                out += _collect_scoring_tokens(ctx, child)
+        return out
+    if kind == "term":
+        v = _leaf_text(node["term"])
+        return ctx.analyze(
+            [str(v["value"] if isinstance(v, Mapping) else v)]
+        )
+    if kind == "terms":
+        (_f, vals), = node["terms"].items()
+        return ctx.analyze(list(vals))
+    if kind == "match":
+        v = _leaf_text(node["match"])
+        q = v["query"] if isinstance(v, Mapping) else v
+        return ctx.analyze(q)
+    if kind == "match_phrase":
+        v = _leaf_text(node["match_phrase"])
+        q = v["query"] if isinstance(v, Mapping) else v
+        return ctx.analyze(q)
+    return []
+
+
+def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
+    """Compile a query node to its hit frame ``(doc, score)``."""
+    kind = _node_kind(node)
+    if kind == "bool":
+        return _eval_bool(ctx, node["bool"], scoring)
+
+    if kind in ("term", "terms", "match"):
+        body = node[kind]
+        if kind == "term":
+            v = _leaf_text(body)
+            tok = v["value"] if isinstance(v, Mapping) else v
+            toks, need = ctx.analyze([str(tok)]), 1
+        elif kind == "terms":
+            (_f, vals), = body.items()
+            toks, need = ctx.analyze(list(vals)), 1
+        else:
+            v = _leaf_text(body)
+            q = v["query"] if isinstance(v, Mapping) else v
+            toks = ctx.analyze(q)
+            op = (
+                v.get("operator", "or") if isinstance(v, Mapping) else "or"
+            )
+            need = len(toks) if op == "and" else 1
+        if ctx.wtok is None or not toks:
+            return ctx.zero()
+        hits = (
+            ctx.wtok.filter(F.col("token").isin(toks))
+            .groupBy("doc")
+            .agg(
+                F.sum("w").alias("score"),
+                F.countDistinct("token").alias("__nt"),
+            )
+            .filter(F.col("__nt") >= need)
+            .drop("__nt")
+        )
+        return hits if scoring else hits.select(
+            "doc", F.lit(0.0).alias("score")
+        )
+
+    if kind == "match_phrase":
+        v = _leaf_text(node["match_phrase"])
+        q = v["query"] if isinstance(v, Mapping) else v
+        toks = ctx.analyze(q)
+        if ctx.postings is None or not toks:
+            return ctx.zero()
+        gated = phrase_over_store(ctx.spark, ctx.store, toks).select(
+            "doc"
+        )
+        if not scoring or ctx.wtok is None:
+            return gated.select("doc", F.lit(0.0).alias("score"))
+        sc = (
+            ctx.wtok.filter(F.col("token").isin(toks))
+            .groupBy("doc")
+            .agg(F.sum("w").alias("score"))
+        )
+        return gated.join(sc, "doc", "inner")
+
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        body = node[kind]
+        (field, v), = body.items()
+        if ctx.postings is None:
+            return ctx.zero()
+        if kind == "prefix":
+            pat = str(v if not isinstance(v, Mapping) else v["value"])
+            exp = expand_wildcard_terms(
+                ctx.spark, ctx.store, pat + "*"
+            )
+        elif kind == "wildcard":
+            pat = str(v if not isinstance(v, Mapping) else v["value"])
+            exp = expand_wildcard_terms(ctx.spark, ctx.store, pat)
+        else:
+            vv = v if isinstance(v, Mapping) else {"value": v}
+            exp = expand_fuzzy_terms(
+                ctx.spark, ctx.store, [str(vv["value"])],
+                max_dist=int(vv.get("fuzziness", 1)),
+            )
+        if not exp:
+            return ctx.zero()
+        docs = (
+            ctx.postings.filter(F.col("token").isin(list(exp)))
+            .select("doc")
+            .distinct()
+        )
+        # Lucene multi-term rewrite: constant score 1 in query
+        # context, 0 in filter context
+        return docs.select(
+            "doc", F.lit(1.0 if scoring else 0.0).alias("score")
+        )
+
+    if kind in ("range", "exists", "match_all"):
+        if ctx.docstats is None:
+            return ctx.zero()
+        if kind == "match_all":
+            docs = ctx.docstats.select("doc")
+        elif kind == "exists":
+            f = node["exists"]["field"]
+            docs = ctx.docstats.filter(
+                F.col(f).isNotNull()
+            ).select("doc")
+        else:
+            (f, bounds), = node["range"].items()
+            cond = F.lit(True)
+            for op, v in bounds.items():
+                if op not in _RANGE_OPS:
+                    raise ValueError(
+                        f"range op {op!r} not one of {sorted(_RANGE_OPS)}"
+                    )
+                c = F.col(f)
+                cond = cond & {
+                    "gte": c >= v, "gt": c > v,
+                    "lte": c <= v, "lt": c < v,
+                }[op]
+            docs = ctx.docstats.filter(cond).select("doc")
+        return docs.select(
+            "doc", F.lit(1.0 if scoring else 0.0).alias("score")
+        )
+
+    raise ValueError(f"unsupported query node {kind!r}")
+
+
+def _sum_join(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
+    """Doc-keyed score combination: ``inner`` intersects (both
+    scores add), ``left`` keeps ``a`` and adds ``b`` where present."""
+    bb = b.select("doc", F.col("score").alias("__s2"))
+    return (
+        a.join(bb, "doc", how)
+        .select(
+            "doc",
+            (
+                F.col("score") + F.coalesce(F.col("__s2"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+
+
+def _eval_bool(ctx: _Ctx, b: Mapping, scoring: bool) -> DataFrame:
+    musts = [
+        _eval(ctx, n, scoring) for n in _listify(b.get("must"))
+    ]
+    filts = [
+        _eval(ctx, n, False) for n in _listify(b.get("filter"))
+    ]
+    shoulds = [
+        _eval(ctx, n, scoring) for n in _listify(b.get("should"))
+    ]
+    nots = [
+        _eval(ctx, n, False) for n in _listify(b.get("must_not"))
+    ]
+    msm = b.get("minimum_should_match")
+
+    base = None
+    for m in musts + filts:
+        base = m if base is None else _sum_join(base, m, "inner")
+
+    if base is not None:
+        # ES: should beside must/filter boosts without gating
+        # (minimum_should_match defaults to 0 there); an explicit msm
+        # re-gates on the number of matched should clauses
+        if shoulds:
+            tagged = [
+                s.select(
+                    "doc", "score", F.lit(i).alias("__i")
+                )
+                for i, s in enumerate(shoulds)
+            ]
+            u = tagged[0]
+            for t in tagged[1:]:
+                u = u.unionByName(t)
+            boost = u.groupBy("doc").agg(
+                F.sum("score").alias("score"),
+                F.countDistinct("__i").alias("__ns"),
+            )
+            if msm:
+                boost_g = boost.filter(F.col("__ns") >= int(msm))
+                base = _sum_join(
+                    base,
+                    boost_g.select("doc", "score"),
+                    "inner",
+                )
+            else:
+                base = _sum_join(
+                    base, boost.select("doc", "score"), "left"
+                )
+    elif shoulds:
+        need = int(msm) if msm else 1
+        tagged = [
+            s.select("doc", "score", F.lit(i).alias("__i"))
+            for i, s in enumerate(shoulds)
+        ]
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        base = (
+            u.groupBy("doc")
+            .agg(
+                F.sum("score").alias("score"),
+                F.countDistinct("__i").alias("__ns"),
+            )
+            .filter(F.col("__ns") >= need)
+            .select("doc", "score")
+        )
+    elif nots:
+        # pure must_not: match_all minus the blocked set
+        if ctx.docstats is None:
+            return ctx.zero()
+        base = ctx.docstats.select(
+            "doc", F.lit(0.0).alias("score")
+        )
+    else:
+        raise ValueError("empty bool query")
+
+    for n in nots:
+        base = base.join(
+            F.broadcast(n.select("doc")), "doc", "left_anti"
+        )
+    return base if scoring else base.select(
+        "doc", F.lit(0.0).alias("score")
+    )
+
+
+def search(
+    spark,
+    store_path: str,
+    body: Mapping,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Execute an ES-shaped ``_search`` request body against the
+    store — see the module docstring for the supported surface.
+    Returns the top-``size`` hits ``(doc, score)`` (score desc, doc
+    asc), or the aggregation frame when ``aggs`` is present (ES runs
+    aggs over the FULL hit set; pair with ``"size": 0`` semantics —
+    hits are not returned alongside aggs here)."""
+    ctx = _Ctx(spark, store_path, k1, b)
+    q = body.get("query") or {"match_all": {}}
+    if ctx.postings is None or ctx.docstats is None:
+        return ctx.zero()
+    ctx.build_weights(_collect_scoring_tokens(ctx, q))
+    hits = _eval(ctx, q, scoring=True)
+
+    if "aggs" in body:
+        from .aggs import agg_tree_frame
+
+        matched = ctx.docstats.join(
+            hits.select("doc"), "doc", "left_semi"
+        )
+        return agg_tree_frame(matched, body["aggs"])
+
+    size = int(body.get("size", 10))
+    return (
+        hits.select("doc", F.round(F.col("score"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(size)
+    )

@@ -11218,6 +11218,116 @@ def search_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_api_bool",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'stream', 'table')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    w AS (
+        SELECT doc_id, token,
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    ),
+    must AS (
+        SELECT doc_id, sum(w) AS s FROM w
+        WHERE token IN ('spark', 'stream') GROUP BY doc_id
+    ),
+    boost AS (
+        SELECT doc_id, sum(w) AS s FROM w
+        WHERE token = 'table' GROUP BY doc_id
+    ),
+    blocked AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'value'
+    )
+    SELECT m.doc_id,
+           round(m.s + coalesce(b.s, 0), 6) AS score
+    FROM must m
+    JOIN documents d ON d.doc_id = m.doc_id
+    LEFT JOIN boost b ON b.doc_id = m.doc_id
+    WHERE d.n_chars >= 200 AND d.n_chars < 900
+      AND m.doc_id NOT IN (SELECT doc_id FROM blocked)
+    ORDER BY score DESC, m.doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_api_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES _search API executor (operators/searchapi.py:search):
+    an ES-shaped request body — bool(must: match OR, filter: range
+    over doc values, must_not: term, should: term boost) — compiled
+    onto the store primitives with Lucene additive scoring: filter
+    context gates membership at zero score, the should clause boosts
+    without gating, one postings scan pruned to the union of scoring
+    tokens feeds a shared checkpointed weight frame.  The oracle
+    hand-expands the same request into weight/gate/boost CTEs."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark stream"}}],
+            "filter": [{"range": {"n_chars": {"gte": 200, "lt": 900}}}],
+            "must_not": [{"term": {"text": "value"}}],
+            "should": [{"term": {"text": "table"}}],
+        }},
+        "size": 10,
+    }).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_api_aggs",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id FROM toks
+        WHERE token IN ('stream', 'table', 'value')
+        GROUP BY doc_id
+        HAVING count(DISTINCT token) >= 2
+    )
+    SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars
+    FROM documents JOIN hits USING (doc_id)
+    WHERE lang IS NOT NULL
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+)
+def search_api_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_search with aggregations: a pure-should bool gated at
+    minimum_should_match=2 compiles to the hit set, and the ``aggs``
+    section delegates to the recursive planner over exactly that set
+    (operators/aggs.py:agg_tree_frame) — the ES request shape where
+    aggregations run over the FULL matched set, not the hits page."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"bool": {
+            "should": [
+                {"term": {"text": "stream"}},
+                {"term": {"text": "table"}},
+                {"term": {"text": "value"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        "aggs": {"lang": {"terms": {"field": "lang"},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    })
+
+
+@register(
     "search_terms_set",
     """
     WITH toks AS (

@@ -1,0 +1,189 @@
+"""ES _search API executor: query-DSL compilation onto the store
+primitives — Lucene additive scoring, filter-context zero scores,
+should-boost vs should-gate, minimum_should_match, multi-term
+constant score, aggs delegation over the compiled hit set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_es_spark.operators.searchapi import search
+from mongo_es_spark.operators.text import (
+    bm25_over_store,
+    incremental_bm25_index,
+)
+
+
+@pytest.fixture(scope="module")
+def api_store(spark, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("api") / "bm")
+    rows = [
+        ("d1", "spark streaming engine", "en", 100),
+        ("d2", "spark batch engine", "en", 200),
+        ("d3", "flink streaming engine", "fr", 300),
+        ("d4", "spark streaming deprecated", "fr", 400),
+        ("d5", "pandas dataframe", "en", 500),
+        ("d6", "streaming spark backwards", "en", 600),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, n_chars long"
+    )
+    incremental_bm25_index(
+        spark, df, store, field_cols=["lang", "n_chars"]
+    ).count()
+    return store
+
+
+def _docs(df):
+    return {r["doc"] for r in df.collect()}
+
+
+def test_match_equals_bm25(spark, api_store):
+    got = search(
+        spark, api_store, {"query": {"match": {"text": "spark engine"}}}
+    ).collect()
+    want = bm25_over_store(
+        spark, api_store, ["spark", "engine"], top_k=10
+    ).collect()
+    assert [(r["doc"], r["score"]) for r in got] == [
+        (r["doc"], r["score"]) for r in want
+    ]
+
+
+def test_bool_full(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "filter": [{"range": {"n_chars": {"gte": 150}}}],
+            "must_not": [{"term": {"text": "deprecated"}}],
+        }},
+    })
+    # spark docs: d1, d2, d4, d6; n_chars >= 150 drops d1;
+    # deprecated drops d4 -> d2, d6
+    assert _docs(res) == {"d2", "d6"}
+    # filter context adds no score: the two hits score identically
+    # to a bare match (same tf/dl here for 'spark')
+    scores = {r["doc"]: r["score"] for r in res.collect()}
+    bare = {
+        r["doc"]: r["score"]
+        for r in search(
+            spark, api_store, {"query": {"match": {"text": "spark"}}},
+        ).collect()
+    }
+    for d in ("d2", "d6"):
+        assert scores[d] == bare[d]
+
+
+def test_match_operator_and(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"match": {"text": {
+            "query": "spark streaming", "operator": "and"}}},
+    })
+    assert _docs(res) == {"d1", "d4", "d6"}
+
+
+def test_match_phrase_gates_order(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"match_phrase": {"text": "spark streaming"}},
+    })
+    # d6 has both tokens but not adjacent in order
+    assert _docs(res) == {"d1", "d4"}
+
+
+def test_should_boosts_without_gating(spark, api_store):
+    plain = search(spark, api_store, {
+        "query": {"bool": {"must": [{"term": {"text": "engine"}}]}},
+    })
+    boosted = search(spark, api_store, {
+        "query": {"bool": {
+            "must": [{"term": {"text": "engine"}}],
+            "should": [{"term": {"text": "flink"}}],
+        }},
+    })
+    assert _docs(plain) == _docs(boosted) == {"d1", "d2", "d3"}
+    ps = {r["doc"]: r["score"] for r in plain.collect()}
+    bs = {r["doc"]: r["score"] for r in boosted.collect()}
+    assert bs["d3"] > ps["d3"]  # flink doc boosted
+    assert bs["d1"] == ps["d1"]
+
+
+def test_pure_should_minimum_should_match(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"bool": {
+            "should": [
+                {"term": {"text": "spark"}},
+                {"term": {"text": "streaming"}},
+                {"term": {"text": "pandas"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+    })
+    assert _docs(res) == {"d1", "d4", "d6"}
+
+
+def test_multi_term_constant_score(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"prefix": {"text": "str"}},
+    })
+    assert _docs(res) == {"d1", "d3", "d4", "d6"}
+    assert {r["score"] for r in res.collect()} == {1.0}
+    fz = search(spark, api_store, {
+        "query": {"fuzzy": {"text": {"value": "sparc",
+                                     "fuzziness": 1}}},
+    })
+    assert _docs(fz) == {"d1", "d2", "d4", "d6"}
+
+
+def test_nested_bool(spark, api_store):
+    # (streaming AND (spark OR flink)) NOT deprecated
+    res = search(spark, api_store, {
+        "query": {"bool": {
+            "must": [
+                {"term": {"text": "streaming"}},
+                {"bool": {"should": [
+                    {"term": {"text": "spark"}},
+                    {"term": {"text": "flink"}},
+                ]}},
+            ],
+            "must_not": [{"term": {"text": "deprecated"}}],
+        }},
+    })
+    assert _docs(res) == {"d1", "d3", "d6"}
+
+
+def test_exists_and_match_all(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"bool": {
+            "filter": [{"exists": {"field": "lang"}}],
+            "must": [{"match_all": {}}],
+        }},
+        "size": 100,
+    })
+    assert len(_docs(res)) == 6
+
+
+def test_aggs_delegation(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"bool": {
+            "must": [{"term": {"text": "streaming"}}],
+            "must_not": [{"term": {"text": "deprecated"}}],
+        }},
+        "aggs": {"lang": {"terms": {"field": "lang"}},
+                 },
+    })
+    got = {(r["lang"], r["n_docs"]) for r in res.collect()}
+    # streaming minus deprecated: d1 (en), d3 (fr), d6 (en)
+    assert got == {("en", 2), ("fr", 1)}
+
+
+def test_validation(spark, api_store):
+    with pytest.raises(ValueError, match="exactly one of"):
+        search(spark, api_store, {"query": {"nope": {}}})
+    with pytest.raises(ValueError, match="empty bool"):
+        search(spark, api_store, {"query": {"bool": {}}})
+    with pytest.raises(ValueError, match="range op"):
+        search(spark, api_store, {
+            "query": {"range": {"n_chars": {"between": 1}}},
+        })
