@@ -21,7 +21,9 @@ minimum_should_match, arbitrarily nested), ``term`` / ``terms``
 ``prefix`` / ``wildcard`` / ``fuzzy`` (index-vocabulary expansions,
 constant score 1 per doc — the Lucene multi-term rewrite), ``range``
 / ``exists`` over stored doc-values fields (constant score in query
-context), ``match_all``.
+context), ``match_all``, and ``query_string`` (the Lucene mini-syntax
+— ``+``/``-``/AND/OR/NOT/parens/phrases/wildcards/``term~`` fuzz —
+parsed by :func:`parse_query_string` into the same node algebra).
 
 Scoring follows Lucene's additive model: a doc's score is the sum of
 its matching scoring clauses' BM25 weights; ``filter`` context
@@ -63,8 +65,16 @@ from .text import (
 
 _LEAVES = (
     "term", "terms", "match", "match_phrase", "prefix", "wildcard",
-    "fuzzy", "range", "exists", "match_all",
+    "fuzzy", "range", "exists", "match_all", "query_string",
 )
+
+
+def _qs_node(node: Mapping) -> dict:
+    body = node["query_string"]
+    return parse_query_string(
+        str(body["query"]),
+        str(body.get("default_operator", "or")).lower(),
+    )
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
 
 
@@ -89,6 +99,148 @@ def _leaf_text(body: Mapping):
     field stores take the value regardless of the field name."""
     (_field, v), = body.items()
     return v
+
+
+def parse_query_string(q: str, default_operator: str = "or") -> dict:
+    """The Lucene ``query_string`` mini-syntax compiled to executor
+    nodes: bare terms (analyzed ``match``), ``"quoted phrases"``,
+    ``AND`` / ``OR`` / ``NOT``, ``+term`` (must) / ``-term``
+    (must_not), parentheses, trailing ``*``/embedded ``?`` (wildcard)
+    and ``term~`` / ``term~2`` (fuzzy).  Juxtaposed terms combine
+    with ``default_operator``.  Negations hoist into their enclosing
+    bool's ``must_not`` (never an intermediate corpus-sized
+    complement frame)."""
+    toks = _qs_lex(q)
+    node, pos = _qs_or(toks, 0, default_operator)
+    if pos != len(toks):
+        raise ValueError(
+            f"query_string: unexpected {toks[pos]!r} at position {pos}"
+        )
+    return node
+
+
+def _qs_lex(q: str) -> list:
+    out, i, n = [], 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise ValueError("query_string: unterminated phrase")
+            out.append(("phrase", q[i + 1:j]))
+            i = j + 1
+        elif c in "+-":
+            out.append(c)
+            i += 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            word = q[i:j]
+            if word in ("AND", "OR", "NOT"):
+                out.append(word)
+            else:
+                out.append(("term", word))
+            i = j
+    return out
+
+
+def _qs_or(toks, pos, dop):
+    children, pos = [], pos
+    node, pos = _qs_and(toks, pos, dop)
+    children.append(node)
+    while pos < len(toks) and toks[pos] == "OR":
+        node, pos = _qs_and(toks, pos + 1, dop)
+        children.append(node)
+    if len(children) == 1:
+        return children[0], pos
+    return {"bool": {"should": children}}, pos
+
+
+def _qs_and(toks, pos, dop):
+    """AND chains and bare juxtaposition; ``+``/``-``/``NOT`` mark
+    the operand and hoist into this level's bool sections."""
+    must, should, must_not = [], [], []
+
+    def add(node, sign):
+        if sign == "-":
+            must_not.append(node)
+        elif sign == "+":
+            must.append(node)
+        else:
+            should.append(node)
+
+    explicit_and = False
+    sign = None
+    first = True
+    while pos < len(toks) and toks[pos] not in (")", "OR"):
+        t = toks[pos]
+        if t == "AND":
+            if first:
+                raise ValueError("query_string: AND needs a left side")
+            explicit_and = True
+            pos += 1
+            continue
+        if t in ("NOT", "-"):
+            sign = "-"
+            pos += 1
+            continue
+        if t == "+":
+            sign = "+"
+            pos += 1
+            continue
+        node, pos = _qs_atom(toks, pos, dop)
+        add(node, sign)
+        sign = None
+        first = False
+    if first:
+        raise ValueError("query_string: empty clause")
+    # AND context (explicit AND or default_operator=and): plain
+    # operands are requirements, not options
+    if explicit_and or dop == "and":
+        must, should = must + should, []
+    if not must and not should and must_not:
+        # pure negation: match_all minus
+        return {"bool": {"must": [{"match_all": {}}],
+                         "must_not": must_not}}, pos
+    if len(must) + len(should) == 1 and not must_not:
+        return (must + should)[0], pos
+    b: dict = {}
+    if must:
+        b["must"] = must
+    if should:
+        b["should"] = should
+    if must_not:
+        b["must_not"] = must_not
+    return {"bool": b}, pos
+
+
+def _qs_atom(toks, pos, dop):
+    t = toks[pos]
+    if t == "(":
+        node, pos = _qs_or(toks, pos + 1, dop)
+        if pos >= len(toks) or toks[pos] != ")":
+            raise ValueError("query_string: unbalanced parentheses")
+        return node, pos + 1
+    if isinstance(t, tuple) and t[0] == "phrase":
+        return {"match_phrase": {"text": t[1]}}, pos + 1
+    if isinstance(t, tuple) and t[0] == "term":
+        w = t[1]
+        if "~" in w:
+            base, _, d = w.partition("~")
+            return {
+                "fuzzy": {"text": {"value": base,
+                                   "fuzziness": int(d) if d else 1}}
+            }, pos + 1
+        if "*" in w or "?" in w:
+            return {"wildcard": {"text": w}}, pos + 1
+        return {"match": {"text": w}}, pos + 1
+    raise ValueError(f"query_string: unexpected {t!r}")
 
 
 class _Ctx:
@@ -154,6 +306,8 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
     the union prunes the one postings scan behind the shared weight
     frame."""
     kind = _node_kind(node)
+    if kind == "query_string":
+        return _collect_scoring_tokens(ctx, _qs_node(node))
     if kind == "bool":
         out = []
         for sec in ("must", "filter", "should", "must_not"):
@@ -182,6 +336,8 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
 def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
     """Compile a query node to its hit frame ``(doc, score)``."""
     kind = _node_kind(node)
+    if kind == "query_string":
+        return _eval(ctx, _qs_node(node), scoring)
     if kind == "bool":
         return _eval_bool(ctx, node["bool"], scoring)
 

@@ -3511,6 +3511,71 @@ def _percolate_indexed(
     return any_hits.unionByName(all_hits)
 
 
+def explain_score_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    doc_ids: Sequence,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``_explain`` API: the BM25 score DECOMPOSITION for specific
+    documents — one row per (doc, matched term) carrying every factor
+    the score multiplies (``tf``, ``df``, ``idf``, the length
+    normalization, the term's weight), so a relevance engineer can see
+    WHY a document ranked.  Sum of ``weight`` over a doc's rows ==
+    its :func:`bm25_over_store` score (same formula, same rounding
+    applied to the weight).
+
+    Scale shape: the postings scan prunes to the requested terms
+    (``PushedFilters: In(token, …)``) and then to the requested docs —
+    the df/avgdl statistics are corpus aggregates, computed the same
+    way the search path computes them.  Output ordered (doc asc,
+    token asc)."""
+    terms = analyze_store_terms(spark, store_path, terms)
+    postings, docstats = _read_search_store(spark, store_path)
+    if postings is None or docstats is None:
+        return spark.createDataFrame(
+            [],
+            "doc long, token string, tf long, df long, idf double, "
+            "tf_norm double, weight double",
+        )
+    ids = list(doc_ids)
+    tf = postings.filter(F.col("token").isin(*list(terms))).select(
+        "doc", "token", "tf"
+    )
+    n_t = tf.groupBy("token").agg(F.countDistinct("doc").alias("df"))
+    stats = docstats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    mine = (
+        tf.filter(F.col("doc").isin(ids))
+        .join(F.broadcast(n_t), "token")
+        .join(docstats.select("doc", "dl"), "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tf_norm = (
+        F.col("tf") * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return mine.select(
+        "doc",
+        "token",
+        "tf",
+        "df",
+        F.round(idf, 6).alias("idf"),
+        F.round(tf_norm, 6).alias("tf_norm"),
+        F.round(idf * tf_norm, 6).alias("weight"),
+    ).orderBy(F.col("doc").asc(), F.col("token").asc())
+
+
 def script_fields_over_store(
     spark,
     store_path: str,
@@ -4925,6 +4990,139 @@ def contamination(
             ),
         )
         .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+    lhs = df.select(
+        F.col(id_col),
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    )
+    return lhs.join(per_text, ["__k0", "__k1"]).select(
+        id_col, "n_grams", "n_contaminated", "contaminated"
+    )
+
+
+def contamination_bloom(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    benchmark_text_col: str = "text",
+    n: int = 5,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`contamination` with a BLOOM-FILTER PREFILTER — the
+    trillion-gram decontamination shape.  :func:`contamination`
+    broadcasts the benchmark's exact gram set, which stops working
+    when the "benchmark" side is itself huge (every seen URL, every
+    previously-trained shard): the exact join then shuffles EVERY
+    corpus gram.  Here the benchmark grams build a driver-side Bloom
+    bitmap (``n_bits`` bits, ``k`` xxhash64 probes — bounded model
+    state: 2^20 bits = 128 KB regardless of benchmark size at the
+    cost of FP rate), shipped as ONE array<long> literal; corpus
+    grams test membership as pure codegen bit arithmetic, and only
+    the survivors (true hits + Bloom false positives, ≈
+    ``n_grams·fp_rate``) reach the exact join — the shuffled volume
+    drops from all corpus grams to approximately the contaminated
+    set.  The exact join keeps the result EQUAL to
+    :func:`contamination` (false positives die there) — the Bloom
+    stage is invisible to the output, which is what lets the registry
+    row share the exact oracle.  Output schema identical to
+    :func:`contamination`."""
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+    bench_grams = (
+        benchmark_df.select(
+            F.explode(
+                word_ngrams_col(F.col(benchmark_text_col), n)
+            ).alias("__gram")
+        )
+        .distinct()
+    )
+
+    def probes(gram_col):
+        # k independent probes: xxhash64(gram, probe_seed) — the
+        # multi-column form reseeds per index, identical JVM-side for
+        # build and test
+        return [
+            F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(n_bits))
+            for i in range(int(k))
+        ]
+
+    bit_rows = bench_grams.select(
+        F.explode(F.array(*probes(F.col("__gram")))).alias("bit")
+    ).distinct()
+    # driver bitmap: bounded by n_bits/8 bytes, NOT by benchmark size
+    words = [0] * (n_bits // 64)
+    for r in bit_rows.collect():
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # two's-complement: JVM longs are signed, bit 63 must wrap
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    # one array<long> literal (a single Literal node, not 2^14
+    # expression nodes) every executor tests against in codegen
+    bitmap = F.lit(words)
+
+    def might_contain(gram_col):
+        cond = None
+        for p in probes(gram_col):
+            word = F.element_at(bitmap, (p / 64).cast("int") + 1)
+            # call_function: the SQL shiftright takes a column bit
+            # count; the typed Python wrapper insists on an int
+            hit = F.call_function(
+                "shiftright", word, F.pmod(p, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1)) == 1
+            cond = hit if cond is None else (cond & hit)
+        return cond
+
+    n_grams_expr = F.greatest(
+        token_count_col(F.col("__k1")) - (n - 1), F.lit(0)
+    )
+    distinct_t = df.select(
+        F.isnull(F.col(text_col)).alias("__k0"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__k1"),
+    ).distinct()
+    text_grams = distinct_t.select(
+        "__k0",
+        "__k1",
+        n_grams_expr.alias("__n_grams"),
+        F.explode_outer(
+            word_ngrams_col(F.col("__k1"), n)
+        ).alias("__gram"),
+    )
+    survivors = text_grams.filter(
+        F.col("__gram").isNotNull() & might_contain(F.col("__gram"))
+    )
+    # exact verify on the Bloom survivors only — no broadcast hint:
+    # at the scale this operator exists for, the benchmark side is
+    # NOT broadcastable and AQE picks the join for the survivor
+    # volume instead
+    hits = (
+        survivors.join(
+            bench_grams.withColumn("__hit", F.lit(1)),
+            "__gram",
+            "left",
+        )
+        .groupBy("__k0", "__k1")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "n_contaminated"
+            )
+        )
+    )
+    base = distinct_t.select(
+        "__k0", "__k1", n_grams_expr.alias("n_grams")
+    )
+    per_text = base.join(hits, ["__k0", "__k1"], "left").select(
+        "__k0",
+        "__k1",
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+            "n_contaminated"
+        ),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
     )
     lhs = df.select(
         F.col(id_col),

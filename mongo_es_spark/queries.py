@@ -4725,6 +4725,52 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_contamination_bloom",
+    _TOKS_CTE
+    + """
+    , g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                              i -> array_to_string(toks[i:i+4], ' ')) AS grams
+        FROM t
+    ), bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 89 = 0
+    ), hits AS (
+        SELECT e.doc_id, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g) e
+        JOIN bench USING (gram) GROUP BY e.doc_id
+    )
+    SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+           coalesce(hits.cnt, 0)::BIGINT AS n_contaminated,
+           coalesce(hits.cnt, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits USING (doc_id)
+    """,
+)
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/text.py:
+    contamination_bloom): the benchmark grams build a 2^20-bit / 4-
+    probe xxhash64 Bloom bitmap (bounded 128 KB driver state shipped
+    as ONE array<long> literal), corpus grams test membership as pure
+    codegen bit arithmetic, and only survivors reach the exact join —
+    the trillion-gram shape where the benchmark side is too big to
+    broadcast and the exact join would otherwise shuffle every corpus
+    gram.  The Bloom stage is INVISIBLE to the result (false
+    positives die in the exact verify), so the oracle is the plain
+    exact-overlap SQL — a hard equality, not a recall bound."""
+    from .operators.text import contamination_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    out = contamination_bloom(docs, "doc_id", "text", bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
+@register(
     "text_rare_bigrams",
     _TOKS_CTE
     + """
@@ -11325,6 +11371,112 @@ def search_api_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggs": {"lang": {"terms": {"field": "lang"},
             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
     })
+
+
+@register(
+    "search_query_string",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('stream', 'table', 'value')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    w AS (
+        SELECT doc_id, token,
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    ),
+    must AS (
+        SELECT doc_id, sum(w) AS s FROM w
+        WHERE token = 'stream' GROUP BY doc_id
+    ),
+    boost AS (
+        SELECT doc_id, sum(w) AS s FROM w
+        WHERE token IN ('table', 'value') GROUP BY doc_id
+    ),
+    blocked AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token = 'spark'
+    )
+    SELECT m.doc_id,
+           round(m.s + coalesce(b.s, 0), 6) AS score
+    FROM must m
+    LEFT JOIN boost b ON b.doc_id = m.doc_id
+    WHERE m.doc_id NOT IN (SELECT doc_id FROM blocked)
+    ORDER BY score DESC, m.doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query_string (operators/searchapi.py:parse_query_string):
+    the Lucene mini-syntax ``+stream (table OR value) -spark`` parsed
+    into the executor's node algebra — ``+`` lands in must, the
+    parenthesized OR group boosts without gating (must present →
+    ES minimum_should_match=0), ``-`` hoists into must_not with no
+    intermediate complement frame.  The oracle hand-expands the same
+    request."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"query_string": {
+            "query": "+stream (table OR value) -spark"}},
+        "size": 10,
+    }).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_explain",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
+    SELECT doc_id, token, tf, df,
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
+           round(tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+               AS tf_norm,
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+               AS weight
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    WHERE doc_id < 40
+    ORDER BY doc_id ASC, token ASC
+    """,
+)
+def search_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain API (operators/text.py:explain_score_over_store):
+    the BM25 decomposition — tf, df, idf, length norm and the
+    resulting term weight — for each requested doc's matched terms;
+    the sum of weights IS the doc's bm25_over_store score.  The
+    oracle recomputes every factor."""
+    from .operators.text import explain_score_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return explain_score_over_store(
+        spark, store, ["spark", "stream"], list(range(40))
+    ).select(
+        F.col("doc").alias("doc_id"), "token", "tf", "df",
+        "idf", "tf_norm", "weight",
+    )
 
 
 @register(

@@ -187,3 +187,23 @@ def test_validation(spark, api_store):
         search(spark, api_store, {
             "query": {"range": {"n_chars": {"between": 1}}},
         })
+
+
+def test_query_string_end_to_end(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"query_string": {
+            "query": '+engine -flink "spark streaming"'}},
+    })
+    scores = {r["doc"]: r["score"] for r in res.collect()}
+    # must engine -> d1,d2,d3; -flink drops d3; the phrase boosts d1
+    assert set(scores) == {"d1", "d2"}
+    assert scores["d1"] > scores["d2"]
+
+
+def test_query_string_default_operator_and(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"query_string": {
+            "query": "spark streaming",
+            "default_operator": "and"}},
+    })
+    assert _docs(res) == {"d1", "d4", "d6"}
