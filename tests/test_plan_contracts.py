@@ -721,3 +721,115 @@ def test_bm25_store_query_pushes_token_filter(spark, tmp_path):
     )
     assert re.search(r"PushedFilters: \[.*In\(token", plan)
     assert "CartesianProduct" not in plan
+
+
+@pytest.fixture(scope="module")
+def api_plan_store(spark, tmp_path_factory):
+    from mongo_es_spark.operators.text import incremental_bm25_index
+
+    store = str(tmp_path_factory.mktemp("apiplan") / "bm")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    incremental_bm25_index(
+        spark, docs, store, field_cols=["lang", "n_chars"]
+    )
+    return store
+
+
+def test_searchapi_scoring_reads_checkpoint_not_index(
+    spark, api_plan_store
+):
+    """The _search executor scans the postings index ONCE (the shared
+    weight frame's eager checkpoint); every scoring clause then reads
+    the materialized blocks — a 3-clause bool whose plan re-scans
+    postings per leaf is wrong."""
+    from mongo_es_spark.operators.searchapi import search
+
+    plan = plan_of(search(spark, api_plan_store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark stream"}}],
+            "should": [{"term": {"text": "table"}}],
+            "must_not": [{"term": {"text": "value"}}],
+        }},
+    }))
+    assert "CartesianProduct" not in plan
+    # scoring side: zero postings scans in the final plan — the
+    # weight frame was checkpointed at build time
+    assert not re.search(r"Location.*/postings", plan)
+
+
+def test_searchapi_constant_leaf_pushes_token_filter(
+    spark, api_plan_store
+):
+    from mongo_es_spark.operators.searchapi import search
+
+    plan = plan_of(search(spark, api_plan_store, {
+        "query": {"prefix": {"text": "spar"}},
+    }))
+    assert re.search(
+        r"PushedFilters: \[.*(In|EqualTo)\(token", plan
+    )
+
+
+def test_nested_query_no_explode(spark, tmp_path):
+    """The nested per-element predicate is a higher-order filter over
+    the stored array — a Generate (explode) in the plan means the
+    array was flattened, per-doc work amplified by array size."""
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.operators.nested import nested_query_over_store
+    from mongo_es_spark.operators.text import incremental_bm25_index
+
+    store = str(tmp_path / "bm")
+    df = spark.createDataFrame(
+        [("d1", "alpha", [(1.0, "R")])],
+        "doc_id string, text string, "
+        "items array<struct<qty:double,rflag:string>>",
+    )
+    incremental_bm25_index(spark, df, store, field_cols=["items"])
+    plan = plan_of(nested_query_over_store(
+        spark, store, ["alpha"], "items", [("qty", "gte", 1.0)]
+    ))
+    assert "Generate" not in plan  # no explode
+    assert re.search(
+        r"PushedFilters: \[.*(In|EqualTo)\(token", plan
+    )
+
+
+def test_has_parent_broadcasts_parent_ids(spark, tmp_path):
+    from mongo_es_spark.operators.nested import has_parent_over_store
+    from mongo_es_spark.operators.text import incremental_bm25_index
+
+    store = str(tmp_path / "bm")
+    df = spark.createDataFrame(
+        [("P1", "order urgent", "parent", None, 1.0),
+         ("C1", "line rf_R", "child", "P1", 2.0)],
+        "doc_id string, text string, join_name string, "
+        "parent_id string, price double",
+    )
+    incremental_bm25_index(
+        spark, df, store,
+        field_cols=["join_name", "parent_id", "price"],
+    )
+    plan = plan_of(has_parent_over_store(spark, store, ["urgent"]))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_is_codegen_below_the_join(spark):
+    """contamination_bloom's membership test must sit in a Filter
+    BELOW the exact join (map-side bit arithmetic over the array
+    literal), so the join input is the survivor set, not every
+    corpus gram."""
+    from pyspark.sql import functions as F
+
+    from mongo_es_spark.operators.text import contamination_bloom
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    plan = plan_of(
+        contamination_bloom(docs, "doc_id", "text", bench, n=5)
+    )
+    assert "shiftright" in plan  # the bit test survived into codegen
+    assert "CartesianProduct" not in plan
