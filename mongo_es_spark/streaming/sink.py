@@ -673,6 +673,105 @@ def cutover_alias(
     }
 
 
+def rollover_alias(
+    hosts: str,
+    alias: str,
+    max_docs: int,
+    mappings: "dict | None" = None,
+) -> dict:
+    """ES ``_rollover`` — the ILM size-based index rotation that keeps
+    any single index bounded while readers stay pinned to the alias:
+    when the alias's current write index holds at least ``max_docs``
+    documents, create the NEXT ``<stem>-NNNNNN`` index (optionally
+    with ``mappings``) and atomically retarget the alias in one
+    ``_aliases`` call.  Below the threshold it no-ops.
+
+    Convergent under crash-retry at every boundary: a retry after the
+    create-but-before-swap crash finds the next index already present
+    (create-if-missing) and still swaps; a retry after the swap sees
+    the fresh index's count below the threshold and no-ops.  Requires
+    the alias to resolve to exactly ONE index (the write index — a
+    multi-target alias has no rollover semantics) whose name ends in
+    ``-NNNNNN``; bootstrap the series with ``init_indices`` +
+    ``cutover_alias`` on ``<stem>-000001``.
+
+    Returns ``{"action": "rollover"|"noop", "old": ..., "new": ...,
+    "n_docs": ...}``.
+    """
+    import re as _re
+    import urllib.error
+    import urllib.request
+
+    root = hosts.rstrip("/")
+
+    def get_json(url: str):
+        try:
+            with urllib.request.urlopen(
+                urllib.request.Request(url), timeout=30
+            ) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as err:
+            if err.code == 404:
+                return None
+            raise
+
+    holders = sorted(get_json(f"{root}/_alias/{alias}") or {})
+    if len(holders) != 1:
+        raise ValueError(
+            f"rollover_alias: alias {alias!r} must resolve to exactly "
+            f"one write index, found {holders} — bootstrap with "
+            "init_indices + cutover_alias first"
+        )
+    current = holders[0]
+    m = _re.match(r"^(.*)-(\d{6})$", current)
+    if m is None:
+        raise ValueError(
+            f"rollover_alias: write index {current!r} does not end in "
+            "-NNNNNN; the rollover series needs the counter suffix"
+        )
+    n_docs = int(
+        (get_json(f"{root}/{current}/_count") or {}).get("count", 0)
+    )
+    if n_docs < int(max_docs):
+        return {
+            "action": "noop", "old": current, "new": None,
+            "n_docs": n_docs,
+        }
+    nxt = f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
+    # create-if-missing (HEAD then PUT), same discipline as
+    # init_indices — a crashed earlier attempt's index is reused
+    head = urllib.request.Request(f"{root}/{nxt}", method="HEAD")
+    try:
+        urllib.request.urlopen(head, timeout=30)
+        exists = True
+    except urllib.error.HTTPError as err:
+        if err.code != 404:
+            raise
+        exists = False
+    if not exists:
+        put = urllib.request.Request(
+            f"{root}/{nxt}",
+            data=json.dumps(mappings or {}).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="PUT",
+        )
+        urllib.request.urlopen(put, timeout=30).read()
+    swap = urllib.request.Request(
+        f"{root}/_aliases",
+        data=json.dumps({"actions": [
+            {"remove": {"index": current, "alias": alias}},
+            {"add": {"index": nxt, "alias": alias}},
+        ]}).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    urllib.request.urlopen(swap, timeout=30).read()
+    return {
+        "action": "rollover", "old": current, "new": nxt,
+        "n_docs": n_docs,
+    }
+
+
 def init_indices(
     hosts: str, indices: list[dict], suffix: str = "", tasks=None
 ) -> None:

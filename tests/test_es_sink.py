@@ -528,3 +528,65 @@ def test_alias_cutover_readiness_gate(stub_es):
     with _pytest.raises(ValueError, match="readiness"):
         cutover_alias(stub_es.url, "banner", "banner_v2", min_docs=1)
     assert stub_es.aliases["banner_v1"] == {"banner"}  # untouched
+
+
+def test_rollover_alias_ilm_rotation(stub_es):
+    """ILM size-based rotation: below max_docs no-op; at the
+    threshold create <stem>-NNNNNN+1 and atomically move the alias;
+    the post-swap retry no-ops (fresh index below threshold); the
+    crash-between-create-and-swap retry reuses the existing next
+    index and still swaps."""
+    from mongo_es_spark.streaming.sink import (
+        cutover_alias,
+        init_indices,
+        rollover_alias,
+    )
+
+    init_indices(
+        stub_es.url, [{"index": "logs-000001", "body": {}}]
+    )
+    stub_es._counts = {"logs-000001": 3}
+    cutover_alias(stub_es.url, "logs", "logs-000001", min_docs=1)
+
+    out = rollover_alias(stub_es.url, "logs", max_docs=10)
+    assert out["action"] == "noop" and out["n_docs"] == 3
+    assert stub_es.aliases == {"logs-000001": {"logs"}}
+
+    stub_es._counts = {"logs-000001": 10}
+    out = rollover_alias(stub_es.url, "logs", max_docs=10)
+    assert out == {"action": "rollover", "old": "logs-000001",
+                   "new": "logs-000002", "n_docs": 10}
+    assert "logs-000002" in stub_es.indices
+    assert stub_es.aliases["logs-000001"] == set()
+    assert stub_es.aliases["logs-000002"] == {"logs"}
+
+    # retry after the swap: the fresh index counts 0 -> noop
+    out = rollover_alias(stub_es.url, "logs", max_docs=10)
+    assert out["action"] == "noop" and out["old"] == "logs-000002"
+
+    # crash-sim: next index exists (created by a dead attempt) but
+    # the alias still points at the full one -> retry swaps, reuses
+    stub_es._counts = {"logs-000002": 10}
+    stub_es.indices["logs-000003"] = {}
+    out = rollover_alias(stub_es.url, "logs", max_docs=10)
+    assert out["action"] == "rollover" and out["new"] == "logs-000003"
+    assert stub_es.aliases["logs-000003"] == {"logs"}
+
+
+def test_rollover_alias_validation(stub_es):
+    from mongo_es_spark.streaming.sink import (
+        cutover_alias,
+        init_indices,
+        rollover_alias,
+    )
+    import pytest as _pytest
+
+    # no holder at all
+    with _pytest.raises(ValueError, match="exactly one write index"):
+        rollover_alias(stub_es.url, "ghost", max_docs=1)
+    # holder without the -NNNNNN counter
+    init_indices(stub_es.url, [{"index": "flat", "body": {}}])
+    stub_es._counts = {"flat": 1}
+    cutover_alias(stub_es.url, "flatalias", "flat", min_docs=1)
+    with _pytest.raises(ValueError, match="counter suffix"):
+        rollover_alias(stub_es.url, "flatalias", max_docs=1)
