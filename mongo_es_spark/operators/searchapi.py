@@ -563,11 +563,21 @@ def search(
     b: float = 0.75,
 ) -> DataFrame:
     """Execute an ES-shaped ``_search`` request body against the
-    store — see the module docstring for the supported surface.
-    Returns the top-``size`` hits ``(doc, score)`` (score desc, doc
-    asc), or the aggregation frame when ``aggs`` is present (ES runs
-    aggs over the FULL hit set; pair with ``"size": 0`` semantics —
-    hits are not returned alongside aggs here)."""
+    store — see the module docstring for the supported surface, plus:
+
+    * ``size`` / ``from`` — page window (offset+limit AFTER the
+      global order, the ES from/size contract; deep ``from`` pays the
+      same cost it pays in ES — prefer search_after for deep paging);
+    * ``sort`` — list of ``"_score"`` / ``"field"`` /
+      ``{"field": {"order": "asc"|"desc"}}`` over stored doc-values
+      fields, ``doc`` ascending appended as the deterministic
+      tiebreak; default ``[_score desc]``;
+    * ``fields`` — stored doc-values columns to return with each hit.
+
+    Returns the hits frame ``(doc, score, …sort/requested fields)``,
+    or the aggregation frame when ``aggs`` is present (ES runs aggs
+    over the FULL hit set; hits are not returned alongside aggs
+    here)."""
     ctx = _Ctx(spark, store_path, k1, b)
     q = body.get("query") or {"match_all": {}}
     if ctx.postings is None or ctx.docstats is None:
@@ -584,8 +594,41 @@ def search(
         return agg_tree_frame(matched, body["aggs"])
 
     size = int(body.get("size", 10))
-    return (
-        hits.select("doc", F.round(F.col("score"), 6).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc").asc())
-        .limit(size)
+    frm = int(body.get("from", 0))
+    hits = hits.select(
+        "doc", F.round(F.col("score"), 6).alias("score")
     )
+
+    sort = body.get("sort") or ["_score"]
+    fields = [str(f) for f in body.get("fields", [])]
+    need_cols = list(fields)
+    order = []
+    for entry in sort:
+        if isinstance(entry, Mapping):
+            (f, opts), = entry.items()
+            desc = str(opts.get("order", "asc")) == "desc"
+        else:
+            f, desc = str(entry), str(entry) == "_score"
+        if f == "_score":
+            col = F.col("score")
+        else:
+            col = F.col(f)
+            if f not in need_cols:
+                need_cols.append(f)
+        order.append(col.desc() if desc else col.asc())
+    order.append(F.col("doc").asc())
+
+    for f in need_cols:
+        if f not in ctx.docstats.columns:
+            raise ValueError(
+                f"sort/fields column {f!r} is not stored in the "
+                f"index; docstats has {ctx.docstats.columns}"
+            )
+    if need_cols:
+        hits = hits.join(
+            ctx.docstats.select("doc", *need_cols), "doc"
+        )
+    paged = hits.orderBy(*order)
+    if frm:
+        paged = paged.offset(frm)
+    return paged.limit(size).select("doc", "score", *fields)

@@ -11480,6 +11480,55 @@ def search_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_api_sorted_page",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token = 'spark' GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    scored AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.score, d.lang, d.n_chars
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY d.n_chars DESC, s.doc_id ASC
+    LIMIT 10 OFFSET 5
+    """,
+)
+def search_api_sorted_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_search with field sort + from/size paging + stored-field
+    projection: the hit set sorted by a doc-values column (doc-asc
+    tiebreak), page window applied AFTER the global order (the ES
+    from/size contract), requested fields joined from docstats."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": {"order": "desc"}}],
+        "fields": ["lang", "n_chars"],
+        "from": 5,
+        "size": 10,
+    }).select(
+        F.col("doc").alias("doc_id"), "score", "lang", "n_chars"
+    )
+
+
+@register(
     "search_terms_set",
     """
     WITH toks AS (

@@ -207,3 +207,26 @@ def test_query_string_default_operator_and(spark, api_store):
             "default_operator": "and"}},
     })
     assert _docs(res) == {"d1", "d4", "d6"}
+
+
+def test_sort_from_fields(spark, api_store):
+    body = {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": {"order": "desc"}}],
+        "fields": ["lang", "n_chars"],
+        "size": 2,
+    }
+    page1 = search(spark, api_store, body).collect()
+    # spark docs by n_chars desc: d6(600), d4(400), d2(200), d1(100)
+    assert [r["doc"] for r in page1] == ["d6", "d4"]
+    assert [r["n_chars"] for r in page1] == [600, 400]
+    assert page1[0]["lang"] == "en"
+    page2 = search(
+        spark, api_store, {**body, "from": 2}
+    ).collect()
+    assert [r["doc"] for r in page2] == ["d2", "d1"]
+    with pytest.raises(ValueError, match="not stored"):
+        search(spark, api_store, {
+            "query": {"match": {"text": "spark"}},
+            "sort": [{"nope": {"order": "asc"}}],
+        })
