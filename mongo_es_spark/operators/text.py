@@ -3805,6 +3805,7 @@ def bm25_page_over_store(
     search_after: tuple | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    pit_gen: int | None = None,
 ) -> DataFrame:
     """ES ``search_after`` pagination over the store: the next
     ``page_size`` hits strictly after the cursor ``(score, doc)`` in
@@ -3818,8 +3819,23 @@ def bm25_page_over_store(
     materialization, no state between calls beyond the last row's
     sort values.  Concatenating pages equals the single deep top-k
     (pinned in tests and by the registry oracle).  Output: ``(doc,
-    score)``."""
-    scored = _bm25_scored(spark, store_path, terms, k1, b)
+    score)``.
+
+    ``pit_gen`` pins every page to the :func:`read_search_store_at`
+    snapshot at that generation — ES's own pairing (search_after is
+    only consistent under a PIT): pages keep tiling the SAME total
+    order even while CDC folds mutate the live index between page
+    fetches."""
+    resolved = (
+        read_search_store_at(spark, store_path, pit_gen)
+        if pit_gen is not None
+        else None
+    )
+    if resolved is not None and resolved[0] is None:
+        return spark.createDataFrame([], "doc long, score double")
+    scored = _bm25_scored(
+        spark, store_path, terms, k1, b, resolved=resolved
+    )
     if scored is None:
         return spark.createDataFrame([], "doc long, score double")
     if search_after is not None:

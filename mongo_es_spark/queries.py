@@ -11132,20 +11132,13 @@ def search_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc").alias("doc_id"), "score")
 
 
-@register("search_pit", _BM25_ORACLE)
-def search_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES point-in-time search (operators/text.py:
-    bm25_over_store_pit / read_search_store_at): the store's MVCC
-    generations ARE the PIT — capture the generation counter (0 for
-    the insert-only build), then delete every doc matching 'stream'
-    and rewrite every doc matching 'table', and the PIT read at
-    generation 0 still serves the EXACT pre-mutation top-10 for
-    those very terms, byte-identical to the one-shot corpus BM25 the
-    oracle computes (scores included: snapshot df/avgdl, not live
-    ones).  The snapshot lives until compaction reclaims superseded
-    generations — the ES PIT keep-alive analogue."""
+def _shared_pit_store(spark: SparkSession, sf_dir: str) -> str:
+    """The _source store MUTATED after generation 0 — every doc
+    matching 'stream' deleted, every doc matching 'table' rewritten —
+    the fixture behind the PIT rows: generation 0 still serves the
+    exact pre-mutation corpus."""
     from .operators.indexops import delete_by_query, update_by_query
-    from .operators.text import bm25_over_store_pit, current_generation
+    from .operators.text import current_generation
 
     src = _shared_src_store(spark, sf_dir)
 
@@ -11158,9 +11151,83 @@ def search_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"_source": F.concat(F.col("_source"), F.lit(" mutated"))},
         ).count()
 
-    store = _shared_derived_store("pitstore", sf_dir, src, post)
+    return _shared_derived_store("pitstore", sf_dir, src, post)
+
+
+@register("search_pit", _BM25_ORACLE)
+def search_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES point-in-time search (operators/text.py:
+    bm25_over_store_pit / read_search_store_at): the store's MVCC
+    generations ARE the PIT — capture the generation counter (0 for
+    the insert-only build), then delete every doc matching 'stream'
+    and rewrite every doc matching 'table', and the PIT read at
+    generation 0 still serves the EXACT pre-mutation top-10 for
+    those very terms, byte-identical to the one-shot corpus BM25 the
+    oracle computes (scores included: snapshot df/avgdl, not live
+    ones).  The snapshot lives until compaction reclaims superseded
+    generations — the ES PIT keep-alive analogue."""
+    from .operators.text import bm25_over_store_pit
+
+    store = _shared_pit_store(spark, sf_dir)
     return bm25_over_store_pit(
         spark, store, ["spark", "table", "stream"], gen=0, top_k=10
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_pit_page",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    scored AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    rk AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, score FROM rk
+    WHERE rn BETWEEN 11 AND 20
+    ORDER BY score DESC, doc_id ASC
+    """,
+)
+def search_pit_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after UNDER a point-in-time — the ES pairing (a
+    search_after cursor is only consistent inside a PIT): page 2 of
+    the pre-mutation ranking fetched from a store that was mutated on
+    the very query terms AFTER generation 0.  Page 1 runs at the
+    snapshot, its last (score, doc) becomes the cursor, and page 2
+    tiles the SAME total order — the oracle pins it against rows
+    11–20 of the pre-mutation corpus ranking."""
+    from .operators.text import bm25_page_over_store
+
+    store = _shared_pit_store(spark, sf_dir)
+    page1 = bm25_page_over_store(
+        spark, store, ["spark", "table", "stream"],
+        page_size=10, pit_gen=0,
+    ).collect()
+    cursor = (float(page1[-1]["score"]), page1[-1]["doc"])
+    return bm25_page_over_store(
+        spark, store, ["spark", "table", "stream"],
+        page_size=10, search_after=cursor, pit_gen=0,
     ).select(F.col("doc").alias("doc_id"), "score")
 
 

@@ -101,3 +101,82 @@ def test_errors():
         parse_query_string("")
     with pytest.raises(ValueError, match="unexpected"):
         parse_query_string("a ) b")
+
+
+# ---- hypothesis: parse -> render -> parse is a fixpoint ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.from_regex(r"[a-z]{1,6}", fullmatch=True).filter(
+    lambda w: w not in ("and", "or", "not")
+)
+
+
+def _leaf():
+    return st.one_of(
+        _WORD,
+        _WORD.map(lambda w: f'"{w} {w}x"'),       # phrase
+        _WORD.map(lambda w: w + "*"),              # wildcard
+        _WORD.map(lambda w: w + "~1"),             # fuzzy
+    )
+
+
+def _qs():
+    return st.recursive(
+        _leaf(),
+        lambda inner: st.builds(
+            lambda sign, parts, joiner: joiner.join(
+                (sign if i == 0 else "") + p
+                for i, p in enumerate(parts)
+            ),
+            st.sampled_from(["", "+", "-"]),
+            st.lists(
+                inner.map(
+                    lambda s: f"({s})" if " " in s else s
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+            st.sampled_from([" ", " AND ", " OR "]),
+        ),
+        max_leaves=8,
+    )
+
+
+def _render(node) -> str:
+    if "match" in node:
+        return node["match"]["text"]
+    if "match_phrase" in node:
+        return f'"{node["match_phrase"]["text"]}"'
+    if "wildcard" in node:
+        return node["wildcard"]["text"]
+    if "fuzzy" in node:
+        v = node["fuzzy"]["text"]
+        return f'{v["value"]}~{v["fuzziness"]}'
+    if "match_all" in node:
+        return ""  # only appears as the pure-negation anchor
+    b = node["bool"]
+
+    def wrap(n):
+        s = _render(n)
+        return f"({s})" if "bool" in n else s
+
+    parts = (
+        [("+" + wrap(m)) for m in b.get("must", [])
+         if "match_all" not in m]
+        + [wrap(s) for s in b.get("should", [])]
+        + [("-" + wrap(n)) for n in b.get("must_not", [])]
+    )
+    return " ".join(p for p in parts if p)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_qs())
+def test_parse_render_parse_fixpoint(qs):
+    try:
+        ast1 = parse_query_string(qs)
+    except ValueError:
+        return  # generator can build degenerate strings; skip those
+    ast2 = parse_query_string(_render(ast1))
+    assert ast2 == ast1
