@@ -5057,27 +5057,56 @@ def contamination_bloom(
     )
 
     def probes(gram_col):
-        # k independent probes: xxhash64(gram, probe_seed) — the
-        # multi-column form reseeds per index, identical JVM-side for
-        # build and test
+        # Kirsch-Mitzenmacher double hashing: ONE xxhash64 per gram,
+        # k positions derived as (h1 + i*h2) mod n_bits — same FP
+        # guarantees as k independent hashes at a kth of the hash
+        # cost, identical JVM-side for build and test
+        # reduce mod n_bits BEFORE combining — identical positions
+        # ((h1 + i*h2) mod m == ((h1 mod m) + i*(h2 mod m)) mod m)
+        # and the sum stays < (k+1)*n_bits, safe under ANSI overflow
+        h1 = F.pmod(F.xxhash64(gram_col), F.lit(n_bits))
+        h2 = F.pmod(
+            F.xxhash64(gram_col, F.lit(0x9E3779B9)), F.lit(n_bits)
+        )
         return [
-            F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(n_bits))
+            F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits))
             for i in range(int(k))
         ]
 
-    bit_rows = bench_grams.select(
+    # the bit build explodes RAW bench grams (no gram-level distinct
+    # — duplicate grams collapse in the bit-level distinct anyway,
+    # which is capped at n_bits rows regardless of benchmark size)
+    bit_rows = benchmark_df.select(
+        F.explode(
+            word_ngrams_col(F.col(benchmark_text_col), n)
+        ).alias("__gram")
+    ).select(
         F.explode(F.array(*probes(F.col("__gram")))).alias("bit")
     ).distinct()
-    # driver bitmap: bounded by n_bits/8 bytes, NOT by benchmark size
-    words = [0] * (n_bits // 64)
-    for r in bit_rows.collect():
-        b = int(r["bit"])
-        words[b >> 6] |= 1 << (b & 63)
-    # two's-complement: JVM longs are signed, bit 63 must wrap
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    # one array<long> literal (a single Literal node, not 2^14
-    # expression nodes) every executor tests against in codegen
-    bitmap = F.lit(words)
+    # driver bitmap: bounded by n_bits/8 bytes, NOT by benchmark
+    # size.  Arrow transfer + one vectorized scatter — a row-wise
+    # py4j collect of the bit set measured ~20 s at 2^25 bits
+    import numpy as np
+
+    bits = bit_rows.toPandas()["bit"].to_numpy(np.int64)
+    arr = np.zeros(n_bits // 64, dtype=np.uint64)
+    np.bitwise_or.at(
+        arr,
+        bits >> 6,
+        np.uint64(1) << (bits & 63).astype(np.uint64),
+    )
+    # two's-complement view: JVM longs are signed, bit 63 must wrap
+    words = arr.view(np.int64).tolist()
+    # the bitmap travels as broadcast DATA (a one-row frame cross-
+    # joined onto the gram stream), NOT as an expression literal: a
+    # multi-MB array literal lands in the generated code k times and
+    # measured 85x slower at 2^25 bits (SCALING.md round 11) — as a
+    # row value it ships once per executor and element_at stays O(1)
+    spark = df.sparkSession
+    bitmap_df = spark.createDataFrame(
+        [(words,)], "__bloom array<long>"
+    )
+    bitmap = F.col("__bloom")
 
     def might_contain(gram_col):
         cond = None
@@ -5106,8 +5135,11 @@ def contamination_bloom(
             word_ngrams_col(F.col("__k1"), n)
         ).alias("__gram"),
     )
-    survivors = text_grams.filter(
-        F.col("__gram").isNotNull() & might_contain(F.col("__gram"))
+    survivors = (
+        text_grams.filter(F.col("__gram").isNotNull())
+        .crossJoin(F.broadcast(bitmap_df))
+        .filter(might_contain(F.col("__gram")))
+        .drop("__bloom")
     )
     # exact verify on the Bloom survivors only — no broadcast hint:
     # at the scale this operator exists for, the benchmark side is
