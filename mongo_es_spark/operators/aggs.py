@@ -189,13 +189,77 @@ def _compile(
                 )
             pipelines.append((name, pipes[0], node[pipes[0]]))
             continue
+        if "weighted_avg" in node:
+            body = node["weighted_avg"]
+            metrics[name] = (
+                "weighted_avg",
+                (body["value"]["field"], body["weight"]["field"]),
+            )
+            continue
         ops = [k for k in node if k in _METRIC_OPS]
         if len(ops) != 1:
             raise ValueError(
                 f"leaf {name!r} must hold exactly one metric op of "
-                f"{sorted(_METRIC_OPS)}"
+                f"{sorted(_METRIC_OPS)} (or weighted_avg)"
             )
         metrics[name] = (ops[0], node[ops[0]]["field"])
+
+
+def matrix_stats_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    fields: Sequence[str],
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: the pairwise
+    covariance/correlation matrix (plus per-field mean) of numeric
+    doc-values fields over the hit set — ONE partial-aggregated pass
+    computes every pair's ``covar_samp``/``corr`` and every field's
+    mean, then the model-sized result unpivots to one row per ordered
+    pair (i <= j).  Output: ``(field_x, field_y, n, mean_x, mean_y,
+    covariance, correlation)``, pair order as given."""
+    fields = list(fields)
+    if len(fields) < 2:
+        raise ValueError("matrix_stats needs at least two fields")
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame(
+            [],
+            "field_x string, field_y string, n long, mean_x double, "
+            "mean_y double, covariance double, correlation double",
+        )
+    base = stats
+    for f in fields:
+        base = base.filter(F.col(f).isNotNull())
+    pairs = [
+        (fields[i], fields[j])
+        for i in range(len(fields))
+        for j in range(i, len(fields))
+    ]
+    exprs = [F.count("*").alias("n")]
+    for f in fields:
+        exprs.append(F.avg(F.col(f)).alias(f"mean__{f}"))
+    for x, y in pairs:
+        exprs.append(
+            F.covar_samp(F.col(x), F.col(y)).alias(f"cov__{x}__{y}")
+        )
+        exprs.append(F.corr(F.col(x), F.col(y)).alias(f"cor__{x}__{y}"))
+    one = base.agg(*exprs)
+    # unpivot the one-row matrix to (pair) rows — model-sized stack,
+    # still lazy, no driver collect
+    rows = None
+    for x, y in pairs:
+        r = one.select(
+            F.lit(x).alias("field_x"),
+            F.lit(y).alias("field_y"),
+            F.col("n"),
+            F.col(f"mean__{x}").alias("mean_x"),
+            F.col(f"mean__{y}").alias("mean_y"),
+            F.round(F.col(f"cov__{x}__{y}"), 6).alias("covariance"),
+            F.round(F.col(f"cor__{x}__{y}"), 6).alias("correlation"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
 
 
 def cardinality_certified_over_store(
@@ -282,14 +346,27 @@ def _apply_tree(
     stats: DataFrame, levels: list, metrics: dict, pipelines: list
 ) -> DataFrame:
     key_names = [n for n, _c, _s in levels]
+    fields: set = set()
+    for _op, f in metrics.values():
+        fields.update(f if isinstance(f, tuple) else (f,))
     keyed = stats.select(
-        *[c.alias(n) for n, c, _s in levels],
-        *{f for _op, f in metrics.values()},
+        *[c.alias(n) for n, c, _s in levels], *fields
     )
     for n in key_names:
         keyed = keyed.filter(F.col(n).isNotNull())
+
+    def metric_expr(op, f):
+        if op == "weighted_avg":
+            v, w = f
+            # ES weighted_avg: rows with a null value or weight drop
+            both = F.col(v).isNotNull() & F.col(w).isNotNull()
+            return F.sum(
+                F.when(both, F.col(v) * F.col(w))
+            ) / F.sum(F.when(both, F.col(w)))
+        return _METRIC_OPS[op](F.col(f))
+
     aggs = [F.count("*").alias("n_docs")] + [
-        _METRIC_OPS[op](F.col(f)).alias(name)
+        metric_expr(op, f).alias(name)
         for name, (op, f) in metrics.items()
     ]
     grouped = keyed.groupBy(*key_names).agg(*aggs)

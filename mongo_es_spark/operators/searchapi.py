@@ -343,6 +343,34 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
 
     if kind in ("term", "terms", "match"):
         body = node[kind]
+        # term/terms against a STORED doc-values field (the ES
+        # keyword-field form: {"term": {"lang": "en"}}) filters
+        # docstats directly — no postings, constant score 1, exactly
+        # the non-analyzed term semantics.  Anything else targets the
+        # text field through the store's analyzer.
+        if kind in ("term", "terms"):
+            (field, raw_v), = body.items()
+            ds = ctx.docstats
+            if (
+                ds is not None
+                and field in ds.columns
+                and field not in ("doc", "dl")
+            ):
+                if kind == "term":
+                    v = (
+                        raw_v["value"]
+                        if isinstance(raw_v, Mapping)
+                        else raw_v
+                    )
+                    docs = ds.filter(F.col(field) == v).select("doc")
+                else:
+                    docs = ds.filter(
+                        F.col(field).isin(list(raw_v))
+                    ).select("doc")
+                return docs.select(
+                    "doc",
+                    F.lit(1.0 if scoring else 0.0).alias("score"),
+                )
         if kind == "term":
             v = _leaf_text(body)
             tok = v["value"] if isinstance(v, Mapping) else v

@@ -11596,6 +11596,90 @@ def search_api_sorted_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_matrix_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value')
+    ),
+    d AS (
+        SELECT n_chars::DOUBLE AS a, dl::DOUBLE AS b
+        FROM documents JOIN matched USING (doc_id)
+        JOIN dl USING (doc_id)
+    )
+    SELECT 'n_chars' AS field_x, 'n_chars' AS field_y,
+           count(*) AS n, avg(a) AS mean_x, avg(a) AS mean_y,
+           round(covar_samp(a, a), 6) AS covariance,
+           round(corr(a, a), 6) AS correlation
+    FROM d
+    UNION ALL
+    SELECT 'n_chars', 'dl', count(*), avg(a), avg(b),
+           round(covar_samp(a, b), 6), round(corr(a, b), 6)
+    FROM d
+    UNION ALL
+    SELECT 'dl', 'dl', count(*), avg(b), avg(b),
+           round(covar_samp(b, b), 6), round(corr(b, b), 6)
+    FROM d
+    """,
+)
+def search_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats aggregation (operators/aggs.py:
+    matrix_stats_over_store): the pairwise covariance/correlation
+    matrix of numeric doc values over the hit set in ONE
+    partial-aggregated pass, unpivoted lazily to pair rows.  n_chars
+    vs dl correlate strongly by construction (chars grow with
+    tokens) — the oracle recomputes each cell with
+    covar_samp/corr."""
+    from .operators.aggs import matrix_stats_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return matrix_stats_over_store(
+        spark, store, ["value"], ["n_chars", "dl"]
+    )
+
+
+@register(
+    "search_agg_weighted_avg",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value')
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars * dl)::DOUBLE / sum(dl)::DOUBLE AS w_chars
+    FROM documents JOIN matched USING (doc_id) JOIN dl USING (doc_id)
+    WHERE lang IS NOT NULL
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+)
+def search_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg metric through the recursive planner: per
+    language, n_chars weighted by the doc's indexed token count dl —
+    sum(v*w)/sum(w) composed as agg expressions in the same single
+    pass (null value/weight rows drop, the ES contract)."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_tree_over_store(
+        spark, store, ["value"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"w_chars": {"weighted_avg": {
+                "value": {"field": "n_chars"},
+                "weight": {"field": "dl"},
+            }}}}},
+    )
+
+
+@register(
     "search_terms_set",
     """
     WITH toks AS (

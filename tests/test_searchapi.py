@@ -230,3 +230,17 @@ def test_sort_from_fields(spark, api_store):
             "query": {"match": {"text": "spark"}},
             "sort": [{"nope": {"order": "asc"}}],
         })
+
+
+def test_term_on_stored_field(spark, api_store):
+    # ES keyword-field term: filters doc values, no postings
+    res = search(spark, api_store, {"query": {"bool": {
+        "must": [{"match": {"text": "engine"}}],
+        "filter": [{"term": {"lang": "fr"}}],
+    }}})
+    assert _docs(res) == {"d3"}
+    res2 = search(spark, api_store, {
+        "query": {"terms": {"lang": ["fr"]}}, "size": 10,
+    })
+    assert _docs(res2) == {"d3", "d4"}
+    assert {r["score"] for r in res2.collect()} == {1.0}
