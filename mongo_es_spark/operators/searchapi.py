@@ -66,7 +66,27 @@ from .text import (
 _LEAVES = (
     "term", "terms", "match", "match_phrase", "prefix", "wildcard",
     "fuzzy", "range", "exists", "match_all", "query_string",
+    "constant_score",
 )
+
+
+def _boost_of(body) -> float:
+    """The ES per-clause ``boost`` (default 1.0): multiplies the
+    clause's score contribution.  Lives beside the other options in
+    the leaf body's inner mapping."""
+    if isinstance(body, Mapping):
+        inner = next(iter(body.values()), None) if body else None
+        if isinstance(inner, Mapping):
+            return float(inner.get("boost", 1.0))
+    return 1.0
+
+
+def _apply_boost(hits: DataFrame, boost: float) -> DataFrame:
+    if boost == 1.0:
+        return hits
+    return hits.select(
+        "doc", (F.col("score") * F.lit(boost)).alias("score")
+    )
 
 
 def _qs_node(node: Mapping) -> dict:
@@ -308,6 +328,10 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
     kind = _node_kind(node)
     if kind == "query_string":
         return _collect_scoring_tokens(ctx, _qs_node(node))
+    if kind == "constant_score":
+        return _collect_scoring_tokens(
+            ctx, node["constant_score"]["filter"]
+        )
     if kind == "bool":
         out = []
         for sec in ("must", "filter", "should", "must_not"):
@@ -338,6 +362,15 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
     kind = _node_kind(node)
     if kind == "query_string":
         return _eval(ctx, _qs_node(node), scoring)
+    if kind == "constant_score":
+        # ES constant_score: the wrapped filter gates membership, the
+        # score is exactly `boost` per matching doc
+        body = node["constant_score"]
+        gated = _eval(ctx, body["filter"], False)
+        b = float(body.get("boost", 1.0))
+        return gated.select(
+            "doc", F.lit(b if scoring else 0.0).alias("score")
+        )
     if kind == "bool":
         return _eval_bool(ctx, node["bool"], scoring)
 
@@ -369,7 +402,9 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
                     ).select("doc")
                 return docs.select(
                     "doc",
-                    F.lit(1.0 if scoring else 0.0).alias("score"),
+                    F.lit(
+                        _boost_of(body) if scoring else 0.0
+                    ).alias("score"),
                 )
         if kind == "term":
             v = _leaf_text(body)
@@ -382,10 +417,13 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
             v = _leaf_text(body)
             q = v["query"] if isinstance(v, Mapping) else v
             toks = ctx.analyze(q)
-            op = (
-                v.get("operator", "or") if isinstance(v, Mapping) else "or"
-            )
-            need = len(toks) if op == "and" else 1
+            if isinstance(v, Mapping):
+                if v.get("operator", "or") == "and":
+                    need = len(toks)
+                else:
+                    need = int(v.get("minimum_should_match", 1))
+            else:
+                need = 1
         if ctx.wtok is None or not toks:
             return ctx.zero()
         hits = (
@@ -398,9 +436,9 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
             .filter(F.col("__nt") >= need)
             .drop("__nt")
         )
-        return hits if scoring else hits.select(
-            "doc", F.lit(0.0).alias("score")
-        )
+        if not scoring:
+            return hits.select("doc", F.lit(0.0).alias("score"))
+        return _apply_boost(hits, _boost_of(body))
 
     if kind == "match_phrase":
         v = _leaf_text(node["match_phrase"])
@@ -418,7 +456,10 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
             .groupBy("doc")
             .agg(F.sum("w").alias("score"))
         )
-        return gated.join(sc, "doc", "inner")
+        return _apply_boost(
+            gated.join(sc, "doc", "inner"),
+            _boost_of(node["match_phrase"]),
+        )
 
     if kind in ("prefix", "wildcard", "fuzzy"):
         body = node[kind]
@@ -446,10 +487,13 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
             .select("doc")
             .distinct()
         )
-        # Lucene multi-term rewrite: constant score 1 in query
-        # context, 0 in filter context
+        # Lucene multi-term rewrite: constant score boost (default 1)
+        # in query context, 0 in filter context
         return docs.select(
-            "doc", F.lit(1.0 if scoring else 0.0).alias("score")
+            "doc",
+            F.lit(
+                _boost_of(body) if scoring else 0.0
+            ).alias("score"),
         )
 
     if kind in ("range", "exists", "match_all"):
@@ -466,6 +510,8 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
             (f, bounds), = node["range"].items()
             cond = F.lit(True)
             for op, v in bounds.items():
+                if op == "boost":
+                    continue
                 if op not in _RANGE_OPS:
                     raise ValueError(
                         f"range op {op!r} not one of {sorted(_RANGE_OPS)}"
@@ -477,7 +523,10 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
                 }[op]
             docs = ctx.docstats.filter(cond).select("doc")
         return docs.select(
-            "doc", F.lit(1.0 if scoring else 0.0).alias("score")
+            "doc",
+            F.lit(
+                _boost_of(node.get(kind, {})) if scoring else 0.0
+            ).alias("score"),
         )
 
     raise ValueError(f"unsupported query node {kind!r}")

@@ -244,3 +244,40 @@ def test_term_on_stored_field(spark, api_store):
     })
     assert _docs(res2) == {"d3", "d4"}
     assert {r["score"] for r in res2.collect()} == {1.0}
+
+
+def test_boost_and_constant_score(spark, api_store):
+    plain = {
+        r["doc"]: r["score"]
+        for r in search(spark, api_store, {
+            "query": {"match": {"text": "engine"}},
+        }).collect()
+    }
+    boosted = {
+        r["doc"]: r["score"]
+        for r in search(spark, api_store, {
+            "query": {"match": {"text": {
+                "query": "engine", "boost": 3.0}}},
+        }).collect()
+    }
+    assert set(boosted) == set(plain)
+    for d in plain:
+        assert abs(boosted[d] - 3.0 * plain[d]) < 1e-6
+
+    cs = search(spark, api_store, {
+        "query": {"constant_score": {
+            "filter": {"match": {"text": "engine"}},
+            "boost": 7.5,
+        }},
+    })
+    assert {r["score"] for r in cs.collect()} == {7.5}
+    assert _docs(cs) == set(plain)
+
+
+def test_match_minimum_should_match(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"match": {"text": {
+            "query": "spark streaming pandas",
+            "minimum_should_match": 2}}},
+    })
+    assert _docs(res) == {"d1", "d4", "d6"}
