@@ -21,9 +21,14 @@ minimum_should_match, arbitrarily nested), ``term`` / ``terms``
 ``prefix`` / ``wildcard`` / ``fuzzy`` (index-vocabulary expansions,
 constant score 1 per doc — the Lucene multi-term rewrite), ``range``
 / ``exists`` over stored doc-values fields (constant score in query
-context), ``match_all``, and ``query_string`` (the Lucene mini-syntax
-— ``+``/``-``/AND/OR/NOT/parens/phrases/wildcards/``term~`` fuzz —
+context), ``match_all``, ``constant_score`` (any filter at an exact
+boost score), and ``query_string`` (the Lucene mini-syntax —
+``+``/``-``/AND/OR/NOT/parens/phrases/wildcards/``term~`` fuzz —
 parsed by :func:`parse_query_string` into the same node algebra).
+Every leaf takes a ``boost`` (multiplies its score contribution);
+``match`` takes ``operator: and`` or ``minimum_should_match``;
+``term``/``terms`` against a STORED doc-values field name filter
+docstats directly (the ES keyword-field form, constant score).
 
 Scoring follows Lucene's additive model: a doc's score is the sum of
 its matching scoring clauses' BM25 weights; ``filter`` context
@@ -99,7 +104,9 @@ _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
 
 
 def _node_kind(node: Mapping) -> str:
-    kinds = [k for k in node if k == "bool" or k in _LEAVES]
+    kinds = [
+        k for k in node if k in ("bool", "dis_max") or k in _LEAVES
+    ]
     if len(kinds) != 1:
         raise ValueError(
             f"query node must hold exactly one of bool/{'/'.join(_LEAVES)}"
@@ -332,6 +339,11 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
         return _collect_scoring_tokens(
             ctx, node["constant_score"]["filter"]
         )
+    if kind == "dis_max":
+        out = []
+        for child in _listify(node["dis_max"].get("queries")):
+            out += _collect_scoring_tokens(ctx, child)
+        return out
     if kind == "bool":
         out = []
         for sec in ("must", "filter", "should", "must_not"):
@@ -370,6 +382,31 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
         b = float(body.get("boost", 1.0))
         return gated.select(
             "doc", F.lit(b if scoring else 0.0).alias("score")
+        )
+    if kind == "dis_max":
+        # ES dis_max: membership is the union of the sub-queries, the
+        # score is the BEST sub-score plus tie_breaker times the rest
+        # (best + tb*(sum - best)) — the multi-strategy query shape
+        # where summing would over-reward redundant matches
+        body = node["dis_max"]
+        children = [
+            _eval(ctx, n, scoring)
+            for n in _listify(body.get("queries"))
+        ]
+        if not children:
+            raise ValueError("dis_max needs at least one sub-query")
+        tb = float(body.get("tie_breaker", 0.0))
+        u = children[0]
+        for c in children[1:]:
+            u = u.unionByName(c)
+        out = u.groupBy("doc").agg(
+            (
+                F.max("score")
+                + F.lit(tb) * (F.sum("score") - F.max("score"))
+            ).alias("score")
+        )
+        return out if scoring else out.select(
+            "doc", F.lit(0.0).alias("score")
         )
     if kind == "bool":
         return _eval_bool(ctx, node["bool"], scoring)

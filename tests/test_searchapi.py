@@ -281,3 +281,31 @@ def test_match_minimum_should_match(spark, api_store):
             "minimum_should_match": 2}}},
     })
     assert _docs(res) == {"d1", "d4", "d6"}
+
+
+def test_dis_max(spark, api_store):
+    body = lambda tb: {
+        "query": {"dis_max": {
+            "queries": [
+                {"term": {"text": "spark"}},
+                {"term": {"text": "streaming"}},
+            ],
+            "tie_breaker": tb,
+        }},
+    }
+    zero = {r["doc"]: r["score"] for r in search(
+        spark, api_store, body(0.0)).collect()}
+    spark_s = {r["doc"]: r["score"] for r in search(
+        spark, api_store, {"query": {"term": {"text": "spark"}}},
+    ).collect()}
+    stream_s = {r["doc"]: r["score"] for r in search(
+        spark, api_store, {"query": {"term": {"text": "streaming"}}},
+    ).collect()}
+    assert set(zero) == set(spark_s) | set(stream_s)
+    for d, s in zero.items():
+        assert abs(s - max(spark_s.get(d, 0), stream_s.get(d, 0))) < 1e-6
+    tb = {r["doc"]: r["score"] for r in search(
+        spark, api_store, body(0.5)).collect()}
+    for d in tb:
+        a, b = spark_s.get(d, 0.0), stream_s.get(d, 0.0)
+        assert abs(tb[d] - (max(a, b) + 0.5 * min(a, b))) < 1e-6
