@@ -103,10 +103,11 @@ def _qs_node(node: Mapping) -> dict:
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
 
 
+_COMPOUND = ("bool", "dis_max", "function_score")
+
+
 def _node_kind(node: Mapping) -> str:
-    kinds = [
-        k for k in node if k in ("bool", "dis_max") or k in _LEAVES
-    ]
+    kinds = [k for k in node if k in _COMPOUND or k in _LEAVES]
     if len(kinds) != 1:
         raise ValueError(
             f"query node must hold exactly one of bool/{'/'.join(_LEAVES)}"
@@ -344,6 +345,9 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
         for child in _listify(node["dis_max"].get("queries")):
             out += _collect_scoring_tokens(ctx, child)
         return out
+    if kind == "function_score":
+        q = node["function_score"].get("query")
+        return _collect_scoring_tokens(ctx, q) if q else []
     if kind == "bool":
         out = []
         for sec in ("must", "filter", "should", "must_not"):
@@ -382,6 +386,10 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
         b = float(body.get("boost", 1.0))
         return gated.select(
             "doc", F.lit(b if scoring else 0.0).alias("score")
+        )
+    if kind == "function_score":
+        return _eval_function_score(
+            ctx, node["function_score"], scoring
         )
     if kind == "dis_max":
         # ES dis_max: membership is the union of the sub-queries, the
@@ -567,6 +575,152 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
         )
 
     raise ValueError(f"unsupported query node {kind!r}")
+
+
+_FVF_MODS = {
+    "none": lambda v: v,
+    "log1p": lambda v: F.log10(v + F.lit(1.0)),
+    "ln1p": lambda v: F.log(v + F.lit(1.0)),
+    "sqrt": F.sqrt,
+    "square": lambda v: v * v,
+    "reciprocal": lambda v: F.lit(1.0) / v,
+}
+_DECAY_KINDS = ("gauss", "exp", "linear")
+
+
+def _decay_factor(kind: str, col, body: Mapping, is_date: bool):
+    """ES decay functions over a numeric or date doc-values field:
+    d' = max(0, |v - origin| - offset); gauss = exp(-d'^2 ln(1/decay)
+    / scale^2), exp = exp(-d' ln(1/decay) / scale), linear =
+    max(0, 1 - d'(1-decay)/scale) — each equals ``decay`` exactly at
+    offset + scale, the ES contract.  Missing values keep factor 1
+    (origin-distance 0)."""
+    import datetime as _dt
+    import math
+
+    decay = float(body.get("decay", 0.5))
+    scale = float(body["scale"])
+    offset = float(body.get("offset", 0.0))
+    if not (0.0 < decay < 1.0) or scale <= 0:
+        raise ValueError(
+            f"{kind}: decay must be in (0,1) and scale positive"
+        )
+    if is_date:
+        origin = body["origin"]
+        origin = (
+            origin
+            if isinstance(origin, _dt.date)
+            else _dt.date.fromisoformat(str(origin))
+        )
+        dist = F.abs(F.datediff(col, F.lit(origin))).cast("double")
+    else:
+        dist = F.abs(col.cast("double") - F.lit(float(body["origin"])))
+    d = F.greatest(F.lit(0.0), dist - F.lit(offset))
+    if kind == "gauss":
+        c = math.log(1.0 / decay) / scale**2
+        raw = F.exp(-d * d * F.lit(c))
+    elif kind == "exp":
+        c = math.log(1.0 / decay) / scale
+        raw = F.exp(-d * F.lit(c))
+    else:
+        raw = F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - d * F.lit((1.0 - decay) / scale),
+        )
+    return F.coalesce(raw, F.lit(1.0))
+
+
+def _eval_function_score(
+    ctx: _Ctx, body: Mapping, scoring: bool
+) -> DataFrame:
+    """ES ``function_score``: the wrapped query's hits re-scored by a
+    list of functions — ``field_value_factor``, ``gauss``/``exp``/
+    ``linear`` decay (numeric or date fields), or a bare ``weight`` —
+    combined across functions per ``score_mode`` (multiply/sum) and
+    with the query score per ``boost_mode`` (multiply/sum).  One
+    doc-keyed join against a column-pruned docstats projection brings
+    the referenced doc values; the function math is pure codegen."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    q = body.get("query") or {"match_all": {}}
+    hits = _eval(ctx, q, scoring)
+    funcs = _listify(body.get("functions"))
+    if not funcs:
+        raise ValueError("function_score needs at least one function")
+    score_mode = body.get("score_mode", "multiply")
+    boost_mode = body.get("boost_mode", "multiply")
+    if score_mode not in ("multiply", "sum") or boost_mode not in (
+        "multiply", "sum",
+    ):
+        raise ValueError("score_mode/boost_mode must be multiply|sum")
+
+    need: list = []
+    factors = []
+    for fn in funcs:
+        if "weight" in fn and len(fn) == 1:
+            factors.append(F.lit(float(fn["weight"])))
+            continue
+        (fkind, fbody), = (
+            (k, v) for k, v in fn.items() if k != "weight"
+        )
+        w = float(fn.get("weight", 1.0))
+        if fkind == "field_value_factor":
+            f = fbody["field"]
+            mod = fbody.get("modifier", "none")
+            if mod not in _FVF_MODS:
+                raise ValueError(
+                    f"field_value_factor modifier must be one of "
+                    f"{sorted(_FVF_MODS)}"
+                )
+            val = F.coalesce(
+                F.col(f).cast("double"),
+                F.lit(float(fbody.get("missing", 1.0))),
+            )
+            factors.append(
+                F.lit(w * float(fbody.get("factor", 1.0)))
+                * _FVF_MODS[mod](val)
+            )
+            need.append(f)
+        elif fkind in _DECAY_KINDS:
+            (f, dbody), = fbody.items()
+            is_date = isinstance(
+                ctx.docstats.schema[f].dataType,
+                (DateType, TimestampType),
+            )
+            factors.append(
+                F.lit(w) * _decay_factor(fkind, F.col(f), dbody, is_date)
+            )
+            need.append(f)
+        else:
+            raise ValueError(
+                f"unsupported function_score function {fkind!r}"
+            )
+
+    for f in need:
+        if f not in ctx.docstats.columns:
+            raise ValueError(
+                f"function_score field {f!r} is not stored in the "
+                "index"
+            )
+    if need:
+        hits = hits.join(
+            ctx.docstats.select("doc", *sorted(set(need))), "doc"
+        )
+    combined = factors[0]
+    for fac in factors[1:]:
+        combined = (
+            combined * fac if score_mode == "multiply"
+            else combined + fac
+        )
+    final = (
+        F.col("score") * combined
+        if boost_mode == "multiply"
+        else F.col("score") + combined
+    )
+    out = hits.select("doc", final.alias("score"))
+    return out if scoring else out.select(
+        "doc", F.lit(0.0).alias("score")
+    )
 
 
 def _sum_join(a: DataFrame, b: DataFrame, how: str) -> DataFrame:

@@ -11680,6 +11680,67 @@ def search_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_api_function_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    scored AS (
+        SELECT doc_id,
+               sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           round(s.score * (0.5 * ln(d.n_chars + 1.0)), 6) AS score
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE d.n_chars >= 100
+    ORDER BY score DESC, s.doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_api_function_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """function_score through the _search executor
+    (operators/searchapi.py:_eval_function_score): a bool query
+    (match OR + range filter) wrapped in field_value_factor ln1p
+    re-scoring — the functions join ONE column-pruned docstats
+    projection onto the compiled hit frame and the math stays
+    codegen.  The oracle multiplies the hand-expanded BM25 by the
+    same factor."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"function_score": {
+            "query": {"bool": {
+                "must": [{"match": {"text": "spark stream"}}],
+                "filter": [{"range": {"n_chars": {"gte": 100}}}],
+            }},
+            "functions": [{"field_value_factor": {
+                "field": "n_chars", "modifier": "ln1p",
+                "factor": 0.5,
+            }}],
+        }},
+        "size": 10,
+    }).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
     "search_terms_set",
     """
     WITH toks AS (

@@ -309,3 +309,59 @@ def test_dis_max(spark, api_store):
     for d in tb:
         a, b = spark_s.get(d, 0.0), stream_s.get(d, 0.0)
         assert abs(tb[d] - (max(a, b) + 0.5 * min(a, b))) < 1e-6
+
+
+def test_function_score_fvf_and_decay(spark, api_store):
+    import math
+
+    base = {r["doc"]: r["score"] for r in search(
+        spark, api_store, {"query": {"match": {"text": "spark"}}},
+    ).collect()}
+    # field_value_factor: multiply by 2 * ln1p(n_chars)
+    fvf = {r["doc"]: r["score"] for r in search(spark, api_store, {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark"}},
+            "functions": [{"field_value_factor": {
+                "field": "n_chars", "modifier": "ln1p", "factor": 2.0,
+            }}],
+        }},
+    }).collect()}
+    chars = {"d1": 100, "d2": 200, "d4": 400, "d6": 600}
+    assert set(fvf) == set(base)
+    for d in fvf:
+        want = base[d] * 2.0 * math.log(chars[d] + 1.0)
+        assert abs(fvf[d] - round(want, 6)) < 1e-4
+
+    # numeric gauss decay around n_chars=100, scale 200, decay 0.5:
+    # factor at distance exactly `scale` must be 0.5
+    dec = {r["doc"]: r["score"] for r in search(spark, api_store, {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark"}},
+            "functions": [{"gauss": {"n_chars": {
+                "origin": 100, "scale": 200, "decay": 0.5}}}],
+        }},
+    }).collect()}
+    for d in dec:
+        dist = abs(chars[d] - 100)
+        want = base[d] * math.exp(
+            -(dist ** 2) * math.log(2.0) / 200.0 ** 2
+        )
+        assert abs(dec[d] - round(want, 6)) < 1e-4
+    # d2 sits at half a scale; d1 at the origin keeps its base score
+    assert abs(dec["d1"] - base["d1"]) < 1e-6
+
+
+def test_function_score_weight_and_modes(spark, api_store):
+    base = {r["doc"]: r["score"] for r in search(
+        spark, api_store, {"query": {"term": {"text": "pandas"}}},
+    ).collect()}
+    out = {r["doc"]: r["score"] for r in search(spark, api_store, {
+        "query": {"function_score": {
+            "query": {"term": {"text": "pandas"}},
+            "functions": [{"weight": 4.0}, {"weight": 0.5}],
+            "score_mode": "multiply",
+            "boost_mode": "sum",
+        }},
+    }).collect()}
+    for d in out:
+        assert abs(out[d] - (base[d] + 2.0)) < 1e-6
