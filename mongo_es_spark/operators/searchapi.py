@@ -867,6 +867,33 @@ def search(
         "doc", F.round(F.col("score"), 6).alias("score")
     )
 
+    collapse = body.get("collapse")
+    if collapse:
+        # ES field collapsing: keep the best hit per value of a
+        # stored field (score desc, doc asc within the group) BEFORE
+        # paging — a window over the hit frame, NULL group kept as
+        # its own bucket like ES
+        cf = str(collapse["field"])
+        if cf not in ctx.docstats.columns:
+            raise ValueError(
+                f"collapse field {cf!r} is not stored in the index"
+            )
+        from pyspark.sql.window import Window
+
+        hits = (
+            hits.join(ctx.docstats.select("doc", cf), "doc")
+            .withColumn(
+                "__cr",
+                F.row_number().over(
+                    Window.partitionBy(cf).orderBy(
+                        F.col("score").desc(), F.col("doc").asc()
+                    )
+                ),
+            )
+            .filter(F.col("__cr") == 1)
+            .drop("__cr", cf)
+        )
+
     sort = body.get("sort") or ["_score"]
     fields = [str(f) for f in body.get("fields", [])]
     need_cols = list(fields)
@@ -900,3 +927,35 @@ def search(
     if frm:
         paged = paged.offset(frm)
     return paged.limit(size).select("doc", "score", *fields)
+
+
+def msearch(
+    spark,
+    store_path: str,
+    bodies: Sequence[Mapping],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``_msearch``: a batch of ``_search`` request bodies served
+    in one call — each compiles independently (its own pruned weight
+    frame) and the results union with a ``q`` request index.  The
+    request list is model-sized; Spark runs the unioned plan as one
+    job, so the per-request fixed costs share a single scheduling
+    wave instead of q round-trips.  Aggs-bearing bodies are rejected
+    (their output schemas differ per spec — run those separately)."""
+    bodies = list(bodies)
+    if not bodies:
+        raise ValueError("msearch needs at least one body")
+    out = None
+    for i, one in enumerate(bodies):
+        if "aggs" in one:
+            raise ValueError(
+                f"msearch body {i} carries aggs — aggregation "
+                "responses have per-spec schemas; issue it as its "
+                "own search()"
+            )
+        r = search(spark, store_path, one, k1=k1, b=b).select(
+            F.lit(i).alias("q"), "doc", "score"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

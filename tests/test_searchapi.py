@@ -365,3 +365,52 @@ def test_function_score_weight_and_modes(spark, api_store):
     }).collect()}
     for d in out:
         assert abs(out[d] - (base[d] + 2.0)) < 1e-6
+
+
+def test_collapse_in_body(spark, api_store):
+    res = search(spark, api_store, {
+        "query": {"match": {"text": "spark streaming engine"}},
+        "collapse": {"field": "lang"},
+        "size": 10,
+    })
+    rows = res.collect()
+    # one best hit per language
+    full = {r["doc"]: r["score"] for r in search(spark, api_store, {
+        "query": {"match": {"text": "spark streaming engine"}},
+        "size": 100,
+    }).collect()}
+    langs = {"d1": "en", "d2": "en", "d3": "fr", "d4": "fr",
+             "d5": "en", "d6": "en"}
+    best = {}
+    for d, s in full.items():
+        lg = langs[d]
+        if lg not in best or (s, ) > (best[lg][1], ) or (
+            s == best[lg][1] and d < best[lg][0]
+        ):
+            if lg not in best or s > best[lg][1] or (
+                s == best[lg][1] and d < best[lg][0]
+            ):
+                best[lg] = (d, s)
+    assert {r["doc"] for r in rows} == {v[0] for v in best.values()}
+
+    with pytest.raises(ValueError, match="collapse field"):
+        search(spark, api_store, {
+            "query": {"match": {"text": "spark"}},
+            "collapse": {"field": "nope"},
+        })
+
+
+def test_msearch(spark, api_store):
+    from mongo_es_spark.operators.searchapi import msearch
+
+    res = msearch(spark, api_store, [
+        {"query": {"term": {"text": "pandas"}}},
+        {"query": {"term": {"text": "flink"}}},
+    ]).collect()
+    got = {(r["q"], r["doc"]) for r in res}
+    assert got == {(0, "d5"), (1, "d3")}
+    with pytest.raises(ValueError, match="aggs"):
+        msearch(spark, api_store, [
+            {"query": {"term": {"text": "x"}},
+             "aggs": {"l": {"terms": {"field": "lang"}}}},
+        ])
