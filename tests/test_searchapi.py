@@ -382,15 +382,10 @@ def test_collapse_in_body(spark, api_store):
     langs = {"d1": "en", "d2": "en", "d3": "fr", "d4": "fr",
              "d5": "en", "d6": "en"}
     best = {}
-    for d, s in full.items():
+    for d, s in sorted(full.items()):
         lg = langs[d]
-        if lg not in best or (s, ) > (best[lg][1], ) or (
-            s == best[lg][1] and d < best[lg][0]
-        ):
-            if lg not in best or s > best[lg][1] or (
-                s == best[lg][1] and d < best[lg][0]
-            ):
-                best[lg] = (d, s)
+        if lg not in best or s > best[lg][1]:
+            best[lg] = (d, s)  # doc-asc iteration breaks score ties
     assert {r["doc"] for r in rows} == {v[0] for v in best.values()}
 
     with pytest.raises(ValueError, match="collapse field"):
