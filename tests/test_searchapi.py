@@ -409,3 +409,31 @@ def test_msearch(spark, api_store):
             {"query": {"term": {"text": "x"}},
              "aggs": {"l": {"terms": {"field": "lang"}}}},
         ])
+
+
+def test_executor_matches_standalone_bool_search(spark, api_store):
+    """Cross-validation: the executor's bool compilation and the
+    standalone bool_search_over_store score identically (same gate,
+    same BM25 sum over must+should matches, same rounding)."""
+    from mongo_es_spark.operators.text import bool_search_over_store
+
+    a = sorted(
+        (r["doc"], r["score"])
+        for r in bool_search_over_store(
+            spark, api_store,
+            must=["spark"], should=["engine"],
+            must_not=["deprecated"], top_k=10,
+        ).collect()
+    )
+    b = sorted(
+        (r["doc"], r["score"])
+        for r in search(spark, api_store, {
+            "query": {"bool": {
+                "must": [{"term": {"text": "spark"}}],
+                "should": [{"term": {"text": "engine"}}],
+                "must_not": [{"term": {"text": "deprecated"}}],
+            }},
+            "size": 10,
+        }).collect()
+    )
+    assert a == b
