@@ -71,6 +71,12 @@ class LoadTask:
     index: str = ""
     type: str = ""
     body: dict[str, Any] = field(default_factory=dict)
+    # optional config-declared search index maintained beside the doc
+    # sink: {"textField": ..., "fields": [...], "analyzer": ...,
+    # "path": ..., "maintain": {...}} — the ES mapping's analyzed
+    # text field as a first-class load target (reference
+    # examples/config.json:63-71 declares per-field analyzers)
+    search_index: Optional[dict] = None
 
 
 CheckpointSaveHook = Callable[[str, CheckPoint], None]
@@ -108,6 +114,7 @@ class Task:
             index=ld.get("index", ""),
             type=ld.get("type", ""),
             body=ld.get("body", {}) or {},
+            search_index=ld.get("searchIndex"),
         )
 
     def name(self) -> str:

@@ -120,6 +120,23 @@ def run(
                 os.path.join(work_dir, "index", task.name()),
                 mode=config.controls.parquet_sink_mode,
             )
+        si = task.load.search_index
+        if si:
+            # config-declared search index (load.searchIndex): the
+            # doc sink is wrapped so every scan chunk / tail batch
+            # ALSO folds into the incremental BM25 store — the ES
+            # analyzed-field mapping as a first-class load target
+            from .streaming.sink import SearchIndexedSink
+
+            sink = SearchIndexedSink(
+                sink,
+                si.get("path")
+                or os.path.join(work_dir, "search", task.name()),
+                text_field=si["textField"],
+                field_cols=tuple(si.get("fields", ())),
+                maintain=si.get("maintain"),
+                analyzer=si.get("analyzer"),
+            )
 
         source_df = None
         if file_root is not None:

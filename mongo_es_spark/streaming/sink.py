@@ -304,11 +304,15 @@ class SearchIndexedSink:
         text_field: str,
         field_cols: tuple = (),
         maintain: Optional[dict] = None,
+        analyzer: Optional[str] = None,
     ):
         self.inner = inner
         self.store_path = store_path
         self.text_field = text_field
         self.field_cols = tuple(field_cols)
+        # analysis chain the store is created with (folds validate
+        # against drift); None = the store's own / whitespace
+        self.analyzer = analyzer
         # closed-loop maintenance: when set, every fold is followed by
         # maintain_bm25_if_needed(**maintain) — the policy reads the
         # store's own counters and compacts only past its thresholds,
@@ -343,6 +347,7 @@ class SearchIndexedSink:
             batch,
             self.store_path,
             field_cols=self.field_cols,
+            analyzer=self.analyzer,
         )
         if self.maintain is not None:
             from ..operators.maintenance import maintain_bm25_if_needed

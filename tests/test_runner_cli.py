@@ -283,3 +283,60 @@ def test_mongodb_mode_wires_j3_source_fallback(spark, tmp_path, monkeypatch):
     assert state is not None
     got = {r["_id"]: r["data"]["name"] for r in state.collect()}
     assert got == {"M1": "alpha-updated"}
+
+
+def test_runner_config_declared_search_index(spark, tmp_path):
+    """load.searchIndex in the config JSON wraps the doc sink with
+    the BM25-maintaining SearchIndexedSink: after scan-then-tail the
+    search store serves exactly the final collection state — insert
+    via scan, insert + update + delete via tail — analyzed through
+    the declared chain (case-insensitive match proves it)."""
+    from mongo_es_spark.operators.text import bm25_over_store
+
+    root = tmp_path / "mongo"
+    (root / "oplog").mkdir(parents=True)
+    spark.createDataFrame(
+        [("A1", "Alpha Rocket"), ("A2", "beta engine")],
+        "_id string, name string",
+    ).write.parquet(str(root / "db.a.parquet"))
+    feed = root / "oplog" / "b0.json"
+    feed.write_text(
+        json.dumps({"ts": make_ts(10), "ns": "db.a", "op": "i",
+                    "id": "A3", "doc": json.dumps({"name": "GAMMA engine"})})
+        + "\n"
+        + json.dumps({"ts": make_ts(11), "ns": "db.a", "op": "u",
+                      "id": "A2",
+                      "doc": json.dumps({"$set": {"name": "beta rocket"}})})
+        + "\n"
+        + json.dumps({"ts": make_ts(12), "ns": "db.a", "op": "d",
+                      "id": "A1", "doc": json.dumps({})})
+        + "\n"
+    )
+    os.utime(feed, (1_700_000_000, 1_700_000_000))
+
+    cfg = Config(json.dumps({
+        "mongodb": {"url": f"file://{root}"},
+        "elasticsearch": {"options": {}},
+        "tasks": [{
+            "from": {"phase": "scan"},
+            "extract": {"db": "db", "collection": "a"},
+            "transform": {"mapping": {"name": "name"}},
+            "load": {"index": "a", "type": "doc",
+                     "searchIndex": {"textField": "name",
+                                     "analyzer": "standard"}},
+            "hints": {"name": "string"},
+        }],
+    }))
+    work = str(tmp_path / "work")
+    run(cfg, spark=spark, work_dir=work, available_now=True)
+
+    store = os.path.join(work, "search", "db.a___a.doc")
+    # final state: A2 "beta rocket", A3 "GAMMA engine"; A1 deleted
+    hits = lambda t: {
+        r["doc"]
+        for r in bm25_over_store(spark, store, [t], top_k=10).collect()
+    }
+    assert hits("rocket") == {"A2"}      # A1's rocket is gone
+    assert hits("GAMMA") == {"A3"}       # analyzed: case-folded
+    assert hits("Engine") == {"A3"}      # A2's engine was replaced
+    assert hits("alpha") == set()
