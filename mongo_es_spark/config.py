@@ -77,6 +77,11 @@ class LoadTask:
     # text field as a first-class load target (reference
     # examples/config.json:63-71 declares per-field analyzers)
     search_index: Optional[dict] = None
+    # optional config-declared DENSE (vector) index: {"vecField": ...,
+    # "idCast": ..., "nCells": ..., "path": ..., "maintain": {...}} —
+    # scan materializes the IVF store from the backfilled state, tail
+    # keeps it in sync (DenseIndexedSink)
+    dense_index: Optional[dict] = None
 
 
 CheckpointSaveHook = Callable[[str, CheckPoint], None]
@@ -115,6 +120,7 @@ class Task:
             type=ld.get("type", ""),
             body=ld.get("body", {}) or {},
             search_index=ld.get("searchIndex"),
+            dense_index=ld.get("denseIndex"),
         )
 
     def name(self) -> str:

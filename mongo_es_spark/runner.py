@@ -149,6 +149,14 @@ def run(
             # slice.
             source_df = mongo_collection(spark, config.mongodb.url, task, None)
 
+        di = task.load.dense_index
+        dense_store = (
+            (di.get("path")
+             or os.path.join(work_dir, "dense", task.name()))
+            if di
+            else None
+        )
+
         if task.from_.phase == "scan":
             if file_root is not None:
                 source = source_df
@@ -159,6 +167,43 @@ def run(
                     spark, config.mongodb.url, task, task.from_
                 )
             run_scan(spark, task, source, sink, controls=config.controls)
+            if di:
+                # the IVF coarse quantizer trains on the backfilled
+                # snapshot (the reference's scan-then-tail order);
+                # read the TARGET-shaped state back from the doc sink
+                # so this works identically in every source mode
+                from .operators.similarity import materialize_ivf_index
+
+                state = sink.read_state(spark)
+                materialize_ivf_index(
+                    state.select(
+                        F.col("_id")
+                        .cast(di.get("idCast", "long"))
+                        .alias("vec_id"),
+                        # sink state keeps the IR payload as a struct
+                        F.col(f"data.`{di['vecField']}`")
+                        .cast("array<double>")
+                        .alias("v"),
+                    ),
+                    "vec_id", "v", dense_store,
+                    n_cells=int(di.get("nCells", 16)),
+                )
+        elif di and not os.path.isdir(dense_store):
+            raise RuntimeError(
+                f"task {task.name()}: load.denseIndex declared but no "
+                f"IVF store at {dense_store} — the quantizer trains on "
+                "the scan snapshot; backfill with phase='scan' first"
+            )
+        if di:
+            from .streaming.sink import DenseIndexedSink
+
+            sink = DenseIndexedSink(
+                sink,
+                dense_store,
+                vec_field=di["vecField"],
+                id_cast=di.get("idCast", "long"),
+                maintain=di.get("maintain"),
+            )
 
         if file_root is not None:
             stream = file_oplog_stream(

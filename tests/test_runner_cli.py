@@ -340,3 +340,68 @@ def test_runner_config_declared_search_index(spark, tmp_path):
     assert hits("GAMMA") == {"A3"}       # analyzed: case-folded
     assert hits("Engine") == {"A3"}      # A2's engine was replaced
     assert hits("alpha") == set()
+
+
+def test_runner_config_declared_dense_index(spark, tmp_path):
+    """load.denseIndex: the scan backfill trains/materializes the IVF
+    store from the doc-sink state, the tail keeps it in sync through
+    DenseIndexedSink — exact dense top-k over the store equals brute
+    force over the final collection state."""
+    import math
+
+    from mongo_es_spark.operators.similarity import ivf_exact_topk
+
+    def vec(x):
+        return [float(x), float(100 - x)]
+
+    root = tmp_path / "mongo"
+    (root / "oplog").mkdir(parents=True)
+    spark.createDataFrame(
+        [("1", vec(10)), ("2", vec(50)), ("3", vec(90))],
+        "_id string, v array<double>",
+    ).write.parquet(str(root / "db.vecs.parquet"))
+    feed = root / "oplog" / "b0.json"
+    feed.write_text(
+        json.dumps({"ts": make_ts(10), "ns": "db.vecs", "op": "i",
+                    "id": "4", "doc": json.dumps({"v": vec(20)})}) + "\n"
+        + json.dumps({"ts": make_ts(11), "ns": "db.vecs", "op": "u",
+                      "id": "2",
+                      "doc": json.dumps({"$set": {"v": vec(15)}})}) + "\n"
+        + json.dumps({"ts": make_ts(12), "ns": "db.vecs", "op": "d",
+                      "id": "3", "doc": json.dumps({})}) + "\n"
+    )
+    os.utime(feed, (1_700_000_000, 1_700_000_000))
+
+    cfg = Config(json.dumps({
+        "mongodb": {"url": f"file://{root}"},
+        "elasticsearch": {"options": {}},
+        "tasks": [{
+            "from": {"phase": "scan"},
+            "extract": {"db": "db", "collection": "vecs"},
+            "transform": {"mapping": {"v": "v"}},
+            "load": {"index": "vecs", "type": "doc",
+                     "denseIndex": {"vecField": "v", "nCells": 2}},
+            "hints": {"v": "array<double>"},
+        }],
+    }))
+    work = str(tmp_path / "work")
+    run(cfg, spark=spark, work_dir=work, available_now=True)
+
+    store = os.path.join(work, "dense", "db.vecs___vecs.doc")
+    got = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in ivf_exact_topk(
+            spark, store, vec(18), "vec_id", k=4
+        ).collect()
+    ]
+    # final state: 1->(10,90), 2->(15,85), 4->(20,80)
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.hypot(*a) * math.hypot(*b))
+
+    want = sorted(
+        ((i, round(cos(vec(18), v), 6))
+         for i, v in [(1, vec(10)), (2, vec(15)), (4, vec(20))]),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
