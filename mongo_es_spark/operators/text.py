@@ -1568,6 +1568,66 @@ def _bm25_scored(
     )
 
 
+def multi_match_over_stores(
+    spark,
+    stores: "Mapping[str, str]",
+    terms: Sequence[str],
+    boosts: "Mapping[str, float] | None" = None,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match``: one query scored against SEVERAL analyzed
+    fields, each field backed by its own postings store (``stores``
+    maps field name → store path — per-field indexes are the
+    multi-field layout this engine uses instead of a fielded postings
+    column; each store may declare its own analyzer).  Per-field
+    boosts (``title^2``) multiply that field's BM25.  ``best_fields``
+    takes the best field's score plus ``tie_breaker`` times the rest
+    (the Lucene dis_max rewrite); ``most_fields`` sums all fields.
+
+    Scale shape: one token-pruned scored frame per field (each its
+    own pushed-filter scan), a union of matched-sized frames, one
+    doc-keyed aggregate.  Output: ``(doc, score)`` top-k, score desc
+    / doc asc."""
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(
+            "match_type must be 'best_fields' or 'most_fields'"
+        )
+    boosts = dict(boosts or {})
+    per = []
+    for fname, path in stores.items():
+        s = _bm25_scored(spark, path, terms, k1, b)
+        if s is None:
+            continue
+        w = float(boosts.get(fname, 1.0))
+        per.append(
+            s.select(
+                "doc", (F.col("score") * F.lit(w)).alias("score")
+            )
+        )
+    if not per:
+        return spark.createDataFrame([], "doc long, score double")
+    u = per[0]
+    for p in per[1:]:
+        u = u.unionByName(p)
+    if match_type == "most_fields":
+        combined = F.sum("score")
+    else:
+        tb = float(tie_breaker)
+        combined = F.max("score") + F.lit(tb) * (
+            F.sum("score") - F.max("score")
+        )
+    return (
+        u.groupBy("doc")
+        .agg(F.round(combined, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(int(top_k))
+    )
+
+
 def match_over_store(
     spark,
     store_path: str,

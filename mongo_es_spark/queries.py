@@ -3160,6 +3160,25 @@ def _shared_src_store(spark: SparkSession, sf_dir: str) -> str:
     return _shared_store("srcstore", sf_dir, build)
 
 
+def _shared_title_store(spark: SparkSession, sf_dir: str) -> str:
+    """A second analyzed FIELD for the multi-field layout: the
+    documents' first five tokens indexed as the "title" store (the
+    engine's per-field-store answer to ES multi-field mappings)."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5),
+            ).alias("text"),
+        )
+        incremental_bm25_index(spark, docs, path).count()
+
+    return _shared_store("titlestore", sf_dir, build)
+
+
 def _shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The symmetrized exact 5-NN edge set of the embeddings table,
     computed ONCE per process and persisted — shared input prep for
@@ -11738,6 +11757,91 @@ def search_api_function_score(
         }},
         "size": 10,
     }).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_multi_match",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    bdl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdl),
+    btf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('value', 'spark')
+        GROUP BY doc_id, token
+    ),
+    bnt AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM btf GROUP BY token),
+    body AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM btf JOIN bnt USING (token) JOIN bdl USING (doc_id), bstats
+        GROUP BY doc_id
+    ),
+    ttoks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')[1:5])
+                   AS token
+        FROM documents
+    ),
+    tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+    tstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM tdl),
+    ttf AS (
+        SELECT doc_id, token, count(*) AS tf FROM ttoks
+        WHERE token IN ('value', 'spark')
+        GROUP BY doc_id, token
+    ),
+    tnt AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM ttf GROUP BY token),
+    title AS (
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM ttf JOIN tnt USING (token) JOIN tdl USING (doc_id), tstats
+        GROUP BY doc_id
+    ),
+    u AS (
+        SELECT doc_id, 2.0 * score AS score FROM title
+        UNION ALL
+        SELECT doc_id, score FROM body
+    )
+    SELECT doc_id,
+           round(max(score) + 0.3 * (sum(score) - max(score)), 6)
+               AS score
+    FROM u GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match best_fields (operators/text.py:
+    multi_match_over_stores): one query scored against TWO analyzed
+    fields — "title" (the first five tokens, its own postings store
+    and its own df/avgdl statistics) boosted 2x, and the body — best
+    field's score plus tie_breaker 0.3 times the rest, the Lucene
+    dis_max rewrite.  Per-field stores are the engine's multi-field
+    layout (each may declare its own analyzer).  The oracle
+    re-derives both fields' BM25 and the combination."""
+    from .operators.text import multi_match_over_stores
+
+    body = _shared_bm25_store(spark, sf_dir)
+    title = _shared_title_store(spark, sf_dir)
+    return multi_match_over_stores(
+        spark, {"title": title, "body": body},
+        ["value", "spark"],
+        boosts={"title": 2.0},
+        match_type="best_fields",
+        tie_breaker=0.3,
+        top_k=10,
+    ).select(F.col("doc").alias("doc_id"), "score")
 
 
 @register(

@@ -437,3 +437,43 @@ def test_executor_matches_standalone_bool_search(spark, api_store):
         }).collect()
     )
     assert a == b
+
+
+def test_multi_match_types(spark, api_store, tmp_path):
+    """best_fields = dis_max over per-field stores; most_fields sums;
+    boosts multiply the field's BM25."""
+    from mongo_es_spark.operators.text import (
+        multi_match_over_stores,
+    )
+
+    # second field: first token only
+    title = str(tmp_path / "title")
+    rows = [("d1", "spark"), ("d2", "spark"), ("d3", "flink"),
+            ("d4", "spark"), ("d5", "pandas"), ("d6", "streaming")]
+    incremental_bm25_index(
+        spark,
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        title,
+    ).count()
+    fields = {"title": title, "body": api_store}
+
+    def scores(**kw):
+        return {
+            r["doc"]: r["score"]
+            for r in multi_match_over_stores(
+                spark, fields, ["streaming"], **kw
+            ).collect()
+        }
+
+    body_only = scores(boosts={"title": 0.0})  # kill the title leg
+    best = scores(match_type="best_fields")
+    most = scores(match_type="most_fields")
+    # d6 matches in BOTH fields: most_fields > best_fields there
+    assert most["d6"] > best["d6"]
+    # docs matching only the body keep their body score everywhere
+    for d in ("d1", "d3", "d4"):
+        assert best[d] == most[d] == body_only[d]
+    with pytest.raises(ValueError, match="match_type"):
+        multi_match_over_stores(
+            spark, fields, ["x"], match_type="nope"
+        )
