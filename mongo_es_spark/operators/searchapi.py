@@ -75,6 +75,41 @@ _LEAVES = (
 )
 
 
+def _msm_count(msm, n_clauses: int) -> int:
+    """The ES ``minimum_should_match`` forms resolved to a required
+    clause count: a positive integer, a negative integer (``-N``: all
+    but N), or a percentage string ``"N%"`` / ``"-N%"`` (percentage
+    of the optional-clause count, rounded DOWN; negative = all but
+    that many).  Unsupported forms raise naming the supported ones
+    instead of a bare int() ValueError.  A computed value below 0
+    clamps to 0; a value above ``n_clauses`` is kept (ES/Lucene:
+    such a query matches nothing)."""
+    if isinstance(msm, bool) or not isinstance(msm, (int, str)):
+        raise ValueError(
+            f"minimum_should_match {msm!r} unsupported — use an "
+            "integer, '-N', 'N%' or '-N%'"
+        )
+    if isinstance(msm, int):
+        val = msm
+    else:
+        s = msm.strip()
+        try:
+            if s.endswith("%"):
+                pct = int(s[:-1])
+                part = abs(pct) * n_clauses // 100
+                val = part if pct >= 0 else n_clauses - part
+            else:
+                val = int(s)
+        except ValueError:
+            raise ValueError(
+                f"minimum_should_match {msm!r} unsupported — use an "
+                "integer, '-N', 'N%' or '-N%'"
+            ) from None
+    if val < 0:
+        val = n_clauses + val
+    return max(val, 0)
+
+
 def _boost_of(body) -> float:
     """The ES per-clause ``boost`` (default 1.0): multiplies the
     clause's score contribution.  Lives beside the other options in
@@ -192,26 +227,24 @@ def _qs_or(toks, pos, dop):
 
 def _qs_and(toks, pos, dop):
     """AND chains and bare juxtaposition; ``+``/``-``/``NOT`` mark
-    the operand and hoist into this level's bool sections."""
-    must, should, must_not = [], [], []
-
-    def add(node, sign):
-        if sign == "-":
-            must_not.append(node)
-        elif sign == "+":
-            must.append(node)
-        else:
-            should.append(node)
-
-    explicit_and = False
+    the operand and hoist into this level's bool sections.  ``AND``
+    is BINARY, the Lucene/ES reading: it requires exactly the two
+    operands it sits between (``a AND b c`` with default_operator=or
+    is ``+a +b c`` — ``c`` stays optional), never the whole group; an
+    explicit ``+``/``-`` on an operand wins over the promotion."""
+    entries: list = []  # ordered [node, sign] with sign in {None,+,-}
     sign = None
-    first = True
+    pending_and = False
     while pos < len(toks) and toks[pos] not in (")", "OR"):
         t = toks[pos]
         if t == "AND":
-            if first:
+            if not entries:
                 raise ValueError("query_string: AND needs a left side")
-            explicit_and = True
+            # promote the LEFT operand of this AND (unless it carries
+            # its own +/- already)
+            if entries[-1][1] is None:
+                entries[-1][1] = "+"
+            pending_and = True
             pos += 1
             continue
         if t in ("NOT", "-"):
@@ -223,15 +256,22 @@ def _qs_and(toks, pos, dop):
             pos += 1
             continue
         node, pos = _qs_atom(toks, pos, dop)
-        add(node, sign)
+        entries.append([node, sign])
+        if pending_and:
+            # the RIGHT operand of the pending AND
+            if entries[-1][1] is None:
+                entries[-1][1] = "+"
+            pending_and = False
         sign = None
-        first = False
-    if first:
+    if not entries:
         raise ValueError("query_string: empty clause")
-    # AND context (explicit AND or default_operator=and): plain
-    # operands are requirements, not options
-    if explicit_and or dop == "and":
-        must, should = must + should, []
+    must = [n for n, s in entries if s == "+"]
+    should = [n for n, s in entries if s is None]
+    must_not = [n for n, s in entries if s == "-"]
+    # default_operator=and: every plain operand is a requirement
+    if dop == "and":
+        must = [n for n, s in entries if s != "-"]
+        should = []
     if not must and not should and must_not:
         # pure negation: match_all minus
         return {"bool": {"must": [{"match_all": {}}],
@@ -466,7 +506,9 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
                 if v.get("operator", "or") == "and":
                     need = len(toks)
                 else:
-                    need = int(v.get("minimum_should_match", 1))
+                    need = _msm_count(
+                        v.get("minimum_should_match", 1), len(toks)
+                    )
             else:
                 need = 1
         if ctx.wtok is None or not toks:
@@ -776,7 +818,9 @@ def _eval_bool(ctx: _Ctx, b: Mapping, scoring: bool) -> DataFrame:
                 F.countDistinct("__i").alias("__ns"),
             )
             if msm:
-                boost_g = boost.filter(F.col("__ns") >= int(msm))
+                boost_g = boost.filter(
+                    F.col("__ns") >= _msm_count(msm, len(shoulds))
+                )
                 base = _sum_join(
                     base,
                     boost_g.select("doc", "score"),
@@ -787,7 +831,7 @@ def _eval_bool(ctx: _Ctx, b: Mapping, scoring: bool) -> DataFrame:
                     base, boost.select("doc", "score"), "left"
                 )
     elif shoulds:
-        need = int(msm) if msm else 1
+        need = _msm_count(msm, len(shoulds)) if msm else 1
         tagged = [
             s.select("doc", "score", F.lit(i).alias("__i"))
             for i, s in enumerate(shoulds)
@@ -814,10 +858,13 @@ def _eval_bool(ctx: _Ctx, b: Mapping, scoring: bool) -> DataFrame:
     else:
         raise ValueError("empty bool query")
 
+    # NO broadcast hint on the excluded side: a must_not over a
+    # frequent term, match_all or a wide range is corpus-sized, and a
+    # forced broadcast would blow the driver limit exactly at the
+    # scale this module claims — AQE picks broadcast on its own when
+    # the hit set really is small
     for n in nots:
-        base = base.join(
-            F.broadcast(n.select("doc")), "doc", "left_anti"
-        )
+        base = base.join(n.select("doc"), "doc", "left_anti")
     return base if scoring else base.select(
         "doc", F.lit(0.0).alias("score")
     )
@@ -938,10 +985,12 @@ def msearch(
 ) -> DataFrame:
     """ES ``_msearch``: a batch of ``_search`` request bodies served
     in one call — each compiles independently (its own pruned weight
-    frame) and the results union with a ``q`` request index.  The
-    request list is model-sized; Spark runs the unioned plan as one
-    job, so the per-request fixed costs share a single scheduling
-    wave instead of q round-trips.  Aggs-bearing bodies are rejected
+    frame, eagerly materialized at compile time) and the results
+    union with a ``q`` request index.  The final unioned plan runs as
+    one job; the per-body weight-frame materializations still run as
+    separate upstream jobs at compile time, so the saving over q
+    separate calls is the shared result job plus the single store
+    read, not a fully fused schedule.  Aggs-bearing bodies are rejected
     (their output schemas differ per spec — run those separately)."""
     bodies = list(bodies)
     if not bodies:

@@ -757,12 +757,21 @@ def incremental_bm25_index(
         *[F.col(c) for c in fields],
     ).withColumn("__sig", F.xxhash64(F.col("__t")))
     # intra-batch identity mirrors the cross-batch contract below:
-    # same-digest duplicates drop silently (replays), but one id
-    # carrying CONFLICTING content raises — dropDuplicates(["doc"])
-    # alone would index an arbitrary winner, silent data loss.  The
-    # guard is a raise_error expression, so it costs zero extra jobs:
-    # it fires during the localCheckpoint materialization.
-    batch = batch.dropDuplicates(["doc", "__sig"]).withColumn(
+    # WHOLE-DOC duplicates (same text AND same stored-field values)
+    # drop silently as replays, but one id carrying CONFLICTING
+    # content raises — dropDuplicates(["doc"]) alone would index an
+    # arbitrary winner, silent data loss.  The dup signature hashes
+    # text + every stored field (not just text — two rows agreeing on
+    # text but disagreeing on a doc-values column have no defensible
+    # winner either, the same whole-doc rule the CDC replay skip
+    # applies).  The guard is a raise_error expression, so it costs
+    # zero extra jobs: it fires during materialization.
+    batch = batch.withColumn(
+        "__dupsig", F.xxhash64(F.col("__t"), *[F.col(c) for c in fields])
+    )
+    batch = batch.dropDuplicates(["doc", "__dupsig"]).drop(
+        "__dupsig"
+    ).withColumn(
         "__t",
         F.when(
             F.count("*").over(Window.partitionBy("doc")) > 1,
@@ -796,7 +805,18 @@ def incremental_bm25_index(
                 F.col("deleted").alias("__cur_del"),
             )
         )
-        st = batch.join(F.broadcast(latest), "doc", "left")
+        # ONE materialization powers both the conflict probe and the
+        # fold continuation: checkpointing `st` first means the probe
+        # below and every downstream read run off the same in-memory
+        # blocks instead of re-executing the store-latest window +
+        # broadcast join per consumer (the r11 bench regression on
+        # search_bm25_incremental was exactly this join running twice
+        # — once for the probe's limit(5).collect(), once when the
+        # continuation materialized).  The intra-batch raise_error
+        # guard fires here, still zero extra jobs.
+        st = batch.join(
+            F.broadcast(latest), "doc", "left"
+        ).localCheckpoint(eager=True)
         conflicts = [
             r["doc"]
             for r in st.filter(
@@ -821,11 +841,13 @@ def incremental_bm25_index(
             )
         # keep only docs with NO stored row at all (deleted is
         # non-null on every docstats row, unlike sig which is null on
-        # op-d tombstones); same-sig replays drop silently here
-        batch = st.filter(F.col("__cur_del").isNull()).drop(
+        # op-d tombstones); same-sig replays drop silently here — a
+        # cheap filter over the already-materialized blocks
+        new = st.filter(F.col("__cur_del").isNull()).drop(
             "__cur_sig", "__cur_del"
         )
-    new = batch.localCheckpoint(eager=True)
+    else:
+        new = batch.localCheckpoint(eager=True)
     toks = new.select(
         "doc",
         F.posexplode(an.tokens_col(F.col("__t"))).alias("p", "token"),

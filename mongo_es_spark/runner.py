@@ -188,12 +188,21 @@ def run(
                     "vec_id", "v", dense_store,
                     n_cells=int(di.get("nCells", 16)),
                 )
-        elif di and not os.path.isdir(dense_store):
-            raise RuntimeError(
-                f"task {task.name()}: load.denseIndex declared but no "
-                f"IVF store at {dense_store} — the quantizer trains on "
-                "the scan snapshot; backfill with phase='scan' first"
-            )
+        elif di:
+            # probe through the same storage layer the store readers
+            # use — os.path.isdir would wrongly fail a non-local
+            # load.denseIndex.path URI even when the store is present
+            from .storeio import read_parquet_if_exists
+
+            if read_parquet_if_exists(
+                spark, os.path.join(dense_store, "centroids")
+            ) is None:
+                raise RuntimeError(
+                    f"task {task.name()}: load.denseIndex declared but "
+                    f"no IVF store at {dense_store} — the quantizer "
+                    "trains on the scan snapshot; backfill with "
+                    "phase='scan' first"
+                )
         if di:
             from .streaming.sink import DenseIndexedSink
 

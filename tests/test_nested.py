@@ -151,3 +151,34 @@ def test_intra_batch_conflict_raises(spark, tmp_path):
         incremental_bm25_index(
             spark, bad, str(tmp_path / "bad")
         ).count()
+
+
+def test_intra_batch_field_conflict_raises(spark, tmp_path):
+    """The duplicate signature is WHOLE-DOC: two rows with the same
+    id and the same text but CONFLICTING stored-field values raise
+    too (no defensible winner), while full whole-doc duplicates still
+    collapse silently as replays."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ok = str(tmp_path / "fok")
+    dup = spark.createDataFrame(
+        [("a", "same text", "en"), ("a", "same text", "en")],
+        "doc_id string, text string, lang string",
+    )
+    out = incremental_bm25_index(
+        spark, dup, ok, field_cols=["lang"]
+    )
+    assert out.count() == 1
+
+    bad = spark.createDataFrame(
+        [("a", "same text", "en"), ("a", "same text", "de")],
+        "doc_id string, text string, lang string",
+    )
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException),
+        match="conflicting content",
+    ):
+        incremental_bm25_index(
+            spark, bad, str(tmp_path / "fbad"), field_cols=["lang"]
+        ).count()

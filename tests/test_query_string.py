@@ -57,6 +57,38 @@ def test_plus_minus_hoist():
     }
 
 
+def test_binary_and_leaves_juxtaposed_operands_optional():
+    # Lucene/ES: AND is binary between its two adjacent operands —
+    # 'a AND b c' with default_operator=or is '+a +b c', c optional
+    got = parse_query_string("a AND b c")
+    assert got == {
+        "bool": {
+            "must": [
+                {"match": {"text": "a"}},
+                {"match": {"text": "b"}},
+            ],
+            "should": [{"match": {"text": "c"}}],
+        }
+    }
+    # the promotion respects explicit signs: 'a AND -b' is '+a -b'
+    assert parse_query_string("a AND -b") == {
+        "bool": {
+            "must": [{"match": {"text": "a"}}],
+            "must_not": [{"match": {"text": "b"}}],
+        }
+    }
+    # and an AND later in the chain promotes only its own pair
+    assert parse_query_string("x y AND z") == {
+        "bool": {
+            "must": [
+                {"match": {"text": "y"}},
+                {"match": {"text": "z"}},
+            ],
+            "should": [{"match": {"text": "x"}}],
+        }
+    }
+
+
 def test_not_and_pure_negation():
     assert parse_query_string("NOT spark") == {
         "bool": {

@@ -283,6 +283,40 @@ def test_match_minimum_should_match(spark, api_store):
     assert _docs(res) == {"d1", "d4", "d6"}
 
 
+def test_minimum_should_match_forms(spark, api_store):
+    # "67%" of 3 optional terms = 2 required — same set as integer 2
+    base = {"query": {"match": {"text": {
+        "query": "spark streaming pandas",
+        "minimum_should_match": "67%"}}}}
+    res = search(spark, api_store, base)
+    assert _docs(res) == {"d1", "d4", "d6"}
+    # "-1": all but one of 3 = 2 required
+    neg = {"query": {"match": {"text": {
+        "query": "spark streaming pandas",
+        "minimum_should_match": "-1"}}}}
+    assert _docs(search(spark, api_store, neg)) == {"d1", "d4", "d6"}
+    # "-40%": 3 - floor(1.2) = 2 required
+    negp = {"query": {"match": {"text": {
+        "query": "spark streaming pandas",
+        "minimum_should_match": "-40%"}}}}
+    assert _docs(search(spark, api_store, negp)) == {"d1", "d4", "d6"}
+    # bool-level percentage gates the pure-should clause count
+    b = {"query": {"bool": {
+        "should": [
+            {"term": {"text": "spark"}},
+            {"term": {"text": "streaming"}},
+            {"term": {"text": "pandas"}},
+        ],
+        "minimum_should_match": "67%",
+    }}}
+    assert _docs(search(spark, api_store, b)) == {"d1", "d4", "d6"}
+    # unsupported forms raise naming the supported ones
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        search(spark, api_store, {"query": {"match": {"text": {
+            "query": "spark streaming",
+            "minimum_should_match": "2<75%"}}}}).collect()
+
+
 def test_dis_max(spark, api_store):
     body = lambda tb: {
         "query": {"dis_max": {
