@@ -23,11 +23,17 @@ Spec is ES-shaped::
          "aggs": {"sum_chars": {"sum": {"field": "n_chars"}},
                   "avg_chars": {"avg": {"field": "n_chars"}}}}}}}
 
-One bucket node per level (a flat DataFrame cannot carry sibling
-bucket forests); metric leaves may have any number of siblings.
-Output: one row per deepest bucket combination — level-key columns
-(named by the spec), ``n_docs`` (leaf count), then metric columns —
-ordered by the level keys ascending.  Docs with a null/out-of-range
+One bucket node per level inside a tree; metric leaves may have any
+number of siblings.  SIBLING BUCKET FORESTS (multiple root bucket
+subtrees, the Kibana-dashboard request shape) go through
+:func:`agg_forest_frame` / :func:`agg_forest_over_store`: each
+subtree compiles as its own pass over the SAME materialized matched
+frame (one corpus scan total — the matched set localCheckpoints once
+and every subtree reads the cached blocks) and the results union in
+a normalized long schema ``(agg, key, n_docs, metric, value)``.
+Output of a single tree: one row per deepest bucket combination —
+level-key columns (named by the spec), ``n_docs`` (leaf count), then
+metric columns — ordered by the level keys ascending.  Docs with a null/out-of-range
 key at any level drop from that level down (the ES default; `missing`
 buckets are opt-in there and out of scope here).
 
@@ -49,6 +55,22 @@ window yields NULL.  ``bucket_sort`` truncates per parent (ties break
 by bucket key ascending, pinned for determinism) but the output frame
 stays ordered by the level keys — the flat-frame contract — rather
 than re-ordered by the sort key.
+
+SIBLING pipeline aggregations (``avg_bucket`` / ``min_bucket`` /
+``max_bucket`` / ``sum_bucket`` / ``stats_bucket``) sit BESIDE the
+deepest bucket node (the ES shape: ``{"months": {date_histogram…,
+aggs: {sales: …}}, "avg_monthly": {"avg_bucket": {"buckets_path":
+"months>sales"}}}``): each reduces a ``buckets_path`` column over the
+sibling bucket's buckets within the parent prefix and lands as a
+column CONSTANT within that prefix (the flat-frame rendering of ES's
+one-value-per-parent response; ``stats_bucket`` lands five columns
+``{name}_count/_min/_max/_avg/_sum``).  They compute AFTER size
+truncation and parent pipelines — over exactly the returned buckets,
+the ES evaluation order — and, like every pipeline, over the
+bucket-cardinality frame: zero extra corpus work.  Declaring one
+beside a NON-deepest bucket node raises: a flat frame only carries
+metric values at the deepest level, so a mid-tree sibling path has
+no column to reduce.
 """
 
 from __future__ import annotations
@@ -81,6 +103,19 @@ _PIPELINE_KINDS = (
     "bucket_selector",
     "bucket_sort",
 )
+_SIBLING_KINDS = (
+    "avg_bucket",
+    "min_bucket",
+    "max_bucket",
+    "sum_bucket",
+    "stats_bucket",
+)
+_SIBLING_FNS = {
+    "avg_bucket": F.avg,
+    "min_bucket": F.min,
+    "max_bucket": F.max,
+    "sum_bucket": F.sum,
+}
 _MOVING_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
 _SELECTOR_OPS = {
     "gte": lambda c, v: c >= v,
@@ -144,12 +179,21 @@ def _bucket_key(kind: str, body: Mapping):
 
 
 def _compile(
-    spec: Mapping, levels: list, metrics: dict, pipelines: list
+    spec: Mapping,
+    levels: list,
+    metrics: dict,
+    pipelines: list,
+    siblings: list | None = None,
 ) -> None:
     """Walk the ES-shaped tree: bucket nodes extend ``levels`` and
     recurse into their ``aggs``; a map of metric / pipeline leaves
     fills ``metrics`` and ``pipelines`` (in spec order) and
-    terminates."""
+    terminates.  Sibling-pipeline nodes beside a bucket node land in
+    ``siblings`` as ``(name, kind, body, depth)`` where ``depth`` is
+    the bucket level they sit beside (validated deepest-only at
+    apply time)."""
+    if siblings is None:
+        siblings = []
     if not isinstance(spec, Mapping) or not spec:
         raise ValueError("agg spec must be a non-empty mapping")
     kinds = {
@@ -162,13 +206,26 @@ def _compile(
         if ks and ks[0] in _BUCKET_KINDS
     }
     if bucket_nodes:
-        if len(spec) != 1:
+        if len(bucket_nodes) != 1:
             raise ValueError(
-                "one bucket node per level (sibling bucket forests "
-                "cannot share one flat output frame) — got "
-                f"{sorted(spec)}"
+                "one bucket node per level inside a tree — sibling "
+                "bucket forests go through agg_forest_frame / "
+                f"agg_forest_over_store; got {sorted(bucket_nodes)}"
             )
-        (name,) = spec
+        (name,) = bucket_nodes
+        for sib_name, sib_node in spec.items():
+            if sib_name == name:
+                continue
+            ks = [k for k in sib_node if k in _SIBLING_KINDS]
+            if len(ks) != 1 or len(sib_node) != 1:
+                raise ValueError(
+                    f"node {sib_name!r} beside bucket {name!r} must "
+                    f"hold exactly one sibling pipeline of "
+                    f"{sorted(_SIBLING_KINDS)}"
+                )
+            siblings.append(
+                (sib_name, ks[0], sib_node[ks[0]], len(levels))
+            )
         node = spec[name]
         (kind,) = [k for k in node if k in _BUCKET_KINDS]
         body = node[kind]
@@ -176,7 +233,7 @@ def _compile(
         levels.append((name, _bucket_key(kind, body), size))
         child = node.get("aggs")
         if child is not None:
-            _compile(child, levels, metrics, pipelines)
+            _compile(child, levels, metrics, pipelines, siblings)
         return
     # metric / pipeline leaves (any number of siblings)
     for name, node in spec.items():
@@ -313,7 +370,8 @@ def agg_tree_over_store(
     levels: list = []
     metrics: dict = {}
     pipelines: list = []
-    _compile(spec, levels, metrics, pipelines)
+    siblings: list = []
+    _compile(spec, levels, metrics, pipelines, siblings)
     if not levels:
         raise ValueError("agg spec needs at least one bucket level")
 
@@ -324,7 +382,96 @@ def agg_tree_over_store(
         return spark.createDataFrame(
             [], f"{cols}, n_docs long{mcols}"
         )
-    return _apply_tree(stats, levels, metrics, pipelines)
+    return _apply_tree(stats, levels, metrics, pipelines, siblings)
+
+
+def agg_forest_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    spec: Mapping,
+) -> DataFrame:
+    """Run a SIBLING BUCKET FOREST (multiple root aggregation
+    subtrees — the Kibana-dashboard request shape ES clients issue
+    constantly) over the hit set of ``terms``.  See
+    :func:`agg_forest_frame` for the execution shape and output
+    contract."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame(
+            [],
+            "agg string, key string, n_docs long, metric string, "
+            "value double",
+        )
+    return agg_forest_frame(stats, spec)
+
+
+def agg_forest_frame(matched_stats: DataFrame, spec: Mapping) -> DataFrame:
+    """Compile a root mapping of SIBLING bucket subtrees — each key an
+    independent aggregation tree (any nesting, metrics, pipelines,
+    sibling pipelines) — over one already-matched docstats frame.
+
+    Execution shape: the matched frame localCheckpoints ONCE (the one
+    corpus-side scan), then every subtree compiles to its own
+    single-groupBy pass over the materialized blocks — N subtrees cost
+    N bucket-sized aggregations, never N corpus scans, which is what
+    keeps client-composed dashboard forests safe at 100 TB.
+
+    Output: the per-subtree frames normalized into ONE long schema
+    ``(agg, key, n_docs, metric, value)`` — ``agg`` the subtree name,
+    ``key`` the bucket's level keys joined with ``|`` (cast to
+    string), one row per bucket per metric column (``metric =
+    '_count'``, ``value = n_docs`` for subtrees with no metric
+    leaves) — ordered by (agg, key, metric).  A flat frame cannot
+    carry sibling forests wide (their key columns differ); the long
+    form is the union that can."""
+    if not isinstance(spec, Mapping) or not spec:
+        raise ValueError("agg forest spec must be a non-empty mapping")
+    cached = (
+        matched_stats.localCheckpoint(eager=True)
+        if len(spec) > 1
+        else matched_stats
+    )
+    out = None
+    for name in spec:
+        levels: list = []
+        metrics: dict = {}
+        pipelines: list = []
+        siblings: list = []
+        _compile({name: spec[name]}, levels, metrics, pipelines, siblings)
+        if not levels:
+            raise ValueError(
+                f"forest subtree {name!r} needs a bucket level"
+            )
+        tree = _apply_tree(cached, levels, metrics, pipelines, siblings)
+        key_names = [n for n, _c, _s in levels]
+        keyc = F.concat_ws(
+            "|", *[F.col(k).cast("string") for k in key_names]
+        ).alias("key")
+        value_cols = [
+            c for c in tree.columns if c not in key_names + ["n_docs"]
+        ]
+        if not value_cols:
+            rows = tree.select(
+                F.lit(name).alias("agg"),
+                keyc,
+                F.col("n_docs"),
+                F.lit("_count").alias("metric"),
+                F.col("n_docs").cast("double").alias("value"),
+            )
+        else:
+            rows = None
+            for m in value_cols:
+                r = tree.select(
+                    F.lit(name).alias("agg"),
+                    keyc,
+                    F.col("n_docs"),
+                    F.lit(m).alias("metric"),
+                    F.col(m).cast("double").alias("value"),
+                )
+                rows = r if rows is None else rows.unionByName(r)
+        out = rows if out is None else out.unionByName(rows)
+    return out.orderBy("agg", "key", "metric")
 
 
 def agg_tree_frame(matched_stats: DataFrame, spec: Mapping) -> DataFrame:
@@ -336,14 +483,19 @@ def agg_tree_frame(matched_stats: DataFrame, spec: Mapping) -> DataFrame:
     levels: list = []
     metrics: dict = {}
     pipelines: list = []
-    _compile(spec, levels, metrics, pipelines)
+    siblings: list = []
+    _compile(spec, levels, metrics, pipelines, siblings)
     if not levels:
         raise ValueError("agg spec needs at least one bucket level")
-    return _apply_tree(matched_stats, levels, metrics, pipelines)
+    return _apply_tree(matched_stats, levels, metrics, pipelines, siblings)
 
 
 def _apply_tree(
-    stats: DataFrame, levels: list, metrics: dict, pipelines: list
+    stats: DataFrame,
+    levels: list,
+    metrics: dict,
+    pipelines: list,
+    siblings: list | None = None,
 ) -> DataFrame:
     key_names = [n for n, _c, _s in levels]
     fields: set = set()
@@ -462,5 +614,42 @@ def _apply_tree(
                     .filter(F.col("__bs") <= int(body["size"]))
                     .drop("__bs")
                 )
+
+    # sibling pipeline aggs, AFTER truncation and parent pipelines
+    # (the ES order: they reduce the returned buckets), as windows
+    # over the parent prefix — constant within it, the flat-frame
+    # rendering of one-value-per-parent
+    for name, kind, body, depth in siblings or []:
+        if depth != len(key_names) - 1:
+            raise ValueError(
+                f"sibling pipeline {name!r} sits beside bucket level "
+                f"{depth} but only the deepest level "
+                f"({len(key_names) - 1}) carries metric columns in a "
+                "flat frame — move it beside the deepest bucket node"
+            )
+        path = str(body["buckets_path"]).split(">")
+        col = "n_docs" if path[-1] == "_count" else path[-1]
+        if col not in grouped.columns:
+            raise ValueError(
+                f"sibling pipeline {name!r}: buckets_path "
+                f"{body['buckets_path']!r} does not end at a computed "
+                f"column (have {grouped.columns})"
+            )
+        parent = key_names[:-1]
+        sw = Window.partitionBy(*parent)
+        if kind == "stats_bucket":
+            grouped = (
+                grouped.withColumn(
+                    f"{name}_count", F.count(F.col(col)).over(sw)
+                )
+                .withColumn(f"{name}_min", F.min(F.col(col)).over(sw))
+                .withColumn(f"{name}_max", F.max(F.col(col)).over(sw))
+                .withColumn(f"{name}_avg", F.avg(F.col(col)).over(sw))
+                .withColumn(f"{name}_sum", F.sum(F.col(col)).over(sw))
+            )
+        else:
+            grouped = grouped.withColumn(
+                name, _SIBLING_FNS[kind](F.col(col)).over(sw)
+            )
 
     return grouped.orderBy(*[F.col(n).asc() for n in key_names])

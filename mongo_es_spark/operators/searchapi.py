@@ -901,12 +901,24 @@ def search(
     hits = _eval(ctx, q, scoring=True)
 
     if "aggs" in body:
-        from .aggs import agg_tree_frame
+        from .aggs import _BUCKET_KINDS, agg_forest_frame, agg_tree_frame
 
         matched = ctx.docstats.join(
             hits.select("doc"), "doc", "left_semi"
         )
-        return agg_tree_frame(matched, body["aggs"])
+        spec = body["aggs"]
+        n_roots = sum(
+            1
+            for node in spec.values()
+            if isinstance(node, Mapping)
+            and any(k in _BUCKET_KINDS for k in node)
+        )
+        if n_roots >= 2:
+            # sibling bucket forest: N subtrees over ONE cached
+            # matched frame, long-schema union (agg, key, n_docs,
+            # metric, value)
+            return agg_forest_frame(matched, spec)
+        return agg_tree_frame(matched, spec)
 
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))

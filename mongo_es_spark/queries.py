@@ -12125,3 +12125,113 @@ def search_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         store,
         {"a": ["spark"], "b": ["stream"], "c": ["window", "sort"]},
     )
+
+
+@register(
+    "search_agg_siblings",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('table')
+    ),
+    d AS (
+        SELECT lang, n_chars FROM documents JOIN matched USING (doc_id)
+    ),
+    langs AS (
+        SELECT 'langs' AS agg, lang AS key, count(*) AS n_docs,
+               'avg_c' AS metric, avg(n_chars) AS value
+        FROM d WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    hist AS (
+        SELECT 'hist' AS agg,
+               CAST(floor(n_chars / 200.0) * 200.0 AS VARCHAR) AS key,
+               count(*) AS n_docs, '_count' AS metric,
+               CAST(count(*) AS DOUBLE) AS value
+        FROM d GROUP BY 2
+    )
+    SELECT agg, key, n_docs, metric, value
+    FROM (SELECT * FROM langs UNION ALL SELECT * FROM hist)
+    ORDER BY agg ASC, key ASC, metric ASC
+    """,
+)
+def search_agg_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIBLING BUCKET FOREST (operators/aggs.py:agg_forest_over_store)
+    — the Kibana-dashboard request shape: two independent root
+    subtrees (terms(lang)→avg(n_chars) beside histogram(n_chars))
+    over ONE hit set.  The matched frame localCheckpoints once and
+    each subtree is its own bucket-sized pass over the cached blocks
+    — one corpus-side scan total, the property that keeps
+    client-composed dashboard forests safe at 100 TB.  Results union
+    in the normalized long schema (agg, key, n_docs, metric, value);
+    the oracle re-derives both subtrees as UNION ALL of GROUP BYs."""
+    from .operators.aggs import agg_forest_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_forest_over_store(
+        spark, store, ["table"],
+        {"langs": {"terms": {"field": "lang"},
+                   "aggs": {"avg_c": {"avg": {"field": "n_chars"}}}},
+         "hist": {"histogram": {"field": "n_chars",
+                                "interval": 200.0}}},
+    )
+
+
+@register(
+    "search_agg_sibling_pipeline",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('stream')
+    ),
+    d AS (
+        SELECT lang, n_chars FROM documents JOIN matched USING (doc_id)
+    ),
+    leaf AS (
+        SELECT lang, floor(n_chars / 200.0) * 200.0 AS hist,
+               count(*) AS n_docs, max(n_chars) AS mx
+        FROM d WHERE lang IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT lang, hist, n_docs, mx,
+           avg(n_docs) OVER w AS avg_b,
+           count(mx) OVER w AS st_count,
+           min(mx) OVER w AS st_min,
+           max(mx) OVER w AS st_max,
+           avg(mx) OVER w AS st_avg,
+           CAST(sum(mx) OVER w AS DOUBLE) AS st_sum
+    FROM leaf
+    WINDOW w AS (PARTITION BY lang)
+    ORDER BY lang ASC, hist ASC
+    """,
+)
+def search_agg_sibling_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIBLING PIPELINE aggregations (operators/aggs.py): avg_bucket
+    over the histogram's _count and stats_bucket over its max-metric,
+    declared beside the deepest bucket node — each reduces the
+    sibling bucket's buckets within the parent prefix (lang) and
+    lands constant within it, the flat-frame rendering of ES's
+    one-value-per-parent response.  Still one corpus scan: siblings
+    are windows over the bucket-cardinality frame.  st_sum casts to
+    double on both sides (DuckDB widens window sum to HUGEINT)."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    out = agg_tree_over_store(
+        spark, store, ["stream"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {
+                "hist": {"histogram": {"field": "n_chars",
+                                       "interval": 200.0},
+                         "aggs": {"mx": {"max": {"field": "n_chars"}}}},
+                "avg_b": {"avg_bucket": {"buckets_path": "hist>_count"}},
+                "st": {"stats_bucket": {"buckets_path": "hist>mx"}},
+            }}},
+    )
+    return out.withColumn("st_sum", F.col("st_sum").cast("double"))

@@ -246,6 +246,124 @@ def test_bucket_selector_then_sort(spark, agg_store):
             assert r["dlt"] == r["n_docs"] - kept[idx - 1][1]
 
 
+def test_sibling_pipeline_avg_and_stats_bucket(spark, agg_store):
+    # the canonical ES shape: avg_bucket/stats_bucket beside the
+    # deepest bucket node, reducing its buckets per parent prefix
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {
+                "b": {"histogram": {"field": "n_chars",
+                                    "interval": 100.0},
+                      "aggs": {"mx": {"max": {"field": "n_chars"}}}},
+                "avg_n": {"avg_bucket": {"buckets_path": "b>_count"}},
+                "st": {"stats_bucket": {"buckets_path": "b>mx"}},
+            }}},
+    ).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        ns = [r["n_docs"] for r in rows]
+        mxs = [r["mx"] for r in rows]
+        for r in rows:
+            # constant within the parent prefix, the ES one-value-
+            # per-parent response flattened
+            assert abs(r["avg_n"] - sum(ns) / len(ns)) < 1e-9
+            assert r["st_count"] == len(mxs)
+            assert r["st_min"] == min(mxs)
+            assert r["st_max"] == max(mxs)
+            assert r["st_sum"] == sum(mxs)
+            assert abs(r["st_avg"] - sum(mxs) / len(mxs)) < 1e-9
+
+
+def test_sibling_pipeline_runs_after_truncation(spark, agg_store):
+    # size truncation first, THEN the sibling reduces the RETURNED
+    # buckets (ES evaluation order)
+    full = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0}}},
+    ).collect()
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0},
+               "aggs": {
+                   "top": {"bucket_sort": {
+                       "buckets_path": "n_docs", "size": 3}},
+               }},
+         "sum_n": {"sum_bucket": {"buckets_path": "b>_count"}}},
+    ).collect()
+    kept = sorted(
+        [(r["b"], r["n_docs"]) for r in full],
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    want = sum(n for _b, n in kept)
+    assert len(got) == 3
+    for r in got:
+        assert r["sum_n"] == want
+
+
+def test_sibling_pipeline_deepest_only(spark, agg_store):
+    with pytest.raises(ValueError, match="deepest"):
+        agg_tree_over_store(
+            spark, agg_store, ["alpha"],
+            {"lang": {"terms": {"field": "lang"},
+                "aggs": {"b": {"histogram": {
+                    "field": "n_chars", "interval": 100.0}}}},
+             "bad": {"avg_bucket": {"buckets_path": "lang>_count"}}},
+        ).collect()
+
+
+def test_agg_forest_union_long_schema(spark, agg_store):
+    from mongo_es_spark.operators.aggs import agg_forest_over_store
+
+    got = agg_forest_over_store(
+        spark, agg_store, ["alpha"],
+        {"langs": {"terms": {"field": "lang"},
+                   "aggs": {"avg_c": {"avg": {"field": "n_chars"}}}},
+         "hist": {"histogram": {"field": "n_chars",
+                                "interval": 200.0}}},
+    )
+    rows = got.collect()
+    assert got.columns == ["agg", "key", "n_docs", "metric", "value"]
+    # subtree 1 matches the single-tree run, long-ified
+    single = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"langs": {"terms": {"field": "lang"},
+                   "aggs": {"avg_c": {"avg": {"field": "n_chars"}}}}},
+    ).collect()
+    want1 = {
+        (r["langs"], r["n_docs"], round(r["avg_c"], 6)) for r in single
+    }
+    got1 = {
+        (r["key"], r["n_docs"], round(r["value"], 6))
+        for r in rows
+        if r["agg"] == "langs"
+    }
+    assert got1 == want1
+    # subtree 2 (no metric leaves) emits _count rows
+    hist = [r for r in rows if r["agg"] == "hist"]
+    assert hist and all(r["metric"] == "_count" for r in hist)
+    assert all(r["value"] == float(r["n_docs"]) for r in hist)
+
+
+def test_agg_forest_one_matched_scan(spark, agg_store):
+    """The forest must not rescan the corpus per subtree: the matched
+    frame materializes once (localCheckpoint) and the per-subtree
+    plans read the cached blocks — no postings/docstats file scan in
+    the final plan."""
+    from mongo_es_spark.operators.aggs import agg_forest_over_store
+
+    q = agg_forest_over_store(
+        spark, agg_store, ["alpha"],
+        {"a": {"terms": {"field": "lang"}},
+         "b": {"histogram": {"field": "n_chars", "interval": 100.0}}},
+    )
+    plan = _plan_of(q)
+    assert len(re.findall(r"Location.*/postings", plan)) == 0
+    assert len(re.findall(r"Location.*/docstats", plan)) == 0
+
+
 def test_cardinality_metric(spark, agg_store):
     got = agg_tree_over_store(
         spark, agg_store, ["alpha"],
