@@ -25,6 +25,15 @@ context), ``match_all``, ``constant_score`` (any filter at an exact
 boost score), and ``query_string`` (the Lucene mini-syntax —
 ``+``/``-``/AND/OR/NOT/parens/phrases/wildcards/``term~`` fuzz —
 parsed by :func:`parse_query_string` into the same node algebra).
+Document relations compile as body nodes too: ``nested`` (per-element
+doc-values predicate — same-element semantics, higher-order filter in
+codegen), ``has_child`` / ``has_parent`` (join-field stores; the
+inner query is a full executor query, constant score like ES
+score_mode=none).  An ES-8 top-level ``knn`` clause serves from an
+IVF index (``dense_store=``) with optional ``filter`` pushdown, its
+hits unioning score-summed with ``query``'s (the hybrid contract);
+``highlight`` / ``suggest`` / ``search_after`` request keys and the
+:func:`count_api` endpoint complete the serving surface.
 Every leaf takes a ``boost`` (multiplies its score contribution);
 ``match`` takes ``operator: and`` or ``minimum_should_match``;
 ``term``/``terms`` against a STORED doc-values field name filter
@@ -71,7 +80,7 @@ from .text import (
 _LEAVES = (
     "term", "terms", "match", "match_phrase", "prefix", "wildcard",
     "fuzzy", "range", "exists", "match_all", "query_string",
-    "constant_score",
+    "constant_score", "nested", "has_child", "has_parent",
 )
 
 
@@ -394,6 +403,12 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
             for child in _listify(node["bool"].get(sec)):
                 out += _collect_scoring_tokens(ctx, child)
         return out
+    if kind in ("has_child", "has_parent"):
+        # the relation's inner query runs through the same weight
+        # frame for membership — its tokens join the pruned scan
+        return _collect_scoring_tokens(ctx, node[kind]["query"])
+    if kind == "nested":
+        return []  # pure doc-values predicate, no postings tokens
     if kind == "term":
         v = _leaf_text(node["term"])
         return ctx.analyze(
@@ -411,6 +426,80 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
         q = v["query"] if isinstance(v, Mapping) else v
         return ctx.analyze(q)
     return []
+
+
+def _nested_pred(path: str, q: Mapping):
+    """Compile the ``nested`` inner query into ONE per-element Column
+    lambda — every condition evaluated on the SAME array element, the
+    semantics ES indexes hidden sub-documents to get (a flattened
+    mapping would wrongly match across elements).  Supported inner
+    nodes: ``term`` (equality), ``range`` (gte/gt/lte/lt), and
+    ``bool`` combining them (must/filter = AND, should = OR,
+    must_not = NOT) — the doc-values predicate surface; a full-text
+    leaf inside nested raises (per-element postings are not stored).
+    Field names may carry the ES ``path.`` prefix or be bare
+    subfields."""
+
+    def sub(field: str) -> str:
+        pref = path + "."
+        return field[len(pref):] if field.startswith(pref) else field
+
+    kind = _node_kind(q)
+    if kind == "bool":
+        b = q["bool"]
+        ands = [
+            _nested_pred(path, n)
+            for n in _listify(b.get("must")) + _listify(b.get("filter"))
+        ]
+        ors = [_nested_pred(path, n) for n in _listify(b.get("should"))]
+        nots = [_nested_pred(path, n) for n in _listify(b.get("must_not"))]
+        if not ands and not ors and not nots:
+            raise ValueError("empty bool inside nested query")
+
+        def pred(x):
+            out = None
+            for p in ands:
+                c = p(x)
+                out = c if out is None else out & c
+            if ors:
+                sc = ors[0](x)
+                for p in ors[1:]:
+                    sc = sc | p(x)
+                out = sc if out is None else out & sc
+            for p in nots:
+                c = ~p(x)
+                out = c if out is None else out & c
+            return out
+
+        return pred
+    if kind == "term":
+        (field, v), = q["term"].items()
+        val = v["value"] if isinstance(v, Mapping) else v
+        return lambda x: x[sub(field)] == F.lit(val)
+    if kind == "range":
+        (field, bounds), = q["range"].items()
+        ops = [(op, v) for op, v in bounds.items() if op in _RANGE_OPS]
+        if not ops:
+            raise ValueError(
+                f"nested range on {field!r} needs one of "
+                f"{sorted(_RANGE_OPS)}"
+            )
+
+        def pred(x):
+            c = x[sub(field)]
+            out = None
+            for op, v in ops:
+                cond = {
+                    "gte": c >= F.lit(v), "gt": c > F.lit(v),
+                    "lte": c <= F.lit(v), "lt": c < F.lit(v),
+                }[op]
+                out = cond if out is None else out & cond
+            return out
+
+        return pred
+    raise ValueError(
+        f"nested inner query supports term/range/bool, got {kind!r}"
+    )
 
 
 def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
@@ -616,6 +705,95 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
             ).alias("score"),
         )
 
+    if kind == "nested":
+        # constant score like ES score_mode=none (the doc-values
+        # predicate surface has no per-child relevance to average);
+        # membership = at least one array element satisfying ALL
+        # conditions — a higher-order filter inside codegen, no
+        # explode, no shuffle
+        body = node["nested"]
+        path = str(body["path"])
+        if ctx.docstats is None:
+            return ctx.zero()
+        if path not in ctx.docstats.columns:
+            raise ValueError(
+                f"nested path {path!r} is not a stored field; "
+                f"docstats has {ctx.docstats.columns}"
+            )
+        pred = _nested_pred(path, body["query"])
+        docs = ctx.docstats.filter(
+            F.size(F.filter(F.col(path), pred)) > 0
+        ).select("doc")
+        b = float(body.get("boost", 1.0))
+        return docs.select(
+            "doc", F.lit(b if scoring else 0.0).alias("score")
+        )
+
+    if kind in ("has_child", "has_parent"):
+        # document relations over the join-field store layout
+        # (operators/nested.py conventions): join_field names the
+        # relation column, parent_field the routing column.  Constant
+        # score (ES score_mode=none default).  The inner query is a
+        # FULL executor query over the same index — its hits are
+        # matched-sized, the parent-keyed count/semi-joins never
+        # touch unmatched docs.
+        body = node[kind]
+        ds = ctx.docstats
+        join_col = str(body.get("join_field", "join_name"))
+        parent_col = str(body.get("parent_field", "parent_id"))
+        parent_name = str(body.get("parent_type", "parent"))
+        if ds is None:
+            return ctx.zero()
+        if join_col not in ds.columns or parent_col not in ds.columns:
+            raise ValueError(
+                f"{kind} needs stored join-field columns "
+                f"{join_col!r}/{parent_col!r}; docstats has "
+                f"{ds.columns}"
+            )
+        inner = _eval(ctx, body["query"], False).select("doc")
+        if kind == "has_child":
+            ctype = body.get("type")
+            kids = ds.join(inner, "doc", "left_semi").filter(
+                F.col(parent_col).isNotNull()
+            )
+            kids = (
+                kids.filter(F.col(join_col) == str(ctype))
+                if ctype
+                else kids.filter(F.col(join_col) != parent_name)
+            )
+            counts = kids.groupBy(parent_col).agg(
+                F.count("*").alias("__nc")
+            ).filter(F.col("__nc") >= int(body.get("min_children", 1)))
+            if "max_children" in body:
+                counts = counts.filter(
+                    F.col("__nc") <= int(body["max_children"])
+                )
+            docs = (
+                ds.filter(F.col(join_col) == parent_name)
+                .select("doc")
+                .join(
+                    counts.select(F.col(parent_col).alias("doc")),
+                    "doc",
+                    "left_semi",
+                )
+            )
+        else:
+            pids = (
+                ds.filter(F.col(join_col) == parent_name)
+                .join(inner, "doc", "left_semi")
+                .select(F.col("doc").alias(parent_col))
+            )
+            docs = (
+                ds.filter(F.col(join_col) != parent_name)
+                .filter(F.col(parent_col).isNotNull())
+                .join(pids, parent_col, "left_semi")
+                .select("doc")
+            )
+        b = float(body.get("boost", 1.0))
+        return docs.select(
+            "doc", F.lit(b if scoring else 0.0).alias("score")
+        )
+
     raise ValueError(f"unsupported query node {kind!r}")
 
 
@@ -765,6 +943,51 @@ def _eval_function_score(
     )
 
 
+def _eval_knn(ctx: _Ctx, body: Mapping, dense_store) -> DataFrame:
+    """The ES-8 top-level ``knn`` clause: top-``k`` docs by cosine
+    similarity to ``query_vector``, served from a materialized IVF
+    index (similarity.ivf_exact_topk — cell partition-pruned, exact
+    by certificate).  ``filter`` is any executor query node evaluated
+    against the LEXICAL store's doc values; its hit-id set pushes
+    into the vector ranking as a semi-join on the scanned cells,
+    exactly the ES filtered-kNN contract (filter during, not after —
+    always k results when k docs qualify).  ``boost`` multiplies the
+    cosine score for hybrid combination."""
+    if dense_store is None:
+        raise ValueError(
+            "knn clause needs the dense index: call "
+            "search(..., dense_store=<IVF index path>)"
+        )
+    from .similarity import ivf_exact_topk
+
+    qv = [float(x) for x in body["query_vector"]]
+    k = int(body.get("k", 10))
+    allow = None
+    flt = body.get("filter")
+    if flt is not None:
+        allow = _eval(ctx, flt, False).select("doc")
+    id_col = str(body.get("id_field", "vec_id"))
+    res = ivf_exact_topk(
+        ctx.spark, dense_store, qv, id_col, k=k, allow_ids=allow
+    ).select(F.col(id_col).alias("doc"), "score")
+    return _apply_boost(res, float(body.get("boost", 1.0)))
+
+
+def _sum_join_outer(a: DataFrame, b: DataFrame) -> DataFrame:
+    """ES-8 hybrid combination of ``query`` and ``knn`` hits: the
+    UNION of both result sets, scores summed where a doc appears in
+    both — a full-outer doc-keyed join of two matched-sized frames."""
+    aa = a.select("doc", F.col("score").alias("__s1"))
+    bb = b.select("doc", F.col("score").alias("__s2"))
+    return aa.join(bb, "doc", "full_outer").select(
+        "doc",
+        (
+            F.coalesce(F.col("__s1"), F.lit(0.0))
+            + F.coalesce(F.col("__s2"), F.lit(0.0))
+        ).alias("score"),
+    )
+
+
 def _sum_join(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
     """Doc-keyed score combination: ``inner`` intersects (both
     scores add), ``left`` keeps ``a`` and adds ``b`` where present."""
@@ -876,6 +1099,7 @@ def search(
     body: Mapping,
     k1: float = 1.2,
     b: float = 0.75,
+    dense_store: str | None = None,
 ) -> DataFrame:
     """Execute an ES-shaped ``_search`` request body against the
     store — see the module docstring for the supported surface, plus:
@@ -887,18 +1111,65 @@ def search(
       ``{"field": {"order": "asc"|"desc"}}`` over stored doc-values
       fields, ``doc`` ascending appended as the deterministic
       tiebreak; default ``[_score desc]``;
-    * ``fields`` — stored doc-values columns to return with each hit.
+    * ``search_after`` — live-store cursor paging: the previous
+      page's LAST row's sort values (one per sort entry, plus the
+      ``doc`` tiebreak as the final element); strictly-after rows
+      only, cannot combine with ``from``;
+    * ``fields`` — stored doc-values columns to return with each hit;
+    * ``knn`` — the ES-8 top-level clause (``query_vector``, ``k``,
+      optional ``filter`` / ``boost``), served from the IVF index
+      passed as ``dense_store``; beside a ``query`` the two hit sets
+      union with scores summed (the ES hybrid contract);
+    * ``highlight`` — ``{"fields": {"<stored field>": {}}}``: the
+      page's hits gain ``matched_term`` / ``match_pos`` / ``snippet``
+      columns computed over the stored text of JUST the returned
+      page (a point-lookup-sized projection, never a corpus pass);
+    * ``suggest`` — one named term-suggester
+      (``{"name": {"text": …, "term": {…}}}``); like ``aggs`` the
+      response schema differs, so the suggestion frame is returned
+      instead of hits.
 
-    Returns the hits frame ``(doc, score, …sort/requested fields)``,
-    or the aggregation frame when ``aggs`` is present (ES runs aggs
-    over the FULL hit set; hits are not returned alongside aggs
-    here)."""
+    Returns the hits frame ``(doc, score, …sort/requested fields[,
+    highlight columns])``, or the aggregation / suggestion frame when
+    ``aggs`` / ``suggest`` is present (ES runs those over the FULL
+    hit set; hits are not returned alongside them here)."""
     ctx = _Ctx(spark, store_path, k1, b)
-    q = body.get("query") or {"match_all": {}}
     if ctx.postings is None or ctx.docstats is None:
         return ctx.zero()
-    ctx.build_weights(_collect_scoring_tokens(ctx, q))
-    hits = _eval(ctx, q, scoring=True)
+
+    if "suggest" in body:
+        from .text import suggest_terms
+
+        sug = body["suggest"]
+        if len(sug) != 1:
+            raise ValueError(
+                "exactly one named suggester per request (the "
+                "suggestion frame is the whole response)"
+            )
+        (_name, one), = sug.items()
+        term = one.get("term")
+        if term is None:
+            raise ValueError("only the term suggester is supported")
+        toks = str(one["text"]).split()
+        return suggest_terms(
+            spark, store_path, toks,
+            max_dist=int(term.get("max_edits", 1)),
+            size=int(term.get("size", 3)),
+        )
+
+    knn = body.get("knn")
+    q = body.get("query")
+    if q is None and knn is None:
+        q = {"match_all": {}}
+    hits = None
+    hl_tokens: list = []
+    if q is not None:
+        hl_tokens = _collect_scoring_tokens(ctx, q)
+        ctx.build_weights(hl_tokens)
+        hits = _eval(ctx, q, scoring=True)
+    if knn is not None:
+        kn = _eval_knn(ctx, knn, dense_store)
+        hits = kn if hits is None else _sum_join_outer(hits, kn)
 
     if "aggs" in body:
         from .aggs import _BUCKET_KINDS, agg_forest_frame, agg_tree_frame
@@ -956,7 +1227,7 @@ def search(
     sort = body.get("sort") or ["_score"]
     fields = [str(f) for f in body.get("fields", [])]
     need_cols = list(fields)
-    order = []
+    specs = []  # (Column, desc) pairs including the doc tiebreak
     for entry in sort:
         if isinstance(entry, Mapping):
             (f, opts), = entry.items()
@@ -969,8 +1240,9 @@ def search(
             col = F.col(f)
             if f not in need_cols:
                 need_cols.append(f)
-        order.append(col.desc() if desc else col.asc())
-    order.append(F.col("doc").asc())
+        specs.append((col, desc))
+    specs.append((F.col("doc"), False))
+    order = [c.desc() if d else c.asc() for c, d in specs]
 
     for f in need_cols:
         if f not in ctx.docstats.columns:
@@ -982,10 +1254,80 @@ def search(
         hits = hits.join(
             ctx.docstats.select("doc", *need_cols), "doc"
         )
-    paged = hits.orderBy(*order)
+
+    cursor = body.get("search_after")
+    if cursor is not None:
+        # live-store cursor paging: keep only rows STRICTLY after the
+        # cursor in the total sort order — a lexicographic predicate
+        # over the sort keys, pushed before the top-k so the page
+        # costs one TakeOrderedAndProject like page one (never the
+        # offset's sort-then-skip)
+        if frm:
+            raise ValueError(
+                "search_after cannot combine with from (ES rejects "
+                "the pair too) — cursors ARE the deep-paging path"
+            )
+        cursor = list(cursor)
+        if len(cursor) != len(specs):
+            raise ValueError(
+                f"search_after needs one value per sort key plus the "
+                f"doc tiebreak ({len(specs)} total), got {len(cursor)}"
+            )
+        after = F.lit(False)
+        eq = F.lit(True)
+        for (col, desc), cv in zip(specs, cursor):
+            cmp = col < F.lit(cv) if desc else col > F.lit(cv)
+            after = after | (eq & cmp)
+            eq = eq & col.eqNullSafe(F.lit(cv))
+        hits = hits.filter(after)
+
+    paged_full = hits.orderBy(*order)
     if frm:
-        paged = paged.offset(frm)
-    return paged.limit(size).select("doc", "score", *fields)
+        paged_full = paged_full.offset(frm)
+    paged_full = paged_full.limit(size)
+    paged = paged_full.select("doc", "score", *fields)
+
+    hl = body.get("highlight")
+    if hl:
+        # highlight over the RETURNED PAGE only: join the stored text
+        # of the ≤size hits (a point-lookup-sized select) and run the
+        # snippet projection there — the ES stored-field-fetch-per-hit
+        # shape, never a corpus pass.  Hits without a match keep NULL
+        # highlight columns (ES omits the highlight key there).
+        from .text import highlight_snippets
+
+        hl_fields = list(hl.get("fields", {}))
+        if len(hl_fields) != 1:
+            raise ValueError(
+                "highlight needs exactly one stored text field"
+            )
+        fld = str(hl_fields[0])
+        if fld not in ctx.docstats.columns:
+            raise ValueError(
+                f"highlight field {fld!r} is not stored in the index"
+            )
+        opts = hl.get("fields", {}).get(fld) or {}
+        window = int(opts.get("fragment_size", 60)) // 2
+        joined = (
+            paged_full
+            if fld in need_cols
+            else paged_full.join(ctx.docstats.select("doc", fld), "doc")
+        )
+        page = joined.localCheckpoint(eager=True)
+        terms = [t for t in dict.fromkeys(hl_tokens)]
+        snips = highlight_snippets(
+            page, "doc", fld, terms, window=window
+        ).select("doc", "matched_term", "match_pos", "snippet")
+        return (
+            page.join(snips, "doc", "left")
+            .orderBy(*order)
+            .select(
+                "doc", "score", *fields,
+                "matched_term", "match_pos", "snippet",
+            )
+        )
+
+    return paged
 
 
 def msearch(
@@ -1020,3 +1362,24 @@ def msearch(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def count_api(
+    spark,
+    store_path: str,
+    body: Mapping,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``_count``: the matched-set cardinality of a query body —
+    the same compilation as :func:`search` with scoring skipped
+    entirely (every clause evaluates in filter context, so no weight
+    frame builds and no BM25 math runs; membership still needs the
+    token-pruned postings scan).  Returns ONE row ``(count long)``."""
+    ctx = _Ctx(spark, store_path, k1, b)
+    if ctx.postings is None or ctx.docstats is None:
+        return spark.createDataFrame([(0,)], "count long")
+    q = body.get("query") or {"match_all": {}}
+    ctx.build_weights(_collect_scoring_tokens(ctx, q))
+    hits = _eval(ctx, q, scoring=False)
+    return hits.agg(F.count("*").cast("long").alias("count"))

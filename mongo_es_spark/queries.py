@@ -12235,3 +12235,280 @@ def search_agg_sibling_pipeline(
             }}},
     )
     return out.withColumn("st_sum", F.col("st_sum").cast("double"))
+
+
+@register(
+    "search_api_nested",
+    """
+    WITH matched AS (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    hit AS (
+        SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS doc
+        FROM matched JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    )
+    SELECT doc, CAST(1.0 AS DOUBLE) AS score FROM hit ORDER BY doc
+    """,
+)
+def search_api_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``nested`` query as a ``_search`` BODY NODE
+    (operators/searchapi.py:_nested_pred) — the r11 gap: the
+    standalone operator existed but a real ES request puts nested
+    inside a bool tree.  constant_score(bool(term st_F,
+    nested(items.qty >= 45 AND items.rflag = 'R'))) — both conditions
+    on the SAME array element (higher-order filter in codegen, no
+    explode), pinned to the standalone operator's relational oracle."""
+    from .operators.searchapi import search
+
+    store = _shared_nested_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"constant_score": {
+            "filter": {"bool": {
+                "must": [{"term": {"text": "st_F"}}],
+                "filter": [{"nested": {
+                    "path": "items",
+                    "query": {"bool": {"must": [
+                        {"range": {"items.qty": {"gte": 45.0}}},
+                        {"term": {"items.rflag": "R"}},
+                    ]}},
+                }}],
+            }},
+            "boost": 1.0,
+        }},
+        "size": 10_000_000,
+    })
+
+
+@register(
+    "search_api_has_child",
+    """
+    SELECT 'O' || l_orderkey AS doc, CAST(1.0 AS DOUBLE) AS score,
+           any_value(o_totalprice) AS price
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1
+    HAVING count(*) >= 3
+    ORDER BY 1
+    """,
+)
+def search_api_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``has_child`` as a ``_search`` body node: parents with >= 3
+    children matching term rf_R over the join-field store, constant
+    score (ES score_mode=none default), stored ``price`` returned via
+    the body's ``fields`` — pinned to the standalone operator's
+    parent-child-join oracle."""
+    from .operators.searchapi import search
+
+    store = _shared_pc_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"has_child": {
+            "type": "child",
+            "query": {"term": {"text": "rf_R"}},
+            "min_children": 3,
+        }},
+        "size": 10_000_000,
+        "fields": ["price"],
+    })
+
+
+@register(
+    "search_api_has_parent",
+    """
+    WITH kids AS (
+        SELECT l_orderkey, l_extendedprice,
+               row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey,
+                            l_quantity, l_extendedprice) AS ln
+        FROM lineitem
+    )
+    SELECT 'L' || l_orderkey || '-' || ln AS doc,
+           CAST(1.0 AS DOUBLE) AS score,
+           l_extendedprice AS price
+    FROM kids JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    ORDER BY 1
+    """,
+)
+def search_api_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``has_parent`` as a ``_search`` body node: children of parents
+    matching term 1-URGENT, constant score, matched-parent id set
+    semi-joined against the children's parent_id — pinned to the
+    standalone operator's oracle."""
+    from .operators.searchapi import search
+
+    store = _shared_pc_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"has_parent": {
+            "parent_type": "parent",
+            "query": {"term": {"text": "1-URGENT"}},
+        }},
+        "size": 10_000_000,
+        "fields": ["price"],
+    })
+
+
+@register(
+    "search_api_knn",
+    """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    allowed AS (
+        SELECT doc_id FROM documents WHERE n_chars >= 200 AND doc_id > 0
+    ),
+    s AS (
+        SELECT e.vec_id AS doc,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                   6) AS score
+        FROM embeddings e JOIN allowed ON allowed.doc_id = e.vec_id, q
+    )
+    SELECT doc, score FROM s ORDER BY score DESC, doc ASC LIMIT 10
+    """,
+)
+def search_api_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES-8 top-level ``knn`` clause through the ``_search``
+    executor (operators/searchapi.py:_eval_knn): top-10 by cosine
+    from the IVF store with the FILTER evaluated on the lexical
+    store's doc values and pushed INTO the vector ranking as a
+    semi-join on the scanned cells (always k hits when k qualify —
+    the ES filtered-kNN contract, not post-filtering).  The oracle is
+    brute-force cosine over the filtered id set."""
+    from .operators.searchapi import search
+
+    bm = _shared_bm25_store(spark, sf_dir)
+    ivf = _shared_ivf_store(spark, sf_dir)
+    qv = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    )
+    return search(spark, bm, {
+        "knn": {
+            "query_vector": [float(x) for x in qv],
+            "k": 10,
+            "filter": {"bool": {"filter": [
+                {"range": {"n_chars": {"gte": 200}}},
+                {"range": {"doc": {"gt": 0}}},
+            ]}},
+        },
+        "size": 10,
+    }, dense_store=ivf)
+
+
+@register("search_api_highlight", REGISTRY["search_bm25_highlight"][1])
+def search_api_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``highlight`` as a ``_search`` request key: the returned
+    page's hits gain matched_term / match_pos / snippet computed over
+    the stored ``_source`` of JUST those hits (a point-lookup-sized
+    projection — the ES stored-field-fetch-per-hit shape), pinned to
+    the corpus-scan highlight row's own oracle."""
+    from .operators.searchapi import search
+
+    store = _shared_src_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"match": {"text": "spark table stream"}},
+        "size": 10,
+        "highlight": {"fields": {"_source": {}}},
+    }).select(
+        F.col("doc").alias("doc_id"), "score",
+        "matched_term", "match_pos", "snippet",
+    )
+
+
+@register("search_api_suggest", REGISTRY["search_suggest"][1])
+def search_api_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``suggest`` as a ``_search`` request key (like ``aggs``, the
+    response schema differs so the suggestion frame IS the response)
+    — pinned to the standalone term-suggester row's oracle."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "suggest": {"fix": {
+            "text": "strean tabel spark",
+            "term": {"field": "text", "max_edits": 2, "size": 3},
+        }},
+    })
+
+
+@register(
+    "search_api_count",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id FROM toks
+        WHERE token IN ('spark', 'stream')
+    )
+    SELECT count(*)::BIGINT AS count
+    FROM hits JOIN documents USING (doc_id)
+    WHERE n_chars >= 200 AND n_chars < 900
+    """,
+)
+def search_api_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ``_count`` endpoint (operators/searchapi.py:count_api):
+    the matched-set cardinality of a query body with scoring skipped
+    entirely — every clause in filter context, no weight frame, one
+    token-pruned membership scan + doc-values filter."""
+    from .operators.searchapi import count_api
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return count_api(spark, store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark stream"}}],
+            "filter": [{"range": {"n_chars": {"gte": 200, "lt": 900}}}],
+        }},
+    })
+
+
+@register(
+    "search_api_search_after",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id AS doc,
+               round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    )
+    SELECT doc, score FROM bm
+    ORDER BY score DESC, doc ASC
+    LIMIT 5 OFFSET 5
+    """,
+)
+def search_api_search_after(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``search_after`` cursor paging WITHOUT a PIT (live-store
+    paging): page 1's last sort values (score + doc tiebreak, a
+    driver-side model-sized cursor) feed page 2 as a lexicographic
+    strictly-after predicate pushed BEFORE the top-k — page 2 costs
+    one TakeOrderedAndProject like page 1, never offset's
+    sort-then-skip.  The oracle pins it to the OFFSET formulation of
+    the same total order."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    body = {"query": {"match": {"text": "spark stream"}}, "size": 5}
+    page1 = search(spark, store, body).collect()
+    last = page1[-1]
+    return search(spark, store, {
+        **body, "search_after": [last["score"], last["doc"]],
+    })

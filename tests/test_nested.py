@@ -182,3 +182,157 @@ def test_intra_batch_field_conflict_raises(spark, tmp_path):
         incremental_bm25_index(
             spark, bad, str(tmp_path / "fbad"), field_cols=["lang"]
         ).count()
+
+
+# ---- the same relations served through the _search body ------------
+
+
+def test_api_nested_matches_standalone(spark, nested_store):
+    """bool(match alpha, nested(...)) through the executor == the
+    standalone nested_query_over_store doc set, including the
+    flattened-mapping trap doc staying unmatched."""
+    from mongo_es_spark.operators.searchapi import search
+
+    got = search(spark, nested_store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "alpha"}}],
+            "filter": [{"nested": {
+                "path": "items",
+                "query": {"bool": {"must": [
+                    {"range": {"items.qty": {"gte": 45.0}}},
+                    {"term": {"items.rflag": "R"}},
+                ]}},
+            }}],
+        }},
+    })
+    want = {
+        r["doc"]
+        for r in nested_query_over_store(
+            spark, nested_store, ["alpha"], "items",
+            [("qty", "gte", 45.0), ("rflag", "eq", "R")],
+        ).collect()
+    }
+    assert {r["doc"] for r in got.collect()} == want == {"d1", "d3"}
+
+
+def test_api_nested_should_and_must_not(spark, nested_store):
+    from mongo_es_spark.operators.searchapi import search
+
+    # must_not applies per element: qty >= 45 AND NOT rflag == 'N'
+    # must hold on ONE element — d2's (50, N) fails the negation and
+    # its (5, R) fails the range, so d2 stays out
+    got = search(spark, nested_store, {
+        "query": {"nested": {
+            "path": "items",
+            "query": {"bool": {
+                "must": [{"range": {"items.qty": {"gte": 45.0}}}],
+                "must_not": [{"term": {"items.rflag": "N"}}],
+            }},
+        }},
+    })
+    assert {r["doc"] for r in got.collect()} == {"d1", "d3", "d4"}
+    # should = OR on the same element: qty >= 99 OR rflag == 'N'
+    got2 = search(spark, nested_store, {
+        "query": {"nested": {
+            "path": "items",
+            "query": {"bool": {"should": [
+                {"range": {"items.qty": {"gte": 99.0}}},
+                {"term": {"items.rflag": "N"}},
+            ]}},
+        }},
+    })
+    assert {r["doc"] for r in got2.collect()} == {"d1", "d2", "d3"}
+
+
+def test_api_nested_validation(spark, nested_store):
+    from mongo_es_spark.operators.searchapi import search
+
+    with pytest.raises(ValueError, match="not a stored field"):
+        search(spark, nested_store, {
+            "query": {"nested": {
+                "path": "nope",
+                "query": {"term": {"nope.x": 1}},
+            }},
+        })
+    with pytest.raises(ValueError, match="term/range/bool"):
+        search(spark, nested_store, {
+            "query": {"nested": {
+                "path": "items",
+                "query": {"match": {"items.rflag": "R"}},
+            }},
+        })
+
+
+def test_api_has_child_matches_standalone(spark, pc_store):
+    from mongo_es_spark.operators.searchapi import search
+
+    got = search(spark, pc_store, {
+        "query": {"has_child": {
+            "type": "child",
+            "query": {"term": {"text": "rf_R"}},
+            "min_children": 2,
+        }},
+        "size": 10,
+        "fields": ["price"],
+    })
+    want = {
+        (r["doc"], r["price"])
+        for r in has_child_over_store(
+            spark, pc_store, ["rf_R"], min_children=2
+        ).collect()
+    }
+    assert {
+        (r["doc"], r["price"]) for r in got.collect()
+    } == want == {("P1", 10.0), ("P3", 30.0)}
+
+
+def test_api_has_parent_matches_standalone(spark, pc_store):
+    from mongo_es_spark.operators.searchapi import search
+
+    got = search(spark, pc_store, {
+        "query": {"has_parent": {
+            "parent_type": "parent",
+            "query": {"match": {"text": "urgent"}},
+        }},
+        "size": 10,
+    })
+    want = {
+        r["doc"]
+        for r in has_parent_over_store(
+            spark, pc_store, ["urgent"]
+        ).collect()
+    }
+    assert {r["doc"] for r in got.collect()} == want == {
+        "C1", "C2", "C3", "C4"
+    }
+
+
+def test_api_relations_nest_in_bool(spark, pc_store):
+    """Relation nodes compose inside a bool tree — the request shape
+    the r11 VERDICT called out as raising before."""
+    from mongo_es_spark.operators.searchapi import search
+
+    got = search(spark, pc_store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "line"}}],
+            "filter": [{"has_parent": {
+                "parent_type": "parent",
+                "query": {"match": {"text": "urgent"}},
+            }}],
+            "must_not": [{"term": {"text": "rf_N"}}],
+        }},
+        "size": 10,
+    })
+    assert {r["doc"] for r in got.collect()} == {"C1", "C2", "C4"}
+
+
+def test_api_has_child_missing_join_columns(spark, nested_store):
+    from mongo_es_spark.operators.searchapi import search
+
+    with pytest.raises(ValueError, match="join-field"):
+        search(spark, nested_store, {
+            "query": {"has_child": {
+                "type": "child",
+                "query": {"match": {"text": "alpha"}},
+            }},
+        })
