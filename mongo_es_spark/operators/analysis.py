@@ -29,9 +29,29 @@ the dead counter and the docstats/dl contract.
 The chain itself is the standard lexical stack (lowercase → Unicode
 punctuation/symbol strip → whitespace split → optional stopword
 removal → optional ASCII fold), the portable core of what ES calls
-the ``standard`` analyzer; language-specific stemmers/segmenters
-(ik, kuromoji) are out of scope — the chain is configurable enough to
-slot one in as another named entry.
+the ``standard`` analyzer, plus two optional token filters covering
+the analyzer families real ES mappings actually declare:
+
+* ``stem`` — a porter-lite English suffix stripper (the ES
+  ``stemmer``/``porter_stem`` family): five anchored regex rules
+  applied IN SEQUENCE to each token (``sses→ss``, ``ies→i``, plural
+  ``-s``, ``-ing`` on stems ≥3, ``-ed`` on stems ≥2; a later rule
+  sees the earlier rule's output, so ``meetings → meeting → meet`` —
+  the porter cascade).  Each rule is one anchored regex carried
+  verbatim by Java regex, RE2 and Python ``re`` — no ``\\w``
+  (ASCII-vs-Unicode semantics differ per engine), no backtracking
+  construct RE2 lacks.
+* ``cjk_bigram`` — the ES ``cjk_bigram`` token filter (the portable
+  core of the ``ik``/CJK family the reference's own mapping declares,
+  ``examples/config.json:64-66``): a token consisting entirely of CJK
+  ideographs (U+4E00–U+9FFF) and length ≥ 2 expands to its
+  overlapping character bigrams; everything else passes through.
+  Segmentation-free, so it needs no dictionary and stays a pure
+  column expression.
+
+Full dictionary segmenters (ik proper, kuromoji) remain out of scope
+— the chain is configurable enough to slot one in as another named
+entry.
 """
 
 from __future__ import annotations
@@ -59,6 +79,26 @@ _FOLD_TO = "aaaaaaeeeeiiiiooooouuuucnyy"
 
 _STOP_DEFAULT = ("the", "a", "of", "to", "in", "and", "is", "on")
 
+# Porter-lite rules: (anchored pattern, replacement with <1> = group
+# 1), applied IN SEQUENCE per token.  Patterns restricted to the
+# regex subset Java regex, RE2 and Python `re` treat identically
+# (anchors, char classes, bounded dot quantifiers — no \\w, no
+# lookaround); each is $-anchored so at most one match fires per rule
+# and the replace-first vs replace-all engine difference cannot bite.
+_STEM_RULES = (
+    ("sses$", "ss"),
+    ("ies$", "i"),
+    ("([^su])s$", "<1>"),
+    ("(.{3,})ing$", "<1>"),
+    ("(.{2,})ed$", "<1>"),
+)
+
+# CJK unified ideographs as LITERAL characters in the class (escape
+# syntax differs across Java/RE2/Python; the resolved codepoints do
+# not)
+_CJK_RANGE = "一-鿿"
+_CJK_WORD = "^[" + _CJK_RANGE + "]{2,}$"
+
 
 class Analyzer:
     """One named analysis chain; see module docstring for the three
@@ -74,12 +114,16 @@ class Analyzer:
         strip: bool = False,
         fold: bool = False,
         stopwords: Sequence[str] = (),
+        stem: bool = False,
+        cjk_bigram: bool = False,
     ):
         self.name = name
         self.lowercase = lowercase
         self.strip = strip
         self.fold = fold
         self.stopwords = tuple(stopwords)
+        self.stem = stem
+        self.cjk_bigram = cjk_bigram
 
     # ---------------- Spark column form ----------------
 
@@ -104,12 +148,33 @@ class Analyzer:
                 F.regexp_replace(s, f"^{_SEP}+|{_SEP}+$", ""),
                 f"{_SEP}+",
             )
-        if not self.stopwords:
-            return base
-        kept = F.filter(base, lambda t: ~t.isin(*self.stopwords))
-        return F.when(F.size(kept) == 0, F.array(F.lit(""))).otherwise(
-            kept
-        )
+        if self.stopwords:
+            kept = F.filter(base, lambda t: ~t.isin(*self.stopwords))
+            base = F.when(
+                F.size(kept) == 0, F.array(F.lit(""))
+            ).otherwise(kept)
+        if self.stem:
+            def stem_one(t):
+                out = t
+                for pat, rep in _STEM_RULES:
+                    out = F.regexp_replace(
+                        out, pat, rep.replace("<1>", "$1")
+                    )
+                return out
+
+            base = F.transform(base, stem_one)
+        if self.cjk_bigram:
+            def expand(t):
+                bigrams = F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: t.substr(i, F.lit(2)),
+                )
+                return F.when(t.rlike(_CJK_WORD), bigrams).otherwise(
+                    F.array(t)
+                )
+
+            base = F.flatten(F.transform(base, expand))
+        return base
 
     # ---------------- Python twin ----------------
 
@@ -130,6 +195,21 @@ class Analyzer:
             toks = [w for w in t.split() if w] or [""]
         if self.stopwords:
             toks = [w for w in toks if w not in self.stopwords] or [""]
+        if self.stem:
+            def stem_one(w: str) -> str:
+                for pat, rep in _STEM_RULES:
+                    w = re.sub(pat, rep.replace("<1>", "\\1"), w)
+                return w
+
+            toks = [stem_one(w) for w in toks]
+        if self.cjk_bigram:
+            out = []
+            for w in toks:
+                if re.fullmatch("[" + _CJK_RANGE + "]{2,}", w):
+                    out.extend(w[i:i + 2] for i in range(len(w) - 1))
+                else:
+                    out.append(w)
+            toks = out
         return toks
 
     def analyze_terms(self, terms: Sequence[str]) -> list[str]:
@@ -162,11 +242,27 @@ class Analyzer:
                 f"string_split_regex(regexp_replace({s}, "
                 f"'^{_SEP}+|{_SEP}+$', '', 'g'), '{_SEP}+')"
             )
-        if not self.stopwords:
-            return base
-        stops = ", ".join(f"'{w}'" for w in self.stopwords)
-        kept = f"list_filter({base}, __t -> __t NOT IN ({stops}))"
-        return f"(CASE WHEN len({kept}) = 0 THEN [''] ELSE {kept} END)"
+        if self.stopwords:
+            stops = ", ".join(f"'{w}'" for w in self.stopwords)
+            kept = f"list_filter({base}, __t -> __t NOT IN ({stops}))"
+            base = (
+                f"(CASE WHEN len({kept}) = 0 THEN [''] ELSE {kept} END)"
+            )
+        if self.stem:
+            inner = "__s"
+            for pat, rep in _STEM_RULES:
+                rd = rep.replace("<1>", "\\1")
+                inner = f"regexp_replace({inner}, '{pat}', '{rd}')"
+            base = f"list_transform({base}, __s -> {inner})"
+        if self.cjk_bigram:
+            base = (
+                f"flatten(list_transform({base}, __w -> "
+                f"CASE WHEN regexp_matches(__w, '{_CJK_WORD}') "
+                f"THEN list_transform(range(1, length(__w)), "
+                f"__i -> substring(__w, __i::INT, 2)) "
+                f"ELSE [__w] END))"
+            )
+        return base
 
 
 ANALYZERS: dict[str, Analyzer] = {
@@ -189,6 +285,16 @@ ANALYZERS: dict[str, Analyzer] = {
     # standard + Latin accent fold (café → cafe)
     "standard_fold": Analyzer(
         "standard_fold", lowercase=True, strip=True, fold=True
+    ),
+    # standard + porter-lite English stemmer (the ES stemmer filter
+    # family: plural / -ing / -ed suffix stripping, cascaded)
+    "standard_stem": Analyzer(
+        "standard_stem", lowercase=True, strip=True, stem=True
+    ),
+    # standard + CJK ideograph bigrams (the segmentation-free core of
+    # the ik/cjk analyzer family the reference's mapping declares)
+    "cjk_bigram": Analyzer(
+        "cjk_bigram", lowercase=True, strip=True, cjk_bigram=True
     ),
 }
 

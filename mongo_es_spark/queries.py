@@ -12512,3 +12512,96 @@ def search_api_search_after(
     return search(spark, store, {
         **body, "search_after": [last["score"], last["doc"]],
     })
+
+
+def _stem_mixed_col() -> F.Column:
+    """Suffix-bearing fixture text: deterministic per-doc injection of
+    plural / -ing / -ed forms the stemmer must fold back (the corpus
+    vocabulary itself carries no inflected forms)."""
+    d = F.col("doc_id") % 3
+    return (
+        F.when(d == 0, F.regexp_replace("text", "table", "tables"))
+        .when(d == 1, F.regexp_replace("text", "stream", "streaming"))
+        .otherwise(F.regexp_replace("text", "sort", "sorted"))
+    )
+
+
+_STEM_MIXED_SQL = (
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "regexp_replace(text, 'table', 'tables', 'g') "
+    "WHEN doc_id % 3 = 1 THEN "
+    "regexp_replace(text, 'stream', 'streaming', 'g') "
+    "ELSE regexp_replace(text, 'sort', 'sorted', 'g') END)"
+)
+
+
+def _stemmed_toks_sql() -> str:
+    from .operators.analysis import get_analyzer
+
+    return get_analyzer("standard_stem").duckdb_tokens_sql(
+        _STEM_MIXED_SQL
+    )
+
+
+def _shared_stemmed_bm25_store(spark: SparkSession, sf_dir: str) -> str:
+    """The suffix-injected corpus folded once under the
+    standard_stem analyzer (porter-lite; analyzer name persisted in
+    _bm_params so mismatched stores never merge)."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _stem_mixed_col().alias("text")
+        )
+        incremental_bm25_index(
+            spark, docs, path, analyzer="standard_stem"
+        ).count()
+
+    return _shared_store("bm25_stem", sf_dir, build)
+
+
+@register(
+    "search_analyzed_stemmed",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('table', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """.replace("{TOKS}", _stemmed_toks_sql()),
+)
+def search_analyzed_stemmed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stemmed retrieval (operators/analysis.py standard_stem): the
+    corpus carries injected plural/-ing/-ed forms, the store folds
+    them through the porter-lite chain, and the query arrives
+    INFLECTED the other way — "Tables!" / "Streaming" analyze to the
+    same stems 'table' / 'stream' the index holds, so morphological
+    variants retrieve each other.  The oracle re-runs the identical
+    five-rule chain via the DuckDB twin over the same suffix-injected
+    expression — index-time and query-time stemming provably one
+    pipeline, cross-engine."""
+    from .operators.text import bm25_over_store
+
+    store = _shared_stemmed_bm25_store(spark, sf_dir)
+    return bm25_over_store(
+        spark, store, ["Tables!", "Streaming"], top_k=10
+    ).select(F.col("doc").alias("doc_id"), "score")

@@ -40,6 +40,12 @@ SAMPLE = [
     "The quick (brown) fox; AND the dog.",
     "tab\tand\nnewline",
     "Ñoño's piñata",
+    # stemmer gauntlet: every porter-lite rule + the cascade + the
+    # s/u plural guards ('kiss' must not re-strip, 'status' keeps us)
+    "tables kisses queries running sorted meetings used status THINGS",
+    # CJK bigram gauntlet: pure-han runs (bigram), a single ideograph
+    # (passes through), katakana + mixed latin-han (pass through)
+    "中文分词 中 中文abc データ Spark与中文",
 ]
 
 
@@ -281,3 +287,60 @@ def test_match_over_store_free_text(spark, tmp_path):
     # raw store stays case-sensitive: only doc 2 has lowercase 'engine'
     assert ws_hits == {2}
     assert match_over_store(spark, an_store, "!!! ???").count() == 0
+
+
+def test_stemmer_rule_semantics():
+    """Pin the porter-lite outputs themselves (the three-form test
+    only proves the engines agree, not that the rules are right)."""
+    an = get_analyzer("standard_stem")
+    got = an.analyze_text(
+        "tables kisses queries running sorted meetings used status dress"
+    )
+    assert got == [
+        "table",   # plural -s
+        "kiss",    # sses -> ss, and the ss guard stops re-stripping
+        "queri",   # ies -> i
+        "runn",    # -ing, stem >= 3
+        "sort",    # -ed, stem >= 2
+        "meet",    # cascade: -s then -ing in ONE pass
+        "us",      # -ed; the u guard then keeps 'us' stable
+        "status",  # -us never strips
+        "dress",   # ss guard
+    ]
+    # idempotent: re-analyzing analyzed output is a no-op (the
+    # analyze_terms contract layered entry points rely on)
+    assert [an.analyze_text(w)[0] for w in got] == got
+
+
+def test_cjk_bigram_semantics():
+    an = get_analyzer("cjk_bigram")
+    assert an.analyze_text("中文分词测试") == [
+        "中文", "文分", "分词", "词测", "测试"
+    ]
+    # single ideograph, katakana, mixed latin-han: pass through whole
+    assert an.analyze_text("中 データ spark与中文") == [
+        "中", "データ", "spark与中文"
+    ]
+    # idempotent: bigrams are length-2 CJK tokens -> themselves
+    assert an.analyze_text("中文") == ["中文"]
+
+
+def test_stemmed_store_search_end_to_end(spark, tmp_path):
+    """'Streaming' finds 'streams' through a standard_stem store —
+    index-time and query-time stemming are one pipeline."""
+    store = str(tmp_path / "stem")
+    df = spark.createDataFrame(
+        [("d1", "spark streams fast"), ("d2", "sorted tables here"),
+         ("d3", "nothing relevant")],
+        "doc_id string, text string",
+    )
+    incremental_bm25_index(
+        spark, df, store, analyzer="standard_stem"
+    ).count()
+    hits = {
+        r["doc"]
+        for r in bm25_over_store(
+            spark, store, ["Streaming", "table"], top_k=10
+        ).collect()
+    }
+    assert hits == {"d1", "d2"}
