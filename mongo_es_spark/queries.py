@@ -12605,3 +12605,33 @@ def search_analyzed_stemmed(
     return bm25_over_store(
         spark, store, ["Tables!", "Streaming"], top_k=10
     ).select(F.col("doc").alias("doc_id"), "score")
+
+
+def warm_shared_fixtures(spark: SparkSession, sf_dir: str) -> list:
+    """Build every NAMED shared fixture eagerly — the bench harness
+    calls this as an explicit SETUP phase charged to its own
+    ``setup_sec`` instead of to whichever query touches a store first
+    (r11 adjudication: registry insertions re-shuffled first-touch
+    order and two per-query rows absorbed fixture builds, looking
+    like regressions until hand re-timed).  Streaming FEED fixtures
+    remain first-touch-charged: their build closures live inside the
+    query functions by design (each documents its feed shape beside
+    the drain it measures) and cost well under a second each.
+    Returns the list of warmed fixture kinds."""
+    warmed = []
+    for kind, fn in (
+        ("bm25", _shared_bm25_store),
+        ("bm25_an", _shared_analyzed_bm25_store),
+        ("bm25_stem", _shared_stemmed_bm25_store),
+        ("ivf", _shared_ivf_store),
+        ("pcstore", _shared_pc_store),
+        ("nestedstore", _shared_nested_store),
+        ("srcstore", _shared_src_store),
+        ("titlestore", _shared_title_store),
+        ("pitstore", _shared_pit_store),
+    ):
+        fn(spark, sf_dir)
+        warmed.append(kind)
+    _shared_knn_edges(spark, sf_dir)
+    warmed.append("knn5")
+    return warmed
