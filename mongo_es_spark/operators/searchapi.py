@@ -80,7 +80,7 @@ from .text import (
 _LEAVES = (
     "term", "terms", "match", "match_phrase", "prefix", "wildcard",
     "fuzzy", "range", "exists", "match_all", "query_string",
-    "constant_score", "nested", "has_child", "has_parent",
+    "constant_score", "nested", "has_child", "has_parent", "ids",
 )
 
 
@@ -147,7 +147,7 @@ def _qs_node(node: Mapping) -> dict:
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
 
 
-_COMPOUND = ("bool", "dis_max", "function_score")
+_COMPOUND = ("bool", "dis_max", "function_score", "boosting")
 
 
 def _node_kind(node: Mapping) -> str:
@@ -397,6 +397,10 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
     if kind == "function_score":
         q = node["function_score"].get("query")
         return _collect_scoring_tokens(ctx, q) if q else []
+    if kind == "boosting":
+        return _collect_scoring_tokens(
+            ctx, node["boosting"]["positive"]
+        ) + _collect_scoring_tokens(ctx, node["boosting"]["negative"])
     if kind == "bool":
         out = []
         for sec in ("must", "filter", "should", "must_not"):
@@ -545,6 +549,45 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
         return out if scoring else out.select(
             "doc", F.lit(0.0).alias("score")
         )
+    if kind == "boosting":
+        # ES boosting query: positive gates membership and scores;
+        # docs ALSO matching negative keep membership but their score
+        # multiplies by negative_boost (demote, don't exclude — the
+        # soft must_not).  One matched-sized left-semi mark join.
+        body = node["boosting"]
+        nb = float(body.get("negative_boost", 0.5))
+        pos = _eval(ctx, body["positive"], scoring)
+        neg = _eval(ctx, body["negative"], False).select(
+            "doc", F.lit(True).alias("__neg")
+        )
+        out = pos.join(neg, "doc", "left").select(
+            "doc",
+            F.when(
+                F.col("__neg").isNotNull(),
+                F.col("score") * F.lit(nb),
+            ).otherwise(F.col("score")).alias("score"),
+        )
+        return out if scoring else out.select(
+            "doc", F.lit(0.0).alias("score")
+        )
+
+    if kind == "ids":
+        # ES ids query: point membership on the doc id, constant
+        # score — the values list is request-sized, a pushed-down
+        # In(doc, …) filter on docstats
+        if ctx.docstats is None:
+            return ctx.zero()
+        vals = list(node["ids"]["values"])
+        if not vals:
+            return ctx.zero()
+        docs = ctx.docstats.filter(F.col("doc").isin(vals)).select(
+            "doc"
+        )
+        b = float(node["ids"].get("boost", 1.0))
+        return docs.select(
+            "doc", F.lit(b if scoring else 0.0).alias("score")
+        )
+
     if kind == "bool":
         return _eval_bool(ctx, node["bool"], scoring)
 
@@ -1163,9 +1206,19 @@ def search(
         q = {"match_all": {}}
     hits = None
     hl_tokens: list = []
+    rq_node = (body.get("rescore") or {}).get("query", {}).get(
+        "rescore_query"
+    )
+    wtoks: list = []
     if q is not None:
         hl_tokens = _collect_scoring_tokens(ctx, q)
-        ctx.build_weights(hl_tokens)
+        wtoks += hl_tokens
+    if rq_node is not None:
+        # the rescore query shares the one pruned weight frame
+        wtoks += _collect_scoring_tokens(ctx, rq_node)
+    if q is not None or wtoks:
+        ctx.build_weights(wtoks)
+    if q is not None:
         hits = _eval(ctx, q, scoring=True)
     if knn is not None:
         kn = _eval_knn(ctx, knn, dense_store)
@@ -1196,6 +1249,56 @@ def search(
     hits = hits.select(
         "doc", F.round(F.col("score"), 6).alias("score")
     )
+
+    rescored = False
+    if body.get("rescore"):
+        # ES rescore: the top window_size hits re-rank by
+        # query_weight * original + rescore_query_weight * rescore
+        # score; docs beyond the window keep their original order
+        # BELOW the window (the window stays the top block — pinned
+        # via the __w sort prefix).  The rescore query evaluates off
+        # the shared token-pruned weight frame (cost ∝ its terms'
+        # postings, not corpus) and joins down to the window —
+        # precision-on-top-of-recall, the reason the API exists.
+        if (
+            body.get("sort")
+            or body.get("collapse")
+            or body.get("search_after") is not None
+        ):
+            raise ValueError(
+                "rescore supports only the default _score sort "
+                "(no sort/collapse/search_after — the ES restriction)"
+            )
+        rc = body["rescore"]
+        rq = rc["query"]
+        window = int(rc.get("window_size", 10))
+        qw = float(rq.get("query_weight", 1.0))
+        rw = float(rq.get("rescore_query_weight", 1.0))
+        win = (
+            hits.orderBy(F.col("score").desc(), F.col("doc").asc())
+            .limit(window)
+            .localCheckpoint(eager=True)
+        )
+        # rescore leg rounds to 6 dp BEFORE combining, like the base
+        # score — the combination is then exactly reproducible from
+        # two rounded legs (what the cross-engine oracle pins)
+        rs = _eval(ctx, rq["rescore_query"], True).select(
+            "doc", F.round(F.col("score"), 6).alias("__rs")
+        )
+        win2 = win.join(rs, "doc", "left").select(
+            "doc",
+            F.round(
+                F.col("score") * F.lit(qw)
+                + F.coalesce(F.col("__rs"), F.lit(0.0)) * F.lit(rw),
+                6,
+            ).alias("score"),
+            F.lit(1).alias("__w"),
+        )
+        rest = hits.join(win.select("doc"), "doc", "left_anti").select(
+            "doc", "score", F.lit(0).alias("__w")
+        )
+        hits = win2.unionByName(rest)
+        rescored = True
 
     collapse = body.get("collapse")
     if collapse:
@@ -1242,6 +1345,9 @@ def search(
                 need_cols.append(f)
         specs.append((col, desc))
     specs.append((F.col("doc"), False))
+    if rescored:
+        # window block first, then the original-order tail
+        specs = [(F.col("__w"), True)] + specs
     order = [c.desc() if d else c.asc() for c, d in specs]
 
     for f in need_cols:

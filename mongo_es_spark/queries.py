@@ -12635,3 +12635,159 @@ def warm_shared_fixtures(spark: SparkSession, sf_dir: str) -> list:
     _shared_knn_edges(spark, sf_dir)
     warmed.append("knn5")
     return warmed
+
+
+@register(
+    "search_api_ids",
+    """
+    SELECT doc_id AS doc, CAST(1.0 AS DOUBLE) AS score, lang, n_chars
+    FROM documents
+    WHERE doc_id IN (5, 10, 15, 20)
+    ORDER BY doc
+    """,
+)
+def search_api_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``ids`` query through the executor: point membership on the
+    doc id (a pushed-down In(doc, …) on docstats), constant score,
+    stored fields returned via the body's ``fields``."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"ids": {"values": [5, 10, 15, 20]}},
+        "size": 10,
+        "fields": ["lang", "n_chars"],
+    })
+
+
+@register(
+    "search_api_boosting",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id,
+               sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ) AS s
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    neg AS (SELECT DISTINCT doc_id FROM toks WHERE token = 'value')
+    SELECT doc_id AS doc,
+           round(CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                      THEN s * 0.2 ELSE s END, 6) AS score
+    FROM bm
+    ORDER BY score DESC, doc ASC
+    LIMIT 10
+    """,
+)
+def search_api_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query: docs matching the negative clause stay
+    MEMBERS at negative_boost x score (demote, don't exclude — the
+    soft must_not a hard bool cannot express).  One matched-sized
+    left mark join over the shared weight frame."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "spark stream"}},
+            "negative": {"term": {"text": "value"}},
+            "negative_boost": 0.2,
+        }},
+        "size": 10,
+    })
+
+
+@register(
+    "search_api_rescore",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    tl AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id, round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    win AS (
+        SELECT doc_id, score FROM bm
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    ),
+    gated AS (
+        SELECT doc_id FROM tl
+        WHERE len([i FOR i IN range(1, len(tk))
+                   IF tk[i] = 'spark' AND tk[i+1] = 'stream']) > 0
+    ),
+    ph AS (
+        SELECT doc_id, score FROM bm JOIN gated USING (doc_id)
+    ),
+    win2 AS (
+        SELECT w.doc_id,
+               round(w.score + 2.0 * coalesce(p.score, 0), 6) AS score,
+               1 AS wf
+        FROM win w LEFT JOIN ph p USING (doc_id)
+    ),
+    rest AS (
+        SELECT doc_id, score, 0 AS wf FROM bm
+        WHERE doc_id NOT IN (SELECT doc_id FROM win)
+    )
+    SELECT doc_id AS doc, score
+    FROM (SELECT * FROM win2 UNION ALL SELECT * FROM rest)
+    ORDER BY wf DESC, score DESC, doc ASC
+    LIMIT 5
+    """,
+)
+def search_api_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore``: the top window_size hits of the match re-rank
+    by original + 2 x phrase score (precision on top of recall); docs
+    beyond the window keep their original order below the block.  The
+    rescore leg reuses the one token-pruned weight frame and joins
+    down to the window — never a second corpus pass.  The oracle
+    re-derives window, phrase gate and combination in SQL."""
+    from .operators.searchapi import search
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return search(spark, store, {
+        "query": {"match": {"text": "spark stream"}},
+        "size": 5,
+        "rescore": {
+            "window_size": 10,
+            "query": {
+                "rescore_query": {
+                    "match_phrase": {"text": "spark stream"}},
+                "query_weight": 1.0,
+                "rescore_query_weight": 2.0,
+            },
+        },
+    })

@@ -511,3 +511,94 @@ def test_multi_match_types(spark, api_store, tmp_path):
         multi_match_over_stores(
             spark, fields, ["x"], match_type="nope"
         )
+
+
+def test_ids_query(spark, api_store):
+    got = search(spark, api_store, {
+        "query": {"ids": {"values": ["d1", "d3", "nope"]}},
+    })
+    assert {(r["doc"], r["score"]) for r in got.collect()} == {
+        ("d1", 1.0), ("d3", 1.0)
+    }
+    # composes in bool: ids restrict, match scores
+    got2 = search(spark, api_store, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "filter": [{"ids": {"values": ["d1", "d2", "d3"]}}],
+        }},
+    })
+    assert {r["doc"] for r in got2.collect()} == {"d1", "d2"}
+
+
+def test_boosting_query_demotes(spark, api_store):
+    """boosting: negative matches stay members at negative_boost x
+    score — the soft must_not."""
+    plain = {
+        r["doc"]: r["score"]
+        for r in search(spark, api_store, {
+            "query": {"match": {"text": "spark"}}, "size": 10,
+        }).collect()
+    }
+    got = {
+        r["doc"]: r["score"]
+        for r in search(spark, api_store, {
+            "query": {"boosting": {
+                "positive": {"match": {"text": "spark"}},
+                "negative": {"term": {"text": "deprecated"}},
+                "negative_boost": 0.1,
+            }},
+            "size": 10,
+        }).collect()
+    }
+    assert set(got) == set(plain)  # membership unchanged
+    for d, s in plain.items():
+        if d == "d4":  # the deprecated doc demotes
+            assert abs(got[d] - round(s * 0.1, 6)) < 1e-6
+        else:
+            assert got[d] == s
+
+
+def test_rescore_window(spark, api_store):
+    """Top-2 window re-ranks by original + phrase rescore; docs
+    beyond the window keep original order below the block."""
+    base = search(spark, api_store, {
+        "query": {"match": {"text": "spark streaming"}}, "size": 10,
+    }).collect()
+    assert len(base) >= 4
+    got = search(spark, api_store, {
+        "query": {"match": {"text": "spark streaming"}},
+        "size": 10,
+        "rescore": {
+            "window_size": 2,
+            "query": {
+                "rescore_query": {
+                    "match_phrase": {"text": "spark streaming"}},
+                "query_weight": 1.0,
+                "rescore_query_weight": 2.0,
+            },
+        },
+    }).collect()
+    win = {r["doc"]: r["score"] for r in base[:2]}
+    phrase = {
+        r["doc"]: r["score"]
+        for r in search(spark, api_store, {
+            "query": {"match_phrase": {"text": "spark streaming"}},
+            "size": 10,
+        }).collect()
+    }
+    want_win = sorted(
+        (
+            (d, round(s + 2.0 * phrase.get(d, 0.0), 6))
+            for d, s in win.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    tail = [(r["doc"], r["score"]) for r in base[2:]]
+    assert [(r["doc"], r["score"]) for r in got] == want_win + tail
+    with pytest.raises(ValueError, match="rescore supports only"):
+        search(spark, api_store, {
+            "query": {"match": {"text": "spark"}},
+            "sort": [{"n_chars": {"order": "asc"}}],
+            "rescore": {"query": {"rescore_query": {
+                "term": {"text": "spark"}}}},
+        })
