@@ -12791,3 +12791,159 @@ def search_api_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         },
     })
+
+
+def _cjk_mixed_col() -> F.Column:
+    """CJK-bearing fixture text: deterministic per-doc injection of
+    han runs (the corpus is ASCII) so the bigram analyzer has real
+    ideograph sequences to expand."""
+    d = F.col("doc_id") % 3
+    return (
+        F.when(d == 0, F.regexp_replace("text", "spark", "火花引擎"))
+        .when(d == 1, F.regexp_replace("text", "stream", "流式处理"))
+        .otherwise(F.col("text"))
+    )
+
+
+_CJK_MIXED_SQL = (
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "regexp_replace(text, 'spark', '火花引擎', 'g') "
+    "WHEN doc_id % 3 = 1 THEN "
+    "regexp_replace(text, 'stream', '流式处理', 'g') "
+    "ELSE text END)"
+)
+
+
+def _cjk_toks_sql() -> str:
+    from .operators.analysis import get_analyzer
+
+    return get_analyzer("cjk_bigram").duckdb_tokens_sql(_CJK_MIXED_SQL)
+
+
+def _shared_cjk_bm25_store(spark: SparkSession, sf_dir: str) -> str:
+    """The CJK-injected corpus folded once under the cjk_bigram
+    analyzer (ideograph runs index as overlapping bigrams — the
+    segmentation-free core of the ik family the reference's mapping
+    declares, examples/config.json:64-66)."""
+    from .operators.text import incremental_bm25_index
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _cjk_mixed_col().alias("text")
+        )
+        incremental_bm25_index(
+            spark, docs, path, analyzer="cjk_bigram"
+        ).count()
+
+    return _shared_store("bm25_cjk", sf_dir, build)
+
+
+@register(
+    "search_analyzed_cjk",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest({TOKS}) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('火花', '花引', '引擎')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """.replace("{TOKS}", _cjk_toks_sql()),
+)
+def search_analyzed_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK retrieval without a dictionary (operators/analysis.py
+    cjk_bigram): ideograph runs index as overlapping bigrams, and the
+    query string '火花引擎' analyzes through the SAME chain into
+    [火花, 花引, 引擎] — so any doc carrying the run matches without
+    segmentation.  The oracle re-runs the identical bigram expansion
+    via the DuckDB twin over the same CJK-injected expression."""
+    from .operators.text import bm25_over_store
+
+    store = _shared_cjk_bm25_store(spark, sf_dir)
+    return bm25_over_store(
+        spark, store, ["火花引擎"], top_k=10
+    ).select(F.col("doc").alias("doc_id"), "score")
+
+
+@register(
+    "search_api_knn_hybrid",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('spark', 'stream')
+        GROUP BY doc_id, token
+    ),
+    n_t AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT doc_id AS doc,
+               sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ) AS s
+        FROM tf JOIN n_t USING (token) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    kn AS (
+        SELECT e.vec_id AS doc,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.embedding::DOUBLE[]),
+                   6) AS c
+        FROM embeddings e, q
+        WHERE e.vec_id > 0
+        ORDER BY c DESC, doc ASC
+        LIMIT 10
+    )
+    SELECT coalesce(b.doc, k.doc) AS doc,
+           round(coalesce(b.s, 0) + coalesce(k.c, 0), 6) AS score
+    FROM bm b FULL OUTER JOIN kn k ON b.doc = k.doc
+    ORDER BY score DESC, doc ASC
+    LIMIT 10
+    """,
+)
+def search_api_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES-8 hybrid request — ``query`` AND ``knn`` in one body:
+    the union of both hit sets with scores SUMMED where a doc appears
+    in both (a full-outer doc-keyed join of two matched-sized
+    frames), then one global top-k.  The oracle re-derives both legs
+    and the outer sum."""
+    from .operators.searchapi import search
+
+    bm = _shared_bm25_store(spark, sf_dir)
+    ivf = _shared_ivf_store(spark, sf_dir)
+    qv = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    )
+    return search(spark, bm, {
+        "query": {"match": {"text": "spark stream"}},
+        "knn": {
+            "query_vector": [float(x) for x in qv],
+            "k": 10,
+            "filter": {"range": {"doc": {"gt": 0}}},
+        },
+        "size": 10,
+    }, dense_store=ivf)
