@@ -1478,10 +1478,11 @@ def count_api(
     b: float = 0.75,
 ) -> DataFrame:
     """ES ``_count``: the matched-set cardinality of a query body —
-    the same compilation as :func:`search` with scoring skipped
-    entirely (every clause evaluates in filter context, so no weight
-    frame builds and no BM25 math runs; membership still needs the
-    token-pruned postings scan).  Returns ONE row ``(count long)``."""
+    the same compilation as :func:`search` with every clause
+    evaluated in filter context (zero scores, no top-k, no paging;
+    the shared weight frame still materializes from its one
+    token-pruned postings scan because match-leaf MEMBERSHIP needs
+    the per-(doc, token) rows).  Returns ONE row ``(count long)``."""
     ctx = _Ctx(spark, store_path, k1, b)
     if ctx.postings is None or ctx.docstats is None:
         return spark.createDataFrame([(0,)], "count long")

@@ -833,3 +833,50 @@ def test_bloom_prefilter_is_codegen_below_the_join(spark):
     )
     assert "shiftright" in plan  # the bit test survived into codegen
     assert "CartesianProduct" not in plan
+
+
+def test_search_after_page_stays_takeordered(spark, tmp_path):
+    """Cursor paging pushes the strictly-after predicate BELOW the
+    top-k: page 2 is one TakeOrderedAndProject like page 1, never a
+    global sort + skip."""
+    from mongo_es_spark.operators.searchapi import search
+    from mongo_es_spark.operators.text import incremental_bm25_index
+
+    store = str(tmp_path / "sa")
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "alpha gamma") for i in range(40)],
+        "doc_id long, text string",
+    )
+    incremental_bm25_index(spark, df, store).count()
+    page2 = search(spark, store, {
+        "query": {"match": {"text": "alpha"}},
+        "size": 5,
+        "search_after": [0.5, 10],
+    })
+    plan = plan_of(page2)
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan  # no sort-then-skip shape
+
+
+def test_count_api_reads_cached_weight_frame(spark, tmp_path):
+    """_count's final job aggregates the compile-time-materialized
+    weight frame: ZERO postings file scans in the count plan (the one
+    token-pruned scan happened at localCheckpoint time), and no
+    global sort/top-k machinery."""
+    from mongo_es_spark.operators.searchapi import count_api
+    from mongo_es_spark.operators.text import incremental_bm25_index
+
+    store = str(tmp_path / "cnt")
+    df = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    incremental_bm25_index(spark, df, store).count()
+    plan = plan_of(count_api(spark, store, {
+        "query": {"match": {"text": "alpha"}},
+    }))
+    assert len(re.findall(r"Location.*/postings", plan)) == 0
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan \
+        or "Scan ExistingRDD".lower() in plan.lower()
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort " not in plan
