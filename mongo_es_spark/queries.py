@@ -653,10 +653,12 @@ def _driver_row_history() -> dict[str, int]:
 # driver row: forced to the head of the export window until the
 # driver re-hashes them in the given round (or later), then they
 # rejoin normal staleness rotation — the one case pure staleness
-# ordering cannot see (search_pipeline_agg's oracle typing was fixed
-# in r10 but its last driver row is the red r9 one; r11 VERDICT asks
-# for a fresh hash).
-_FORCE_RECHECK = {"search_pipeline_agg": 11}
+# ordering cannot see (a name whose FIX landed after its last driver
+# row; it must outrank plain staleness until a post-fix round checks
+# it).  r11 delivered search_pipeline_agg's fresh green hash, so the
+# map is empty again; add entries as {name: first_ok_round} when a
+# fix lands between driver windows.
+_FORCE_RECHECK: dict[str, int] = {}
 
 
 def _export_order() -> list[str]:

@@ -3873,6 +3873,9 @@ def test_export_order_staleness_first(monkeypatch):
     fake_hist.update({n: 5 for n in names[len(names) // 2 : -4]})
     # the last 4 registrations: never checked
     monkeypatch.setattr(q, "_driver_row_history", lambda: fake_hist)
+    # the fake scenario tests PURE staleness rotation — neutralize
+    # any active force-recheck entries (they deliberately outrank it)
+    monkeypatch.setattr(q, "_FORCE_RECHECK", {})
     order = q._export_order()
     assert sorted(order) == sorted(names)
     last = [fake_hist.get(n, -1) for n in order]
