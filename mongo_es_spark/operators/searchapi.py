@@ -34,6 +34,11 @@ IVF index (``dense_store=``) with optional ``filter`` pushdown, its
 hits unioning score-summed with ``query``'s (the hybrid contract);
 ``highlight`` / ``suggest`` / ``search_after`` request keys and the
 :func:`count_api` endpoint complete the serving surface.
+``multi_match`` scores one query against several analyzed FIELDS —
+each backed by its own postings store passed via ``field_stores``
+(the engine's multi-field layout; the main store is the ``text``
+field) — best_fields (dis_max) or most_fields (sum), per-field
+``^boosts``.
 Every leaf takes a ``boost`` (multiplies its score contribution);
 ``match`` takes ``operator: and`` or ``minimum_should_match``;
 ``term``/``terms`` against a STORED doc-values field name filter
@@ -81,6 +86,7 @@ _LEAVES = (
     "term", "terms", "match", "match_phrase", "prefix", "wildcard",
     "fuzzy", "range", "exists", "match_all", "query_string",
     "constant_score", "nested", "has_child", "has_parent", "ids",
+    "multi_match",
 )
 
 
@@ -325,10 +331,21 @@ class _Ctx:
     shared scoring-weight frame over every scoring token in the
     tree."""
 
-    def __init__(self, spark, store_path: str, k1: float, b: float):
+    def __init__(
+        self,
+        spark,
+        store_path: str,
+        k1: float,
+        b: float,
+        field_stores=None,
+    ):
         self.spark = spark
         self.store = store_path
         self.k1, self.b = k1, b
+        # per-FIELD postings stores (the engine's multi-field layout:
+        # "title" etc. each carry their own index + analyzer); the
+        # main store serves the default "text" field
+        self.field_stores = dict(field_stores or {})
         self.postings, self.docstats = _read_search_store(
             spark, store_path
         )
@@ -413,6 +430,8 @@ def _collect_scoring_tokens(ctx: _Ctx, node: Mapping) -> list:
         return _collect_scoring_tokens(ctx, node[kind]["query"])
     if kind == "nested":
         return []  # pure doc-values predicate, no postings tokens
+    if kind == "multi_match":
+        return []  # per-FIELD stores: each leg runs its own pruned scan
     if kind == "term":
         v = _leaf_text(node["term"])
         return ctx.analyze(
@@ -570,6 +589,65 @@ def _eval(ctx: _Ctx, node: Mapping, scoring: bool) -> DataFrame:
         return out if scoring else out.select(
             "doc", F.lit(0.0).alias("score")
         )
+
+    if kind == "multi_match":
+        # ES multi_match over the per-field-store layout: one scored
+        # frame per field (each its own token-pruned scan through its
+        # own analyzer + df/avgdl statistics), matched-sized union,
+        # one doc-keyed combine — best_fields = Lucene dis_max
+        # (max + tie_breaker * rest), most_fields = sum.  Per-field
+        # ^boosts multiply that field's BM25.
+        from .text import _bm25_scored
+
+        body = node["multi_match"]
+        qtext = body["query"]
+        terms = (
+            str(qtext).split()
+            if isinstance(qtext, str)
+            else list(qtext)
+        )
+        mtype = body.get("type", "best_fields")
+        if mtype not in ("best_fields", "most_fields"):
+            raise ValueError(
+                "multi_match type must be best_fields|most_fields"
+            )
+        tb = float(body.get("tie_breaker", 0.0))
+        per = []
+        for fspec in _listify(body.get("fields")):
+            name, _, bs = str(fspec).partition("^")
+            path = ctx.field_stores.get(name)
+            if path is None and name in ("text", ""):
+                path = ctx.store
+            if path is None:
+                raise ValueError(
+                    f"multi_match field {name!r} has no per-field "
+                    f"store — pass field_stores={{{name!r}: <path>}} "
+                    f"to search(); have {sorted(ctx.field_stores)}"
+                )
+            s = _bm25_scored(ctx.spark, path, terms, ctx.k1, ctx.b)
+            if s is None:
+                continue
+            w = float(bs) if bs else 1.0
+            per.append(
+                s.select(
+                    "doc", (F.col("score") * F.lit(w)).alias("score")
+                )
+            )
+        if not per:
+            return ctx.zero()
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        if mtype == "most_fields":
+            combined = F.sum("score")
+        else:
+            combined = F.max("score") + F.lit(tb) * (
+                F.sum("score") - F.max("score")
+            )
+        hits = u.groupBy("doc").agg(combined.alias("score"))
+        if not scoring:
+            return hits.select("doc", F.lit(0.0).alias("score"))
+        return _apply_boost(hits, float(body.get("boost", 1.0)))
 
     if kind == "ids":
         # ES ids query: point membership on the doc id, constant
@@ -1143,9 +1221,13 @@ def search(
     k1: float = 1.2,
     b: float = 0.75,
     dense_store: str | None = None,
+    field_stores=None,
 ) -> DataFrame:
     """Execute an ES-shaped ``_search`` request body against the
-    store — see the module docstring for the supported surface, plus:
+    store — see the module docstring for the supported surface
+    (``field_stores`` maps additional analyzed FIELD names to their
+    per-field postings stores for ``multi_match``; the main store is
+    the default ``text`` field), plus:
 
     * ``size`` / ``from`` — page window (offset+limit AFTER the
       global order, the ES from/size contract; deep ``from`` pays the
@@ -1176,7 +1258,7 @@ def search(
     highlight columns])``, or the aggregation / suggestion frame when
     ``aggs`` / ``suggest`` is present (ES runs those over the FULL
     hit set; hits are not returned alongside them here)."""
-    ctx = _Ctx(spark, store_path, k1, b)
+    ctx = _Ctx(spark, store_path, k1, b, field_stores)
     if ctx.postings is None or ctx.docstats is None:
         return ctx.zero()
 
@@ -1476,6 +1558,7 @@ def count_api(
     body: Mapping,
     k1: float = 1.2,
     b: float = 0.75,
+    field_stores=None,
 ) -> DataFrame:
     """ES ``_count``: the matched-set cardinality of a query body —
     the same compilation as :func:`search` with every clause
@@ -1483,7 +1566,7 @@ def count_api(
     the shared weight frame still materializes from its one
     token-pruned postings scan because match-leaf MEMBERSHIP needs
     the per-(doc, token) rows).  Returns ONE row ``(count long)``."""
-    ctx = _Ctx(spark, store_path, k1, b)
+    ctx = _Ctx(spark, store_path, k1, b, field_stores)
     if ctx.postings is None or ctx.docstats is None:
         return spark.createDataFrame([(0,)], "count long")
     q = body.get("query") or {"match_all": {}}

@@ -12949,3 +12949,29 @@ def search_api_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         "size": 10,
     }, dense_store=ivf)
+
+
+@register("search_api_multi_match", REGISTRY["search_multi_match"][1])
+def search_api_multi_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``multi_match`` as a ``_search`` BODY NODE over the per-field-
+    store layout (field_stores= maps extra analyzed fields; the main
+    store is the ``text`` field): best_fields with title^2 and
+    tie_breaker 0.3 — pinned to the standalone operator's two-field
+    BM25 oracle."""
+    from .operators.searchapi import search
+
+    body = _shared_bm25_store(spark, sf_dir)
+    title = _shared_title_store(spark, sf_dir)
+    return search(spark, body, {
+        "query": {"multi_match": {
+            "query": "value spark",
+            "fields": ["title^2", "text"],
+            "type": "best_fields",
+            "tie_breaker": 0.3,
+        }},
+        "size": 10,
+    }, field_stores={"title": title}).select(
+        F.col("doc").alias("doc_id"), "score"
+    )

@@ -602,3 +602,59 @@ def test_rescore_window(spark, api_store):
             "rescore": {"query": {"rescore_query": {
                 "term": {"text": "spark"}}}},
         })
+
+
+def test_multi_match_in_body(spark, api_store, tmp_path):
+    """multi_match as an executor leaf over per-field stores — pinned
+    to the standalone multi_match_over_stores on the same stores."""
+    from mongo_es_spark.operators.text import multi_match_over_stores
+
+    title = str(tmp_path / "title")
+    tdf = spark.createDataFrame(
+        [("d1", "spark intro"), ("d2", "batch guide"),
+         ("d3", "spark flink"), ("d4", "old spark"),
+         ("d5", "pandas"), ("d6", "misc")],
+        "doc_id string, text string",
+    )
+    incremental_bm25_index(spark, tdf, title).count()
+
+    body = {
+        "query": {"multi_match": {
+            "query": "spark streaming",
+            "fields": ["title^2", "text"],
+            "type": "best_fields",
+            "tie_breaker": 0.3,
+        }},
+        "size": 10,
+    }
+    got = search(
+        spark, api_store, body, field_stores={"title": title}
+    ).collect()
+    want = multi_match_over_stores(
+        spark, {"title": title, "body": api_store},
+        ["spark", "streaming"],
+        boosts={"title": 2.0}, match_type="best_fields",
+        tie_breaker=0.3, top_k=10,
+    ).collect()
+    assert [(r["doc"], r["score"]) for r in got] == [
+        (r["doc"], r["score"]) for r in want
+    ]
+    # most_fields sums; composes under bool must_not
+    got2 = search(spark, api_store, {
+        "query": {"bool": {
+            "must": [{"multi_match": {
+                "query": "spark",
+                "fields": ["title", "text"],
+                "type": "most_fields",
+            }}],
+            "must_not": [{"term": {"text": "deprecated"}}],
+        }},
+        "size": 10,
+    }, field_stores={"title": title}).collect()
+    assert "d4" not in {r["doc"] for r in got2}
+    assert {r["doc"] for r in got2} >= {"d1", "d2", "d3"}
+    with pytest.raises(ValueError, match="no per-field store"):
+        search(spark, api_store, {
+            "query": {"multi_match": {
+                "query": "x", "fields": ["nope"]}},
+        })
