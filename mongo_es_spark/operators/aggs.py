@@ -34,8 +34,11 @@ a normalized long schema ``(agg, key, n_docs, metric, value)``.
 Output of a single tree: one row per deepest bucket combination —
 level-key columns (named by the spec), ``n_docs`` (leaf count), then
 metric columns — ordered by the level keys ascending.  Docs with a null/out-of-range
-key at any level drop from that level down (the ES default; `missing`
-buckets are opt-in there and out of scope here).
+key at any level drop from that level down (the ES default); a
+``terms`` bucket takes ES's opt-in ``missing`` parameter (null keys
+land in the given sentinel bucket instead) and every bucket kind
+takes ``min_doc_count`` (buckets under the floor drop — applied
+before ``size``, the ES order).
 
 PIPELINE leaves (ES parent-pipeline aggregations) may sit beside the
 metric leaves: ``cumulative_sum`` / ``derivative`` / ``moving_fn``
@@ -141,6 +144,10 @@ def _bucket_key(kind: str, body: Mapping):
         )
     field = body["field"]
     if kind == "terms":
+        # ES `missing`: docs without the field land in an explicit
+        # sentinel bucket instead of dropping (opt-in, like ES)
+        if "missing" in body:
+            return F.coalesce(F.col(field), F.lit(body["missing"]))
         return F.col(field)
     if kind == "histogram":
         iv = float(body["interval"])
@@ -230,7 +237,8 @@ def _compile(
         (kind,) = [k for k in node if k in _BUCKET_KINDS]
         body = node[kind]
         size = body.get("size") if kind == "terms" else None
-        levels.append((name, _bucket_key(kind, body), size))
+        mdc = int(body.get("min_doc_count", 0))
+        levels.append((name, _bucket_key(kind, body), size, mdc))
         child = node.get("aggs")
         if child is not None:
             _compile(child, levels, metrics, pipelines, siblings)
@@ -377,7 +385,7 @@ def agg_tree_over_store(
 
     stats = _matched_docstats(spark, store_path, terms)
     if stats is None:
-        cols = ", ".join(f"`{n}` string" for n, _c, _s in levels)
+        cols = ", ".join(f"`{n}` string" for n, *_r in levels)
         mcols = "".join(f", `{n}` double" for n in metrics)
         return spark.createDataFrame(
             [], f"{cols}, n_docs long{mcols}"
@@ -444,7 +452,7 @@ def agg_forest_frame(matched_stats: DataFrame, spec: Mapping) -> DataFrame:
                 f"forest subtree {name!r} needs a bucket level"
             )
         tree = _apply_tree(cached, levels, metrics, pipelines, siblings)
-        key_names = [n for n, _c, _s in levels]
+        key_names = [n for n, *_r in levels]
         keyc = F.concat_ws(
             "|", *[F.col(k).cast("string") for k in key_names]
         ).alias("key")
@@ -497,12 +505,12 @@ def _apply_tree(
     pipelines: list,
     siblings: list | None = None,
 ) -> DataFrame:
-    key_names = [n for n, _c, _s in levels]
+    key_names = [n for n, *_r in levels]
     fields: set = set()
     for _op, f in metrics.values():
         fields.update(f if isinstance(f, tuple) else (f,))
     keyed = stats.select(
-        *[c.alias(n) for n, c, _s in levels], *fields
+        *[c.alias(n) for n, c, *_r in levels], *fields
     )
     for n in key_names:
         keyed = keyed.filter(F.col(n).isNotNull())
@@ -523,26 +531,30 @@ def _apply_tree(
     ]
     grouped = keyed.groupBy(*key_names).agg(*aggs)
 
-    # per-level terms-size truncation, root → leaf: a level's bucket
-    # count is the sum of leaf counts under it; rank within the
-    # parent prefix by (count desc, key asc), keep the top `size`.
-    # All window work is bucket-cardinality-sized.
-    for i, (name, _c, size) in enumerate(levels):
-        if size is None:
+    # per-level min_doc_count filtering and terms-size truncation,
+    # root → leaf: a level's bucket count is the sum of leaf counts
+    # under it; min_doc_count drops buckets under the floor (ES
+    # applies it before size), then rank within the parent prefix by
+    # (count desc, key asc) keeps the top `size`.  All window work is
+    # bucket-cardinality-sized.
+    for i, (name, _c, size, mdc) in enumerate(levels):
+        if size is None and mdc <= 1:
             continue
         parent = key_names[:i]
         pw = Window.partitionBy(*parent, name)
         grouped = grouped.withColumn(
             "__lvl_n", F.sum("n_docs").over(pw)
         )
-        rw = Window.partitionBy(*parent).orderBy(
-            F.col("__lvl_n").desc(), F.col(name).asc()
-        )
-        grouped = (
-            grouped.withColumn("__rk", F.dense_rank().over(rw))
-            .filter(F.col("__rk") <= int(size))
-            .drop("__lvl_n", "__rk")
-        )
+        if mdc > 1:
+            grouped = grouped.filter(F.col("__lvl_n") >= mdc)
+        if size is not None:
+            rw = Window.partitionBy(*parent).orderBy(
+                F.col("__lvl_n").desc(), F.col(name).asc()
+            )
+            grouped = grouped.withColumn(
+                "__rk", F.dense_rank().over(rw)
+            ).filter(F.col("__rk") <= int(size)).drop("__rk")
+        grouped = grouped.drop("__lvl_n")
 
     # pipeline leaves, spec order, over the bucket-cardinality frame:
     # windows partition by the parent prefix and walk the DEEPEST

@@ -12975,3 +12975,43 @@ def search_api_multi_match(
     }, field_stores={"title": title}).select(
         F.col("doc").alias("doc_id"), "score"
     )
+
+
+@register(
+    "search_agg_min_doc_count",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('spark')
+    ),
+    d AS (
+        SELECT lang, n_chars FROM documents JOIN matched USING (doc_id)
+    )
+    SELECT lang, floor(n_chars / 100.0) * 100.0 AS b,
+           count(*) AS n_docs
+    FROM d WHERE lang IS NOT NULL
+    GROUP BY 1, 2
+    HAVING count(*) >= 15
+    ORDER BY lang ASC, b ASC
+    """,
+)
+def search_agg_min_doc_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``min_doc_count``: buckets under the floor drop — applied
+    per parent prefix at the bucket's own level, BEFORE any ``size``
+    truncation (the ES order, pinned by test).  Window filter over
+    the bucket-cardinality frame; the oracle is GROUP BY + HAVING."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return agg_tree_over_store(
+        spark, store, ["spark"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"b": {"histogram": {
+                "field": "n_chars", "interval": 100.0,
+                "min_doc_count": 15}}}}},
+    )

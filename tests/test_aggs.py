@@ -464,3 +464,51 @@ def test_cardinality_certified(spark, agg_store):
     )
     assert row["n_exact"] == exact
     assert row["hll_ok"] is True
+
+
+def test_terms_missing_bucket(spark, agg_store):
+    """ES `missing`: null keys land in the sentinel bucket instead of
+    dropping; without it they drop (the default)."""
+    base = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang"}}},
+    ).collect()
+    with_missing = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang", "missing": "(none)"}}},
+    ).collect()
+    langs = {r["lang"]: r["n_docs"] for r in with_missing}
+    assert "(none)" in langs and langs["(none)"] > 0
+    # non-null buckets unchanged
+    for r in base:
+        assert langs[r["lang"]] == r["n_docs"]
+    docstats = spark.read.parquet(agg_store + "/docstats")
+    n_null = docstats.filter(F.col("lang").isNull()).count()
+    assert langs["(none)"] == n_null
+
+
+def test_min_doc_count_before_size(spark, agg_store):
+    """min_doc_count drops buckets under the floor BEFORE size picks
+    the top — a small bucket can never ride in on size."""
+    full = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0}}},
+    ).collect()
+    floor = 12
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0,
+                             "min_doc_count": floor}}},
+    ).collect()
+    want = {(r["b"], r["n_docs"]) for r in full if r["n_docs"] >= floor}
+    assert {(r["b"], r["n_docs"]) for r in got} == want
+    # nested: floor applies per parent prefix at its own level
+    got2 = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"b": {"histogram": {
+                "field": "n_chars", "interval": 100.0,
+                "min_doc_count": 8}}}}},
+    ).collect()
+    for r in got2:
+        assert r["n_docs"] >= 8
