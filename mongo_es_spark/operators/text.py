@@ -2319,6 +2319,70 @@ def span_first_over_store(
     )
 
 
+def span_near_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    slop: int = 0,
+    in_order: bool = True,
+) -> DataFrame:
+    """ES ``span_near``: documents where ALL ``terms`` occur within a
+    window of total gap ≤ ``slop`` — the Lucene contract for
+    unit-length clauses: ``(max_pos − min_pos + 1) − n ≤ slop``, with
+    ``in_order`` additionally requiring the chosen positions ascend
+    in term order.  ``slop=0, in_order=True`` degenerates to the
+    exact phrase.  Terms analyze through the store's chain.
+
+    Scale shape: one single-token-pruned postings scan per term
+    (``PushedFilters: In(token, …)`` semantics — each term's
+    positions ride ONE array row per doc), doc-keyed joins of those
+    matched-sized frames, and the window test is a nested ``EXISTS``
+    higher-order predicate over the n position arrays — whole-stage
+    codegen, no explode, no shuffle beyond the doc joins.  Worst-case
+    per-doc cost is the product of the terms' occurrence counts,
+    the same combinatorial bound Lucene's sloppy spans pay.  Output:
+    ``(doc)`` matched docs, doc asc — membership, like the ES span
+    family (span scoring is out of scope)."""
+    terms = analyze_store_terms(spark, store_path, terms)
+    n = len(terms)
+    if n < 2:
+        raise ValueError("span_near needs at least two terms")
+    postings, _ds = _read_search_store(spark, store_path)
+    if postings is None:
+        return spark.createDataFrame([], "doc long")
+    base = None
+    for i, t in enumerate(terms):
+        p = postings.filter(F.col("token") == t).select(
+            "doc", F.col("pos").alias(f"__p{i}")
+        )
+        base = p if base is None else base.join(p, "doc")
+
+    def build(i: int, chosen: list):
+        if i == n:
+            arr = F.array(*chosen)
+            cond = (
+                F.array_max(arr) - F.array_min(arr)
+                + F.lit(1) - F.lit(n)
+            ) <= F.lit(int(slop))
+            if in_order:
+                for j in range(n - 1):
+                    cond = cond & (chosen[j] < chosen[j + 1])
+            return cond
+        # closure factory, not a defaulted lambda arg: pyspark's HOF
+        # wrapper counts EVERY parameter (defaults included) and
+        # would bind the index column to it
+        def deeper(idx, prefix):
+            return lambda x: build(idx + 1, prefix + [x])
+
+        return F.exists(F.col(f"__p{i}"), deeper(i, chosen))
+
+    return (
+        base.filter(build(0, []))
+        .select("doc")
+        .orderBy(F.col("doc").asc())
+    )
+
+
 def bool_search_over_store(
     spark,
     store_path: str,

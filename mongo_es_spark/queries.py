@@ -13015,3 +13015,79 @@ def search_agg_min_doc_count(
                 "field": "n_chars", "interval": 100.0,
                 "min_doc_count": 15}}}}},
     )
+
+
+@register(
+    "search_span_near",
+    """
+    WITH tl AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               [i - 1 FOR i IN range(1, len(tk) + 1)
+                IF tk[i] = 'spark'] AS p0,
+               [i - 1 FOR i IN range(1, len(tk) + 1)
+                IF tk[i] = 'stream'] AS p1
+        FROM tl
+    )
+    SELECT doc_id AS doc FROM pos
+    WHERE len(p0) > 0 AND len(p1) > 0
+      AND len([x FOR x IN p0
+               IF len([y FOR y IN p1
+                       IF y > x AND y - x - 1 <= 2]) > 0]) > 0
+    ORDER BY doc
+    """,
+)
+def search_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_near`` (operators/text.py:span_near_over_store):
+    'spark' then 'stream' within slop 2, in order — the Lucene
+    proximity window ((max−min+1)−n ≤ slop) as a nested-EXISTS
+    higher-order predicate over per-term position arrays; one
+    single-token-pruned postings scan per term, doc-keyed joins of
+    matched-sized frames, no explode.  The oracle re-derives the
+    positions and the pairwise window in SQL."""
+    from .operators.text import span_near_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return span_near_over_store(
+        spark, store, ["spark", "stream"], slop=2, in_order=True
+    )
+
+
+@register(
+    "search_span_near_unordered",
+    """
+    WITH tl AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               [i - 1 FOR i IN range(1, len(tk) + 1)
+                IF tk[i] = 'window'] AS p0,
+               [i - 1 FOR i IN range(1, len(tk) + 1)
+                IF tk[i] = 'sort'] AS p1
+        FROM tl
+    )
+    SELECT doc_id AS doc FROM pos
+    WHERE len(p0) > 0 AND len(p1) > 0
+      AND len([x FOR x IN p0
+               IF len([y FOR y IN p1
+                       IF abs(y - x) - 1 <= 1 AND y <> x]) > 0]) > 0
+    ORDER BY doc
+    """,
+)
+def search_span_near_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``span_near`` with ``in_order=False``: 'window' and 'sort'
+    within slop 1 in either order — same window contract without the
+    ascending-position requirement."""
+    from .operators.text import span_near_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return span_near_over_store(
+        spark, store, ["window", "sort"], slop=1, in_order=False
+    )

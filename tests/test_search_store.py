@@ -1542,3 +1542,42 @@ def test_filter_context_exists_missing(spark, tmp_path):
         ).collect()
     }
     assert mi == {2}
+
+
+def test_span_near_semantics(spark, tmp_path):
+    """Lucene window contract for unit clauses: (max-min+1)-n <= slop,
+    in_order requires ascending chosen positions; slop=0 in_order is
+    the exact phrase."""
+    from mongo_es_spark.operators.text import (
+        incremental_bm25_index,
+        span_near_over_store,
+    )
+
+    store = str(tmp_path / "sn")
+    df = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "alpha x beta"),
+         ("d3", "beta alpha"), ("d4", "alpha x x x beta"),
+         ("d5", "gamma delta")],
+        "doc_id string, text string",
+    )
+    incremental_bm25_index(spark, df, store).count()
+
+    def docs(terms, slop, in_order):
+        return [
+            r["doc"]
+            for r in span_near_over_store(
+                spark, store, terms, slop, in_order
+            ).collect()
+        ]
+
+    assert docs(["alpha", "beta"], 0, True) == ["d1"]
+    assert docs(["alpha", "beta"], 1, True) == ["d1", "d2"]
+    assert docs(["alpha", "beta"], 3, True) == ["d1", "d2", "d4"]
+    assert docs(["alpha", "beta"], 0, False) == ["d1", "d3"]
+    assert docs(["alpha", "beta", "gamma"], 1, True) == ["d1"]
+    # unordered 3-term: d1's window holds all three
+    assert docs(["gamma", "alpha", "beta"], 0, False) == ["d1"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least two"):
+        span_near_over_store(spark, store, ["alpha"], 1)
