@@ -38,7 +38,11 @@ key at any level drop from that level down (the ES default); a
 ``terms`` bucket takes ES's opt-in ``missing`` parameter (null keys
 land in the given sentinel bucket instead) and every bucket kind
 takes ``min_doc_count`` (buckets under the floor drop — applied
-before ``size``, the ES order).
+before ``size``, the ES order).  ``terms`` also takes ES's ``order``
+(``{"_count"|"_key"|<metric name>: "asc"|"desc"}``) — it decides
+which buckets ``size`` KEEPS (metric orders only at the deepest
+level, where the metric columns live); the output frame itself stays
+key-ordered, the flat-frame contract.
 
 PIPELINE leaves (ES parent-pipeline aggregations) may sit beside the
 metric leaves: ``cumulative_sum`` / ``derivative`` / ``moving_fn``
@@ -238,7 +242,8 @@ def _compile(
         body = node[kind]
         size = body.get("size") if kind == "terms" else None
         mdc = int(body.get("min_doc_count", 0))
-        levels.append((name, _bucket_key(kind, body), size, mdc))
+        order = body.get("order") if kind == "terms" else None
+        levels.append((name, _bucket_key(kind, body), size, mdc, order))
         child = node.get("aggs")
         if child is not None:
             _compile(child, levels, metrics, pipelines, siblings)
@@ -537,7 +542,7 @@ def _apply_tree(
     # applies it before size), then rank within the parent prefix by
     # (count desc, key asc) keeps the top `size`.  All window work is
     # bucket-cardinality-sized.
-    for i, (name, _c, size, mdc) in enumerate(levels):
+    for i, (name, _c, size, mdc, order) in enumerate(levels):
         if size is None and mdc <= 1:
             continue
         parent = key_names[:i]
@@ -548,8 +553,35 @@ def _apply_tree(
         if mdc > 1:
             grouped = grouped.filter(F.col("__lvl_n") >= mdc)
         if size is not None:
+            # ES terms `order`: which buckets `size` KEEPS (and the
+            # rank that picks them) — _count (default), _key, or a
+            # sub-metric name; metric orders only exist at the
+            # deepest level, where the metric columns live
+            if order:
+                (opath, odir), = dict(order).items()
+                desc = str(odir) == "desc"
+                if opath == "_count":
+                    ocol = F.col("__lvl_n")
+                elif opath == "_key":
+                    ocol = F.col(name)
+                else:
+                    if i != len(levels) - 1:
+                        raise ValueError(
+                            f"terms order {opath!r} on a non-deepest "
+                            "level: metric columns only exist at the "
+                            "deepest level of a flat frame"
+                        )
+                    if opath not in grouped.columns:
+                        raise ValueError(
+                            f"terms order {opath!r} is not a "
+                            f"computed metric (have {grouped.columns})"
+                        )
+                    ocol = F.col(opath)
+                lead = ocol.desc() if desc else ocol.asc()
+            else:
+                lead = F.col("__lvl_n").desc()
             rw = Window.partitionBy(*parent).orderBy(
-                F.col("__lvl_n").desc(), F.col(name).asc()
+                lead, F.col(name).asc()
             )
             grouped = grouped.withColumn(
                 "__rk", F.dense_rank().over(rw)
@@ -665,3 +697,43 @@ def _apply_tree(
             )
 
     return grouped.orderBy(*[F.col(n).asc() for n in key_names])
+
+
+def top_hits_over_store(
+    spark,
+    store_path: str,
+    terms: Sequence[str],
+    group_field: str,
+    sort_field: str,
+    k: int = 3,
+    descending: bool = True,
+) -> DataFrame:
+    """ES ``top_hits`` under a ``terms`` bucket: the top ``k``
+    documents per bucket by a doc-values sort — grouped retrieval
+    ("best N per category"), which the flat planner cannot carry
+    (its contract is one row per bucket; top_hits is one row per
+    bucket-HIT).  A window ``row_number`` per group over the matched
+    docstats frame: matched-sized window work, bucket-cardinality x k
+    output.  Null group or sort values drop (the ES default).
+    Output: ``(group_field, rank, doc, sort_field)``, group asc /
+    rank asc; ties break doc asc (pinned for determinism)."""
+    stats = _matched_docstats(spark, store_path, terms)
+    if stats is None:
+        return spark.createDataFrame(
+            [],
+            f"`{group_field}` string, rank int, doc long, "
+            f"`{sort_field}` double",
+        )
+    sc = F.col(sort_field)
+    w = Window.partitionBy(group_field).orderBy(
+        sc.desc() if descending else sc.asc(), F.col("doc").asc()
+    )
+    return (
+        stats.filter(
+            F.col(group_field).isNotNull() & sc.isNotNull()
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(group_field, "rank", "doc", sort_field)
+        .orderBy(F.col(group_field).asc(), F.col("rank").asc())
+    )

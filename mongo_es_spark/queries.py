@@ -13091,3 +13091,41 @@ def search_span_near_unordered(
     return span_near_over_store(
         spark, store, ["window", "sort"], slop=1, in_order=False
     )
+
+
+@register(
+    "search_agg_top_hits",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('table')
+    ),
+    ranked AS (
+        SELECT lang, doc_id AS doc, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rank
+        FROM documents JOIN matched USING (doc_id)
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, doc, n_chars
+    FROM ranked WHERE rank <= 3
+    ORDER BY lang ASC, rank ASC
+    """,
+)
+def search_agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` (operators/aggs.py:top_hits_over_store): the
+    top 3 docs per language by n_chars over the hit set — grouped
+    retrieval, one window row_number over the matched docstats frame
+    (bucket-cardinality x k output).  The oracle is the identical
+    window in SQL."""
+    from .operators.aggs import top_hits_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    return top_hits_over_store(
+        spark, store, ["table"], "lang", "n_chars", k=3
+    )

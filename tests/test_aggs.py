@@ -512,3 +512,42 @@ def test_min_doc_count_before_size(spark, agg_store):
     ).collect()
     for r in got2:
         assert r["n_docs"] >= 8
+
+
+def test_terms_order_picks_size_keepers(spark, agg_store):
+    """ES terms `order`: _key desc, _count asc, and a deepest-level
+    metric order each decide which buckets size keeps."""
+    full = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang"},
+                  "aggs": {"avg_c": {"avg": {"field": "n_chars"}}}}},
+    ).collect()
+    by_key = sorted(full, key=lambda r: r["lang"], reverse=True)[:2]
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang", "size": 2,
+                            "order": {"_key": "desc"}},
+                  "aggs": {"avg_c": {"avg": {"field": "n_chars"}}}}},
+    ).collect()
+    assert {r["lang"] for r in got} == {r["lang"] for r in by_key}
+    by_metric = sorted(
+        full, key=lambda r: (-r["avg_c"], r["lang"])
+    )[:2]
+    got2 = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang", "size": 2,
+                            "order": {"avg_c": "desc"}},
+                  "aggs": {"avg_c": {"avg": {"field": "n_chars"}}}}},
+    ).collect()
+    assert {r["lang"] for r in got2} == {r["lang"] for r in by_metric}
+    # metric order on a non-deepest level raises with a pointer
+    with pytest.raises(ValueError, match="non-deepest"):
+        agg_tree_over_store(
+            spark, agg_store, ["alpha"],
+            {"lang": {"terms": {"field": "lang", "size": 2,
+                                "order": {"avg_c": "desc"}},
+                "aggs": {"b": {"histogram": {
+                    "field": "n_chars", "interval": 100.0},
+                    "aggs": {"avg_c": {"avg": {
+                        "field": "n_chars"}}}}}}},
+        ).collect()
