@@ -42,7 +42,12 @@ before ``size``, the ES order).  ``terms`` also takes ES's ``order``
 (``{"_count"|"_key"|<metric name>: "asc"|"desc"}``) — it decides
 which buckets ``size`` KEEPS (metric orders only at the deepest
 level, where the metric columns live); the output frame itself stays
-key-ordered, the flat-frame contract.
+key-ordered, the flat-frame contract.  A deepest-level ``histogram``
+with EXPLICIT ``min_doc_count: 0`` zero-fills its gaps per parent
+prefix — optionally out to ``extended_bounds`` — with ``n_docs`` and
+additive metrics at 0 and the rest NULL (the ES empty-bucket
+rendering); pipelines then walk the gapless sequence, the reason ES
+users pair min_doc_count=0 with a derivative.
 
 PIPELINE leaves (ES parent-pipeline aggregations) may sit beside the
 metric leaves: ``cumulative_sum`` / ``derivative`` / ``moving_fn``
@@ -243,7 +248,17 @@ def _compile(
         size = body.get("size") if kind == "terms" else None
         mdc = int(body.get("min_doc_count", 0))
         order = body.get("order") if kind == "terms" else None
-        levels.append((name, _bucket_key(kind, body), size, mdc, order))
+        # histogram min_doc_count=0: ZERO-FILL the gaps (the Kibana
+        # no-holes contract) — optionally out to extended_bounds
+        fill = None
+        if kind == "histogram" and "min_doc_count" in body and mdc == 0:
+            fill = (
+                float(body["interval"]),
+                body.get("extended_bounds"),
+            )
+        levels.append(
+            (name, _bucket_key(kind, body), size, mdc, order, fill)
+        )
         child = node.get("aggs")
         if child is not None:
             _compile(child, levels, metrics, pipelines, siblings)
@@ -542,7 +557,7 @@ def _apply_tree(
     # applies it before size), then rank within the parent prefix by
     # (count desc, key asc) keeps the top `size`.  All window work is
     # bucket-cardinality-sized.
-    for i, (name, _c, size, mdc, order) in enumerate(levels):
+    for i, (name, _c, size, mdc, order, _fill) in enumerate(levels):
         if size is None and mdc <= 1:
             continue
         parent = key_names[:i]
@@ -587,6 +602,61 @@ def _apply_tree(
                 "__rk", F.dense_rank().over(rw)
             ).filter(F.col("__rk") <= int(size)).drop("__rk")
         grouped = grouped.drop("__lvl_n")
+
+    # histogram zero-fill (deepest level only): per parent prefix,
+    # every interval step between the observed (or extended_bounds)
+    # min and max exists as a bucket — empty ones at n_docs 0 with
+    # additive metrics (sum/value_count/cardinality) 0 and the rest
+    # NULL, the ES empty-bucket rendering.  The spine is a
+    # bucket-cardinality sequence + left join; pipelines below then
+    # walk the GAPLESS sequence, which is exactly why ES users set
+    # min_doc_count=0 under a derivative/moving_fn.
+    for i, (name, _c, _size, _mdc, _order, fill) in enumerate(levels):
+        if fill is None:
+            continue
+        if i != len(levels) - 1:
+            raise ValueError(
+                f"histogram zero-fill on {name!r}: min_doc_count=0 "
+                "only supported at the deepest bucket level"
+            )
+        iv, bounds = fill
+        parent = key_names[:-1]
+        if parent:
+            spine = grouped.groupBy(*parent).agg(
+                F.min(name).alias("__lo"), F.max(name).alias("__hi")
+            )
+        else:
+            spine = grouped.agg(
+                F.min(name).alias("__lo"), F.max(name).alias("__hi")
+            )
+        if bounds is not None:
+            import math as _math
+
+            blo = _math.floor(float(bounds["min"]) / iv) * iv
+            bhi = _math.floor(float(bounds["max"]) / iv) * iv
+            spine = spine.select(
+                *parent,
+                F.least(F.col("__lo"), F.lit(blo)).alias("__lo"),
+                F.greatest(F.col("__hi"), F.lit(bhi)).alias("__hi"),
+            )
+        spine = spine.select(
+            *parent,
+            F.explode(
+                F.sequence(
+                    F.round(F.col("__lo") / iv).cast("long"),
+                    F.round(F.col("__hi") / iv).cast("long"),
+                )
+            ).alias("__i"),
+        ).select(
+            *parent, (F.col("__i") * F.lit(iv)).cast("double").alias(name)
+        )
+        grouped = spine.join(grouped, parent + [name], "left")
+        zero_cols = {"n_docs"} | {
+            mname
+            for mname, (op, _f) in metrics.items()
+            if op in ("sum", "value_count", "cardinality")
+        }
+        grouped = grouped.fillna({c: 0 for c in zero_cols})
 
     # pipeline leaves, spec order, over the bucket-cardinality frame:
     # windows partition by the parent prefix and walk the DEEPEST

@@ -13129,3 +13129,57 @@ def search_agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_hits_over_store(
         spark, store, ["table"], "lang", "n_chars", k=3
     )
+
+
+@register(
+    "search_agg_histogram_empty_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    matched AS (
+        SELECT DISTINCT doc_id FROM toks WHERE token IN ('value')
+    ),
+    d AS (
+        SELECT n_chars FROM documents JOIN matched USING (doc_id)
+        WHERE n_chars IS NOT NULL
+    ),
+    leaf AS (
+        SELECT floor(n_chars / 100.0) * 100.0 AS b,
+               count(*) AS n_docs, sum(n_chars) AS s
+        FROM d GROUP BY 1
+    ),
+    spine AS (
+        -- extended_bounds (-200..1200) cover the fixture's n_chars
+        -- range at every sf, so the spine is the constant series
+        SELECT CAST(x AS DOUBLE) AS b
+        FROM generate_series(-200, 1200, 100) t(x)
+    )
+    SELECT spine.b, coalesce(n_docs, 0) AS n_docs,
+           coalesce(s, 0)::BIGINT AS s
+    FROM spine LEFT JOIN leaf ON spine.b = leaf.b
+    ORDER BY spine.b ASC
+    """,
+)
+def search_agg_histogram_empty_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram with ``min_doc_count: 0`` + ``extended_bounds``: the
+    ES empty-bucket rendering — every interval step between the
+    bounds exists, gaps at n_docs 0 / additive metrics 0 (the Kibana
+    no-holes contract; pipelines walk the gapless sequence).  The
+    spine is a bucket-cardinality sequence + left join, zero extra
+    corpus work; the oracle uses generate_series."""
+    from .operators.aggs import agg_tree_over_store
+
+    store = _shared_bm25_store(spark, sf_dir)
+    out = agg_tree_over_store(
+        spark, store, ["value"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0,
+                             "min_doc_count": 0,
+                             "extended_bounds": {"min": -200,
+                                                 "max": 1200}},
+               "aggs": {"s": {"sum": {"field": "n_chars"}}}}},
+    )
+    return out.withColumn("s", F.col("s").cast("long"))

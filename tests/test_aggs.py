@@ -551,3 +551,54 @@ def test_terms_order_picks_size_keepers(spark, agg_store):
                     "aggs": {"avg_c": {"avg": {
                         "field": "n_chars"}}}}}}},
         ).collect()
+
+
+def test_histogram_zero_fill_and_extended_bounds(spark, agg_store):
+    """min_doc_count=0: every interval step between the bounds exists
+    as a bucket — empty ones at n_docs 0, additive metrics 0, others
+    NULL; a derivative then walks the gapless sequence."""
+    got = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"b": {"histogram": {"field": "n_chars", "interval": 100.0,
+                             "min_doc_count": 0,
+                             "extended_bounds": {"min": -200,
+                                                 "max": 800}},
+               "aggs": {"s": {"sum": {"field": "n_chars"}},
+                        "mx": {"max": {"field": "n_chars"}},
+                        "dlt": {"derivative": {
+                            "buckets_path": "n_docs"}}}}},
+    ).collect()
+    keys = [r["b"] for r in got]
+    assert keys == [float(x) for x in range(-200, 801, 100)]
+    empt = {r["b"]: r for r in got if r["n_docs"] == 0}
+    assert -200.0 in empt and -100.0 in empt
+    assert empt[-200.0]["s"] == 0 and empt[-200.0]["mx"] is None
+    # derivative sees the zero buckets: at the first real bucket the
+    # delta is n_docs - 0
+    rows = sorted(got, key=lambda r: r["b"])
+    for i, r in enumerate(rows[1:], 1):
+        assert r["dlt"] == r["n_docs"] - rows[i - 1]["n_docs"]
+    # nested under terms: per-parent spine
+    got2 = agg_tree_over_store(
+        spark, agg_store, ["alpha"],
+        {"lang": {"terms": {"field": "lang"},
+            "aggs": {"b": {"histogram": {
+                "field": "n_chars", "interval": 100.0,
+                "min_doc_count": 0}}}}},
+    ).collect()
+    per = {}
+    for r in got2:
+        per.setdefault(r["lang"], []).append(r["b"])
+    for lang, ks in per.items():
+        ks = sorted(ks)
+        assert ks == [ks[0] + 100.0 * i for i in range(len(ks))], lang
+    # non-deepest zero-fill raises
+    with pytest.raises(ValueError, match="deepest"):
+        agg_tree_over_store(
+            spark, agg_store, ["alpha"],
+            {"b": {"histogram": {"field": "n_chars",
+                                 "interval": 100.0,
+                                 "min_doc_count": 0},
+                   "aggs": {"lang": {"terms": {
+                       "field": "lang"}}}}},
+        ).collect()
