@@ -32,4 +32,10 @@ def get_spark(app_name: str = "mongo-es-spark", shuffle_partitions: int | None =
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # opt-in event log for offline profiling (tools/profile_query.py)
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if ev_dir:
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", ev_dir
+        )
     return builder.getOrCreate()

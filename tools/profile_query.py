@@ -1,0 +1,144 @@
+"""Per-query job/stage time breakdown via the Spark event log.
+
+Runs one (or more) registry queries end-to-end exactly as bench.py does
+(noop sink), with ``spark.eventLog.enabled`` on, then parses the event
+log: every job's wall time, its description (setJobDescription label or
+callsite), and the top stages by duration.  This is the guide-§1 "where
+is the time actually going" loop for a harness with the UI disabled.
+
+Usage: python tools/profile_query.py [sf_dir] query [query ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:]
+    if not names:
+        print("usage: profile_query.py [sf_dir] query ...", file=sys.stderr)
+        return 2
+
+    log_dir = "/tmp/spark-events-profile"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    os.environ["SPARK_GRAFT_EVENTLOG_DIR"] = log_dir
+
+    import __spark_entry__ as entry
+    from mongo_es_spark.session import get_spark
+
+    spark = get_spark("profile-query")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    # warm like bench.py so codegen/worker startup is not misattributed
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    from mongo_es_spark.queries import warm_shared_fixtures
+
+    warm_shared_fixtures(spark, sf_dir)
+
+    marks = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"QUERY:{name}")
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        marks[name] = (t0, time.perf_counter())
+        spark.sparkContext.setJobDescription(None)
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+
+    # parse the event log
+    logs = glob.glob(os.path.join(log_dir, app_id + "*"))
+    if not logs:
+        print("no event log found", file=sys.stderr)
+        return 1
+    jobs = {}  # id -> dict
+    stages = {}  # id -> dict
+    with open(logs[0]) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                jid = ev["Job ID"]
+                props = ev.get("Properties") or {}
+                jobs[jid] = {
+                    "start": ev["Submission Time"] / 1000.0,
+                    "desc": props.get(
+                        "spark.job.description",
+                        props.get("callSite.short", ""),
+                    ),
+                    "stages": [
+                        s["Stage ID"] for s in ev.get("Stage Infos", [])
+                    ],
+                }
+            elif e == "SparkListenerJobEnd":
+                jid = ev["Job ID"]
+                if jid in jobs:
+                    jobs[jid]["end"] = ev["Completion Time"] / 1000.0
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                sid = si["Stage ID"]
+                sub = si.get("Submission Time")
+                com = si.get("Completion Time")
+                stages[sid] = {
+                    "name": si.get("Stage Name", ""),
+                    "dur": ((com - sub) / 1000.0) if sub and com else 0.0,
+                    "tasks": si.get("Number of Tasks", 0),
+                }
+
+    for name, (t0, t1) in marks.items():
+        print(f"\n===== {name}: wall {t1 - t0:.2f}s =====")
+        # unix epoch of perf_counter marks is unknown; rely on the
+        # job description label instead
+        mine = [
+            (j["start"], jid, j)
+            for jid, j in jobs.items()
+            if j.get("desc") == f"QUERY:{name}" and "end" in j
+        ]
+        mine.sort()
+        tot = sum(j["end"] - j["start"] for _, _, j in mine)
+        gaps = 0.0
+        prev_end = None
+        for st, _, j in mine:
+            if prev_end is not None and st > prev_end:
+                gaps += st - prev_end
+            prev_end = max(prev_end or 0, j["end"])
+        print(
+            f"jobs: {len(mine)}  sum(job wall): {tot:.2f}s  "
+            f"inter-job gaps (driver/python time): {gaps:.2f}s"
+        )
+        for st, jid, j in mine:
+            dur = j["end"] - j["start"]
+            if dur < 0.05:
+                continue
+            stage_bits = sorted(
+                (
+                    (stages[s]["dur"], stages[s]["name"], stages[s]["tasks"])
+                    for s in j["stages"]
+                    if s in stages
+                ),
+                reverse=True,
+            )[:3]
+            sb = "; ".join(
+                f"{d:.2f}s/{t}t {n[:60]}" for d, n, t in stage_bits
+            )
+            print(f"  job {jid}: {dur:5.2f}s  [{sb}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
