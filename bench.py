@@ -150,12 +150,18 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         best = float("inf")
+        reps: list[float] = []
         try:
             for _ in range(repeat):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
+                reps.append(round(time.perf_counter() - t0, 2))
                 best = min(best, time.perf_counter() - t0)
+            # progress trace (stderr, not part of the JSON contract):
+            # per-repeat seconds expose run-to-run jitter that the
+            # min-of-N would otherwise hide
+            print(f"bench: {name} reps={reps}", file=sys.stderr)
             # adaptive precision: the driver records only the last
             # 2000 chars of stdout, and 77 query names + timings must
             # fit that window as one JSON line (r3 overflowed it)

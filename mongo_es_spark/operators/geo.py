@@ -145,7 +145,7 @@ def _geo_trusted(spark, store_path: str):
     else (None, None).  Folds append docstats files and CDC sets the
     mutated flag / bumps the counter, so any store movement flips the
     signature; the check is an os.scandir, never a Spark job."""
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows, read_parquet_if_exists
 
     sig = _dir_signature(_bm_docstats_path(store_path))
     if sig is None:
@@ -154,10 +154,10 @@ def _geo_trusted(spark, store_path: str):
     hit = _GEO_TRUST_CACHE.get(key)
     if hit is not None:
         return hit
-    gparams = read_parquet_if_exists(spark, _geo_params_path(store_path))
-    if gparams is None:
+    grows = read_params_rows(spark, _geo_params_path(store_path))
+    if not grows:
         return None, None
-    g = gparams.head().asDict()
+    g = grows[0].asDict()
     p = _store_params_row(spark, store_path) or {}
     if bool(p.get("mutated")):
         return None, None

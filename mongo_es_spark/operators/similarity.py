@@ -483,10 +483,10 @@ def _read_ivf_params(spark, path: str):
     (stats non-None but partial), so exact search must NOT trust their
     radii: a too-small radius prunes a cell holding a true top-k hit
     and silently breaks the exactness certificate."""
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows
 
-    df = read_parquet_if_exists(spark, _ivf_params_path(path))
-    return None if df is None else df.head()
+    rows = read_params_rows(spark, _ivf_params_path(path))
+    return rows[0] if rows else None
 
 
 def _write_ivf_params(spark, path: str, stats_cover: int, cur_gen: int) -> None:
@@ -1835,12 +1835,12 @@ def _sd_params_path(store_path: str) -> str:
 
 
 def _read_sd_params(spark, store_path: str):
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows
 
-    frame = read_parquet_if_exists(spark, _sd_params_path(store_path))
-    if frame is None:
+    rows = read_params_rows(spark, _sd_params_path(store_path))
+    if not rows:
         return None
-    d = frame.head().asDict()
+    d = rows[0].asDict()
     return {"max_depth": d["max_depth"], "directed": bool(d["directed"])}
 
 

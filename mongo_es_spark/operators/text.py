@@ -650,10 +650,10 @@ def _bm_check_params(
     reader would miscount with no error).  Returns the params row, or
     None when this call created it (``analyzer=None`` means "use the
     store's chain, or whitespace on create")."""
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows
 
-    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
-    if params is None:
+    rows = read_params_rows(spark, _bm_params_path(store_path))
+    if not rows:
         _bm_write_params(
             spark,
             store_path,
@@ -662,7 +662,7 @@ def _bm_check_params(
             analyzer=analyzer or "whitespace",
         )
         return None
-    row = params.head()
+    row = rows[0]
     if row["scheme"] != _BM_SCHEME:
         raise ValueError(
             f"store at {store_path} was written with tokenizer scheme "
@@ -677,7 +677,7 @@ def _bm_check_params(
             f"{analyzer!r} — mixed analysis chains index garbage "
             "silently; rebuild the store or match the analyzer"
         )
-    stored = list(row["fields"]) if "fields" in params.columns else []
+    stored = list(row["fields"]) if "fields" in row.__fields__ else []
     if stored != list(fields):
         raise ValueError(
             f"store at {store_path} was created with stored fields "
@@ -769,12 +769,21 @@ def incremental_bm25_index(
     batch = batch.withColumn(
         "__dupsig", F.xxhash64(F.col("__t"), *[F.col(c) for c in fields])
     )
-    batch = batch.dropDuplicates(["doc", "__dupsig"]).drop(
-        "__dupsig"
+    # one exchange instead of two (dropDuplicates by (doc, dupsig)
+    # THEN a per-doc window both shuffled the batch): group straight
+    # to one row per doc — whole-doc duplicates (same dupsig) carry
+    # identical values in every column, so first() is
+    # value-deterministic whenever the guard does not fire, and a doc
+    # with >1 distinct dupsig raises exactly as before
+    batch = batch.groupBy("doc").agg(
+        F.count_distinct(F.col("__dupsig")).alias("__nd"),
+        F.first("__t").alias("__t"),
+        F.first("__sig").alias("__sig"),
+        *[F.first(c).alias(c) for c in fields],
     ).withColumn(
         "__t",
         F.when(
-            F.count("*").over(Window.partitionBy("doc")) > 1,
+            F.col("__nd") > 1,
             F.raise_error(
                 F.concat(
                     F.lit("incremental_bm25_index: doc id "),
@@ -788,7 +797,7 @@ def incremental_bm25_index(
                 )
             ),
         ).otherwise(F.col("__t")),
-    )
+    ).drop("__nd")
     if docstats is not None:
         # latest stored state per batch doc (store scan against the
         # broadcast batch keys, then a batch-sized window)
@@ -853,12 +862,22 @@ def incremental_bm25_index(
         F.posexplode(an.tokens_col(F.col("__t"))).alias("p", "token"),
     )
     # positional postings: 0-based token offsets, sorted — phrase
-    # queries check relative adjacency so the base never matters
+    # queries check relative adjacency so the base never matters.
+    # ONE tokenize pass: the checkpoint makes the postings write (its
+    # repartitionByRange SAMPLES the frame before shuffling — a whole
+    # extra pass), the dl aggregation and the tokenstats delta all
+    # read these materialized rows instead of re-running
+    # posexplode+groupBy per consumer (three tokenize passes per fold
+    # before this).
     tf_rows = toks.groupBy("doc", "token").agg(
         F.count("*").alias("tf"),
         F.sort_array(F.collect_list("p")).alias("pos"),
+    ).localCheckpoint(eager=True)
+    # dl = total token occurrences = sum of tf — same doc set (only
+    # token-bearing docs appear in tf_rows), no second explode
+    dl_rows = tf_rows.groupBy("doc").agg(
+        F.sum("tf").cast("long").alias("dl")
     )
-    dl_rows = toks.groupBy("doc").agg(F.count("*").alias("dl"))
     # content digest + generation bookkeeping ride every docstats row
     # (scheme 3): sig powers the changed-content guard above and the
     # CDC replay skip; folds always write generation 0 (new ids only)
@@ -1165,9 +1184,15 @@ def apply_cdc_to_bm25_index(
         "doc",
         F.posexplode(an.tokens_col(F.col("__t"))).alias("p", "token"),
     )
+    # ONE tokenize pass (see incremental_bm25_index): the checkpoint
+    # feeds the postings write (incl. repartitionByRange's sampling
+    # pass) and the dl aggregation from materialized rows
     tf_rows = toks.groupBy("doc", "token").agg(
         F.count("*").alias("tf"),
         F.sort_array(F.collect_list("p")).alias("pos"),
+    ).localCheckpoint(eager=True)
+    dl_rows = tf_rows.groupBy("doc").agg(
+        F.sum("tf").cast("long").alias("dl")
     )
     if postings is not None:
         # retry convergence: rows for (doc, g) already on disk from a
@@ -1185,7 +1210,6 @@ def apply_cdc_to_bm25_index(
         "token", "doc"
     ).write.mode("append").parquet(_bm_postings_path(store_path))
 
-    dl_rows = toks.groupBy("doc").agg(F.count("*").alias("dl"))
     up_stats = (
         ups.join(dl_rows, "doc", "left")
         .select(
@@ -3179,10 +3203,10 @@ def _background_df(spark, store_path: str, postings, n_live: int):
     count the caller already has); otherwise the exact one-pass
     postings-wide aggregate.  Postings are unique per (token, doc) by
     construction, so df is a plain count either way."""
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_parquet_if_exists, read_params_rows
 
-    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
-    p_row = params.head() if params is not None else None
+    rows = read_params_rows(spark, _bm_params_path(store_path))
+    p_row = rows[0] if rows else None
     unmutated = p_row is not None and not bool(
         p_row.asDict().get("mutated", True)
     )
@@ -7236,9 +7260,11 @@ def _bp_check_params(
     None when the store is new."""
     from ..storeio import read_parquet_if_exists
 
-    params = read_parquet_if_exists(spark, _bp_params_path(store_path))
-    if params is not None:
-        row = params.head()
+    from ..storeio import read_params_rows
+
+    rows = read_params_rows(spark, _bp_params_path(store_path))
+    if rows:
+        row = rows[0]
         stored_w, stored_scope = int(row["chunk_words"]), row["scope"]
         if stored_w != chunk_words or stored_scope != ",".join(scope):
             raise ValueError(
@@ -7247,7 +7273,7 @@ def _bp_check_params(
                 f"called with chunk_words={chunk_words} "
                 f"scope=[{','.join(scope)}]"
             )
-    return params
+    return rows or None
 
 
 def incremental_boilerplate(
@@ -7727,11 +7753,11 @@ def incremental_line_dedup(
     """
     if chunk_words <= 0:
         raise ValueError("chunk_words must be positive")
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows, read_parquet_if_exists
 
-    params = read_parquet_if_exists(spark, _ld_params_path(store_path))
-    if params is not None:
-        stored_w = int(params.head()["chunk_words"])
+    params = read_params_rows(spark, _ld_params_path(store_path))
+    if params:
+        stored_w = int(params[0]["chunk_words"])
         if stored_w != chunk_words:
             raise ValueError(
                 f"line-dedup store at {store_path} was written with "
@@ -7794,7 +7820,7 @@ def incremental_line_dedup(
         # unguarded against the width mismatch the sidecar exists to
         # prevent (sidecar-then-crash is harmless — the store is
         # still empty)
-        if params is None:
+        if not params:
             spark.range(1).select(
                 F.lit(int(chunk_words)).cast("int").alias("chunk_words")
             ).coalesce(1).write.mode("overwrite").parquet(

@@ -35,7 +35,10 @@ def get_spark(app_name: str = "mongo-es-spark", shuffle_partitions: int | None =
     # opt-in event log for offline profiling (tools/profile_query.py)
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
     if ev_dir:
-        builder = builder.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", ev_dir
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", ev_dir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
     return builder.getOrCreate()

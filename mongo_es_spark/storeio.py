@@ -28,15 +28,71 @@ __all__ = [
 
 _MISSING = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
+# Per-path schema cache.  Every ``spark.read.parquet`` without an
+# explicit schema runs a one-task schema-inference job (footer read)
+# before the caller's first real action — on fold paths that re-open
+# the same store once per micro-batch this is a fixed per-trigger job
+# that infers the SAME schema every time (store schemas are fixed at
+# creation and guarded by the params sidecars).  Staleness guard: the
+# entry is keyed by (path, directory inode) and additionally pins one
+# SENTINEL data file (relative path + size) observed at cache time.
+# Append-only folds keep both; every layout that could change the
+# schema replaces them — a first write / ``mode("overwrite")`` /
+# ``rewrite_store`` rename swap replaces the directory (new inode),
+# a recreated tempdir that happens to recycle the inode still cannot
+# recycle the sentinel (parquet part names carry UUIDs), and in-place
+# compactions that delete old files drop the sentinel.  Non-stat-able
+# paths (object-store URIs) skip the cache entirely.
+# ``SPARK_GRAFT_SCHEMA_CACHE=0`` disables.
+_SCHEMA_CACHE: dict = {}
+
+
+def _schema_cache_key(path: str):
+    if os.environ.get("SPARK_GRAFT_SCHEMA_CACHE", "1") == "0":
+        return None
+    try:
+        return (path, os.stat(path).st_ino)
+    except OSError:
+        return None
+
+
+def _schema_sentinel(path: str):
+    """(relpath, size) of one data file under ``path``, or None."""
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.startswith(("_", ".")):
+                p = os.path.join(root, f)
+                try:
+                    return (os.path.relpath(p, path), os.path.getsize(p))
+                except OSError:
+                    return None
+    return None
+
 
 def read_parquet_if_exists(
     spark: SparkSession, path: str
 ) -> Optional[DataFrame]:
     """``spark.read.parquet(path)``, or ``None`` when the path does
     not exist or holds no data files yet (e.g. only ``_``-prefixed
-    sidecars from a partially-completed first write)."""
+    sidecars from a partially-completed first write).  Repeat reads of
+    an unchanged-layout store reuse the first read's schema (see
+    ``_SCHEMA_CACHE``), skipping the per-open schema-inference job."""
+    key = _schema_cache_key(path)
+    cached = None
+    if key is not None:
+        ent = _SCHEMA_CACHE.get(key)
+        if ent is not None:
+            schema, (rel, size) = ent
+            try:
+                if os.path.getsize(os.path.join(path, rel)) == size:
+                    cached = schema
+                else:
+                    del _SCHEMA_CACHE[key]
+            except OSError:
+                del _SCHEMA_CACHE[key]
+    reader = spark.read if cached is None else spark.read.schema(cached)
     try:
-        return spark.read.parquet(path)
+        df = reader.parquet(path)
     except AnalysisException as exc:
         get = getattr(exc, "getCondition", None) or getattr(
             exc, "getErrorClass", None
@@ -51,6 +107,49 @@ def read_parquet_if_exists(
         if any(m in text for m in _MISSING):
             return None
         raise
+    if key is not None and cached is None:
+        sent = _schema_sentinel(path)
+        if sent is not None:
+            _SCHEMA_CACHE[key] = (df.schema, sent)
+    return df
+
+
+# Collected-row cache for the tiny params/sidecar frames (one row, or
+# a handful).  Every fold and every serving read begins by reading its
+# store's params sidecar and collecting the row — a schema-inference
+# job plus a head() job per call, on content that only changes when
+# the sidecar directory is rewritten.  Same staleness guard as the
+# schema cache: (path, inode) key + a pinned sentinel data file.
+_ROWS_CACHE: dict = {}
+
+
+def read_params_rows(spark: SparkSession, path: str):
+    """Collected rows of a SMALL sidecar parquet (params frames: one
+    row, or at most a few), or ``None`` when the store does not exist
+    yet.  Cached until the sidecar's layout changes — params writers
+    use ``mode("overwrite")``, which replaces the directory and its
+    data files, so a rewrite always invalidates.  Never use this for
+    data-bearing stores."""
+    key = _schema_cache_key(path)
+    if key is not None:
+        ent = _ROWS_CACHE.get(key)
+        if ent is not None:
+            rows, (rel, size) = ent
+            try:
+                if os.path.getsize(os.path.join(path, rel)) == size:
+                    return rows
+            except OSError:
+                pass
+            del _ROWS_CACHE[key]
+    df = read_parquet_if_exists(spark, path)
+    if df is None:
+        return None
+    rows = df.collect()
+    if key is not None:
+        sent = _schema_sentinel(path)
+        if sent is not None:
+            _ROWS_CACHE[key] = (rows, sent)
+    return rows
 
 
 def list_data_files(path: str) -> list[str]:

@@ -50,23 +50,34 @@ def main() -> int:
     marks = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"QUERY:{name}")
-        t0 = time.perf_counter()
+        t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        marks[name] = (t0, time.perf_counter())
+        marks[name] = (t0, time.time())
         spark.sparkContext.setJobDescription(None)
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    # parse the event log
-    logs = glob.glob(os.path.join(log_dir, app_id + "*"))
+    # parse the event log (Spark 4 rolling layout: a directory
+    # eventlog_v2_<appId>/ holding events_* files; classic: one file)
+    logs = sorted(
+        glob.glob(os.path.join(log_dir, app_id + "*"))
+        + glob.glob(
+            os.path.join(log_dir, "eventlog_v2_" + app_id, "events*")
+        )
+    )
+    logs = [p for p in logs if os.path.isfile(p)]
     if not logs:
         print("no event log found", file=sys.stderr)
         return 1
     jobs = {}  # id -> dict
     stages = {}  # id -> dict
-    with open(logs[0]) as fh:
-        for line in fh:
+    lines = []
+    for p in logs:
+        with open(p) as fh:
+            lines.extend(fh)
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -102,12 +113,16 @@ def main() -> int:
 
     for name, (t0, t1) in marks.items():
         print(f"\n===== {name}: wall {t1 - t0:.2f}s =====")
-        # unix epoch of perf_counter marks is unknown; rely on the
-        # job description label instead
+        # attribute by wall-clock window: foreachBatch jobs run on the
+        # stream thread and do not inherit the QUERY: description
         mine = [
             (j["start"], jid, j)
             for jid, j in jobs.items()
-            if j.get("desc") == f"QUERY:{name}" and "end" in j
+            if "end" in j
+            and (
+                j.get("desc") == f"QUERY:{name}"
+                or t0 <= j["start"] <= t1
+            )
         ]
         mine.sort()
         tot = sum(j["end"] - j["start"] for _, _, j in mine)
@@ -120,6 +135,21 @@ def main() -> int:
         print(
             f"jobs: {len(mine)}  sum(job wall): {tot:.2f}s  "
             f"inter-job gaps (driver/python time): {gaps:.2f}s"
+        )
+        from collections import Counter
+
+        kinds = Counter()
+        for _, _, j in mine:
+            names = [
+                stages[s]["name"]
+                for s in j["stages"]
+                if s in stages
+            ]
+            kind = names[-1].split(" at ")[0] if names else "?"
+            kinds[kind] += 1
+        print(
+            "job kinds:",
+            ", ".join(f"{k}×{v}" for k, v in kinds.most_common(12)),
         )
         for st, jid, j in mine:
             dur = j["end"] - j["start"]
@@ -136,7 +166,8 @@ def main() -> int:
             sb = "; ".join(
                 f"{d:.2f}s/{t}t {n[:60]}" for d, n, t in stage_bits
             )
-            print(f"  job {jid}: {dur:5.2f}s  [{sb}]")
+            desc = (j.get("desc") or "")[:70]
+            print(f"  job {jid}: {dur:5.2f}s  {desc}  [{sb}]")
     return 0
 
 
