@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..storeio import read_store
+
 from .dedup import (
     _mask_stack,
     _scatter,
@@ -469,6 +471,21 @@ def materialize_ivf_index(
     _write_ivf_params(spark, path, stats_cover=1, cur_gen=0)
 
 
+def _ivf_centroid_rows(spark, path: str):
+    """Collected centroid rows (bounded model state, ≤ n_cells rows)
+    through the cached sidecar reader — centroids are only ever
+    written with ``mode("overwrite")``, which replaces the directory
+    and invalidates the cache, so repeat reads skip both the
+    schema-inference job and the collect job."""
+    from ..storeio import read_params_rows
+
+    rows = read_params_rows(spark, f"{path}/centroids")
+    if rows is None:
+        # surface the native PATH_NOT_FOUND error
+        return _ivf_centroid_rows(spark, path)
+    return rows
+
+
 def _ivf_params_path(path: str) -> str:
     # underscore prefix: invisible to spark.read.parquet(path)
     return f"{path.rstrip('/')}/_ivf_params"
@@ -594,7 +611,7 @@ def append_to_ivf_index(
     Returns the number of vectors appended.
     """
     spark = df.sparkSession
-    rows = spark.read.parquet(f"{path}/centroids").collect()
+    rows = _ivf_centroid_rows(spark, path)
     C = np.zeros((len(rows), len(rows[0]["centroid"])))
     for r in rows:
         C[r["cell"]] = r["centroid"]
@@ -602,7 +619,7 @@ def append_to_ivf_index(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    existing_df = spark.read.parquet(f"{path}/vectors")
+    existing_df = read_store(spark, f"{path}/vectors")
     existing = existing_df.select(id_col)
     fresh = vecs.join(existing, id_col, "left_anti")
 
@@ -688,7 +705,7 @@ def apply_cdc_to_ivf_index(
     from ..storeio import read_parquet_if_exists
 
     params = _read_ivf_params(spark, path)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = read_store(spark, f"{path}/vectors")
     if params is None or "gen" not in vectors.columns:
         raise ValueError(
             f"IVF store at {path} predates CDC support (no params "
@@ -737,7 +754,7 @@ def apply_cdc_to_ivf_index(
     )
 
     ups = applied.filter(F.col("__op") != "d")
-    rows = spark.read.parquet(f"{path}/centroids").collect()
+    rows = _ivf_centroid_rows(spark, path)
     C = np.zeros((len(rows), len(rows[0]["centroid"])))
     for r in rows:
         C[r["cell"]] = r["centroid"]
@@ -820,13 +837,13 @@ def recluster_ivf_store(
     from ..storeio import rewrite_store
 
     if n_cells is None:
-        n_cells = spark.read.parquet(f"{path}/centroids").count()
-    before = spark.read.parquet(f"{path}/vectors")
+        n_cells = len(_ivf_centroid_rows(spark, path))
+    before = read_store(spark, f"{path}/vectors")
     n_before = before.count()
 
     def write_new(new: str) -> None:
         live = _ivf_live_vectors(
-            spark, path, spark.read.parquet(f"{path}/vectors")
+            spark, path, read_store(spark, f"{path}/vectors")
         ).select(id_col, "v")
         materialize_ivf_index(
             live,
@@ -843,7 +860,7 @@ def recluster_ivf_store(
         )
 
     rewrite_store(path, write_new)
-    after = spark.read.parquet(f"{path}/vectors")
+    after = read_store(spark, f"{path}/vectors")
     return {
         "rows": (n_before, after.count()),
         "cells": int(n_cells),
@@ -862,7 +879,7 @@ def ann_ivf_search(
     nearest the query from the stored centroids, scan ONLY those
     partitions (``PartitionFilters`` on ``cell`` — file-level
     pruning), exact cosine re-rank inside them."""
-    cent = spark.read.parquet(f"{path}/centroids").collect()
+    cent = _ivf_centroid_rows(spark, path)
     C = np.zeros((len(cent), len(cent[0]["centroid"])))
     for r in cent:
         C[r["cell"]] = r["centroid"]
@@ -873,7 +890,7 @@ def ann_ivf_search(
     vectors = _ivf_live_vectors(
         spark,
         path,
-        spark.read.parquet(f"{path}/vectors").filter(
+        read_store(spark, f"{path}/vectors").filter(
             F.col("cell").isin(probes)
         ),
     )
@@ -943,7 +960,7 @@ def ivf_exact_topk(
     """
     from ..storeio import read_parquet_if_exists
 
-    cent = spark.read.parquet(f"{path}/centroids").collect()
+    cent = _ivf_centroid_rows(spark, path)
     C = np.zeros((len(cent), len(cent[0]["centroid"])))
     for r in cent:
         C[r["cell"]] = r["centroid"]
@@ -992,7 +1009,7 @@ def ivf_exact_topk(
         vecs = _ivf_live_vectors(
             spark,
             path,
-            spark.read.parquet(f"{path}/vectors").filter(
+            read_store(spark, f"{path}/vectors").filter(
                 F.col("cell").isin(list(cells))
             ),
         )
@@ -1090,7 +1107,7 @@ def ivf_exact_batch_topk(
         )
     from ..storeio import read_parquet_if_exists
 
-    cent = spark.read.parquet(f"{path}/centroids").collect()
+    cent = _ivf_centroid_rows(spark, path)
     n_cells = len(cent)
     C = np.zeros((n_cells, len(cent[0]["centroid"])))
     for r in cent:
@@ -1168,7 +1185,7 @@ def ivf_exact_batch_topk(
         scan = _ivf_live_vectors(
             spark,
             path,
-            spark.read.parquet(f"{path}/vectors").filter(
+            read_store(spark, f"{path}/vectors").filter(
                 F.col("cell").isin([int(c) for c in cells])
             ),
         )
@@ -2003,7 +2020,15 @@ def incremental_seed_distance(
         )
         .filter(F.col("dist") <= max_depth)
     )
-    cands = cands.groupBy("doc").agg(F.min("dist").alias("dist"))
+    # materialized for the same reason as the round frames below: the
+    # tail relaxation inside cands scans the dist store, and without
+    # the checkpoint it ran once for the store-min broadcast keys and
+    # once again in the frontier join
+    cands = (
+        cands.groupBy("doc")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
     cand_cur = _sd_store_min(dists_store, cands.select("doc"))
     frontier = (
         cands.join(cand_cur, "doc")
@@ -2013,6 +2038,11 @@ def incremental_seed_distance(
     )
     best = frontier
 
+    # emptiness of the final `best` equals emptiness of the INITIAL
+    # frontier whenever at least one round probe runs (improvement
+    # rows only accumulate), so the write guard below reuses the
+    # first probe instead of paying its own isEmpty job
+    initial_empty = None
     for _ in range(int(max_depth)):
         # early exit: an empty frontier stays empty — steady-state
         # batches into a settled store converge in one or two rounds,
@@ -2020,8 +2050,16 @@ def incremental_seed_distance(
         # rounds' join/aggregate/checkpoint jobs are pure overhead.
         # The frontier is already eagerly checkpointed, so the
         # emptiness probe is a limit-1 scan of materialized rows.
-        if frontier.isEmpty():
+        e = frontier.isEmpty()
+        if initial_empty is None:
+            initial_empty = e
+        if e:
             break
+        # materialized: the relaxation pass scans the FULL edge store
+        # — without the checkpoint it ran twice per round, once to
+        # feed _sd_store_min's broadcast keys and once again inside
+        # the frontier join (the edge scan is the round's dominant
+        # cost at store scale; one checkpoint job halves it)
         nxt = (
             full_edges.join(
                 F.broadcast(
@@ -2038,6 +2076,7 @@ def incremental_seed_distance(
             .filter(F.col("dist") <= max_depth)
             .groupBy("doc")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
         )
         nxt_cur = _sd_store_min(dists_store, nxt.select("doc"))
         nxt_best = best.select(
@@ -2053,18 +2092,26 @@ def incremental_seed_distance(
             .select("doc", "dist")
             .localCheckpoint(eager=True)
         )
+        # NOT checkpointed: best is a union of the (eagerly
+        # materialized) per-round frontiers + one min-aggregate, so
+        # its lineage depth is bounded by max_depth regardless — the
+        # per-round localCheckpoint job it used to pay bought nothing
+        # but a barrier (guide §5: checkpoint only when recomputation
+        # is the expensive side; here recomputation is a wave-sized
+        # union over already-materialized blocks)
         best = (
             best.unionByName(frontier)
             .groupBy("doc")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
 
     # dists first, then edges (see write-order note above); a batch
     # with zero improvements (replay, or edges that shortcut nothing)
     # appends no dists file at all instead of an empty one — replayed
     # feeds must not accrete per-replay file clutter
-    if not best.isEmpty():
+    if initial_empty is None:  # max_depth == 0: no probe ever ran
+        initial_empty = best.isEmpty()
+    if not initial_empty:
         best.write.mode("append").parquet(_sd_dists_path(store_path))
     if edges_batch is not None:
         new_edges.write.mode("append").parquet(

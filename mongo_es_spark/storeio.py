@@ -152,6 +152,17 @@ def read_params_rows(spark: SparkSession, path: str):
     return rows
 
 
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` for a store expected to exist, through
+    the schema cache — repeat opens of an append-only store skip the
+    per-open schema-inference job.  Missing path raises exactly like
+    the direct read."""
+    df = read_parquet_if_exists(spark, path)
+    if df is None:
+        return spark.read.parquet(path)  # native PATH_NOT_FOUND error
+    return df
+
+
 def list_data_files(path: str) -> list[str]:
     """Every data file under a parquet store directory (``_``/``.``
     prefixed sidecars and markers excluded) — the set a compaction
