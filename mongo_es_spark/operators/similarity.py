@@ -511,6 +511,14 @@ def _write_ivf_params(spark, path: str, stats_cover: int, cur_gen: int) -> None:
         F.lit(int(stats_cover)).cast("int").alias("stats_cover"),
         F.lit(int(cur_gen)).cast("long").alias("cur_gen"),
     ).coalesce(1).write.mode("overwrite").parquet(_ivf_params_path(path))
+    from pyspark.sql import Row as _Row
+
+    from ..storeio import prime_params_cache
+
+    prime_params_cache(
+        _ivf_params_path(path),
+        [_Row(stats_cover=int(stats_cover), cur_gen=int(cur_gen))],
+    )
 
 
 def _ivf_dead_path(path: str) -> str:
@@ -1869,6 +1877,14 @@ def _write_sd_params(
         F.lit(bool(directed)).alias("directed"),
     ).coalesce(1).write.mode("overwrite").parquet(
         _sd_params_path(store_path)
+    )
+    from pyspark.sql import Row as _Row
+
+    from ..storeio import prime_params_cache
+
+    prime_params_cache(
+        _sd_params_path(store_path),
+        [_Row(max_depth=int(max_depth), directed=bool(directed))],
     )
 
 

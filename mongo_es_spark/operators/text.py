@@ -621,6 +621,25 @@ def _bm_write_params(
     ).coalesce(1).write.mode("overwrite").parquet(
         _bm_params_path(store_path)
     )
+    # the next fold/serving open reads this row straight from the
+    # cache instead of paying a schema-inference + head() job pair
+    from pyspark.sql import Row as _Row
+
+    from ..storeio import prime_params_cache
+
+    prime_params_cache(
+        _bm_params_path(store_path),
+        [
+            _Row(
+                scheme=int(_BM_SCHEME),
+                analyzer=str(analyzer),
+                fields=list(fields),
+                mutated=bool(mutated),
+                gen=int(gen),
+                dead=int(dead),
+            )
+        ],
+    )
 
 
 def _params_analyzer(p_row) -> str:

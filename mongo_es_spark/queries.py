@@ -711,17 +711,22 @@ def _unrolled_cosines(vec_col: str, centers) -> list:
     C = [_np.asarray(c, dtype=float) for c in centers]
     C = [c / max(float(_np.linalg.norm(c)), 1e-12) for c in C]
     d = len(C[0])
-    v = F.col(vec_col)
-    sq = F.element_at(v, 1) * F.element_at(v, 1)
-    for i in range(1, d):
-        sq = sq + F.element_at(v, i + 1) * F.element_at(v, i + 1)
-    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
+    # built as ONE generated SQL string per center and parsed once:
+    # the previous Column-by-Column construction issued ~4 py4j
+    # round-trips per multiply-add (d*k + d of them — several
+    # thousand driver calls per certification pass) before Catalyst
+    # ever saw the tree.  The parsed plan is term-for-term identical
+    # (same left-associated add chain, same literals via repr
+    # round-trip), so results are bit-identical.
+    el = [f"element_at({vec_col}, {i + 1})" for i in range(d)]
+    sq = " + ".join(f"{e} * {e}" for e in el)
+    norm = f"greatest(sqrt({sq}), 1e-12D)"
     outs = []
     for c in C:
-        acc = F.element_at(v, 1) * F.lit(float(c[0]))
-        for i in range(1, d):
-            acc = acc + F.element_at(v, i + 1) * F.lit(float(c[i]))
-        outs.append(acc / norm)
+        acc = " + ".join(
+            f"{el[i]} * {float(c[i])!r}D" for i in range(d)
+        )
+        outs.append(F.expr(f"({acc}) / {norm}"))
     return outs
 
 

@@ -152,6 +152,22 @@ def read_params_rows(spark: SparkSession, path: str):
     return rows
 
 
+def prime_params_cache(path: str, rows) -> None:
+    """Seed the params-row cache with what a writer just wrote — the
+    writer knows the row, so the store's next open need not re-read
+    it (two jobs per open otherwise).  ``rows`` must mirror the
+    written content exactly: same field names and values (Python ints
+    stand in for longs; every caller coerces through int()/bool()
+    anyway).  The entry carries the fresh directory's sentinel, so it
+    invalidates on the next rewrite like any other cache entry."""
+    key = _schema_cache_key(path)
+    if key is None:
+        return
+    sent = _schema_sentinel(path)
+    if sent is not None:
+        _ROWS_CACHE[key] = (list(rows), sent)
+
+
 def read_store(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` for a store expected to exist, through
     the schema cache — repeat opens of an append-only store skip the
