@@ -26,6 +26,21 @@ def get_spark(app_name: str = "mongo-es-spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash join when
+        # its size conditions hold (sort-merge pays two sorts that a
+        # hash build skips), and let AQE rewrite a planned sort-merge
+        # to shuffled-hash when every post-shuffle partition is small.
+        # Both are scale-safe: SMJ remains the fallback whenever the
+        # build side could not fit, and the AQE threshold is sized in
+        # bytes (env-overridable for cluster tuning).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "128m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
