@@ -35,6 +35,23 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Raise scan parallelism for the one-pass aggregations when the
+    input arrives in fewer partitions than the cluster has slots (one
+    big row-group, single-file fixtures): the Expand-multiplied
+    exact-distinct plan and the exact percentile buffers then run
+    slot-wide instead of file-wide.  A no-op whenever the source
+    already splits at least defaultParallelism ways — at corpus scale
+    (many files/splits) it never adds the shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if cur < target else df
+
+
 def _plabels(probs: Sequence[float]) -> list[str]:
     """Output column labels derived from the probabilities themselves
     (p50, p90, p99, p99_9, ...) so the ``probs`` parameter actually
@@ -86,7 +103,7 @@ def table_quantiles(
             F.percentile(F.col(c), F.array(*[F.lit(p) for p in probs]))
             .alias(f"{c}__q")
         )
-    wide = df.agg(*aggs)
+    wide = _spread(df).agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', "
         + ", ".join(f"round({c}__q[{i}], 6)" for i in range(len(probs)))
@@ -119,7 +136,7 @@ def table_quantiles_approx(
                 F.lit(accuracy),
             ).alias(f"{c}__q")
         )
-    wide = df.agg(*aggs)
+    wide = _spread(df).agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', "
         + ", ".join(
@@ -201,7 +218,7 @@ def table_profile(
             )
         aggs.append(F.min(col).cast("string").alias(f"{c}__mn"))
         aggs.append(F.max(col).cast("string").alias(f"{c}__mx"))
-    wide = df.agg(*aggs)
+    wide = _spread(df).agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', {c}__nulls, {c}__nd, {c}__mn, {c}__mx" for c in names
     )
@@ -235,7 +252,7 @@ def table_profile_certified(
         F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in names
     ]
     stack_args = ", ".join(f"'{c}', {c}__nd" for c in names)
-    ex = df.agg(*ex_aggs).selectExpr(
+    ex = _spread(df).agg(*ex_aggs).selectExpr(
         f"stack({len(names)}, {stack_args}) as (column, __nd_exact)"
     )
     err = F.lit(float(rel_err))
