@@ -7367,9 +7367,18 @@ def incremental_boilerplate(
         *scope,
         F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
     ).agg(F.count("*").alias("__mult"))
+    # ONE chunk pass per trigger (the tf_rows pattern from the BM25
+    # fold): the batch's exploded chunk frame is materialized once and
+    # the DF aggregation, the cleaning join AND the store append all
+    # read the blocks — before this the tokenize/explode/hash pipeline
+    # ran three times per micro-batch (once under the output's
+    # localCheckpoint for batch_counts→boiler, once for per_text, once
+    # more for the append's write).  Batch-sized by construction; the
+    # BATCH operator's chunk frame stays lazy (corpus-sized — eager
+    # materialization there is the memory cost this fold avoids).
     chunks = _bp_chunks(
         groups, "__text", "__text", chunk_words, [*scope, "__mult"]
-    )
+    ).localCheckpoint(eager=True)
     batch_counts = (
         chunks.dropDuplicates(["__doc", *scope, "__h1", "__h2"])
         .groupBy(*scope, "__h1", "__h2")

@@ -41,6 +41,17 @@ def get_spark(app_name: str = "mongo-es-spark", shuffle_partitions: int | None =
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "128m"),
         )
+        # guide §2: AQE coalescing targets max(totalBytes/parallelism,
+        # minPartitionSize).  The 1m default floor serializes stages
+        # whose shuffled BYTES are tiny but whose per-row compute is
+        # heavy (char-shingle verify: 4.5s on 2 tasks with 30 slots
+        # idle).  A lower floor lets such stages keep ~parallelism
+        # tasks; at corpus scale totalBytes/parallelism dominates and
+        # the floor never binds, so this is not a local[32] tweak.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
