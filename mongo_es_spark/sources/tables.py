@@ -50,6 +50,23 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# schema cache for the fixture tables: every schemaless
+# ``spark.read.parquet`` pays a footer-inference pass (~100-130 ms on a
+# warm session — measured; ~29 ms with the schema pinned), and the
+# fixtures are read once or twice by nearly every registry query.  The
+# key carries the path's (mtime_ns, size), so a fixture overwritten in
+# place (test-local tmp dirs) re-infers; ``SPARK_GRAFT_FIXTURE_SCHEMA_
+# CACHE=0`` disables.  Inference runs under ``prepare_session``'s
+# nanosAsLong/UTC settings, which every caller of this module applies,
+# so a cached schema is what a fresh inference would produce.
+_SCHEMA_CACHE: dict = {}
+
+
+def _table_stat(path: str):
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -57,7 +74,22 @@ def load_table(
     max_event_ts_ns: int | None = None,
 ) -> DataFrame:
     prepare_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = None
+    if os.environ.get("SPARK_GRAFT_FIXTURE_SCHEMA_CACHE", "1") != "0":
+        try:
+            key = (os.path.abspath(path), _table_stat(path))
+        except OSError:
+            key = None
+        if key is not None:
+            schema = _SCHEMA_CACHE.get(key)
+            if schema is None:
+                df = spark.read.parquet(path)
+                _SCHEMA_CACHE[key] = df.schema
+            else:
+                df = spark.read.schema(schema).parquet(path)
+    if df is None:
+        df = spark.read.parquet(path)
     if name == "events":
         if max_event_ts_ns is not None:
             df = _filter_raw_event_ts(df, max_event_ts_ns)
