@@ -507,10 +507,18 @@ def _read_ivf_params(spark, path: str):
 
 
 def _write_ivf_params(spark, path: str, stats_cover: int, cur_gen: int) -> None:
-    spark.range(1).select(
-        F.lit(int(stats_cover)).cast("int").alias("stats_cover"),
-        F.lit(int(cur_gen)).cast("long").alias("cur_gen"),
-    ).coalesce(1).write.mode("overwrite").parquet(_ivf_params_path(path))
+    # driver-side one-row write (runs once per CDC trigger — the gen
+    # bump); see storeio.write_params_row.  Types round-trip the old
+    # Spark writer's: stats_cover int, cur_gen long.
+    import pyarrow as pa
+
+    from ..storeio import write_params_row
+
+    write_params_row(
+        _ivf_params_path(path),
+        pa.schema([("stats_cover", pa.int32()), ("cur_gen", pa.int64())]),
+        {"stats_cover": int(stats_cover), "cur_gen": int(cur_gen)},
+    )
     from pyspark.sql import Row as _Row
 
     from ..storeio import prime_params_cache
@@ -1872,11 +1880,16 @@ def _read_sd_params(spark, store_path: str):
 def _write_sd_params(
     spark, store_path: str, max_depth: int, directed: bool
 ) -> None:
-    spark.range(1).select(
-        F.lit(int(max_depth)).cast("int").alias("max_depth"),
-        F.lit(bool(directed)).alias("directed"),
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _sd_params_path(store_path)
+    # driver-side one-row write; see storeio.write_params_row.  Types
+    # round-trip the old Spark writer's: max_depth int, directed bool.
+    import pyarrow as pa
+
+    from ..storeio import write_params_row
+
+    write_params_row(
+        _sd_params_path(store_path),
+        pa.schema([("max_depth", pa.int32()), ("directed", pa.bool_())]),
+        {"max_depth": int(max_depth), "directed": bool(directed)},
     )
     from pyspark.sql import Row as _Row
 

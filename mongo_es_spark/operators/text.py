@@ -592,34 +592,50 @@ def _bm_write_params(
     dead: int = 0,
     analyzer: str = "whitespace",
 ) -> None:
-    spark.range(1).select(
-        F.lit(_BM_SCHEME).cast("int").alias("scheme"),
-        # the store's analysis chain (operators/analysis.py): folds
-        # with a different analyzer never merge, and every query-time
-        # term analysis resolves through this name — the ES mapping's
-        # per-field ``analyzer`` declaration (reference
-        # examples/config.json:64-66) as one store-level knob
-        F.lit(str(analyzer)).alias("analyzer"),
-        F.array(*[F.lit(c) for c in fields]).cast(
-            "array<string>"
-        ).alias("fields"),
-        F.lit(bool(mutated)).alias("mutated"),
-        # generation COUNTER (mirrors the IVF store's cur_gen): the
-        # highest generation ever allocated, kept here so a CDC fold
-        # never has to scan corpus-sized docstats metadata for
-        # max(gen) — params is one row, docstats is ≥1 row per doc
-        F.lit(int(gen)).cast("long").alias("gen"),
-        # dead-row COUNTER: docstats rows the MVCC reader drops
-        # (superseded generations + latest tombstones), accumulated
-        # batch-side by each CDC fold and reset by compaction — so
-        # the maintenance policy's dead-ratio trigger needs only this
-        # row plus a parquet footer count, never a corpus-wide window.
-        # A crashed fold's retry may re-count its increment (the
-        # counter can only OVER-estimate, firing the vacuum early —
-        # heuristic-safe, and compaction re-zeroes it).
-        F.lit(int(dead)).cast("long").alias("dead"),
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _bm_params_path(store_path)
+    # columns (types round-trip the old Spark writer's exactly):
+    # scheme int — tokenizer-scheme drift guard;
+    # analyzer string — the store's analysis chain
+    #   (operators/analysis.py): folds with a different analyzer never
+    #   merge, and every query-time term analysis resolves through
+    #   this name (the ES mapping's per-field ``analyzer``);
+    # fields array<string> — stored doc-values columns;
+    # mutated bool — CDC-touched marker;
+    # gen long — generation COUNTER (mirrors the IVF store's cur_gen):
+    #   the highest generation ever allocated, kept here so a CDC fold
+    #   never scans corpus-sized docstats metadata for max(gen);
+    # dead long — dead-row COUNTER: docstats rows the MVCC reader
+    #   drops, accumulated batch-side by each CDC fold and reset by
+    #   compaction, so the maintenance policy's dead-ratio trigger
+    #   needs only this row plus a parquet footer count.  A crashed
+    #   fold's retry may re-count its increment (over-estimate only —
+    #   fires the vacuum early, heuristic-safe).
+    # Driver-side write: the values are driver-known scalars and this
+    # runs once per CDC trigger (gen bump), so a Spark job here was
+    # pure fixed cost (storeio.write_params_row).
+    import pyarrow as pa
+
+    from ..storeio import write_params_row
+
+    write_params_row(
+        _bm_params_path(store_path),
+        pa.schema(
+            [
+                ("scheme", pa.int32()),
+                ("analyzer", pa.string()),
+                ("fields", pa.list_(pa.string())),
+                ("mutated", pa.bool_()),
+                ("gen", pa.int64()),
+                ("dead", pa.int64()),
+            ]
+        ),
+        {
+            "scheme": int(_BM_SCHEME),
+            "analyzer": str(analyzer),
+            "fields": [str(c) for c in fields],
+            "mutated": bool(mutated),
+            "gen": int(gen),
+            "dead": int(dead),
+        },
     )
     # the next fold/serving open reads this row straight from the
     # cache instead of paying a schema-inference + head() job pair

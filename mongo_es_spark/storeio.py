@@ -24,6 +24,7 @@ __all__ = [
     "read_parquet_if_exists",
     "list_data_files",
     "rewrite_store",
+    "write_params_row",
 ]
 
 _MISSING = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
@@ -166,6 +167,45 @@ def prime_params_cache(path: str, rows) -> None:
     sent = _schema_sentinel(path)
     if sent is not None:
         _ROWS_CACHE[key] = (list(rows), sent)
+
+
+def write_params_row(path: str, schema, row: dict) -> None:
+    """Driver-side overwrite of a ONE-ROW params sidecar as a parquet
+    directory (one part file + ``_SUCCESS``, the layout a coalesce(1)
+    Spark write produces) — the values are driver-known scalars, so
+    running a Spark job to persist them bought nothing but ~150-250 ms
+    of job/commit fixed cost per CDC trigger (generation bumps write
+    params every fold).  ``schema`` is a ``pyarrow.Schema`` chosen to
+    round-trip to the exact Spark types the old writer produced
+    (int32/int64/bool/string/list<string>), so cold-session reads
+    infer the same schema as before.
+
+    Crash window: the replacement directory is fully written BEFORE
+    the live one is dropped, so the missing-sidecar window is two
+    renames wide — strictly narrower than Spark's own
+    ``mode("overwrite")`` (delete, then an entire write job).  A
+    leftover ``__new`` from a crash is invisible to readers (the
+    params basename starts with ``_``) and is clobbered by the next
+    write."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    new = path + "__new"
+    shutil.rmtree(new, ignore_errors=True)
+    os.makedirs(new)
+    table = pa.Table.from_pylist([row], schema=schema)
+    pq.write_table(
+        table,
+        os.path.join(new, f"part-00000-{uuid.uuid4()}.zstd.parquet"),
+        compression="zstd",
+    )
+    with open(os.path.join(new, "_SUCCESS"), "w"):
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(new, path)
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
