@@ -718,6 +718,8 @@ def apply_cdc_to_ivf_index(
     Returns the APPLIED rows ``(id, op, gen)`` — empty on full replay.
     """
     spark = batch.sparkSession
+    from pyspark.sql.window import Window
+
     from ..storeio import read_parquet_if_exists
 
     params = _read_ivf_params(spark, path)
@@ -732,14 +734,6 @@ def apply_cdc_to_ivf_index(
         F.lower(F.col(op_col)).alias("__op"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    agg = b.agg(
-        F.count("*").alias("n"), F.countDistinct(id_col).alias("nd")
-    ).head()
-    if agg["n"] != agg["nd"]:
-        raise ValueError(
-            "apply_cdc_to_ivf_index: duplicate ids in the batch — "
-            "pre-compact to one op per id"
-        )
     live = _ivf_live_vectors(
         spark,
         path,
@@ -749,7 +743,16 @@ def apply_cdc_to_ivf_index(
         F.col("v").alias("__live_v"),
         F.lit(True).alias("__live"),
     )
-    st = b.join(F.broadcast(live), id_col, "left")
+    # batch-sized window rides the probe instead of a separate
+    # count/countDistinct job over the batch lineage: the duplicate-id
+    # guard and the applied-emptiness check both read the ONE
+    # materialized probe below (two fewer jobs per CDC trigger)
+    st = (
+        b.withColumn(
+            "__dup", F.count("*").over(Window.partitionBy(id_col))
+        )
+        .join(F.broadcast(live), id_col, "left")
+    )
     applies = F.when(
         F.col("__op") == "d", F.col("__live").eqNullSafe(F.lit(True))
     ).otherwise(
@@ -758,8 +761,18 @@ def apply_cdc_to_ivf_index(
             & F.col("__live_v").eqNullSafe(F.col("v"))
         )
     )
-    applied = st.filter(applies).localCheckpoint(eager=True)
-    if applied.limit(1).count() == 0:
+    st = st.localCheckpoint(eager=True)
+    arow = st.agg(
+        F.sum(applies.cast("long")).alias("n"),
+        F.max("__dup").alias("maxdup"),
+    ).head()
+    if arow["maxdup"] is not None and int(arow["maxdup"]) > 1:
+        raise ValueError(
+            "apply_cdc_to_ivf_index: duplicate ids in the batch — "
+            "pre-compact to one op per id"
+        )
+    applied = st.drop("__dup").filter(applies)
+    if int(arow["n"] or 0) == 0:
         return spark.createDataFrame(
             [], f"{id_col} long, op string, gen long"
         )
@@ -801,18 +814,19 @@ def apply_cdc_to_ivf_index(
         )
     )
     watermarks.write.mode("append").parquet(_ivf_dead_path(path))
-    # 4. vectors at generation g (anti-join: a crashed attempt at this
-    # same g could not exist — g was consumed up front — but a crashed
-    # RETRY of this very call could have landed them)
-    already = (
-        vectors.filter(F.col("gen") == g)
-        .join(F.broadcast(staged.select(id_col)), id_col, "left_semi")
-        .select(id_col)
-        .distinct()
-    )
+    # 4. vectors at generation g.  No already-on-disk anti-join: g is
+    # FRESH by construction — every attempt makes its bumped counter
+    # durable (step 1) BEFORE any vectors land, so a crashed attempt
+    # that wrote vectors at g' first made params.cur_gen >= g' durable
+    # and every retry reads a higher counter; rows at THIS g cannot
+    # exist yet.  (The probe was belt-and-braces — one store-footer
+    # scan + broadcast build per trigger, provably empty.)  A torn
+    # vectors append is also safe without it: its partial rows carry
+    # the crashed attempt's watermark-superseding values, the retry's
+    # content-based replay check sees them live-and-equal and skips
+    # exactly those ids.
     (
         staged.drop("__res")
-        .join(F.broadcast(already), id_col, "left_anti")
         .withColumn("gen", F.lit(g).cast("long"))
         .write.mode("append")
         .partitionBy("cell")

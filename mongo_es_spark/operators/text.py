@@ -1107,22 +1107,6 @@ def apply_cdc_to_bm25_index(
     # their latest stored state (+ the dup count when unordered); every
     # check below reads the checkpointed blocks, not the store
     probe = b.localCheckpoint(eager=True)
-    if not seq_col:
-        dups = [
-            r["doc"]
-            for r in probe.filter(F.col("__dup") > 1)
-            .select("doc")
-            .distinct()
-            .limit(5)
-            .collect()
-        ]
-        if dups:
-            raise ValueError(
-                f"apply_cdc_to_bm25_index: duplicate doc ids {dups} in "
-                "the batch and no seq_col to order them — pre-compact "
-                "(mergeOplogs) or pass seq_col for last-writer-wins"
-            )
-        probe = probe.drop("__dup")
     # replay filter: an upsert applies unless the LIVE row carries the
     # same digest; a delete applies only to a live row; a TOMBSTONING
     # upsert (null text — the only input that tokenizes to nothing,
@@ -1153,25 +1137,54 @@ def apply_cdc_to_bm25_index(
         )
     )
     applied_full = probe.filter(applies)
-    # ONE batch-sized aggregate serves both the emptiness check and
-    # the dead-row increment for the params counter: each applied row
-    # kills its doc's previous latest LIVE row (a superseded tombstone
-    # was already counted dead when IT was written — counting it again
-    # on resurrection would drift the counter +1 per delete→reinsert
-    # cycle), and a tombstone row is itself dead.  A non-delete row
-    # tombstones iff its text is NULL — the tokenizer maps every
-    # non-null string (even whitespace) to ≥1 token, and only a
-    # token-less doc gets a tombstone below; keying on NULL directly
-    # also sidesteps size(NULL)'s config-dependent -1/NULL semantics
+    # ONE batch-sized aggregate serves the emptiness check, the
+    # dead-row increment for the params counter AND (when unordered)
+    # the duplicate-id guard — previously a second collect job per
+    # trigger: each applied row kills its doc's previous latest LIVE
+    # row (a superseded tombstone was already counted dead when IT was
+    # written — counting it again on resurrection would drift the
+    # counter +1 per delete→reinsert cycle), and a tombstone row is
+    # itself dead.  A non-delete row tombstones iff its text is NULL —
+    # the tokenizer maps every non-null string (even whitespace) to ≥1
+    # token, and only a token-less doc gets a tombstone below; keying
+    # on NULL directly also sidesteps size(NULL)'s config-dependent
+    # -1/NULL semantics.  The dup guard aggregates over the FULL probe
+    # (conditional sums), not the applied subset — a duplicated id
+    # must raise even when every copy is a replay.
     is_tomb = (F.col("__op") == "d") | F.col("__t").isNull()
-    arow = applied_full.agg(
-        F.count("*").alias("n"),
+    arow = probe.agg(
+        F.sum(applies.cast("long")).alias("n"),
         F.sum(
-            F.col("__cur_del").eqNullSafe(F.lit(False)).cast("long")
+            (applies & F.col("__cur_del").eqNullSafe(F.lit(False)))
+            .cast("long")
         ).alias("prior"),
-        F.sum(is_tomb.cast("long")).alias("tombs"),
+        F.sum((applies & is_tomb).cast("long")).alias("tombs"),
+        *(
+            []
+            if seq_col
+            else [F.max(F.col("__dup")).alias("maxdup")]
+        ),
     ).head()
-    if int(arow["n"]) == 0:
+    if not seq_col:
+        if arow["maxdup"] is not None and int(arow["maxdup"]) > 1:
+            # error path only: one extra scan of the materialized
+            # blocks to name the offending ids
+            dups = [
+                r["doc"]
+                for r in probe.filter(F.col("__dup") > 1)
+                .select("doc")
+                .distinct()
+                .limit(5)
+                .collect()
+            ]
+            raise ValueError(
+                f"apply_cdc_to_bm25_index: duplicate doc ids {dups} in "
+                "the batch and no seq_col to order them — pre-compact "
+                "(mergeOplogs) or pass seq_col for last-writer-wins"
+            )
+        probe = probe.drop("__dup")
+        applied_full = probe.filter(applies)
+    if int(arow["n"] or 0) == 0:
         return spark.createDataFrame([], "doc long, op string, gen long")
     dead_inc = int(arow["prior"] or 0) + int(arow["tombs"] or 0)
     applied = applied_full.drop(
@@ -1182,10 +1195,23 @@ def apply_cdc_to_bm25_index(
     # store — never recomputed from corpus-sized docstats metadata.
     # Legacy params rows predating the counter fall back to one
     # docstats scan, after which the write below persists it.
+    fresh_g = False
     if docstats is None:
         g = 0
     elif p_row is not None and p_row.asDict().get("gen") is not None:
         g = int(p_row["gen"]) + 1
+        # params-first write order makes this generation FRESH: any
+        # crashed attempt that left rows at some generation g' first
+        # made params.gen >= g' durable, so every retry reads a higher
+        # counter and applies above it — rows at THIS g cannot exist
+        # yet, and the belt-and-braces anti-joins below are provably
+        # empty (two store-footer scans + broadcast builds per trigger
+        # for nothing).  The legacy paths keep them: g derived from
+        # max(docstats.gen) (docstats written LAST, so a crashed
+        # attempt's postings can sit at the recomputed g), and g=0 on
+        # a docstats-less store (a crashed insert-only fold may have
+        # left gen-0 postings).
+        fresh_g = True
     else:
         mg = docstats.agg(F.max("gen")).head()[0]
         g = (int(mg) if mg is not None else -1) + 1
@@ -1229,9 +1255,12 @@ def apply_cdc_to_bm25_index(
     dl_rows = tf_rows.groupBy("doc").agg(
         F.sum("tf").cast("long").alias("dl")
     )
-    if postings is not None:
-        # retry convergence: rows for (doc, g) already on disk from a
-        # crashed attempt must not append twice
+    if postings is not None and not fresh_g:
+        # retry convergence on the LEGACY generation paths only: rows
+        # for (doc, g) already on disk from a crashed attempt must not
+        # append twice (with a params-served counter, g is fresh by
+        # construction — see fresh_g above — and this probe is dead
+        # per-trigger cost)
         already = (
             postings.filter(F.col("gen") == g)
             .join(F.broadcast(ups.select("doc")), "doc", "left_semi")
@@ -1272,7 +1301,8 @@ def apply_cdc_to_bm25_index(
         *[F.lit(None).cast(up_types[c]).alias(c) for c in fields],
     )
     new_stats = up_stats.unionByName(del_stats)
-    if docstats is not None:
+    if docstats is not None and not fresh_g:
+        # same legacy-only guard as the postings anti-join above
         dup = (
             docstats.filter(F.col("gen") == g)
             .join(F.broadcast(applied.select("doc")), "doc", "left_semi")
@@ -6486,15 +6516,17 @@ def incremental_substring_dedup(
     if window_tokens <= 1:
         raise ValueError("window_tokens must be > 1")
     w = window_tokens
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows, read_parquet_if_exists
 
     params_path = _sub_params_path(store_path)
     # sidecar and store read separately: a broken read RAISES (one
     # blanket try here would silently skip the window-size guard AND
-    # dedup the batch against nothing)
-    params_frame = read_parquet_if_exists(spark, params_path)
-    if params_frame is not None:
-        stored_w = int(params_frame.head()["window_tokens"])
+    # dedup the batch against nothing).  Cached-row read: the sidecar
+    # only changes on (re)creation, so folds after the first pay zero
+    # jobs for the width guard.
+    params_rows = read_params_rows(spark, params_path)
+    if params_rows:
+        stored_w = int(params_rows[0]["window_tokens"])
         if stored_w != w:
             raise ValueError(
                 f"substring store at {store_path} was written with "
@@ -6627,10 +6659,24 @@ def incremental_substring_dedup(
         # (it reads the store listing pinned above via `marked`'s
         # localCheckpoint, so its lineage never re-lists the
         # directory it writes into).
-        if params_frame is None:
-            spark.range(1).select(
-                F.lit(int(w)).cast("int").alias("window_tokens")
-            ).coalesce(1).write.mode("overwrite").parquet(params_path)
+        if not params_rows:
+            # driver-side one-row sidecar write (storeio.write_params_row):
+            # the value is a driver-known scalar; int32 round-trips the
+            # old Spark writer's cast("int") exactly
+            import pyarrow as pa
+
+            from pyspark.sql import Row as _Row
+
+            from ..storeio import prime_params_cache, write_params_row
+
+            write_params_row(
+                params_path,
+                pa.schema([("window_tokens", pa.int32())]),
+                {"window_tokens": int(w)},
+            )
+            prime_params_cache(
+                params_path, [_Row(window_tokens=int(w))]
+            )
         fresh.withColumn("__batch", F.lit(tag)).write.mode(
             "append"
         ).parquet(store_path)
