@@ -529,20 +529,31 @@ def incremental_winnow_pairs(
     ``k``/``w`` are pinned in a ``_wn_params`` sidecar — a drift
     between batches would silently zero cross-batch collisions.
     """
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows, read_parquet_if_exists
 
     if score not in ("containment", "jaccard"):
         raise ValueError(f"unknown score {score!r}")
-    params_frame = read_parquet_if_exists(spark, _wn_params_path(store_path))
-    if params_frame is None:
-        spark.range(1).select(
-            F.lit(int(k)).cast("int").alias("k"),
-            F.lit(int(w)).cast("int").alias("w"),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _wn_params_path(store_path)
+    # cached-row sidecar read + driver-side first write (see
+    # _write_lsh_params): the k/w drift guard costs zero jobs after
+    # the first trigger
+    params_rows = read_params_rows(spark, _wn_params_path(store_path))
+    if not params_rows:
+        import pyarrow as pa
+
+        from pyspark.sql import Row as _Row
+
+        from ..storeio import prime_params_cache, write_params_row
+
+        write_params_row(
+            _wn_params_path(store_path),
+            pa.schema([("k", pa.int32()), ("w", pa.int32())]),
+            {"k": int(k), "w": int(w)},
+        )
+        prime_params_cache(
+            _wn_params_path(store_path), [_Row(k=int(k), w=int(w))]
         )
     else:
-        d = params_frame.head().asDict()
+        d = params_rows[0].asDict()
         if d["k"] != k or d["w"] != w:
             raise ValueError(
                 f"store at {store_path} was written with k={d['k']} "
@@ -840,14 +851,15 @@ def _read_lsh_params(spark, store_path: str):
     ``None`` for stores written before the sidecar existed.  A
     BROKEN sidecar read raises (see storeio) — returning None here
     would let the caller overwrite the sidecar with its own params,
-    erasing the drift guard."""
-    from ..storeio import read_parquet_if_exists
+    erasing the drift guard.  Cached-row read: the sidecar only
+    changes on (re)creation, so store folds after the first pay zero
+    jobs for the drift guard."""
+    from ..storeio import read_params_rows
 
-    frame = read_parquet_if_exists(spark, _lsh_params_path(store_path))
-    if frame is None:
+    rows = read_params_rows(spark, _lsh_params_path(store_path))
+    if not rows:
         return None
-    row = frame.head()
-    d = row.asDict()
+    d = rows[0].asDict()
     return {
         "num_hashes": d["num_hashes"],
         "bands": d["bands"],
@@ -859,16 +871,44 @@ def _read_lsh_params(spark, store_path: str):
 def _write_lsh_params(
     spark, store_path: str, num_hashes: int, bands: int, n: int
 ) -> None:
-    # range().select(lit) rather than createDataFrame: the local-data
-    # path evaluates through a Python RDD and costs seconds per write;
-    # this stays JVM-side (~0.1 s)
-    spark.range(1).select(
-        F.lit(int(num_hashes)).cast("int").alias("num_hashes"),
-        F.lit(int(bands)).cast("int").alias("bands"),
-        F.lit(int(n)).cast("int").alias("n"),
-        F.lit(int(_MH_SCHEME)).cast("int").alias("scheme"),
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _lsh_params_path(store_path)
+    # driver-side one-row sidecar write (storeio.write_params_row):
+    # the values are driver-known scalars; int32 fields round-trip the
+    # old Spark writer's cast("int") exactly, and priming the row
+    # cache means the first fold's own re-read costs zero jobs
+    import pyarrow as pa
+
+    from pyspark.sql import Row as _Row
+
+    from ..storeio import prime_params_cache, write_params_row
+
+    path = _lsh_params_path(store_path)
+    write_params_row(
+        path,
+        pa.schema(
+            [
+                ("num_hashes", pa.int32()),
+                ("bands", pa.int32()),
+                ("n", pa.int32()),
+                ("scheme", pa.int32()),
+            ]
+        ),
+        {
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "n": int(n),
+            "scheme": int(_MH_SCHEME),
+        },
+    )
+    prime_params_cache(
+        path,
+        [
+            _Row(
+                num_hashes=int(num_hashes),
+                bands=int(bands),
+                n=int(n),
+                scheme=int(_MH_SCHEME),
+            )
+        ],
     )
 
 

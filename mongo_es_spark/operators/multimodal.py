@@ -800,13 +800,15 @@ def incremental_payload_dedup(
     dup_bytes)`` — ``dup_bytes / n_bytes`` is the storage saving the
     chunk store delivers for this batch.
     """
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows, read_parquet_if_exists
 
     params_path = _cdc_params_path(store_path)
-    params = read_parquet_if_exists(spark, params_path)
+    # cached-row sidecar read (storeio): the params guard costs zero
+    # jobs after the first trigger
+    params_rows = read_params_rows(spark, params_path)
     sig = f"{window},{mask_bits},{min_len},{max_len}"
-    if params is not None:
-        stored = params.head()["sig"]
+    if params_rows:
+        stored = params_rows[0]["sig"]
         if stored != sig:
             raise ValueError(
                 f"payload-chunk store at {store_path} was written "
@@ -898,8 +900,19 @@ def incremental_payload_dedup(
         fresh.dropDuplicates(["digest"]).withColumn(
             "__batch", F.lit(tag)
         ).write.mode("append").parquet(store_path)
-        if params is None:
-            spark.range(1).select(
-                F.lit(sig).alias("sig")
-            ).coalesce(1).write.mode("overwrite").parquet(params_path)
+        if not params_rows:
+            # driver-side one-row sidecar write; string field
+            # round-trips the old Spark writer's lit() exactly
+            import pyarrow as pa
+
+            from pyspark.sql import Row as _Row
+
+            from ..storeio import prime_params_cache, write_params_row
+
+            write_params_row(
+                params_path,
+                pa.schema([("sig", pa.string())]),
+                {"sig": sig},
+            )
+            prime_params_cache(params_path, [_Row(sig=sig)])
     return out

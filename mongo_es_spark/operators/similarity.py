@@ -1915,19 +1915,27 @@ def _write_sd_params(
     )
 
 
-def _sd_store_min(dists_store, docs: DataFrame) -> DataFrame:
-    """Current stored distance for a batch-sized doc set: the
+def _sd_store_hits(dists_store, docs: DataFrame) -> DataFrame:
+    """Current stored distance for a batch-sized doc set — INNER
+    probe: ``(doc, cur)`` only for docs the store has rows for.  The
     corpus-sized dist store map-side scans against the BROADCAST doc
     keys (nothing store-sized shuffles), then min per doc — rows
-    append per improvement event, so the min IS the current value."""
+    append per improvement event, so the min IS the current value.
+    Callers left-join it (or filter on membership), so the re-attach
+    join the old ``_sd_store_min`` helper paid per call — one extra
+    broadcast-exchange materialization per relaxation round — is
+    theirs to skip."""
+    keys = docs.select("doc")
     if dists_store is None:
-        return docs.select("doc", F.lit(None).cast("long").alias("cur"))
-    hits = (
-        dists_store.join(F.broadcast(docs.select("doc")), "doc")
+        # empty, schema-typed: LocalRelation, zero jobs
+        return keys.select(
+            "doc", F.lit(None).cast("long").alias("cur")
+        ).limit(0)
+    return (
+        dists_store.join(F.broadcast(keys), "doc")
         .groupBy("doc")
         .agg(F.min("dist").alias("cur"))
     )
-    return docs.join(hits, "doc", "left")
 
 
 def incremental_seed_distance(
@@ -2050,9 +2058,10 @@ def incremental_seed_distance(
     tails = new_edges.select(F.col("a").alias("doc")).dropDuplicates(
         ["doc"]
     )
-    tail_cur = _sd_store_min(dists_store, tails).filter(
-        F.col("cur").isNotNull()
-    )
+    # store hits only (an inner probe): _sd_store_min's re-attach left
+    # join added a whole broadcast join per call just to carry docs
+    # the filter below dropped again
+    tail_cur = _sd_store_hits(dists_store, tails)
     cands = cands.unionByName(
         new_edges.join(
             tail_cur.select(F.col("doc").alias("a"), "cur"), "a"
@@ -2072,9 +2081,8 @@ def incremental_seed_distance(
         .agg(F.min("dist").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    cand_cur = _sd_store_min(dists_store, cands.select("doc"))
     frontier = (
-        cands.join(cand_cur, "doc")
+        cands.join(_sd_store_hits(dists_store, cands), "doc", "left")
         .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
         .select("doc", "dist")
         .localCheckpoint(eager=True)
@@ -2100,7 +2108,7 @@ def incremental_seed_distance(
             break
         # materialized: the relaxation pass scans the FULL edge store
         # — without the checkpoint it ran twice per round, once to
-        # feed _sd_store_min's broadcast keys and once again inside
+        # feed the store probe's broadcast keys and once again inside
         # the frontier join (the edge scan is the round's dominant
         # cost at store scale; one checkpoint job halves it)
         nxt = (
@@ -2121,17 +2129,21 @@ def incremental_seed_distance(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        nxt_cur = _sd_store_min(dists_store, nxt.select("doc"))
-        nxt_best = best.select(
-            "doc", F.col("dist").alias("__b")
+        # ONE bound per doc instead of two joins: the stored minimum
+        # and the accumulated in-batch best union into a single
+        # wave-sized min-aggregate, so the frontier filter pays one
+        # join (dist < min(stored, best) ≡ the old two-clause filter —
+        # a doc improves only if it beats BOTH).  Two fewer
+        # broadcast-exchange materializations per relaxation round.
+        bound = (
+            _sd_store_hits(dists_store, nxt)
+            .unionByName(best.select("doc", F.col("dist").alias("cur")))
+            .groupBy("doc")
+            .agg(F.min("cur").alias("cur"))
         )
         frontier = (
-            nxt.join(nxt_cur, "doc")
-            .join(nxt_best, "doc", "left")
-            .filter(
-                (F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
-                & (F.col("__b").isNull() | (F.col("dist") < F.col("__b")))
-            )
+            nxt.join(bound, "doc", "left")
+            .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
             .select("doc", "dist")
             .localCheckpoint(eager=True)
         )

@@ -9,6 +9,7 @@ DuckDB-SQL twin in the query registry.
 from __future__ import annotations
 
 import os
+import re
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -849,40 +850,55 @@ def incremental_bm25_index(
                 F.col("deleted").alias("__cur_del"),
             )
         )
-        # ONE materialization powers both the conflict probe and the
-        # fold continuation: checkpointing `st` first means the probe
-        # below and every downstream read run off the same in-memory
-        # blocks instead of re-executing the store-latest window +
-        # broadcast join per consumer (the r11 bench regression on
-        # search_bm25_incremental was exactly this join running twice
-        # — once for the probe's limit(5).collect(), once when the
-        # continuation materialized).  The intra-batch raise_error
-        # guard fires here, still zero extra jobs.
-        st = batch.join(
-            F.broadcast(latest), "doc", "left"
-        ).localCheckpoint(eager=True)
-        conflicts = [
-            r["doc"]
-            for r in st.filter(
-                F.col("__cur_sig").isNotNull()
-                | F.col("__cur_del").isNotNull()
+        # ONE materialization powers both the conflict guard and the
+        # fold continuation: the changed-content check rides the
+        # checkpoint as a raise_error column (the intra-batch guard's
+        # pattern), so the separate limit(5).collect() probe job per
+        # trigger is gone — every batch row is evaluated during the
+        # checkpoint, a conflict aborts it, and the except block
+        # re-wraps the executor error into the same ValueError
+        # contract callers and tests pin ("different content").
+        conflict = (
+            F.col("__cur_sig").isNotNull()
+            | F.col("__cur_del").isNotNull()
+        ) & (
+            F.col("__cur_del")
+            | ~F.col("__cur_sig").eqNullSafe(F.col("__sig"))
+        )
+        st = (
+            batch.join(F.broadcast(latest), "doc", "left")
+            .withColumn(
+                "__t",
+                F.when(
+                    conflict,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "incremental_bm25_index: doc id "
+                            ),
+                            F.col("doc").cast("string"),
+                            F.lit(
+                                " already indexed with different "
+                                "content (or tombstoned) — the fold "
+                                "is append-only and silently keeping "
+                                "the old postings would serve stale "
+                                "text; route mutations through "
+                                "apply_cdc_to_bm25_index"
+                            ),
+                        )
+                    ),
+                ).otherwise(F.col("__t")),
             )
-            .filter(
-                F.col("__cur_del")
-                | ~F.col("__cur_sig").eqNullSafe(F.col("__sig"))
+        )
+        try:
+            st = st.localCheckpoint(eager=True)
+        except Exception as exc:
+            m = re.search(
+                r"incremental_bm25_index: doc id [^\n]*", str(exc)
             )
-            .select("doc")
-            .limit(5)
-            .collect()
-        ]
-        if conflicts:
-            raise ValueError(
-                f"incremental_bm25_index: doc ids {conflicts} already "
-                "indexed with different content (or tombstoned) — the "
-                "fold is append-only and silently keeping the old "
-                "postings would serve stale text; route mutations "
-                "through apply_cdc_to_bm25_index"
-            )
+            if m and "different content" in m.group(0):
+                raise ValueError(m.group(0)) from exc
+            raise
         # keep only docs with NO stored row at all (deleted is
         # non-null on every docstats row, unlike sig which is null on
         # op-d tombstones); same-sig replays drop silently here — a
@@ -4271,7 +4287,7 @@ def describe_bm25_store(spark, store_path: str, full: bool = True) -> dict:
     fold's retry — see :func:`_bm_write_params` — which at worst
     vacuums early).  Stores whose params predate the counter fall
     back to the exact window computation."""
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_params_rows, read_parquet_if_exists
 
     out: dict = {"store": store_path}
     postings = read_parquet_if_exists(
@@ -4280,7 +4296,7 @@ def describe_bm25_store(spark, store_path: str, full: bool = True) -> dict:
     docstats = read_parquet_if_exists(
         spark, _bm_docstats_path(store_path)
     )
-    params = read_parquet_if_exists(spark, _bm_params_path(store_path))
+    p_rows = read_params_rows(spark, _bm_params_path(store_path))
     if postings is None or docstats is None:
         out["exists"] = False
         return out
@@ -4293,9 +4309,11 @@ def describe_bm25_store(spark, store_path: str, full: bool = True) -> dict:
         out["postings_rows"] = postings.count()
         out["vocab_size"] = postings.select("token").distinct().count()
     # (9) guard the zero-row params edge (a crash between creating the
-    # component and committing its row): head() is None there, and the
-    # observability call must not crash on the store it describes
-    p_row = params.head() if params is not None else None
+    # component and committing its row): rows are empty there, and the
+    # observability call must not crash on the store it describes.
+    # Cached-row read — the per-trigger maintenance policy's decision
+    # gate pays zero jobs for the params row.
+    p_row = p_rows[0] if p_rows else None
     if p_row is not None:
         p = p_row.asDict()
         out["mutated"] = bool(p.get("mutated"))
