@@ -235,7 +235,31 @@ def run_tail(
         batch_df = throttle(batch_df, controls.mongodb_read_capacity)
         compacted = compact_oplog_docs(batch_df, task)
         state = None
-        if hasattr(sink, "read_state"):
+        need_state = hasattr(sink, "read_state")
+        if need_state and not task.transform.parent:
+            # Only patch-updates (and parent-routed deletes, excluded
+            # above) ever CONSULT sink state in dispatch_ir_frame —
+            # inserts, full-replace updates and parentless deletes
+            # produce identical IR with state=None (patched/__sink_*
+            # branches are unreachable, and the delete keep-rule is
+            # `true | in_sink`).  One batch-sized probe decides, so an
+            # insert-only / full-replace tail never scans the sink's
+            # merge log (or issues _mget calls) at all — per-trigger
+            # state cost ∝ 0 instead of ∝ log size on the dominant
+            # CDC shape.  The checkpoint makes the probe, the lookup's
+            # id broadcast and the dispatch pass share ONE
+            # materialization of the compaction fold (it previously
+            # re-ran lazily per consumer).
+            compacted = compacted.localCheckpoint(eager=True)
+            has_patch = compacted.agg(
+                F.max(
+                    (
+                        (F.col("op") == "u") & ~F.col("has_plain")
+                    ).cast("int")
+                )
+            ).head()[0]
+            need_state = bool(has_patch)
+        if need_state:
             # J1/J2: the batch's distinct keys drive the lookup —
             # ParquetIndexSink ignores them (whole-state join),
             # EsBulkSink turns them into executor-side _mget/terms
