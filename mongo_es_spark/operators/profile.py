@@ -103,7 +103,12 @@ def table_quantiles(
             F.percentile(F.col(c), F.array(*[F.lit(p) for p in probs]))
             .alias(f"{c}__q")
         )
-    wide = _spread(df).agg(*aggs)
+    # no _spread here: percentile buffers are append-only per-partition
+    # state with NO row multiplication — the repartition costs a full
+    # pass of the values for parallelism the buffer merge doesn't need
+    # (measured: the r12 _spread regressed this query 2 s -> 4 s while
+    # winning on the Expand-multiplied exact-distinct profile)
+    wide = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', "
         + ", ".join(f"round({c}__q[{i}], 6)" for i in range(len(probs)))
@@ -136,7 +141,9 @@ def table_quantiles_approx(
                 F.lit(accuracy),
             ).alias(f"{c}__q")
         )
-    wide = _spread(df).agg(*aggs)
+    # no _spread (see table_quantiles): KLL-style sketches are cheap
+    # mergeable per-partition state; the repartition is pure cost here
+    wide = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', "
         + ", ".join(

@@ -482,7 +482,7 @@ def _ivf_centroid_rows(spark, path: str):
     rows = read_params_rows(spark, f"{path}/centroids")
     if rows is None:
         # surface the native PATH_NOT_FOUND error
-        return _ivf_centroid_rows(spark, path)
+        return spark.read.parquet(f"{path}/centroids").collect()
     return rows
 
 
@@ -1916,25 +1916,22 @@ def _write_sd_params(
 
 
 def _sd_store_hits(dists_store, docs: DataFrame) -> DataFrame:
-    """Current stored distance for a batch-sized doc set — INNER
-    probe: ``(doc, cur)`` only for docs the store has rows for.  The
-    corpus-sized dist store map-side scans against the BROADCAST doc
-    keys (nothing store-sized shuffles), then min per doc — rows
-    append per improvement event, so the min IS the current value.
-    Callers left-join it (or filter on membership), so the re-attach
-    join the old ``_sd_store_min`` helper paid per call — one extra
-    broadcast-exchange materialization per relaxation round — is
-    theirs to skip."""
+    """Stored improvement-event rows for a batch-sized doc set —
+    INNER probe: ``(doc, cur)`` only for docs the store has rows for,
+    UN-aggregated (≤ max_depth + 2 rows per doc ever, so the fan-out
+    is a bounded constant).  The corpus-sized dist store map-side
+    scans against the BROADCAST doc keys (nothing store-sized
+    shuffles).  Callers fold the rows into a min-aggregate they
+    already pay — pre-aggregating here cost one extra exchange per
+    call for nothing (min of mins is min)."""
     keys = docs.select("doc")
     if dists_store is None:
         # empty, schema-typed: LocalRelation, zero jobs
         return keys.select(
             "doc", F.lit(None).cast("long").alias("cur")
         ).limit(0)
-    return (
-        dists_store.join(F.broadcast(keys), "doc")
-        .groupBy("doc")
-        .agg(F.min("dist").alias("cur"))
+    return dists_store.join(F.broadcast(keys), "doc").select(
+        "doc", F.col("dist").alias("cur")
     )
 
 
@@ -2020,6 +2017,22 @@ def incremental_seed_distance(
     )
 
     sess = spark
+    # Within-round frames that are referenced TWICE (store-probe
+    # broadcast keys + candidate branch of the fused aggregate) are
+    # persist()ed, not checkpointed: the broadcast build job
+    # materializes the cache as a side effect, so the expensive scan
+    # under them runs once with NO dedicated materialization job.
+    # Round BOUNDARIES stay localCheckpoint()ed — persist does not
+    # truncate lineage, and without truncation each round's plan
+    # inlines the previous rounds' twice over (exponential plan
+    # growth: Catalyst planning + explainString OOM the driver).
+    persisted: list = []
+
+    def _keep(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        persisted.append(df)
+        return df
+
     if edges_batch is not None:
         e = edges_batch.select(
             F.col(i_col).alias("a"), F.col(j_col).alias("b")
@@ -2036,6 +2049,8 @@ def incremental_seed_distance(
                 F.broadcast(e), ["a", "b"], "left_semi"
             )
             e = e.exceptAll(hits)
+        # checkpointed (scanned by full_edges EVERY round — its plan
+        # must not inline into each round's lineage)
         new_edges = e.localCheckpoint(eager=True)
     else:
         new_edges = sess.createDataFrame([], "a long, b long")
@@ -2058,9 +2073,9 @@ def incremental_seed_distance(
     tails = new_edges.select(F.col("a").alias("doc")).dropDuplicates(
         ["doc"]
     )
-    # store hits only (an inner probe): _sd_store_min's re-attach left
-    # join added a whole broadcast join per call just to carry docs
-    # the filter below dropped again
+    # store hits only (an inner probe): the raw improvement-event
+    # rows relax each head through EVERY stored tail row; the min
+    # aggregate below collapses them (min(cur)+1 == min(cur+1))
     tail_cur = _sd_store_hits(dists_store, tails)
     cands = cands.unionByName(
         new_edges.join(
@@ -2072,46 +2087,71 @@ def incremental_seed_distance(
         )
         .filter(F.col("dist") <= max_depth)
     )
-    # materialized for the same reason as the round frames below: the
-    # tail relaxation inside cands scans the dist store, and without
-    # the checkpoint it ran once for the store-min broadcast keys and
-    # once again in the frontier join
-    cands = (
-        cands.groupBy("doc")
-        .agg(F.min("dist").alias("dist"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = (
-        cands.join(_sd_store_hits(dists_store, cands), "doc", "left")
-        .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
-        .select("doc", "dist")
-        .localCheckpoint(eager=True)
-    )
+    # persisted (not pre-counted): the wave frame feeds both the
+    # store-probe broadcast keys and the candidate branch of the
+    # fused filter-aggregate — the broadcast build job materializes
+    # the cache, so the dist-store scan inside cands runs exactly once
+    cands = _keep(cands.groupBy("doc").agg(F.min("dist").alias("dist")))
+
+    def _improvements(wave: DataFrame, acc: DataFrame | None) -> DataFrame:
+        """Strict improvements in ``wave``: one wave-sized aggregate
+        over candidate rows ∪ stored-bound rows (∪ the accumulated
+        in-batch best), keeping docs whose candidate min beats every
+        bound.  Equivalent to the old left-join + two-clause filter —
+        ``dist < min(stored, best)``, NULL bound = unseen doc — but
+        with no re-attach join, so the per-round bound broadcast
+        build job is gone (guide §2.4)."""
+        cand = wave.select(
+            "doc",
+            F.col("dist").alias("cand"),
+            F.lit(None).cast("long").alias("cur"),
+        )
+        bnd = _sd_store_hits(dists_store, wave)
+        if acc is not None:
+            bnd = bnd.unionByName(
+                acc.select("doc", F.col("dist").alias("cur"))
+            )
+        return (
+            cand.unionByName(
+                bnd.select(
+                    "doc",
+                    F.lit(None).cast("long").alias("cand"),
+                    "cur",
+                )
+            )
+            .groupBy("doc")
+            .agg(
+                F.min("cand").alias("dist"), F.min("cur").alias("cur")
+            )
+            .filter(
+                F.col("dist").isNotNull()
+                & (F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
+            )
+            .select("doc", "dist")
+        )
+
+    # the round boundary: checkpointed (lineage truncation — see the
+    # persist note above), so `best` stays a union over severed blocks
+    frontier = _improvements(cands, None).localCheckpoint(eager=True)
+    initial_empty = None
     best = frontier
 
-    # emptiness of the final `best` equals emptiness of the INITIAL
-    # frontier whenever at least one round probe runs (improvement
-    # rows only accumulate), so the write guard below reuses the
-    # first probe instead of paying its own isEmpty job
-    initial_empty = None
     for _ in range(int(max_depth)):
         # early exit: an empty frontier stays empty — steady-state
         # batches into a settled store converge in one or two rounds,
         # and a replayed batch converges in ZERO, so the remaining
-        # rounds' join/aggregate/checkpoint jobs are pure overhead.
-        # The frontier is already eagerly checkpointed, so the
-        # emptiness probe is a limit-1 scan of materialized rows.
-        e = frontier.isEmpty()
+        # rounds' join/aggregate jobs are pure overhead.  The frontier
+        # is already materialized, so the probe is a limit-1 scan.
+        empty = frontier.isEmpty()
         if initial_empty is None:
-            initial_empty = e
-        if e:
+            initial_empty = empty
+        if empty:
             break
-        # materialized: the relaxation pass scans the FULL edge store
-        # — without the checkpoint it ran twice per round, once to
-        # feed the store probe's broadcast keys and once again inside
-        # the frontier join (the edge scan is the round's dominant
-        # cost at store scale; one checkpoint job halves it)
-        nxt = (
+        # persisted like cands: the relaxation pass scans the FULL
+        # edge store — the store-probe broadcast build materializes
+        # the cache, so the edge scan runs once per round (the scan is
+        # the round's dominant cost at store scale)
+        nxt = _keep(
             full_edges.join(
                 F.broadcast(
                     frontier.select(
@@ -2127,33 +2167,13 @@ def incremental_seed_distance(
             .filter(F.col("dist") <= max_depth)
             .groupBy("doc")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        # ONE bound per doc instead of two joins: the stored minimum
-        # and the accumulated in-batch best union into a single
-        # wave-sized min-aggregate, so the frontier filter pays one
-        # join (dist < min(stored, best) ≡ the old two-clause filter —
-        # a doc improves only if it beats BOTH).  Two fewer
-        # broadcast-exchange materializations per relaxation round.
-        bound = (
-            _sd_store_hits(dists_store, nxt)
-            .unionByName(best.select("doc", F.col("dist").alias("cur")))
-            .groupBy("doc")
-            .agg(F.min("cur").alias("cur"))
-        )
-        frontier = (
-            nxt.join(bound, "doc", "left")
-            .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
-            .select("doc", "dist")
-            .localCheckpoint(eager=True)
-        )
-        # NOT checkpointed: best is a union of the (eagerly
-        # materialized) per-round frontiers + one min-aggregate, so
-        # its lineage depth is bounded by max_depth regardless — the
-        # per-round localCheckpoint job it used to pay bought nothing
-        # but a barrier (guide §5: checkpoint only when recomputation
-        # is the expensive side; here recomputation is a wave-sized
-        # union over already-materialized blocks)
+        frontier = _improvements(nxt, best).localCheckpoint(eager=True)
+        # NOT materialized: best is a union of the (eagerly
+        # checkpointed) per-round frontiers + one min-aggregate, so
+        # its lineage depth is bounded by max_depth regardless
+        # (guide §5: materialize only when recomputation is the
+        # expensive side)
         best = (
             best.unionByName(frontier)
             .groupBy("doc")
@@ -2172,6 +2192,12 @@ def incremental_seed_distance(
         new_edges.write.mode("append").parquet(
             _sd_edges_path(store_path)
         )
+    # safe to drop now: every frontier is checkpoint-severed, so
+    # neither `best` nor anything a caller can reach recomputes
+    # through these cached frames (which would re-read the stores
+    # WITH this fold's own appends)
+    for df in persisted:
+        df.unpersist(False)
     return best
 
 

@@ -3198,9 +3198,15 @@ def _shared_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(path: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
+        # REBALANCE before the write (guide §6): the kNN kernel's
+        # output partitioning tracks the embedding scan (16 tiny
+        # files for a few-hundred-KB edge list here), and every
+        # seed-distance fold re-scans this store several times — AQE
+        # sizes the rebalanced partitions by bytes, so this is one
+        # file locally and 64 MB-targeted files at corpus scale.
         knn_graph(emb, "vec_id", "embedding", k=5).select(
             "i", "j"
-        ).write.mode("overwrite").parquet(path)
+        ).hint("rebalance").write.mode("overwrite").parquet(path)
 
     return spark.read.parquet(_shared_store("knn5", sf_dir, build))
 

@@ -52,6 +52,15 @@ def get_spark(app_name: str = "mongo-es-spark", shuffle_partitions: int | None =
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
         )
+        # AQE applies to shuffles under persist()ed plans too (default
+        # false keeps a cached plan's output partitioning stable for
+        # downstream reuse; nothing here consumes cached partitioning,
+        # and without it every cached aggregate pins the full
+        # shuffle-partition fan-out regardless of bytes)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_AQE_ON_CACHED_PLANS", "true"),
+        )
         # guide §6/§9: parquet codec for everything this engine WRITES
         # (stores, sinks, checkpointed state).  zstd ~= snappy read
         # speed at a markedly better ratio — smaller store files are

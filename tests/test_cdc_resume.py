@@ -74,7 +74,7 @@ def test_file_stream_resume_converts_checkpoint_ms(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    q.awaitTermination(600)
     ids = {r["id"] for r in spark.read.parquet(str(out)).collect()}
     # with the old ms-vs-bson comparison this was {} (all dropped);
     # without any conversion at real timestamps it replays everything

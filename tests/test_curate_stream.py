@@ -118,7 +118,7 @@ def test_streaming_curation_first_arrival_contract(spark, tmp_path):
         .json(str(feed))
     )
     q = run_incremental_curation(spark, stream, state, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     got = {
         r["doc_id"]
@@ -248,7 +248,7 @@ def test_streaming_curation_scrub_passthrough(spark, tmp_path):
     q = run_incremental_curation(
         spark, stream, state, ckpt, scrub_blocklist=()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     got = {
         r["doc_id"]: r["text"]
@@ -308,7 +308,7 @@ def test_streaming_boilerplate_store_matches_batch(spark, tmp_path):
         chunk_words=2,
         min_df=2,
     )
-    assert q.awaitTermination(120)
+    assert q.awaitTermination(600)
 
     got = {
         tuple(r)

@@ -88,7 +88,7 @@ def test_redelivered_events_suppressed_across_batches(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 

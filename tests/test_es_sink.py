@@ -386,7 +386,7 @@ def test_scan_then_tail_es_mode_matches_oracle(spark, tmp_path, stub_es):
         source_df=source_df, hints=HINTS,
         checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     want = {
         k: _strip_nulls(v["data"]) for k, v in oracle_state(task).items()

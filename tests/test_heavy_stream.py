@@ -47,7 +47,7 @@ def test_streaming_heavy_hitters_cross_batch(spark, tmp_path):
     q = run_streaming_heavy_hitters(
         spark, stream, "text", sink, ckpt, k=16, n_shards=4
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     exact = Counter()
     for _, t in b0 + b1:

@@ -544,3 +544,16 @@ def test_batch_filtered_equals_per_query(spark, tmp_path):
             ).collect()
         ]
     assert got == want and len(got) == 14
+
+
+def test_missing_centroids_raises_native_error(spark, tmp_path):
+    """A missing/partially-created store surfaces the native
+    AnalysisException (PATH_NOT_FOUND), not a RecursionError — the
+    r12 cached-reader rewrite accidentally made the miss branch
+    self-recursive."""
+    from pyspark.errors import AnalysisException
+
+    from mongo_es_spark.operators.similarity import _ivf_centroid_rows
+
+    with pytest.raises(AnalysisException):
+        _ivf_centroid_rows(spark, str(tmp_path / "no_such_store"))

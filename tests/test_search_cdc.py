@@ -451,7 +451,7 @@ def test_tail_pipeline_maintains_search_index(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     # rebuild oracle from the FINAL sink state
     state = sink.read_state(spark)
@@ -733,7 +733,7 @@ def test_tail_pipeline_maintains_dense_index(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     qv = vec(20.0)
     got = [

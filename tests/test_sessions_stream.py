@@ -59,7 +59,7 @@ def test_stream_sessions_close_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -113,7 +113,7 @@ def test_stream_matches_batch_on_closed_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     batch_df = spark.createDataFrame(rows, SCHEMA)
     want = {

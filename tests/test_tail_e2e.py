@@ -205,7 +205,7 @@ def test_scan_then_tail_matches_oracle(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     got = {}
     state = sink.read_state(spark)

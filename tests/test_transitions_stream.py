@@ -42,7 +42,7 @@ def _drain(spark, feed, sink, ckpt):
         .json(str(feed))
     )
     q = run_streaming_transitions(spark, stream, sink, ckpt)
-    assert q.awaitTermination(120)
+    assert q.awaitTermination(600)
 
 
 def test_streaming_transitions_cross_batch_parity(spark, tmp_path):

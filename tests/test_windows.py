@@ -57,7 +57,7 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -103,7 +103,7 @@ def test_windowed_anomaly_monitor_flags_spike(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     counts = spark.read.parquet(sink)
     flagged = windowed_anomalies(counts, z_threshold=3.0).collect()

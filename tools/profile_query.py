@@ -132,9 +132,20 @@ def main() -> int:
             if prev_end is not None and st > prev_end:
                 gaps += st - prev_end
             prev_end = max(prev_end or 0, j["end"])
+        # total tasks across this query's stages — deterministic
+        # (host-noise-proof) evidence for partitioning/AQE-floor A/Bs
+        seen_stages = set()
+        for _, _, j in mine:
+            seen_stages.update(s for s in j["stages"] if s in stages)
+        total_tasks = sum(stages[s]["tasks"] for s in seen_stages)
         print(
             f"jobs: {len(mine)}  sum(job wall): {tot:.2f}s  "
             f"inter-job gaps (driver/python time): {gaps:.2f}s"
+        )
+        print(
+            f"SUMMARY {name} jobs={len(mine)} stages={len(seen_stages)} "
+            f"tasks={total_tasks} job_wall={tot:.2f} gaps={gaps:.2f} "
+            f"wall={t1 - t0:.2f}"
         )
         from collections import Counter
 
