@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import json
 import os
 import shlex
 import subprocess
@@ -29,8 +30,65 @@ def spark():
 # printed command.  SPARK_GRAFT_TEST_WORKERS=1 disables sharding.
 # ---------------------------------------------------------------------------
 
-# rough per-file wall seconds from a full single-process run (used only
-# to balance the shards; unknown files fall back to a per-test estimate)
+# Measured per-file wall seconds: each shard records its files' test
+# durations (pytest_runtest_logreport) and appends them to
+# tests/.file_costs.jsonl at exit; the parent folds them into the next
+# run's balance.  Greedy LPT with stale costs measured 28 min wall on a
+# 72 min shard-time total (shards 10-28 min); accurate costs bound the
+# wall by max(biggest file, total/N).
+_COSTS_PATH = os.path.join(os.path.dirname(__file__), ".file_costs.jsonl")
+
+
+def _measured_costs() -> dict[str, float]:
+    costs: dict[str, float] = {}
+    try:
+        with open(_COSTS_PATH) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                for k, v in rec.items():
+                    # newest record wins (file appends chronologically)
+                    costs[k] = float(v)
+    except OSError:
+        pass
+    return costs
+
+
+_SHARD_DURATIONS: dict[str, float] = {}
+
+
+def pytest_runtest_logreport(report):
+    # inside a shard: accumulate wall seconds by file for the balance
+    # cache (setup+call+teardown all count — they all cost wall time)
+    if os.environ.get("_SPARK_GRAFT_TEST_SHARD") is None:
+        return
+    fname = os.path.basename(report.nodeid.split("::", 1)[0])
+    _SHARD_DURATIONS[fname] = (
+        _SHARD_DURATIONS.get(fname, 0.0) + report.duration
+    )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if os.environ.get("_SPARK_GRAFT_TEST_SHARD") is None:
+        return
+    if not _SHARD_DURATIONS:
+        return
+    try:
+        with open(_COSTS_PATH, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {k: round(v, 1) for k, v in _SHARD_DURATIONS.items()}
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
+
+
+# fallback estimates for files with no measured record yet (from a full
+# single-process run; only used to balance the shards)
 _FILE_COST = {
     "test_extensions.py": 480,
     "test_curate_stream.py": 290,
@@ -67,18 +125,36 @@ def pytest_runtestloop(session):
         by_file.setdefault(fname, []).append(item.nodeid)
 
     # greedy longest-processing-time assignment to the emptiest shard
-    def cost(fname: str, ids: list[str]) -> float:
-        return _FILE_COST.get(os.path.basename(fname), 2 * len(ids))
+    measured = _measured_costs()
 
-    shards: list[list[str]] = [[] for _ in range(workers)]
+    def cost(fname: str, ids: list[str]) -> float:
+        base = os.path.basename(fname)
+        if base in measured:
+            return measured[base]
+        return _FILE_COST.get(base, 2 * len(ids))
+
+    shard_files: list[list[tuple[str, list[str]]]] = [
+        [] for _ in range(workers)
+    ]
     loads = [0.0] * workers
     for fname, ids in sorted(
         by_file.items(), key=lambda kv: -cost(kv[0], kv[1])
     ):
         i = loads.index(min(loads))
-        shards[i].extend(ids)
+        shard_files[i].append((fname, ids))
         loads[i] += cost(fname, ids)
-    shards = [s for s in shards if s]
+    # Stagger the heavy files in time: LPT assignment puts every
+    # shard's MOST expensive file first, so at t=0 all N shards run
+    # their heaviest streaming drains concurrently — the observed
+    # worst case (a 60 s solo drain outlasting a 600 s hang guard).
+    # Rotating shard i's file order by i/N spreads the heavy starts.
+    shards: list[list[str]] = []
+    for i, files in enumerate(shard_files):
+        if not files:
+            continue
+        k = (i * len(files)) // workers
+        files = files[k:] + files[:k]
+        shards.append([nid for _, ids in files for nid in ids])
 
     # each shard gets a smaller core slice so N concurrent local-mode
     # JVMs do not oversubscribe the host; tests pin their shuffle

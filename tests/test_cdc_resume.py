@@ -11,11 +11,13 @@ import json
 from mongo_es_spark.config import CheckPoint, Task
 from mongo_es_spark.core import make_ts
 from mongo_es_spark.sources.cdc import (
+
     batch_oplog_frame,
     file_oplog_stream,
     ms_to_bson_ts,
     oplog_filters,
 )
+from streamutil import drain
 
 
 def _task() -> Task:
@@ -74,7 +76,7 @@ def test_file_stream_resume_converts_checkpoint_ms(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    drain(q)
     ids = {r["id"] for r in spark.read.parquet(str(out)).collect()}
     # with the old ms-vs-bson comparison this was {} (all dropped);
     # without any conversion at real timestamps it replays everything

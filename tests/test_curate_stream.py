@@ -9,6 +9,8 @@ import json
 import os
 
 from pyspark.sql import functions as F
+from streamutil import drain
+
 
 SCHEMA = "doc_id long, text string, lang string"
 
@@ -118,7 +120,7 @@ def test_streaming_curation_first_arrival_contract(spark, tmp_path):
         .json(str(feed))
     )
     q = run_incremental_curation(spark, stream, state, ckpt)
-    q.awaitTermination(600)
+    drain(q)
 
     got = {
         r["doc_id"]
@@ -248,7 +250,7 @@ def test_streaming_curation_scrub_passthrough(spark, tmp_path):
     q = run_incremental_curation(
         spark, stream, state, ckpt, scrub_blocklist=()
     )
-    q.awaitTermination(600)
+    drain(q)
 
     got = {
         r["doc_id"]: r["text"]
@@ -308,7 +310,7 @@ def test_streaming_boilerplate_store_matches_batch(spark, tmp_path):
         chunk_words=2,
         min_df=2,
     )
-    assert q.awaitTermination(600)
+    drain(q)
 
     got = {
         tuple(r)

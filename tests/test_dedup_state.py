@@ -13,6 +13,8 @@ from mongo_es_spark.streaming.dedup_state import suppress_redelivered
 
 
 import pytest
+from streamutil import drain
+
 
 
 @pytest.fixture(params=["hdfs", "rocksdb"])
@@ -88,7 +90,7 @@ def test_redelivered_events_suppressed_across_batches(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 

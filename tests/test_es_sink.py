@@ -13,6 +13,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pytest
 
 from mongo_es_spark.streaming.sink import BulkItemError, EsBulkSink
+from streamutil import drain
+
 
 
 class StubES:
@@ -386,7 +388,7 @@ def test_scan_then_tail_es_mode_matches_oracle(spark, tmp_path, stub_es):
         source_df=source_df, hints=HINTS,
         checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
     )
-    q.awaitTermination(600)
+    drain(q)
 
     want = {
         k: _strip_nulls(v["data"]) for k, v in oracle_state(task).items()

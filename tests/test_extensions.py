@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from streamutil import drain
+
 
 SF = "/root/testdata/sf0.001"
 
@@ -2635,7 +2637,7 @@ def test_streaming_ivf_maintenance(spark, tmp_path):
         spark, stream, "vec_id", "embedding", index,
         str(tmp_path / "ckpt"),
     )
-    assert q.awaitTermination(600)
+    drain(q)
     idx = spark.read.parquet(f"{index}/vectors")
     assert idx.count() == n
     assert idx.select("vec_id").distinct().count() == n
@@ -3227,7 +3229,7 @@ def test_streaming_profile_drain(spark, tmp_path):
     q = run_streaming_profile(
         spark, stream, store, str(tmp_path / "ckpt"), ["id", "s"]
     )
-    assert q.awaitTermination(600)
+    drain(q)
     got = {
         r["column"]: (r["n_rows"], r["n_nulls"], r["approx_distinct"])
         for r in profile_over_store(spark, store).collect()
@@ -3275,7 +3277,7 @@ def test_streaming_funnel_cross_batch_and_late(spark, tmp_path):
         spark, stream, ("signup", "click", "purchase"),
         sink, str(tmp_path / "fckpt"),
     )
-    assert q.awaitTermination(600)
+    drain(q)
     snap = {
         r["user_id"]: (r["step1_ms"], r["step2_ms"], r["step3_ms"],
                        r["converted"])
@@ -3947,7 +3949,7 @@ def test_streaming_embedding_pairs_equals_sequential_batches(spark, tmp_path):
         spark, stream, "vec_id", "embedding", stream_store,
         str(tmp_path / "out"), str(tmp_path / "ckpt"), threshold=0.45,
     )
-    assert q.awaitTermination(600)
+    drain(q)
     stream_pairs = {
         (r["i"], r["j"], r["cosine"])
         for r in spark.read.parquet(str(tmp_path / "out"))

@@ -10,6 +10,8 @@ import os
 from collections import Counter
 
 from pyspark.sql import functions as F
+from streamutil import drain
+
 
 SCHEMA = "doc_id long, text string"
 
@@ -47,7 +49,7 @@ def test_streaming_heavy_hitters_cross_batch(spark, tmp_path):
     q = run_streaming_heavy_hitters(
         spark, stream, "text", sink, ckpt, k=16, n_shards=4
     )
-    q.awaitTermination(600)
+    drain(q)
 
     exact = Counter()
     for _, t in b0 + b1:

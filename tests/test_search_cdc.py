@@ -21,6 +21,8 @@ import shutil
 import pytest
 
 from pyspark.sql import functions as F
+from streamutil import drain
+
 
 
 DOCS = [
@@ -451,7 +453,7 @@ def test_tail_pipeline_maintains_search_index(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(600)
+    drain(q)
 
     # rebuild oracle from the FINAL sink state
     state = sink.read_state(spark)
@@ -733,7 +735,7 @@ def test_tail_pipeline_maintains_dense_index(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(600)
+    drain(q)
 
     qv = vec(20.0)
     got = [

@@ -9,6 +9,8 @@ import os
 from pyspark.sql import functions as F
 
 from mongo_es_spark.streaming.sessions import sessionize_stream
+from streamutil import drain
+
 
 SCHEMA = "user_id long, event_id long, ts_ms long"
 GAP = 5_000
@@ -59,7 +61,7 @@ def test_stream_sessions_close_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -113,7 +115,7 @@ def test_stream_matches_batch_on_closed_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    drain(q)
 
     batch_df = spark.createDataFrame(rows, SCHEMA)
     want = {

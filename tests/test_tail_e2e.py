@@ -18,6 +18,8 @@ from mongo_es_spark.core import dispatch_oplog, make_ts, merge_oplogs, transform
 from mongo_es_spark.sources.cdc import file_oplog_stream
 from mongo_es_spark.streaming.sink import ParquetIndexSink
 from mongo_es_spark.streaming.tail import run_scan, run_tail
+from streamutil import drain
+
 
 HINTS = {"name": "string", "shareCount.all": "long", "deleted": "boolean"}
 
@@ -205,7 +207,7 @@ def test_scan_then_tail_matches_oracle(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(600)
+    drain(q)
 
     got = {}
     state = sink.read_state(spark)

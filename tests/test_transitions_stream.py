@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 import os
+from streamutil import drain
+
 
 SCHEMA = "user_id long, event_id long, ts_ms long, event_type string"
 
@@ -42,7 +44,7 @@ def _drain(spark, feed, sink, ckpt):
         .json(str(feed))
     )
     q = run_streaming_transitions(spark, stream, sink, ckpt)
-    assert q.awaitTermination(600)
+    drain(q)
 
 
 def test_streaming_transitions_cross_batch_parity(spark, tmp_path):

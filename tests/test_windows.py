@@ -9,6 +9,8 @@ import os
 from mongo_es_spark.core import make_ts
 from mongo_es_spark.sources.cdc import OPLOG_SCHEMA
 from mongo_es_spark.streaming.windows import windowed_op_counts
+from streamutil import drain
+
 
 
 def _write_batch(feed, ix, events):
@@ -57,7 +59,7 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        drain(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -103,7 +105,7 @@ def test_windowed_anomaly_monitor_flags_spike(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    drain(q)
 
     counts = spark.read.parquet(sink)
     flagged = windowed_anomalies(counts, z_threshold=3.0).collect()
