@@ -1737,16 +1737,16 @@ def _components_union_find(edges: DataFrame) -> DataFrame:
 def _components_propagation(
     pairs: DataFrame, i_col: str, j_col: str, max_iters: int
 ) -> DataFrame:
-    edges = (
+    from ..sparkutil import sever_count
+
+    edges, n_edges = sever_count(
         pairs.select(F.col(i_col).alias("a"), F.col(j_col).alias("b"))
         .union(pairs.select(F.col(j_col).alias("a"), F.col(i_col).alias("b")))
         .distinct()
         # materialize once: every propagation round joins edges, and
         # without this the full pair-generation pipeline would re-run
         # per round (and per convergence check)
-        .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
     if 0 < n_edges <= _DRIVER_CC_CUTOFF:
         return _components_union_find(edges)
     labels = (
@@ -1791,11 +1791,12 @@ def _components_propagation(
 def _components_star(
     pairs: DataFrame, i_col: str, j_col: str, max_iters: int
 ) -> DataFrame:
-    edges = (
+    from ..sparkutil import sever_count
+
+    edges, n_edges = sever_count(
         pairs.select(F.col(i_col).alias("a"), F.col(j_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)  # detach the pair-generation plan
+        .distinct()  # severed: detach the pair-generation plan
     )
     for _ in range(max_iters):
         # large-star: for each u, m = min(N(u) ∪ {u}); larger
@@ -1819,19 +1820,20 @@ def _components_star(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         mins2 = sm.groupBy("u").agg(F.min("v").alias("mn"))
-        new_edges = (
+        new_edges, n_new_edges = sever_count(
             sm.join(mins2, "u")
             .filter(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("a"), F.col("mn").alias("b"))
             .union(mins2.select(F.col("u").alias("a"), F.col("mn").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        # counts ride the severing jobs (no per-round re-count); the
+        # subtract probe only runs when the counts agree
         converged = (
-            new_edges.count() == edges.count()
+            n_new_edges == n_edges
             and new_edges.subtract(edges).limit(1).count() == 0
         )
-        edges = new_edges
+        edges, n_edges = new_edges, n_new_edges
         if converged:
             break
     # at convergence every component is a star (child, root): children

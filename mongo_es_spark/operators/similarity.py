@@ -642,17 +642,16 @@ def append_to_ivf_index(
     assign = pandas_udf(
         _assign_residual_kernel(C), "struct<cell:int,residual:double>"
     )
-    staged = (
-        fresh.withColumn("__ar", assign(F.col("v")))
-        .select(
+    from ..sparkutil import sever_count
+
+    staged, n = sever_count(
+        fresh.withColumn("__ar", assign(F.col("v"))).select(
             F.col(id_col),
             "v",
             F.col("__ar.cell").alias("cell"),
             F.col("__ar.residual").alias("__res"),
         )
-        .localCheckpoint(eager=True)
     )
-    n = staged.count()
     if n:
         # cellstats BEFORE the vectors append: replay detection
         # anti-joins on the vectors id set, so a crash between the two
@@ -790,18 +789,18 @@ def apply_cdc_to_ivf_index(
     assign = pandas_udf(
         _assign_residual_kernel(C), "struct<cell:int,residual:double>"
     )
-    staged = (
-        ups.withColumn("__ar", assign(F.col("v")))
-        .select(
+    from ..sparkutil import sever_count
+
+    staged, n_staged = sever_count(
+        ups.withColumn("__ar", assign(F.col("v"))).select(
             F.col(id_col),
             "v",
             F.col("__ar.cell").alias("cell"),
             F.col("__ar.residual").alias("__res"),
         )
-        .localCheckpoint(eager=True)
     )
     # 2. cellstats (over-covering on retry — conservative)
-    if staged.limit(1).count() > 0:
+    if n_staged > 0:
         _write_cellstats(staged, f"{path}/cellstats", mode="append")
     # 3. dead watermarks: deletes, and updates superseding a live row
     watermarks = (
@@ -2070,16 +2069,30 @@ def incremental_seed_distance(
             .dropDuplicates(["doc"])
             .withColumn("dist", F.lit(0).cast("long"))
         )
-    tails = new_edges.select(F.col("a").alias("doc")).dropDuplicates(
-        ["doc"]
+    # ONE initial store probe for every batch-touched doc — new-edge
+    # tails (their stored distance relaxes each head), plus heads and
+    # new seeds (the initial improvement pass needs their stored
+    # bounds).  Previously the tail relaxation and the initial bound
+    # check each probed the dist store behind its own broadcast build
+    # (two store scans + two build jobs per fold); the union key set
+    # is known before any store access, so one wave-sized checkpointed
+    # probe serves both (guide §2.4).
+    keys0 = new_edges.select(F.col("a").alias("doc")).unionByName(
+        new_edges.select(F.col("b").alias("doc"))
     )
+    if seeds_batch is not None:
+        keys0 = keys0.unionByName(
+            seeds_batch.select(F.col(seed_col).alias("doc"))
+        )
+    probe0 = _sd_store_hits(dists_store, keys0.dropDuplicates(["doc"]))
+    if dists_store is not None:  # empty-store probe is a LocalRelation
+        probe0 = probe0.localCheckpoint(eager=True)
     # store hits only (an inner probe): the raw improvement-event
     # rows relax each head through EVERY stored tail row; the min
     # aggregate below collapses them (min(cur)+1 == min(cur+1))
-    tail_cur = _sd_store_hits(dists_store, tails)
     cands = cands.unionByName(
         new_edges.join(
-            tail_cur.select(F.col("doc").alias("a"), "cur"), "a"
+            probe0.select(F.col("doc").alias("a"), "cur"), "a"
         )
         .select(
             F.col("b").alias("doc"),
@@ -2087,26 +2100,30 @@ def incremental_seed_distance(
         )
         .filter(F.col("dist") <= max_depth)
     )
-    # persisted (not pre-counted): the wave frame feeds both the
-    # store-probe broadcast keys and the candidate branch of the
-    # fused filter-aggregate — the broadcast build job materializes
-    # the cache, so the dist-store scan inside cands runs exactly once
-    cands = _keep(cands.groupBy("doc").agg(F.min("dist").alias("dist")))
+    cands = cands.groupBy("doc").agg(F.min("dist").alias("dist"))
 
-    def _improvements(wave: DataFrame, acc: DataFrame | None) -> DataFrame:
+    def _improvements(
+        wave: DataFrame,
+        acc: DataFrame | None,
+        bnd: DataFrame | None = None,
+    ) -> DataFrame:
         """Strict improvements in ``wave``: one wave-sized aggregate
         over candidate rows ∪ stored-bound rows (∪ the accumulated
         in-batch best), keeping docs whose candidate min beats every
         bound.  Equivalent to the old left-join + two-clause filter —
         ``dist < min(stored, best)``, NULL bound = unseen doc — but
         with no re-attach join, so the per-round bound broadcast
-        build job is gone (guide §2.4)."""
+        build job is gone (guide §2.4).  ``bnd`` overrides the store
+        probe with already-materialized bound rows; extra rows for
+        docs outside the wave are harmless (their groups have a NULL
+        candidate and the filter drops them)."""
         cand = wave.select(
             "doc",
             F.col("dist").alias("cand"),
             F.lit(None).cast("long").alias("cur"),
         )
-        bnd = _sd_store_hits(dists_store, wave)
+        if bnd is None:
+            bnd = _sd_store_hits(dists_store, wave)
         if acc is not None:
             bnd = bnd.unionByName(
                 acc.select("doc", F.col("dist").alias("cur"))
@@ -2130,21 +2147,26 @@ def incremental_seed_distance(
             .select("doc", "dist")
         )
 
-    # the round boundary: checkpointed (lineage truncation — see the
-    # persist note above), so `best` stays a union over severed blocks
-    frontier = _improvements(cands, None).localCheckpoint(eager=True)
-    initial_empty = None
+    def _sever(df: DataFrame) -> tuple[DataFrame, bool]:
+        """Round boundary: lazy local checkpoint + JVM RDD count —
+        ONE job materializes the frontier (lineage truncation, see
+        the persist note above) and returns whether it is empty.
+        Eager-checkpoint-then-isEmpty paid two jobs, and a DataFrame
+        ``count()`` is itself two under AQE (sparkutil.sever_count)."""
+        from ..sparkutil import sever_count
+
+        df, n = sever_count(df)
+        return df, n == 0
+
+    frontier, empty = _sever(_improvements(cands, None, bnd=probe0))
+    initial_empty = empty
     best = frontier
 
     for _ in range(int(max_depth)):
         # early exit: an empty frontier stays empty — steady-state
         # batches into a settled store converge in one or two rounds,
         # and a replayed batch converges in ZERO, so the remaining
-        # rounds' join/aggregate jobs are pure overhead.  The frontier
-        # is already materialized, so the probe is a limit-1 scan.
-        empty = frontier.isEmpty()
-        if initial_empty is None:
-            initial_empty = empty
+        # rounds' join/aggregate jobs are pure overhead.
         if empty:
             break
         # persisted like cands: the relaxation pass scans the FULL
@@ -2168,12 +2190,11 @@ def incremental_seed_distance(
             .groupBy("doc")
             .agg(F.min("dist").alias("dist"))
         )
-        frontier = _improvements(nxt, best).localCheckpoint(eager=True)
-        # NOT materialized: best is a union of the (eagerly
-        # checkpointed) per-round frontiers + one min-aggregate, so
-        # its lineage depth is bounded by max_depth regardless
-        # (guide §5: materialize only when recomputation is the
-        # expensive side)
+        frontier, empty = _sever(_improvements(nxt, best))
+        # NOT materialized: best is a union of the (checkpoint-
+        # severed) per-round frontiers + one min-aggregate, so its
+        # lineage depth is bounded by max_depth regardless (guide §5:
+        # materialize only when recomputation is the expensive side)
         best = (
             best.unionByName(frontier)
             .groupBy("doc")
@@ -2184,8 +2205,6 @@ def incremental_seed_distance(
     # with zero improvements (replay, or edges that shortcut nothing)
     # appends no dists file at all instead of an empty one — replayed
     # feeds must not accrete per-replay file clutter
-    if initial_empty is None:  # max_depth == 0: no probe ever ran
-        initial_empty = best.isEmpty()
     if not initial_empty:
         best.write.mode("append").parquet(_sd_dists_path(store_path))
     if edges_batch is not None:
@@ -3132,10 +3151,11 @@ def kcenter_coreset(
         # (documented), rather than crash the Arrow kernel mid-round
         # or let an inf-__mind null row win the farthest-point argmax
     ).filter(F.col("v").isNotNull())
-    state = base.withColumn(
-        "__mind", F.lit(float("inf"))
-    ).localCheckpoint(eager=True)
-    n = state.count()
+    from ..sparkutil import sever_count
+
+    state, n = sever_count(
+        base.withColumn("__mind", F.lit(float("inf")))
+    )
     if n == 0:
         # empty in, empty out — not a None-radius crash
         return df.sparkSession.createDataFrame(

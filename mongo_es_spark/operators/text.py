@@ -562,23 +562,30 @@ def _bm_append_tokenstats(
     rollup.  Per-fold cost: one batch-vocabulary-sized aggregate and
     a tiny append — never an index-wide pass.
 
-    ``docs`` (the fold's counted doc ids) appends to the
-    ``tokenstats_docs`` sidecar BEFORE the delta: a crash between the
-    two leaves the sidecar ahead of the rollup, which the repair's
-    ``count(sidecar) == marker`` validation detects and resolves by
-    full rebuild — the reverse order would instead make a later
-    incremental repair double-count the torn fold's delta silently."""
-    if docs is not None:
-        docs.select(F.col("doc")).coalesce(1).write.mode(
-            "append"
-        ).parquet(_bm_tokenstats_docs_path(store_path))
+    ``docs`` (the fold's counted doc ids) rides the SAME file as
+    ``(token=NULL, df=NULL, doc=id)`` rows — invisible to every
+    rollup reader (the doc-marker probe sums ``df`` over
+    ``token IS NULL`` rows, where these are NULL; the vocabulary
+    aggregate filters ``token IS NOT NULL``) and read back only by
+    the desync repair.  One append instead of the old ordered
+    docs-sidecar-then-delta pair: both land in one atomically-moved
+    part file, so the torn docs-ahead-of-delta window is gone rather
+    than merely detectable (fold write floor, guide §2.4/§6)."""
     delta = tf_rows.groupBy("token").agg(F.count("*").alias("df"))
     delta = delta.unionByName(
         spark.range(1).select(
             F.lit(None).cast("string").alias("token"),
             F.lit(int(n_new_docs)).cast("long").alias("df"),
         )
-    )
+    ).withColumn("doc", F.lit(None).cast("long"))
+    if docs is not None:
+        delta = delta.unionByName(
+            docs.select(
+                F.lit(None).cast("string").alias("token"),
+                F.lit(None).cast("long").alias("df"),
+                F.col("doc").cast("long").alias("doc"),
+            )
+        )
     delta.coalesce(1).write.mode("append").parquet(
         _bm_tokenstats_path(store_path)
     )
@@ -971,14 +978,17 @@ def incremental_bm25_index(
     ).sortWithinPartitions("token", "doc").write.mode("append").parquet(
         _bm_postings_path(store_path)
     )
-    dl_rows = dl_rows.localCheckpoint(eager=True)
+    # one job materializes docstats AND yields the tokenstats doc
+    # count (was an eager checkpoint + a separate count job)
+    from ..sparkutil import sever_count
+
+    dl_rows, n_new = sever_count(dl_rows)
     dl_rows.write.mode("append").parquet(_bm_docstats_path(store_path))
     # df-rollup delta LAST (docstats is the commit point — a crash
     # before this line leaves the rollup short, which readers detect
     # by doc-count mismatch and fall back; a CDC-mutated store's
     # rollup is untrusted anyway until compaction rebuilds it)
     if p_row is None or not bool(p_row.asDict().get("mutated", True)):
-        n_new = dl_rows.count()
         if n_new:
             _bm_append_tokenstats(
                 spark, store_path, tf_all, n_new,
@@ -1383,6 +1393,16 @@ def rebuild_bm25_tokenstats(
                 F.lit(None).cast("string").alias("token"),
                 F.lit(int(n_docs)).cast("long").alias("df"),
             )
+        ).withColumn("doc", F.lit(None).cast("long"))
+        # counted-doc rows ride the rollup itself (see
+        # _bm_append_tokenstats) — one rewrite instead of the old
+        # ordered docs-sidecar-then-rollup pair of swaps
+        delta = delta.unionByName(
+            ds.select(
+                F.lit(None).cast("string").alias("token"),
+                F.lit(None).cast("long").alias("df"),
+                F.col("doc").cast("long").alias("doc"),
+            )
         )
         # vocabulary-sized: a handful of files keeps the (always
         # full-read) rollup scan parallel without small-file litter
@@ -1390,28 +1410,18 @@ def rebuild_bm25_tokenstats(
             "overwrite"
         ).parquet(new)
 
-    # docs sidecar FIRST (live doc ids — what the rollup is about to
-    # count), rollup second: a crash between leaves the sidecar equal
-    # to live docs while the rollup stays short/stale, which the
-    # repair's count-vs-marker validation catches (full rebuild); the
-    # reverse order could pair a fresh rollup with a stale sidecar and
-    # poison a LATER incremental repair silently
+    # retire any legacy standalone docs sidecar FIRST: the doc rows
+    # now live inside the rollup, and a stale sidecar surviving next
+    # to a fresh rollup would double-count in the repair's
+    # count-vs-marker validation.  Crash between the removal and the
+    # rollup swap leaves no doc rows at all — the validation reads
+    # zero counted docs, mismatches the marker, and falls back to a
+    # full rebuild (fail-safe, same as any torn state here).
     td = _bm_tokenstats_docs_path(store_path)
-
-    def write_docs(new: str) -> None:
-        ds = spark.read.parquet(d)
-        if not assume_live and "gen" in ds.columns:
-            ds = _bm_live_docstats(ds)
-        elif "deleted" in ds.columns:
-            ds = ds.filter(~F.col("deleted"))
-        ds.select("doc").coalesce(max(1, int(n_files))).write.mode(
-            "overwrite"
-        ).parquet(new)
-
     if os.path.isdir(td):
-        rewrite_store(td, write_docs)
-    else:
-        write_docs(td)
+        import shutil
+
+        shutil.rmtree(td, ignore_errors=True)
     if os.path.isdir(ts):
         rewrite_store(ts, write_tokenstats)
     else:
@@ -1449,10 +1459,24 @@ def repair_bm25_tokenstats(spark, store_path: str) -> dict:
     if "deleted" in ds.columns:
         ds = ds.filter(~F.col("deleted"))
     ts = read_parquet_if_exists(spark, _bm_tokenstats_path(store_path))
-    docs = read_parquet_if_exists(
+    if ts is None:
+        return full()
+    # counted-doc rows live inside the rollup (token NULL, df NULL,
+    # doc set — see _bm_append_tokenstats); a legacy standalone
+    # sidecar (written before the merge, disjoint by construction)
+    # unions in when present
+    docs = (
+        ts.filter(F.col("doc").isNotNull()).select("doc")
+        if "doc" in ts.columns
+        else None
+    )
+    legacy = read_parquet_if_exists(
         spark, _bm_tokenstats_docs_path(store_path)
     )
-    if ts is None or docs is None:
+    if legacy is not None:
+        legacy = legacy.select("doc")
+        docs = legacy if docs is None else docs.unionByName(legacy)
+    if docs is None:
         return full()
     marker = (
         ts.filter(F.col("token").isNull()).agg(F.sum("df")).head()[0]

@@ -97,8 +97,13 @@ def curate_batch(
     Returns counters for observability.  Safe to replay: content
     hashes already in the store make a re-delivered batch a no-op.
     """
+    # cache the batch: the quality pipeline, the counter, and the
+    # survivor join all re-scan it otherwise (guide §5 — reused and
+    # cheap to hold; micro-batches are bounded by the trigger)
+    batch_df = _cached_batch = batch_df.persist()
     n_in = batch_df.count()
     if n_in == 0:
+        _cached_batch.unpersist()
         return {"in": 0, "quality": 0, "fresh": 0, "kept": 0}
 
     if scrub_blocklist is not None:
@@ -151,10 +156,13 @@ def curate_batch(
             old_hashes.select(F.col("h").alias("__h")), "__h", "left_anti"
         )
     # materialize: `first` feeds three consumers and must be fixed
-    # before this batch appends to the stores it was derived from
-    fresh = first.localCheckpoint(eager=True)
+    # before this batch appends to the stores it was derived from.
+    # sever_count fuses the checkpoint with the n_fresh counter into
+    # one job (guide §1.2 — the fold's cost here is job count).
+    from ..sparkutil import sever_count
+
+    fresh, n_fresh = sever_count(first)
     n_quality = passed.count()
-    n_fresh = fresh.count()
 
     # 3. near dedup vs the signature store.  ALL fresh docs enter the
     # store (kept or dropped) so chains keep suppressing later copies.
@@ -192,10 +200,11 @@ def curate_batch(
         )
         .distinct()
     )
-    kept = fresh.join(
-        drops.withColumnRenamed("doc", id_col), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
-    n_kept = kept.count()
+    kept, n_kept = sever_count(
+        fresh.join(
+            drops.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        )
+    )
     passed.unpersist()
 
     # 4. idempotent appends
@@ -203,6 +212,7 @@ def curate_batch(
     fresh.select(
         F.col(id_col).alias("doc"), F.col("__h").alias("h")
     ).write.mode("append").parquet(_hash_store(state_dir))
+    _cached_batch.unpersist()
 
     return {
         "in": n_in,

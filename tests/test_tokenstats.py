@@ -307,25 +307,28 @@ EXTRA = [
 
 
 def test_desync_repair_crash_point_matrix(spark, tmp_path):
-    """Crash-point coverage of the fold's sidecar writes (r10 VERDICT
-    #8): the counted-docs log turns the desync repair into a
-    missing-fold-sized append wherever it can name the gap, and a
-    TORN docs-vs-delta pair (the one unnameable state) falls back to
-    the full rebuild — every boundary converges to the exact rollup
-    and the policy re-arms to a no-op."""
+    """Crash-point coverage of the fold's rollup append (r10 VERDICT
+    #8, r13 write-floor merge): the counted-doc rows now ride the SAME
+    coalesced file as the df delta, so the old torn docs-vs-delta
+    state is impossible by construction — a crash either leaves the
+    whole fold's rollup contribution (docs + delta together) or none
+    of it, and the repair names the gap from the doc rows.  A stale
+    LEGACY standalone sidecar (pre-merge layout) must still fail the
+    count-vs-marker validation and fall back to the full rebuild."""
     from mongo_es_spark.operators.maintenance import maintain_bm25_if_needed
 
     store = str(tmp_path / "bm25")
     ts = os.path.join(store, "tokenstats")
     td = os.path.join(store, "tokenstats_docs")
     _fold(spark, store, DOCS[:3])
+    # the merged layout retires the standalone docs sidecar
+    assert not os.path.isdir(td)
 
-    # -- boundary: crash AFTER docstats, BEFORE docs+delta ----------
-    b_ts, b_td = set(os.listdir(ts)), set(os.listdir(td))
+    # -- boundary: crash AFTER docstats, BEFORE the merged append ---
+    b_ts = set(os.listdir(ts))
     _fold(spark, store, DOCS[3:])
-    for d_, before in ((ts, b_ts), (td, b_td)):
-        for f in set(os.listdir(d_)) - before:
-            os.remove(os.path.join(d_, f))
+    for f in set(os.listdir(ts)) - b_ts:
+        os.remove(os.path.join(ts, f))
     fired = maintain_bm25_if_needed(spark, store)
     assert fired["action"] == "rebuild_rollup"
     assert fired["result"]["mode"] == "incremental"
@@ -339,19 +342,25 @@ def test_desync_repair_crash_point_matrix(spark, tmp_path):
     )
     assert maintain_bm25_if_needed(spark, store)["action"] == "none"
 
-    # -- boundary: crash AFTER the docs sidecar, BEFORE the delta ---
+    # -- legacy: a desynced rollup PLUS a stale standalone docs
+    # sidecar (pre-merge layout) — the sidecar unions into the
+    # counted-docs set, fails the count-vs-marker validation, and the
+    # repair falls back to the full rebuild, which retires it
     b_ts = set(os.listdir(ts))
     _fold(spark, store, EXTRA)
     for f in set(os.listdir(ts)) - b_ts:
-        os.remove(os.path.join(ts, f))  # delta gone, docs row kept
+        os.remove(os.path.join(ts, f))
+    spark.createDataFrame([(999,)], "doc long").write.parquet(td)
     fired2 = maintain_bm25_if_needed(spark, store)
     assert fired2["action"] == "rebuild_rollup"
-    assert fired2["result"]["mode"] == "rebuild"  # torn pair -> full
+    assert fired2["result"]["mode"] == "rebuild"
+    assert not os.path.isdir(td)  # rebuild retired the legacy sidecar
     clean8 = str(tmp_path / "clean8")
     _fold(spark, clean8, DOCS + EXTRA)
     assert sorted(map(tuple, _sig(spark, store).collect())) == sorted(
         map(tuple, _sig(spark, clean8).collect())
     )
     assert maintain_bm25_if_needed(spark, store)["action"] == "none"
-    # the rebuild refreshed the sidecar: counted == live == 8
-    assert spark.read.parquet(td).count() == 8
+    # the rebuild refreshed the doc rows in place: counted == live == 8
+    merged = spark.read.parquet(ts)
+    assert merged.filter("doc is not null").count() == 8
