@@ -2696,11 +2696,14 @@ def incremental_embedding_pairs(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    from ..storeio import read_parquet_if_exists
+    from ..storeio import read_parquet_if_exists, read_params_rows
 
-    cent_frame = read_parquet_if_exists(spark, cent_path)
-    if cent_frame is not None:
-        cent_rows = cent_frame.collect()
+    # centroids are frozen after the first batch: the cached-row read
+    # (file-listing keyed) makes every later trigger's quantizer load
+    # job-free, and the driver-side write below saves the training
+    # trigger's Spark write job (the values are driver-known)
+    cent_rows = read_params_rows(spark, cent_path)
+    if cent_rows:
         C = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
         for r in cent_rows:
             C[r["cell"]] = r["centroid"]
@@ -2718,10 +2721,26 @@ def incremental_embedding_pairs(
         )
         X = np.asarray(sample["v"].tolist(), dtype=np.float64)
         C = _kmeans_fit(X, n_clusters, seed)
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
-            "cell int, centroid array<double>",
-        ).write.parquet(cent_path)
+        import pyarrow as pa
+
+        from pyspark.sql import Row as _Row
+
+        from ..storeio import prime_params_cache, write_params_table
+
+        rows = [
+            {"cell": int(i), "centroid": [float(x) for x in row]}
+            for i, row in enumerate(C)
+        ]
+        write_params_table(
+            cent_path,
+            pa.schema(
+                [("cell", pa.int32()), ("centroid", pa.list_(pa.float64()))]
+            ),
+            rows,
+        )
+        prime_params_cache(
+            cent_path, [_Row(**r) for r in rows]
+        )
 
     assign = pandas_udf(_nearest_cell_kernel(C), "int")
     probe = pandas_udf(_top_cells_kernel(C, n_probe), "array<int>")

@@ -1426,11 +1426,11 @@ def dedup_components_incremental(
         for b in range(3):
             incremental_components(
                 spark, pairs.filter(split == b), store
-            ).count()
+            )  # fold is eager; the returned frame is discarded
             if b == 1:  # replay: must change neither store nor labels
                 incremental_components(
                     spark, pairs.filter(split == b), store
-                ).count()
+                )  # fold is eager; the returned frame is discarded
         rows = components_over_store(spark, store).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -2537,11 +2537,11 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(3):
             incremental_bm25_index(
                 spark, docs.filter(split == b), store
-            ).count()
+            )  # fold is eager; the returned frame is discarded
             if b == 1:  # replay: must append nothing
                 incremental_bm25_index(
                     spark, docs.filter(split == b), store
-                ).count()
+                )  # fold is eager; the returned frame is discarded
         rows = bm25_over_store(
             spark, store, ["spark", "table", "stream"], top_k=10
         ).collect()
@@ -2698,7 +2698,7 @@ def _shared_analyzed_bm25_store(spark: SparkSession, sf_dir: str) -> str:
         )
         incremental_bm25_index(
             spark, docs, path, field_cols=["lang"], analyzer="standard"
-        ).count()
+        )  # fold is eager; the returned frame is discarded
 
     return _shared_store("bm25_an", sf_dir, build)
 
@@ -2939,7 +2939,7 @@ def search_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(3):
             incremental_bm25_index(
                 spark, docs.filter(split == b), store
-            ).count()
+            )  # fold is eager; the returned frame is discarded
         pre = bm25_over_store(
             spark, store, ["spark", "table", "stream"], top_k=10
         ).collect()
@@ -3026,7 +3026,7 @@ def _shared_bm25_store(spark: SparkSession, sf_dir: str) -> str:
         incremental_bm25_index(
             spark, docs, path,
             field_cols=["lang", "n_chars", "day", "lat", "lon"],
-        ).count()
+        )  # fold is eager; the returned frame is discarded
         # cell-partitioned geo sidecar (operators/geo.py): pure-geo
         # and geo-filtered queries prune FILES by cell ring instead
         # of scanning every doc's point — the BKD-tree role
@@ -3099,7 +3099,7 @@ def _shared_pc_store(spark: SparkSession, sf_dir: str) -> str:
         incremental_bm25_index(
             spark, parents.unionByName(children), path,
             field_cols=["join_name", "parent_id", "price"],
-        ).count()
+        )  # fold is eager; the returned frame is discarded
 
     return _shared_store("pcstore", sf_dir, build)
 
@@ -3142,7 +3142,7 @@ def _shared_nested_store(spark: SparkSession, sf_dir: str) -> str:
         )
         incremental_bm25_index(
             spark, docs, path, field_cols=["items"]
-        ).count()
+        )  # fold is eager; the returned frame is discarded
 
     return _shared_store("nestedstore", sf_dir, build)
 
@@ -3162,7 +3162,7 @@ def _shared_src_store(spark: SparkSession, sf_dir: str) -> str:
         incremental_bm25_index(
             spark, docs, path,
             field_cols=["lang", "n_chars", "_source"],
-        ).count()
+        )  # fold is eager; the returned frame is discarded
 
     return _shared_store("srcstore", sf_dir, build)
 
@@ -3181,7 +3181,7 @@ def _shared_title_store(spark: SparkSession, sf_dir: str) -> str:
                 F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5),
             ).alias("text"),
         )
-        incremental_bm25_index(spark, docs, path).count()
+        incremental_bm25_index(spark, docs, path)  # fold is eager; the returned frame is discarded
 
     return _shared_store("titlestore", sf_dir, build)
 
@@ -4960,7 +4960,7 @@ def graph_seed_distance_incremental(
                 edges_batch=edges.filter(split == b),
                 seeds_batch=seeds if b == 1 else None,
                 max_depth=4,
-            ).count()
+            )  # fold is eager; the returned frame is discarded
             if b == 1:  # replay: must change neither store nor view
                 incremental_seed_distance(
                     spark,
@@ -4968,7 +4968,7 @@ def graph_seed_distance_incremental(
                     edges_batch=edges.filter(split == b),
                     seeds_batch=seeds,
                     max_depth=4,
-                ).count()
+                )  # fold is eager; the returned frame is discarded
         rows = seed_distance_over_store(spark, store).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -6746,8 +6746,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NOTE: eager localCheckpoints of per_doc/pairs were measured
     # SLOWER here (6.5 s vs 6.0 s at sf0.1) — the materialization
-    # barriers cost more than the repeated lazy evaluation saves
-    flags = per_doc.select(F.col("vec_id"), "kept")
+    # barriers cost more than the repeated lazy evaluation saves.
+    # LAZY persist is different: no barrier job, and the gram-matrix
+    # kernel behind flags/near_docs runs once instead of once per
+    # consumer subtree inside the final save job.
+    flags = per_doc.select(F.col("vec_id"), "kept").persist()
 
     kept_pairs = (
         pairs.join(
@@ -6774,6 +6777,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.select(F.col("i").alias("vec_id"))
         .union(exact.select(F.col("j").alias("vec_id")))
         .distinct()
+        .persist()
     )
     n_near = near_docs.agg(F.count("*").alias("n_global_near_docs"))
 
@@ -6840,10 +6844,13 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "n_chars"
     )
+    # lazy persist: `out` feeds three assertion subtrees and the
+    # near-dup kernel behind it would otherwise run once per consumer
+    # inside the final save job (no barrier job — see dedup_semantic)
     out = keep_best_semantic(
         emb, "vec_id", "embedding", docs, "n_chars",
         n_clusters=8, threshold=0.45,
-    )
+    ).persist()
     comp_stats = out.groupBy("component").agg(
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("__n_kept"),
         F.max("n_chars").alias("__smax"),
@@ -6874,6 +6881,7 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.select(F.col("i").alias("vec_id"))
         .union(exact.select(F.col("j").alias("vec_id")))
         .distinct()
+        .persist()
     )
     n_near = near_docs.agg(F.count("*").alias("n_global_near_docs"))
     dropped_ok = (
@@ -8780,7 +8788,7 @@ def _cdc_mutated_store(spark: SparkSession, sf_dir: str, store: str) -> str:
         incremental_bm25_index,
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    incremental_bm25_index(spark, docs, store).count()
+    incremental_bm25_index(spark, docs, store)  # fold is eager; the returned frame is discarded
     upd = docs.filter(F.col("doc_id") % 7 == 3).select(
         "doc_id",
         F.lit("u").alias("op"),
@@ -8895,7 +8903,7 @@ def search_cdc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(store: str) -> None:
         incremental_bm25_index(
             spark, docs, store, field_cols=["lang"]
-        ).count()
+        )  # fold is eager; the returned frame is discarded
         dels = docs.filter(F.col("doc_id") % 3 == 1).select(
             "doc_id",
             F.lit("d").alias("op"),
@@ -12568,7 +12576,7 @@ def _shared_stemmed_bm25_store(spark: SparkSession, sf_dir: str) -> str:
         )
         incremental_bm25_index(
             spark, docs, path, analyzer="standard_stem"
-        ).count()
+        )  # fold is eager; the returned frame is discarded
 
     return _shared_store("bm25_stem", sf_dir, build)
 
@@ -12846,7 +12854,7 @@ def _shared_cjk_bm25_store(spark: SparkSession, sf_dir: str) -> str:
         )
         incremental_bm25_index(
             spark, docs, path, analyzer="cjk_bigram"
-        ).count()
+        )  # fold is eager; the returned frame is discarded
 
     return _shared_store("bm25_cjk", sf_dir, build)
 

@@ -193,10 +193,25 @@ def write_params_row(path: str, schema, row: dict) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    write_params_table(path, schema, [row])
+
+
+def write_params_table(path: str, schema, rows: list[dict]) -> None:
+    """Driver-side overwrite of a SMALL sidecar parquet directory with
+    driver-known rows (the multi-row generalization of
+    :func:`write_params_row` — e.g. a trained quantizer's centroid
+    table).  Same crash window: replacement fully written before the
+    live directory drops."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     new = path + "__new"
     shutil.rmtree(new, ignore_errors=True)
     os.makedirs(new)
-    table = pa.Table.from_pylist([row], schema=schema)
+    table = pa.Table.from_pylist(rows, schema=schema)
     pq.write_table(
         table,
         os.path.join(new, f"part-00000-{uuid.uuid4()}.zstd.parquet"),
