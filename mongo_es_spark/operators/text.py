@@ -571,19 +571,21 @@ def _bm_append_tokenstats(
     docs-sidecar-then-delta pair: both land in one atomically-moved
     part file, so the torn docs-ahead-of-delta window is gone rather
     than merely detectable (fold write floor, guide §2.4/§6)."""
+    # doc ids keep their caller-native type (string ids are legal)
+    doc_type = dict(docs.dtypes)["doc"] if docs is not None else "long"
     delta = tf_rows.groupBy("token").agg(F.count("*").alias("df"))
     delta = delta.unionByName(
         spark.range(1).select(
             F.lit(None).cast("string").alias("token"),
             F.lit(int(n_new_docs)).cast("long").alias("df"),
         )
-    ).withColumn("doc", F.lit(None).cast("long"))
+    ).withColumn("doc", F.lit(None).cast(doc_type))
     if docs is not None:
         delta = delta.unionByName(
             docs.select(
                 F.lit(None).cast("string").alias("token"),
                 F.lit(None).cast("long").alias("df"),
-                F.col("doc").cast("long").alias("doc"),
+                F.col("doc").alias("doc"),
             )
         )
     delta.coalesce(1).write.mode("append").parquet(
@@ -1388,12 +1390,13 @@ def rebuild_bm25_tokenstats(
             post = post.join(ds.select("doc"), "doc", "left_semi")
         n_docs = ds.count()
         delta = post.groupBy("token").agg(F.count("*").alias("df"))
+        doc_type = dict(ds.dtypes)["doc"]
         delta = delta.unionByName(
             spark.range(1).select(
                 F.lit(None).cast("string").alias("token"),
                 F.lit(int(n_docs)).cast("long").alias("df"),
             )
-        ).withColumn("doc", F.lit(None).cast("long"))
+        ).withColumn("doc", F.lit(None).cast(doc_type))
         # counted-doc rows ride the rollup itself (see
         # _bm_append_tokenstats) — one rewrite instead of the old
         # ordered docs-sidecar-then-rollup pair of swaps
@@ -1401,7 +1404,7 @@ def rebuild_bm25_tokenstats(
             ds.select(
                 F.lit(None).cast("string").alias("token"),
                 F.lit(None).cast("long").alias("df"),
-                F.col("doc").cast("long").alias("doc"),
+                F.col("doc").alias("doc"),
             )
         )
         # vocabulary-sized: a handful of files keeps the (always
@@ -5865,6 +5868,12 @@ def pack_sequences(
     for the window stage, and the only driver-side data is the
     ``n_buckets``-row offset table.  ``id_col`` must be numeric.
     """
+    # three passes read this frame (id-domain min/max, per-bucket
+    # sums, the packed output itself) — persist LAZILY so the first
+    # pass materializes the upstream chain once instead of every
+    # consumer re-running it (pipeline_curate feeds the full
+    # quality->dedup->mix chain through here; guide §5)
+    df = df.persist()
     mm = df.agg(
         F.min(id_col).alias("mn"), F.max(id_col).alias("mx")
     ).first()

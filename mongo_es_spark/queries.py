@@ -5207,9 +5207,12 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     surv = drop_near_duplicates(kept, "doc_id", "text", n=3, threshold=0.8)
+    # lazy persist: `mixed` feeds both the token-count join into the
+    # packer AND the final label join — without it the whole
+    # quality->dedup->mix chain evaluates once per consumer
     mixed = temperature_sample(
         surv.select("doc_id", "lang"), "doc_id", "lang", alpha=0.5
-    ).select("doc_id", "lang")
+    ).select("doc_id", "lang").persist()
     with_counts = mixed.join(
         docs.select(
             "doc_id",
